@@ -1,0 +1,71 @@
+"""Benchmark runner: executes the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced to full execution with a count-style action (noop
+write would measure the same plan; collect would add driver transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dynamic_etl_spark.registry import all_queries  # noqa: E402
+from dynamic_etl_spark.session import get_spark  # noqa: E402
+
+HEADLINE = (
+    "flagship_star_join",
+    "pricing_summary",
+    "scan_projection_filter",
+    "customer_order_sequence",
+    "dedup_keep_last_line",
+    "top_part_types",
+    "fallback_key_resolution",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark(app_name="dynamic-etl-spark-bench")
+    registry = all_queries()
+
+    names = [n for n in HEADLINE if n in registry]
+    extra = os.environ.get("BENCH_QUERIES")
+    if extra:
+        names = [n.strip() for n in extra.split(",") if n.strip() in registry]
+
+    # Warm the JVM/codegen once with the cheapest query so the first timed
+    # query doesn't absorb session startup noise.
+    registry["scan_projection_filter"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        df = registry[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Aggregation operators (SURVEY.md §2.4, A1-A11).
+
+Exact-arithmetic discipline: money/measure sums go through DecimalType so
+results are order-independent and bit-identical across engines (Spark's
+double summation order varies with partitioning; decimal addition is
+exact). Helpers return Columns so callers compose them in one ``agg`` pass.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Decimal(25,6) holds any double-ish measure in the corpus with exact
+# addition headroom at 100 TB row counts (sum precision grows to 35,6).
+MEASURE_DECIMAL = "decimal(25,6)"
+
+
+def as_double(c: Column) -> Column:
+    """Decimal -> double, portably.
+
+    DuckDB (the oracle) converts decimals to double as
+    unscaled_int128/10^scale in doubles, which is only exact while the
+    unscaled value fits in 2^53. Reducing to scale 4 first (lossless — the
+    corpus carries at most 4 real decimal places: 2dp money x 2dp rates)
+    keeps both engines bit-identical with ~400x value headroom at sf0.01.
+    """
+    return c.cast("decimal(38,4)").cast("double")
+
+
+def dsum(col, alias: str | None = None) -> Column:
+    """Order-independent exact sum of a double measure, surfaced as double."""
+    col = F.col(col) if isinstance(col, str) else col
+    c = as_double(F.sum(col.cast(MEASURE_DECIMAL)))
+    return c.alias(alias) if alias else c
+
+
+def davg(col, alias: str | None = None) -> Column:
+    """Exact-sum / count as one IEEE double division — deterministic and
+    engine-portable, unlike a streaming double average."""
+    col = F.col(col) if isinstance(col, str) else col
+    c = as_double(F.sum(col.cast(MEASURE_DECIMAL))) / F.count(col)
+    return c.alias(alias) if alias else c
+
+
+def high_water_mark(df: DataFrame, key: str) -> int:
+    """A1 — NVL(MAX(id),0) surrogate-key high-water-mark (reference:
+    scripts/fact_sales_daily.py:16-17 et al)."""
+    row = df.agg(F.coalesce(F.max(key), F.lit(0)).alias("hwm")).collect()[0]
+    return int(row["hwm"])
+
+
+def count_if(cond: Column, alias: str) -> Column:
+    """A4 — SUM(CASE WHEN flag='Y' THEN 1 ELSE 0 END) conditional count
+    (reference: scripts/dim_date_daily.py:221-228)."""
+    return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(alias)
+
+
+def null_counts(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """A8 — per-column NULL counts in ONE scan (the reference issues one
+    SELECT COUNT(*) per column — scripts/validate_table.py:288-298)."""
+    cols = list(cols or df.columns)
+    return df.select(
+        [F.count(F.when(F.col(c).isNull(), 1)).cast("long").alias(c) for c in cols]
+    )
+
+
+def numeric_profile(df: DataFrame, col: str) -> DataFrame:
+    """A6 — MIN/MAX/AVG/COUNT(*)/COUNT(col) profile
+    (reference: scripts/validate_table.py:403-408)."""
+    return df.agg(
+        F.min(col).alias("min_value"),
+        F.max(col).alias("max_value"),
+        davg(col, "avg_value"),
+        F.count(F.lit(1)).alias("row_count"),
+        F.count(col).alias("non_null_count"),
+    )
+
+
+def duplicate_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """A7/D3 — GROUP BY pk HAVING COUNT(*) > 1
+    (reference: scripts/validate_table.py:309-317)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )

@@ -1,0 +1,119 @@
+"""Join operators (SURVEY.md §2.3, J1-J8).
+
+The reference hand-rolls every join as a Python dict probe
+(scripts2/load_fact_sales_dw.py:130-155,213-261). Here each becomes a
+declarative Spark join so Catalyst/AQE pick the physical strategy:
+truly-small dimensions get an explicit broadcast hint; everything else is
+left to AQE's runtime statistics (a hardcoded broadcast of a dimension that
+is small at sf0.1 but huge at 100 TB would be a scale bug).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def star_join(
+    fact: DataFrame,
+    dims: Sequence[tuple[DataFrame, str | Sequence[str] | Column, bool]],
+    how: str = "inner",
+) -> DataFrame:
+    """N-way star equi-join (J1 — reference flagship:
+    scripts/extract_sales_snapshot.py:90-95, oracledb.sql:181-189).
+
+    ``dims`` is a sequence of (dim_df, join_key(s), broadcast_hint). Only
+    dimensions known to be small at ANY scale should set broadcast_hint;
+    AQE handles the data-dependent cases.
+    """
+    out = fact
+    for dim, key, hint in dims:
+        out = out.join(F.broadcast(dim) if hint else dim, key, how)
+    return out
+
+
+def semi_join(df: DataFrame, other: DataFrame, on) -> DataFrame:
+    """J7 — existence check (reference: scripts/validate_table.py:352-366
+    does it as a per-key SQL probe; set-based here)."""
+    return df.join(other, on, "left_semi")
+
+
+def anti_join(df: DataFrame, other: DataFrame, on) -> DataFrame:
+    """J6 — new-keys-only (reference: Python set difference,
+    scripts2/load_dim_store_dw.py:230-234)."""
+    return df.join(other, on, "left_anti")
+
+
+def lookup_with_fallback(
+    df: DataFrame,
+    dim: DataFrame,
+    primary_keys: Sequence[str],
+    fallback_keys: Sequence[str],
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """J3 — two-level fallback key resolution (reference: product lookup by
+    (name,brand) falling back to name-only,
+    scripts2/load_fact_sales_dw.py:138-145,224-230).
+
+    Exact-key match wins; rows that miss are resolved by the relaxed key.
+    Both probes are plain equi-joins, so at scale they shuffle/broadcast
+    like any dimension lookup. The fallback dim is deduplicated on the
+    relaxed key (keep the minimum value) so the fallback is deterministic.
+    """
+    primary = dim.groupBy(*primary_keys).agg(F.min(value_col).alias("__fb_primary"))
+    fallback = dim.groupBy(*fallback_keys).agg(F.min(value_col).alias("__fb_fallback"))
+    out = df.join(primary, list(primary_keys), "left").join(
+        fallback, list(fallback_keys), "left"
+    )
+    return out.withColumn(
+        out_col, F.coalesce(F.col("__fb_primary"), F.col("__fb_fallback"))
+    ).drop("__fb_primary", "__fb_fallback")
+
+
+def change_detection(
+    incoming: DataFrame,
+    existing: DataFrame,
+    natural_key: Sequence[str],
+    exact_cols: Sequence[str] = (),
+    tolerance_cols: Sequence[str] = (),
+    tolerance: float = 0.01,
+    op_col: str = "operation",
+) -> DataFrame:
+    """J8 — INSERT/UPDATE/NOOP classification against the existing table
+    (reference: scripts2/load_fact_sales_dw.py:299-350 loads the ENTIRE
+    fact table into a driver dict; here it is a distributed left join).
+
+    Numeric measure columns compare with ``abs(a-b) > tolerance`` (F24);
+    exact columns (int quantities, strings) compare with null-safe
+    equality. Reference parity: both-null counts as unchanged
+    (scripts2/load_dim_product_dw.py:524-531).
+    """
+    keys = list(natural_key)
+    ex = existing.select(
+        *keys,
+        *[F.col(c).alias(f"__ex_{c}") for c in (*exact_cols, *tolerance_cols)],
+        F.lit(True).alias("__ex_present"),
+    )
+    joined = incoming.join(ex, keys, "left")
+
+    diffs = []
+    for c in exact_cols:
+        diffs.append(~F.col(c).eqNullSafe(F.col(f"__ex_{c}")))
+    for c in tolerance_cols:
+        both_null = F.col(c).isNull() & F.col(f"__ex_{c}").isNull()
+        changed = F.abs(F.col(c) - F.col(f"__ex_{c}")) > F.lit(tolerance)
+        diffs.append(~both_null & F.coalesce(changed, F.lit(True)))
+    any_diff = F.lit(False)
+    for d in diffs:
+        any_diff = any_diff | d
+
+    out = joined.withColumn(
+        op_col,
+        F.when(F.col("__ex_present").isNull(), F.lit("INSERT"))
+        .when(any_diff, F.lit("UPDATE"))
+        .otherwise(F.lit("NOOP")),
+    )
+    return out.drop("__ex_present", *[f"__ex_{c}" for c in (*exact_cols, *tolerance_cols)])

@@ -1,0 +1,496 @@
+"""Core relational queries: scans, filters, joins, aggregations, set ops
+(SURVEY.md §2.1-2.4, §2.6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamic_etl_spark.ops import agg as A
+from dynamic_etl_spark.ops import joins as J
+from dynamic_etl_spark.registry.core import Query, QueryRegistry, sql_davg, sql_dsum, t
+
+
+# --------------------------------------------------------------------------
+# J1/P2 — flagship: multi-way star join with wide aliased projection
+# (reference: scripts/extract_sales_snapshot.py:32-96, oracledb.sql:130-189)
+# --------------------------------------------------------------------------
+
+def flagship_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-table star join around lineitem.
+
+    Scale plan: lineitem⋈orders is fact-to-fact — shuffled on the join key
+    (never broadcast); nation/region are constant-size → explicit broadcast;
+    part/supplier/customer scale with the data → left to AQE's runtime
+    stats so the plan stays correct at 100 TB.
+    """
+    lineitem = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    part = t(spark, sf_dir, "part")
+    supplier = t(spark, sf_dir, "supplier")
+
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(part, lineitem.l_partkey == part.p_partkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+    )
+    return joined.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("extended_price"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+        F.col("l_returnflag").alias("return_flag"),
+        F.col("l_linestatus").alias("line_status"),
+        F.col("l_shipdate").alias("ship_date"),
+        F.col("o_orderstatus").alias("order_status"),
+        F.col("o_totalprice").alias("order_total_price"),
+        F.col("o_orderdate").alias("order_date"),
+        F.col("o_orderpriority").alias("order_priority"),
+        F.col("c_custkey").alias("customer_key"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_acctbal").alias("customer_acctbal"),
+        F.col("c_mktsegment").alias("market_segment"),
+        F.col("n_name").alias("nation_name"),
+        F.col("r_name").alias("region_name"),
+        F.col("p_partkey").alias("part_key"),
+        F.col("p_name").alias("part_name"),
+        F.col("p_brand").alias("part_brand"),
+        F.col("p_type").alias("part_type"),
+        F.col("p_size").alias("part_size"),
+        F.col("p_retailprice").alias("part_retail_price"),
+        F.col("s_suppkey").alias("supplier_key"),
+        F.col("s_name").alias("supplier_name"),
+        F.col("s_acctbal").alias("supplier_acctbal"),
+    )
+
+
+FLAGSHIP_ORACLE = """
+SELECT
+  l.l_orderkey      AS order_key,
+  l.l_linenumber    AS line_number,
+  l.l_quantity      AS quantity,
+  l.l_extendedprice AS extended_price,
+  l.l_discount      AS discount,
+  l.l_tax           AS tax,
+  l.l_returnflag    AS return_flag,
+  l.l_linestatus    AS line_status,
+  l.l_shipdate      AS ship_date,
+  o.o_orderstatus   AS order_status,
+  o.o_totalprice    AS order_total_price,
+  o.o_orderdate     AS order_date,
+  o.o_orderpriority AS order_priority,
+  c.c_custkey       AS customer_key,
+  c.c_name          AS customer_name,
+  c.c_acctbal       AS customer_acctbal,
+  c.c_mktsegment    AS market_segment,
+  n.n_name          AS nation_name,
+  r.r_name          AS region_name,
+  p.p_partkey       AS part_key,
+  p.p_name          AS part_name,
+  p.p_brand         AS part_brand,
+  p.p_type          AS part_type,
+  p.p_size          AS part_size,
+  p.p_retailprice   AS part_retail_price,
+  s.s_suppkey       AS supplier_key,
+  s.s_name          AS supplier_name,
+  s.s_acctbal       AS supplier_acctbal
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# S2/P1/P3/P6 — projected scan with pushed-down predicates
+# (reference: scripts/fact_sales_daily.py:42-60, extract_sales_daily.py:39-51)
+# --------------------------------------------------------------------------
+
+def scan_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+        .filter(
+            F.col("l_extendedprice").isNotNull()
+            & (F.col("l_extendedprice") > 0)
+            & (F.col("l_quantity").between(10, 40))
+        )
+    )
+
+
+SCAN_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+FROM lineitem
+WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
+  AND l_quantity BETWEEN 10 AND 40
+"""
+
+
+# --------------------------------------------------------------------------
+# P4/P5 — equality predicates / point lookup
+# --------------------------------------------------------------------------
+
+def point_and_flag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "1-URGENT"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+POINT_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+FROM orders
+WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+"""
+
+
+# --------------------------------------------------------------------------
+# A2/A4 — pricing summary (TPC-H Q1 shape): multi-aggregate + conditional
+# counts over a filtered fact (reference: scripts/fact_sales_daily.py:228-233,
+# conditional aggregation scripts/dim_date_daily.py:221-228)
+# --------------------------------------------------------------------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    # Multiply at decimal(18,6) x decimal(8,6) -> exact decimal(27,12): no
+    # scale reduction in either engine, so the product (and its sum) is
+    # bit-identical across Spark and DuckDB.
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            A.dsum("l_quantity", "sum_qty"),
+            A.dsum("l_extendedprice", "sum_base_price"),
+            A.as_double(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * (F.lit(1).cast("decimal(8,6)") - F.col("l_discount").cast("decimal(8,6)"))
+                )
+            ).alias("sum_disc_price"),
+            A.davg("l_quantity", "avg_qty"),
+            A.davg("l_extendedprice", "avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            A.count_if(F.col("l_quantity") >= 30, "bulk_lines"),
+        )
+    )
+
+
+PRICING_ORACLE = f"""
+SELECT
+  l_returnflag, l_linestatus,
+  {sql_dsum('l_quantity')}      AS sum_qty,
+  {sql_dsum('l_extendedprice')} AS sum_base_price,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+       * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))) AS DECIMAL(38,4)) AS DOUBLE)
+                                AS sum_disc_price,
+  {sql_davg('l_quantity')}      AS avg_qty,
+  {sql_davg('l_extendedprice')} AS avg_price,
+  COUNT(*)                      AS count_order,
+  CAST(SUM(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS bulk_lines
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# A1 — scalar MAX high-water-mark with NVL (reference:
+# scripts/fact_sales_daily.py:16-17 and 8 more call sites)
+# --------------------------------------------------------------------------
+
+def high_water_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.coalesce(F.max("o_orderkey"), F.lit(0)).alias("hwm_orderkey"),
+        F.coalesce(
+            F.max(F.when(F.col("o_orderstatus") == "NOPE", F.col("o_orderkey"))), F.lit(0)
+        ).alias("hwm_empty_is_zero"),
+    )
+
+
+HWM_ORACLE = """
+SELECT
+  COALESCE(MAX(o_orderkey), 0) AS hwm_orderkey,
+  COALESCE(MAX(CASE WHEN o_orderstatus = 'NOPE' THEN o_orderkey END), 0) AS hwm_empty_is_zero
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# A5 — COUNT(DISTINCT) profile (reference: load_dim_product_dw.py:691-703)
+# --------------------------------------------------------------------------
+
+def distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    return part.agg(
+        F.countDistinct("p_brand").alias("n_brands"),
+        F.countDistinct("p_type").alias("n_types"),
+        F.countDistinct("p_size").alias("n_sizes"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+        A.davg("p_retailprice", "avg_price"),
+    )
+
+
+DISTINCT_PROFILE_ORACLE = f"""
+SELECT
+  COUNT(DISTINCT p_brand) AS n_brands,
+  COUNT(DISTINCT p_type)  AS n_types,
+  COUNT(DISTINCT p_size)  AS n_sizes,
+  MIN(p_retailprice)      AS min_price,
+  MAX(p_retailprice)      AS max_price,
+  {sql_davg('p_retailprice')} AS avg_price
+FROM part
+"""
+
+
+# --------------------------------------------------------------------------
+# A6 — numeric column profile (reference: scripts/validate_table.py:403-408)
+# --------------------------------------------------------------------------
+
+def numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.numeric_profile(t(spark, sf_dir, "customer"), "c_acctbal")
+
+
+NUMERIC_PROFILE_ORACLE = f"""
+SELECT
+  MIN(c_acctbal) AS min_value,
+  MAX(c_acctbal) AS max_value,
+  {sql_davg('c_acctbal')} AS avg_value,
+  COUNT(*)       AS row_count,
+  COUNT(c_acctbal) AS non_null_count
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
+# A7/D3 — duplicate detection via GROUP BY HAVING
+# (reference: scripts/validate_table.py:309-317)
+# --------------------------------------------------------------------------
+
+def duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.duplicate_keys(t(spark, sf_dir, "lineitem"), ["l_orderkey"])
+
+
+DUP_ORACLE = """
+SELECT l_orderkey, COUNT(*) AS dup_count
+FROM lineitem
+GROUP BY l_orderkey
+HAVING COUNT(*) > 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A8 — one-pass per-column NULL counts
+# (reference issues one query per column: scripts/validate_table.py:288-298)
+# --------------------------------------------------------------------------
+
+def null_count_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.null_counts(t(spark, sf_dir, "orders"))
+
+
+NULL_COUNT_ORACLE = """
+SELECT
+  COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END)      AS o_orderkey,
+  COUNT(CASE WHEN o_custkey IS NULL THEN 1 END)       AS o_custkey,
+  COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END)   AS o_orderstatus,
+  COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END)    AS o_totalprice,
+  COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END)     AS o_orderdate,
+  COUNT(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS o_orderpriority
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# A9 + rollup — grouped totals with grand total
+# (reference: driver-side dict accumulation, scripts/fact_sales_daily.py:160-163)
+# --------------------------------------------------------------------------
+
+def rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus").agg(
+        A.dsum("o_totalprice", "total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping("o_orderstatus").cast("int").alias("is_total"),
+    )
+
+
+ROLLUP_ORACLE = f"""
+SELECT
+  o_orderstatus,
+  {sql_dsum('o_totalprice')} AS total_price,
+  COUNT(*) AS n_orders,
+  CAST(GROUPING(o_orderstatus) AS INT) AS is_total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# A10/W4 — distinct extraction + sort-by-aggregate top-N (deterministic
+# tie-break) (reference: scripts/fact_sales_daily.py:258-261)
+# --------------------------------------------------------------------------
+
+def top_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_type")
+        .agg(A.dsum("p_retailprice", "total_retail"), F.count(F.lit(1)).alias("n_parts"))
+        .orderBy(F.desc("total_retail"), F.asc("p_type"))
+        .limit(10)
+    )
+
+
+TOP_TYPES_ORACLE = f"""
+SELECT p_type,
+       {sql_dsum('p_retailprice')} AS total_retail,
+       COUNT(*) AS n_parts
+FROM part
+GROUP BY p_type
+ORDER BY total_retail DESC, p_type ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# J7 — semi join (EXISTS)  /  J6 — anti join (NOT EXISTS)
+# (reference: Python set membership — load_dim_store_dw.py:230-234,
+# validate_table.py:352-366)
+# --------------------------------------------------------------------------
+
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return J.semi_join(customer, orders, "c_custkey").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return J.anti_join(customer, orders, "c_custkey").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# J3 — two-level fallback key resolution (reference: product lookup by
+# (name,brand) falling back to name-only, load_fact_sales_dw.py:138-145)
+# --------------------------------------------------------------------------
+
+def fallback_key_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    # Simulate a dirty incoming feed: every 3rd line lost its brand value,
+    # so the exact (name, brand) probe misses and falls back to name-only.
+    incoming = (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "p_name",
+            F.when(F.col("l_linenumber") % 3 == 0, F.lit(None))
+            .otherwise(F.col("p_brand"))
+            .alias("p_brand"),
+        )
+    )
+    return J.lookup_with_fallback(
+        incoming,
+        part,
+        primary_keys=["p_name", "p_brand"],
+        fallback_keys=["p_name"],
+        value_col="p_partkey",
+        out_col="resolved_partkey",
+    ).select("l_orderkey", "l_linenumber", "p_name", "p_brand", "resolved_partkey")
+
+
+FALLBACK_ORACLE = """
+WITH incoming AS (
+  SELECT l_orderkey, l_linenumber, p_name,
+         CASE WHEN l_linenumber % 3 = 0 THEN NULL ELSE p_brand END AS p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+by_name_brand AS (
+  SELECT p_name, p_brand, MIN(p_partkey) AS k FROM part GROUP BY p_name, p_brand
+),
+by_name AS (
+  SELECT p_name, MIN(p_partkey) AS k FROM part GROUP BY p_name
+)
+SELECT i.l_orderkey, i.l_linenumber, i.p_name, i.p_brand,
+       COALESCE(nb.k, n.k) AS resolved_partkey
+FROM incoming i
+LEFT JOIN by_name_brand nb ON i.p_name = nb.p_name AND i.p_brand = nb.p_brand
+LEFT JOIN by_name n        ON i.p_name = n.p_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations (SURVEY.md §2.6 — free via Spark; reference has none)
+# --------------------------------------------------------------------------
+
+def nation_key_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supplier = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    union = customer.union(supplier).distinct().withColumn("set_op", F.lit("union"))
+    inter = customer.intersect(supplier).withColumn("set_op", F.lit("intersect"))
+    diff = customer.distinct().exceptAll(supplier.distinct()).withColumn("set_op", F.lit("except"))
+    return union.unionByName(inter).unionByName(diff)
+
+
+SET_OPS_ORACLE = """
+SELECT nationkey, 'union' AS set_op FROM (
+  SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'intersect' AS set_op FROM (
+  SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'except' AS set_op FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+"""
+
+
+QUERIES: QueryRegistry = {
+    "flagship_star_join": Query(flagship_star_join, FLAGSHIP_ORACLE, "J1/P2 7-table star join, wide aliased projection"),
+    "scan_projection_filter": Query(scan_projection_filter, SCAN_ORACLE, "S2/P1/P3/P6 pushed-down projection+predicates"),
+    "point_and_flag_filter": Query(point_and_flag_filter, POINT_ORACLE, "P4/P5 equality predicates"),
+    "pricing_summary": Query(pricing_summary, PRICING_ORACLE, "A2/A4 TPC-H Q1-shape multi-aggregate"),
+    "high_water_mark": Query(high_water_mark, HWM_ORACLE, "A1 NVL(MAX(id),0)"),
+    "distinct_profile": Query(distinct_profile, DISTINCT_PROFILE_ORACLE, "A5 countDistinct profile"),
+    "numeric_profile": Query(numeric_profile, NUMERIC_PROFILE_ORACLE, "A6 min/max/avg/count profile"),
+    "duplicate_detection": Query(duplicate_detection, DUP_ORACLE, "A7/D3 GROUP BY HAVING dup detection"),
+    "null_count_profile": Query(null_count_profile, NULL_COUNT_ORACLE, "A8 one-pass null counts"),
+    "rollup_totals": Query(rollup_totals, ROLLUP_ORACLE, "A9 rollup with grand total"),
+    "top_part_types": Query(top_part_types, TOP_TYPES_ORACLE, "A10/W4 top-N by aggregate"),
+    "customers_with_orders": Query(customers_with_orders, SEMI_ORACLE, "J7 semi join"),
+    "customers_without_orders": Query(customers_without_orders, ANTI_ORACLE, "J6 anti join"),
+    "fallback_key_resolution": Query(fallback_key_resolution, FALLBACK_ORACLE, "J3 two-level fallback lookup"),
+    "nation_key_set_ops": Query(nation_key_set_ops, SET_OPS_ORACLE, "union/intersect/except"),
+}

@@ -1,0 +1,178 @@
+"""Window-function and dedup queries (SURVEY.md §2.5 W1-W5, §2.6 D1-D3).
+
+The reference's only true window requirement is sequential surrogate-key
+assignment (W5); ranking/lag/moving windows are engine extras exposed for
+free. Every window here is tie-broken to a total order so results are
+deterministic and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dynamic_etl_spark.ops import agg as A
+from dynamic_etl_spark.ops import dedup as D
+from dynamic_etl_spark.ops.keys import assign_surrogate_keys
+from dynamic_etl_spark.registry.core import Query, QueryRegistry, t
+
+
+# --------------------------------------------------------------------------
+# W5 — surrogate-key continuation from a high-water-mark
+# (reference: next_key + i loop, scripts2/load_fact_sales_dw.py:352-357;
+# explicitly rejected SQL ROW_NUMBER in load_dim_product_dw.py:628-630 —
+# we embrace it)
+# --------------------------------------------------------------------------
+
+def surrogate_key_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = t(spark, sf_dir, "nation")
+    return assign_surrogate_keys(
+        nation, order_cols=["n_name"], key_col="nation_key", offset=1000
+    ).select("nation_key", "n_nationkey", "n_name")
+
+
+SURROGATE_ORACLE = """
+SELECT 1000 + ROW_NUMBER() OVER (ORDER BY n_name) AS nation_key,
+       n_nationkey, n_name
+FROM nation
+"""
+
+
+# --------------------------------------------------------------------------
+# Ranking / lag / running aggregate per group (engine extras;
+# frame sums use exact decimals so window evaluation order can't skew them)
+# --------------------------------------------------------------------------
+
+def customer_order_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.lag("o_totalprice").over(w).alias("prev_total"),
+        F.lead("o_totalprice").over(w).alias("next_total"),
+        A.as_double(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(run)).alias(
+            "running_total"
+        ),
+    )
+
+
+SEQUENCE_ORACLE = """
+SELECT
+  o_custkey, o_orderkey, o_orderdate, o_totalprice,
+  ROW_NUMBER() OVER w AS order_seq,
+  LAG(o_totalprice)  OVER w AS prev_total,
+  LEAD(o_totalprice) OVER w AS next_total,
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS DOUBLE)
+    AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# W3 — top-1 per group (latest order per customer; reference's
+# latest-file pick generalized — scripts/read_extract_snapshot.py:9-21)
+# --------------------------------------------------------------------------
+
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+LATEST_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# D1/D2 — keep-last / keep-first dedup with explicit ordering
+# (reference: drop_duplicates keep='last'/'first',
+# load_dim_product_dw.py:387-392, load_dim_store_dw.py:261-267)
+# --------------------------------------------------------------------------
+
+# (l_orderkey, l_linenumber) is NOT unique in this corpus, so the ordering
+# column set includes the measures — otherwise keep-first/keep-last picks an
+# arbitrary row among ties (the D1 hard part from SURVEY.md §7c).
+_DEDUP_ORDER = ["l_linenumber", "l_quantity", "l_extendedprice"]
+
+
+def dedup_keep_last_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return D.dedup_keep_last(li, keys=["l_orderkey"], order=_DEDUP_ORDER).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+KEEP_LAST_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      ORDER BY l_linenumber DESC, l_quantity DESC, l_extendedprice DESC) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+def dedup_keep_first_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return D.dedup_keep_first(li, keys=["l_orderkey"], order=_DEDUP_ORDER).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+KEEP_FIRST_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      ORDER BY l_linenumber ASC, l_quantity ASC, l_extendedprice ASC) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# D3 — full duplicate-group membership
+# --------------------------------------------------------------------------
+
+def duplicate_group_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = t(spark, sf_dir, "supplier")
+    return D.duplicate_members(supplier, ["s_nationkey"]).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+
+
+DUP_MEMBERS_ORACLE = """
+SELECT s_suppkey, s_name, s_nationkey
+FROM (
+  SELECT *, COUNT(*) OVER (PARTITION BY s_nationkey) AS n FROM supplier
+) WHERE n > 1
+"""
+
+
+QUERIES: QueryRegistry = {
+    "surrogate_key_assignment": Query(surrogate_key_assignment, SURROGATE_ORACLE, "W5 row_number + high-water-mark offset"),
+    "customer_order_sequence": Query(customer_order_sequence, SEQUENCE_ORACLE, "rank/lag/lead/running-total windows"),
+    "latest_order_per_customer": Query(latest_order_per_customer, LATEST_ORACLE, "W3 top-1 per group"),
+    "dedup_keep_last_line": Query(dedup_keep_last_line, KEEP_LAST_ORACLE, "D1 keep-last dedup"),
+    "dedup_keep_first_line": Query(dedup_keep_first_line, KEEP_FIRST_ORACLE, "D2 keep-first dedup"),
+    "duplicate_group_members": Query(duplicate_group_members, DUP_MEMBERS_ORACLE, "D3 duplicate-group members"),
+}

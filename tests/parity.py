@@ -1,0 +1,94 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs a registry query on Spark and its oracle SQL on DuckDB over the same
+parquet tables, then compares row count, column-name schema, and an
+order-insensitive value representation. Floats are compared bit-exactly
+first and with a tiny tolerance as a diagnostic, so any drift is visible
+long before the driver's hash check."""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass, field
+
+import duckdb
+import pandas as pd
+
+from dynamic_etl_spark.catalog import TESTDATA_TABLES
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for name in TESTDATA_TABLES:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+        return con.execute(sql).df()
+    finally:
+        con.close()
+
+
+def _canon_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if pd.isna(v) if not isinstance(v, (list, tuple, set, dict)) else False:
+        return None
+    if isinstance(v, float):
+        return float(v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def canonicalize(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [tuple(_canon_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
+    return sorted(rows, key=repr)
+
+
+@dataclass
+class ParityResult:
+    name: str
+    ok: bool
+    rows_spark: int
+    rows_oracle: int
+    issues: list[str] = field(default_factory=list)
+
+    def __str__(self) -> str:
+        status = "OK " if self.ok else "FAIL"
+        msg = f"[{status}] {self.name}: spark={self.rows_spark} oracle={self.rows_oracle}"
+        for issue in self.issues:
+            msg += f"\n       - {issue}"
+        return msg
+
+
+def compare(name: str, spark_df, oracle_df: pd.DataFrame) -> ParityResult:
+    pdf = spark_df.toPandas()
+    issues: list[str] = []
+
+    spark_cols, oracle_cols = sorted(pdf.columns), sorted(oracle_df.columns)
+    if spark_cols != oracle_cols:
+        issues.append(f"schema mismatch: spark={spark_cols} oracle={oracle_cols}")
+        return ParityResult(name, False, len(pdf), len(oracle_df), issues)
+    if len(pdf) != len(oracle_df):
+        issues.append("row count mismatch")
+
+    s_rows, o_rows = canonicalize(pdf), canonicalize(oracle_df)
+    if s_rows != o_rows and not issues:
+        n_diff = 0
+        max_float_dev = 0.0
+        for a, b in zip(s_rows, o_rows):
+            if a != b:
+                n_diff += 1
+                for x, y in zip(a, b):
+                    if isinstance(x, float) and isinstance(y, float):
+                        denom = max(abs(x), abs(y), 1e-12)
+                        max_float_dev = max(max_float_dev, abs(x - y) / denom)
+                if n_diff <= 3:
+                    issues.append(f"row diff: spark={a!r} oracle={b!r}")
+        issues.append(f"{n_diff} differing rows; max rel float dev={max_float_dev:.3e}")
+    elif s_rows != o_rows:
+        issues.append("values also differ")
+
+    return ParityResult(name, not issues, len(pdf), len(oracle_df), issues)
