@@ -39,11 +39,16 @@ def main() -> None:
     names = [n for n in HEADLINE if n in registry]
     extra = os.environ.get("BENCH_QUERIES")
     if extra:
-        names = [n.strip() for n in extra.split(",") if n.strip() in registry]
+        requested = [n.strip() for n in extra.split(",") if n.strip()]
+        unknown = [n for n in requested if n not in registry]
+        if unknown:
+            raise SystemExit(f"BENCH_QUERIES names not in registry: {unknown}")
+        names = requested
 
-    # Warm the JVM/codegen once with the cheapest query so the first timed
-    # query doesn't absorb session startup noise.
-    registry["scan_projection_filter"].fn(spark, sf_dir).count()
+    # Warm the JVM/codegen once with a NON-headline query so no timed query
+    # benefits from its own warm-up (VERDICT r1: warming with a headline
+    # query flattered that query's number).
+    registry["high_water_mark"].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -34,7 +35,15 @@ TESTDATA_TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes filters/projections into it."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ts is Parquet TIMESTAMP(NANOS,isAdjustedToUTC=false), surfaced as
+        # nanos-since-epoch via nanosAsLong (session.py). `div 1000` floors
+        # to micros exactly like DuckDB's nanos->micros conversion; integer
+        # division avoids the double-precision loss of `/` (2024 epoch-nanos
+        # exceed 2^53).
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -60,7 +69,8 @@ DIM_STORE_SCHEMA = T.StructType(
         T.StructField("store_zip", T.StringType(), True),
         T.StructField("store_state", T.StringType(), False),
         T.StructField("store_class_of_trade", T.StringType(), True),
-        T.StructField("is_chain", T.StringType(), True),
+        # NOT NULL in the reference DDL (oracledb.sql:11) — ADVICE r1.
+        T.StructField("is_chain", T.StringType(), False),
         T.StructField("chain_name", T.StringType(), True),
     ]
 )
@@ -77,7 +87,8 @@ DIM_PRODUCT_SCHEMA = T.StructType(
         T.StructField("sku", T.StringType(), False),
         T.StructField("uom", T.StringType(), True),
         T.StructField("unit_price", T.DecimalType(12, 2), False),
-        T.StructField("business_stage", T.StringType(), True),
+        # NOT NULL in the reference DDL (oracledb.sql:37) — ADVICE r1.
+        T.StructField("business_stage", T.StringType(), False),
     ]
 )
 

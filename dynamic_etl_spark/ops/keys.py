@@ -21,14 +21,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: Contiguous mode collapses to one partition; above this row count callers
+#: must either opt out of the guard or use mode='sparse'.
+CONTIGUOUS_GUARD_ROWS = 10_000_000
+
+
 def assign_surrogate_keys(
     df: DataFrame,
     order_cols: Sequence[str],
     key_col: str,
     offset: int = 0,
     mode: str = "contiguous",
+    max_contiguous_rows: int | None = CONTIGUOUS_GUARD_ROWS,
 ) -> DataFrame:
     if mode == "contiguous":
+        if max_contiguous_rows is not None:
+            # limit(n+1).count() short-circuits: it never scans past the
+            # guard threshold, so the check is cheap even on a huge input.
+            if df.limit(max_contiguous_rows + 1).count() > max_contiguous_rows:
+                raise ValueError(
+                    f"contiguous surrogate keys run on a single partition; input "
+                    f"exceeds {max_contiguous_rows} rows — use mode='sparse' or "
+                    f"pass max_contiguous_rows=None to override"
+                )
         window = Window.orderBy(*[F.col(c) for c in order_cols])
         return df.withColumn(key_col, (F.row_number().over(window) + F.lit(offset)).cast("long"))
     if mode == "sparse":

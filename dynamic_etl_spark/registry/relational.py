@@ -452,6 +452,73 @@ LEFT JOIN by_name n        ON i.p_name = n.p_name
 
 
 # --------------------------------------------------------------------------
+# A3 — MAX(date) freshness watermark + days-behind (reference:
+# scripts/dim_date_daily.py:118-124, load_dim_date_dw.py:181-188)
+# --------------------------------------------------------------------------
+
+def freshness_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    events = t(spark, sf_dir, "events")
+    latest_order = orders.agg(F.max("o_orderdate").alias("latest_order_date"))
+    latest_event = events.agg(F.max("ts").alias("latest_event_ts"))
+    # Days-behind vs a pinned as-of date (the reference compares to "today";
+    # pinned here so the result is deterministic for the oracle).
+    return (
+        latest_order.crossJoin(latest_event)
+        .withColumn(
+            "order_days_behind",
+            F.datediff(F.lit("1998-12-31").cast("date"), F.col("latest_order_date").cast("date")),
+        )
+        .withColumn(
+            "event_days_behind",
+            F.datediff(F.lit("2024-02-15").cast("date"), F.col("latest_event_ts").cast("date")),
+        )
+    )
+
+
+FRESHNESS_ORACLE = """
+SELECT
+  MAX(o_orderdate) AS latest_order_date,
+  (SELECT MAX(ts) FROM events) AS latest_event_ts,
+  DATEDIFF('day', CAST(MAX(o_orderdate) AS DATE), DATE '1998-12-31') AS order_days_behind,
+  DATEDIFF('day', (SELECT CAST(MAX(ts) AS DATE) FROM events), DATE '2024-02-15') AS event_days_behind
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# P8 — drop rows with unresolved FK keys after left-join resolution
+# (reference: dropna(subset=[...keys]) — scripts2/load_fact_sales_dw.py:263)
+# --------------------------------------------------------------------------
+
+def drop_unresolved_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = t(spark, sf_dir, "lineitem")
+    # A dimension with gaps: every 5th part is missing, so those lineitems
+    # fail key resolution and must be dropped (with a drop-count column the
+    # loader logs — load_fact_sales_dw.py:263-277 counts misses).
+    part_dim = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 5 != 0)
+        .select(F.col("p_partkey").alias("l_partkey"), F.col("p_partkey").alias("resolved_key"))
+    )
+    resolved = lineitem.join(part_dim, "l_partkey", "left")
+    return resolved.na.drop(subset=["resolved_key"]).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "resolved_key"
+    )
+
+
+DROP_UNRESOLVED_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_partkey, resolved_key
+FROM (
+  SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, p.p_partkey AS resolved_key
+  FROM lineitem l
+  LEFT JOIN (SELECT p_partkey FROM part WHERE p_partkey % 5 <> 0) p
+    ON l.l_partkey = p.p_partkey
+) WHERE resolved_key IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
 # Set operations (SURVEY.md §2.6 — free via Spark; reference has none)
 # --------------------------------------------------------------------------
 
@@ -493,4 +560,6 @@ QUERIES: QueryRegistry = {
     "customers_without_orders": Query(customers_without_orders, ANTI_ORACLE, "J6 anti join"),
     "fallback_key_resolution": Query(fallback_key_resolution, FALLBACK_ORACLE, "J3 two-level fallback lookup"),
     "nation_key_set_ops": Query(nation_key_set_ops, SET_OPS_ORACLE, "union/intersect/except"),
+    "freshness_watermark": Query(freshness_watermark, FRESHNESS_ORACLE, "A3 MAX(date) watermark + days-behind"),
+    "drop_unresolved_keys": Query(drop_unresolved_keys, DROP_UNRESOLVED_ORACLE, "P8 na.drop after FK resolution"),
 }

@@ -47,9 +47,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet stores ts as Parquet TIMESTAMP(NANOS), which Spark
+        # has no native type for; read as long and convert in the catalog.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
+    # getOrCreate silently ignores builder configs when a session already
+    # exists in the process. The runtime-settable invariants (UTC timezone is
+    # an oracle-parity requirement; shuffle sizing matters for plan shape)
+    # are re-applied via conf.set, which works post-creation.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     spark.sparkContext.setLogLevel("WARN")
     return spark

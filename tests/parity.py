@@ -76,18 +76,28 @@ def compare(name: str, spark_df, oracle_df: pd.DataFrame) -> ParityResult:
 
     s_rows, o_rows = canonicalize(pdf), canonicalize(oracle_df)
     if s_rows != o_rows and not issues:
-        n_diff = 0
+        # Multiset symmetric difference: exact count of rows present on one
+        # side only (the old zip-of-sorted-lists diagnostic could misalign
+        # after a single differing value — ADVICE r1).
+        from collections import Counter
+
+        s_only = Counter(s_rows) - Counter(o_rows)
+        o_only = Counter(o_rows) - Counter(s_rows)
+        n_diff = sum(s_only.values()) + sum(o_only.values())
         max_float_dev = 0.0
-        for a, b in zip(s_rows, o_rows):
-            if a != b:
-                n_diff += 1
-                for x, y in zip(a, b):
-                    if isinstance(x, float) and isinstance(y, float):
-                        denom = max(abs(x), abs(y), 1e-12)
-                        max_float_dev = max(max_float_dev, abs(x - y) / denom)
-                if n_diff <= 3:
-                    issues.append(f"row diff: spark={a!r} oracle={b!r}")
-        issues.append(f"{n_diff} differing rows; max rel float dev={max_float_dev:.3e}")
+        for a, b in zip(sorted(s_only.elements(), key=repr), sorted(o_only.elements(), key=repr)):
+            for x, y in zip(a, b):
+                if isinstance(x, float) and isinstance(y, float):
+                    denom = max(abs(x), abs(y), 1e-12)
+                    max_float_dev = max(max_float_dev, abs(x - y) / denom)
+        for row in list(s_only.elements())[:3]:
+            issues.append(f"spark-only row: {row!r}")
+        for row in list(o_only.elements())[:3]:
+            issues.append(f"oracle-only row: {row!r}")
+        issues.append(
+            f"{n_diff} rows in symmetric difference; "
+            f"max rel float dev (approx pairing)={max_float_dev:.3e}"
+        )
     elif s_rows != o_rows:
         issues.append("values also differ")
 
