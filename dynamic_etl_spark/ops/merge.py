@@ -1,0 +1,163 @@
+"""Merge / SCD / snowflake-load operators (SURVEY.md §2.9 U1-U5, §2.3 J5).
+
+The reference ends every DW load in a staging-table + server-side MERGE
+(scripts2/load_fact_sales_dw.py:299-416 et al), with the entire existing
+table loaded into a driver dict for change detection. Here the MERGE is a
+single distributed full-outer join rewrite — no staging table, no driver
+dict, no scale ceiling. For table formats with native MERGE (Delta/Iceberg)
+the same classification plugs into ``MERGE INTO``; on plain parquet the
+result is written out whole (write-new-then-swap).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dynamic_etl_spark.ops.agg import high_water_mark
+from dynamic_etl_spark.ops.joins import anti_join
+
+
+def scd1_merge(
+    existing: DataFrame,
+    incoming: DataFrame,
+    natural_key: Sequence[str],
+    surrogate_col: str,
+    exact_cols: Sequence[str] = (),
+    tolerance_cols: Sequence[str] = (),
+    tolerance: float = 0.01,
+    op_col: str = "operation",
+) -> DataFrame:
+    """U1/J5/J8 — SCD Type-1 MERGE as one full-outer join rewrite.
+
+    Row classification mirrors the reference exactly
+    (load_fact_sales_dw.py:299-350):
+    - KEEP: existing row with no incoming match (MERGE leaves it untouched);
+    - INSERT: incoming row with no existing match — gets MAX(surrogate)+i;
+    - UPDATE: natural key matches and any exact col differs (null-safe) or
+      any tolerance col moved more than ``tolerance`` — incoming values win,
+      existing surrogate is preserved;
+    - NOOP: matched within tolerance — EXISTING values win (a <0.01 drift
+      is deliberately not written, same as the reference's skip).
+
+    Scale: one shuffle on the natural key (the join), one scalar MAX to the
+    driver (the reference's A1 pattern). Insert surrogates come from a
+    row_number over the inserts only — fine at dimension/daily-delta scale;
+    at bulk-backfill scale pass non-contiguous keys in ``incoming`` instead.
+    """
+    keys = list(natural_key)
+    value_cols = [*exact_cols, *tolerance_cols]
+    hwm = high_water_mark(existing, surrogate_col)
+
+    ex = existing.select(
+        *keys,
+        F.col(surrogate_col).alias("__ex_sk"),
+        *[F.col(c).alias(f"__ex_{c}") for c in value_cols],
+        F.lit(True).alias("__ex_present"),
+    )
+    inc = incoming.select(
+        *[F.col(c).alias(f"__in_{c}") for c in keys],
+        *[F.col(c).alias(f"__in_{c}") for c in value_cols],
+        F.lit(True).alias("__in_present"),
+    )
+    cond = [ex[k].eqNullSafe(inc[f"__in_{k}"]) for k in keys]
+    j = ex.join(inc, cond, "full_outer")
+
+    diffs = []
+    for c in exact_cols:
+        diffs.append(~F.col(f"__in_{c}").eqNullSafe(F.col(f"__ex_{c}")))
+    for c in tolerance_cols:
+        both_null = F.col(f"__in_{c}").isNull() & F.col(f"__ex_{c}").isNull()
+        moved = F.abs(F.col(f"__in_{c}") - F.col(f"__ex_{c}")) > F.lit(tolerance)
+        diffs.append(~both_null & F.coalesce(moved, F.lit(True)))
+    any_diff = F.lit(False)
+    for d in diffs:
+        any_diff = any_diff | d
+
+    op = (
+        F.when(F.col("__in_present").isNull(), F.lit("KEEP"))
+        .when(F.col("__ex_present").isNull(), F.lit("INSERT"))
+        .when(any_diff, F.lit("UPDATE"))
+        .otherwise(F.lit("NOOP"))
+    )
+    j = j.withColumn(op_col, op)
+
+    insert_window = Window.partitionBy(F.col(op_col) == "INSERT").orderBy(
+        *[F.coalesce(F.col(f"__in_{k}"), ex[k]) for k in keys]
+    )
+    surrogate = F.when(
+        F.col(op_col) == "INSERT",
+        (F.row_number().over(insert_window) + F.lit(hwm)).cast("long"),
+    ).otherwise(F.col("__ex_sk"))
+
+    out_cols = [surrogate.alias(surrogate_col)]
+    for k in keys:
+        out_cols.append(F.coalesce(F.col(f"__in_{k}"), ex[k]).alias(k))
+    for c in value_cols:
+        out_cols.append(
+            F.when(F.col(op_col).isin("UPDATE", "INSERT"), F.col(f"__in_{c}"))
+            .otherwise(F.col(f"__ex_{c}"))
+            .alias(c)
+        )
+    out_cols.append(F.col(op_col))
+    return j.select(*out_cols)
+
+
+def merge_insert_only(
+    existing: DataFrame, incoming: DataFrame, key: Sequence[str] | str
+) -> DataFrame:
+    """U4 — idempotent WHEN-NOT-MATCHED-INSERT-only MERGE: append rows whose
+    key is absent; re-sending the same feed is a no-op
+    (reference chain merge, load_dim_store_dw.py:247-254)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    new_rows = anti_join(incoming, existing, keys).select(*existing.columns)
+    return existing.unionByName(new_rows)
+
+
+def upsert_mini_dim(
+    dim: DataFrame,
+    values: DataFrame,
+    key_col: str,
+    name_col: str,
+) -> DataFrame:
+    """U2 — generic mini-dimension upsert: distinct new names get
+    MAX(key)+1.. surrogates in name order, then append
+    (reference upsert_dim, load_dim_product_dw.py:428-468).
+
+    Mini-dims are bounded-cardinality by construction (categories,
+    manufacturers, chains) so the ordering window is safe.
+    """
+    hwm = high_water_mark(dim, key_col)
+    new_names = anti_join(values.select(name_col).distinct(), dim, [name_col])
+    w = Window.orderBy(name_col)
+    assigned = new_names.select(
+        (F.row_number().over(w) + F.lit(hwm)).cast("long").alias(key_col),
+        F.col(name_col),
+    )
+    return dim.select(key_col, name_col).unionByName(assigned)
+
+
+def snowflake_extract(
+    df: DataFrame,
+    name_col: str,
+    dim: DataFrame,
+    key_col: str,
+    dim_name_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """U3 — snowflake extraction: upsert the distinct values of ``name_col``
+    into a keyed mini-dimension and join the surrogate key back onto the
+    source rows (reference chain extraction, load_dim_store_dw.py:227-257,
+    296). NULL names stay NULL-keyed (independent stores carry no chain).
+
+    Returns (df_with_key, updated_dim). The dim is broadcast on the
+    join-back — bounded cardinality at any scale.
+    """
+    dim_name_col = dim_name_col or name_col
+    values = df.select(F.col(name_col).alias(dim_name_col)).na.drop()
+    updated = upsert_mini_dim(dim, values, key_col, dim_name_col)
+    joined = df.join(
+        F.broadcast(updated.withColumnRenamed(dim_name_col, name_col)), name_col, "left"
+    )
+    return joined, updated

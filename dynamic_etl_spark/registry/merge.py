@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dynamic_etl_spark.ops.joins import change_detection
+from dynamic_etl_spark.ops.merge import merge_insert_only, scd1_merge, upsert_mini_dim
 from dynamic_etl_spark.registry.core import Query, QueryRegistry, t
 
 
@@ -74,10 +75,200 @@ LEFT JOIN orders e ON i.o_orderkey = e.o_orderkey
 """
 
 
+# --------------------------------------------------------------------------
+# U1/J5 — SCD-1 MERGE as a full-outer-join rewrite: the complete merged
+# table (KEEP/NOOP keep existing values, UPDATE takes incoming with the
+# existing surrogate, INSERT gets MAX+1.. keys)
+# (reference: scripts2/load_fact_sales_dw.py:299-416)
+# --------------------------------------------------------------------------
+
+def scd1_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    existing = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("sales_key"),
+        F.col("o_orderkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    return scd1_merge(
+        existing,
+        _incoming_orders(spark, sf_dir),
+        natural_key=["o_orderkey"],
+        surrogate_col="sales_key",
+        exact_cols=["o_orderstatus"],
+        tolerance_cols=["o_totalprice"],
+    )
+
+
+SCD1_ORACLE = f"""
+WITH incoming AS ({_INCOMING_SQL}),
+ex AS (
+  SELECT o_orderkey AS sales_key, o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+hwm AS (SELECT COALESCE(MAX(sales_key), 0) AS v FROM ex),
+j AS (
+  SELECT ex.sales_key AS ex_sk, ex.o_orderkey AS ex_nk,
+         ex.o_orderstatus AS ex_status, ex.o_totalprice AS ex_price,
+         i.o_orderkey AS in_nk, i.o_orderstatus AS in_status, i.o_totalprice AS in_price,
+         CASE WHEN i.o_orderkey IS NULL THEN 'KEEP'
+              WHEN ex.o_orderkey IS NULL THEN 'INSERT'
+              WHEN (i.o_orderstatus IS DISTINCT FROM ex.o_orderstatus)
+                OR (NOT (i.o_totalprice IS NULL AND ex.o_totalprice IS NULL)
+                    AND COALESCE(ABS(i.o_totalprice - ex.o_totalprice) > 0.01, TRUE))
+              THEN 'UPDATE' ELSE 'NOOP' END AS operation
+  FROM ex FULL OUTER JOIN incoming i ON ex.o_orderkey = i.o_orderkey
+)
+SELECT CASE WHEN operation = 'INSERT'
+            THEN (SELECT v FROM hwm)
+                 + ROW_NUMBER() OVER (PARTITION BY (operation = 'INSERT')
+                                      ORDER BY COALESCE(in_nk, ex_nk))
+            ELSE ex_sk END AS sales_key,
+       COALESCE(in_nk, ex_nk) AS o_orderkey,
+       CASE WHEN operation IN ('UPDATE', 'INSERT') THEN in_status ELSE ex_status END
+         AS o_orderstatus,
+       CASE WHEN operation IN ('UPDATE', 'INSERT') THEN in_price ELSE ex_price END
+         AS o_totalprice,
+       operation
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
+# U2 — mini-dimension upsert: existing brand dim grows MAX+1.. keys for
+# unseen brands (reference upsert_dim, load_dim_product_dw.py:428-468)
+# --------------------------------------------------------------------------
+
+def mini_dim_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    # Existing dim: brands seen in "already-loaded" parts, dense keys in
+    # name order (deterministic fixture for the upsert).
+    from pyspark.sql import Window
+
+    existing_names = (
+        part.filter(F.col("p_partkey") % 3 == 0).select("p_brand").distinct()
+    )
+    w = Window.orderBy("p_brand")
+    dim = existing_names.select(
+        F.row_number().over(w).cast("long").alias("brand_key"),
+        F.col("p_brand").alias("brand_name"),
+    )
+    values = part.select(F.col("p_brand").alias("brand_name"))
+    return upsert_mini_dim(dim, values, "brand_key", "brand_name")
+
+
+MINI_DIM_ORACLE = """
+WITH existing AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY p_brand) AS brand_key, p_brand AS brand_name
+  FROM (SELECT DISTINCT p_brand FROM part WHERE p_partkey % 3 = 0)
+),
+hwm AS (SELECT COALESCE(MAX(brand_key), 0) AS v FROM existing),
+new_names AS (
+  SELECT DISTINCT p_brand AS brand_name FROM part
+  WHERE p_brand NOT IN (SELECT brand_name FROM existing)
+)
+SELECT brand_key, brand_name FROM existing
+UNION ALL
+SELECT (SELECT v FROM hwm) + ROW_NUMBER() OVER (ORDER BY brand_name) AS brand_key,
+       brand_name
+FROM new_names
+"""
+
+
+# --------------------------------------------------------------------------
+# U3 — snowflake extraction: distinct segment values become a keyed
+# mini-dim; source rows carry the surrogate FK
+# (reference chain extraction, load_dim_store_dw.py:227-257,296)
+# --------------------------------------------------------------------------
+
+def snowflake_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dynamic_etl_spark.ops.merge import snowflake_extract
+
+    customer = t(spark, sf_dir, "customer")
+    seed_names = (
+        customer.select("c_mktsegment")
+        .filter(F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+        .distinct()
+    )
+    w = Window.orderBy("c_mktsegment")
+    dim = seed_names.select(
+        F.row_number().over(w).cast("long").alias("segment_key"),
+        F.col("c_mktsegment").alias("segment_name"),
+    )
+    joined, _ = snowflake_extract(
+        customer, "c_mktsegment", dim, "segment_key", dim_name_col="segment_name"
+    )
+    return joined.select("c_custkey", "c_mktsegment", "segment_key")
+
+
+SNOWFLAKE_ORACLE = """
+WITH seed AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY c_mktsegment) AS segment_key,
+         c_mktsegment AS segment_name
+  FROM (SELECT DISTINCT c_mktsegment FROM customer
+        WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING'))
+),
+hwm AS (SELECT COALESCE(MAX(segment_key), 0) AS v FROM seed),
+new_names AS (
+  SELECT DISTINCT c_mktsegment AS segment_name FROM customer
+  WHERE c_mktsegment IS NOT NULL
+    AND c_mktsegment NOT IN (SELECT segment_name FROM seed)
+),
+dim AS (
+  SELECT segment_key, segment_name FROM seed
+  UNION ALL
+  SELECT (SELECT v FROM hwm) + ROW_NUMBER() OVER (ORDER BY segment_name), segment_name
+  FROM new_names
+)
+SELECT c.c_custkey, c.c_mktsegment, d.segment_key
+FROM customer c LEFT JOIN dim d ON c.c_mktsegment = d.segment_name
+"""
+
+
+# --------------------------------------------------------------------------
+# U4 — insert-only MERGE (idempotent append): re-sent rows are skipped,
+# genuinely new keys are appended
+# (reference: load_dim_store_dw.py:247-254)
+# --------------------------------------------------------------------------
+
+def insert_only_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # Incoming re-sends every existing row AND five new ones (keys +100) —
+    # idempotence means only the five genuinely-new keys land.
+    new_rows = nation.filter(F.col("n_nationkey") < 5).select(
+        (F.col("n_nationkey") + 100).alias("n_nationkey"),
+        F.concat(F.lit("NEW "), F.col("n_name")).alias("n_name"),
+    )
+    incoming = nation.unionByName(new_rows)
+    return merge_insert_only(nation, incoming, "n_nationkey")
+
+
+INSERT_ONLY_ORACLE = """
+SELECT n_nationkey, n_name FROM nation
+UNION ALL
+SELECT n_nationkey + 100 AS n_nationkey, 'NEW ' || n_name AS n_name
+FROM nation WHERE n_nationkey < 5
+"""
+
+
 QUERIES: QueryRegistry = {
     "change_detection_classification": Query(
         change_detection_classification,
         CHANGE_DETECTION_ORACLE,
         "J8/F24 INSERT/UPDATE/NOOP classification, tolerance 0.01",
+    ),
+    "scd1_merge_orders": Query(
+        scd1_merge_orders, SCD1_ORACLE,
+        "U1/J5 SCD-1 full-outer MERGE rewrite with surrogate continuation",
+    ),
+    "mini_dim_upsert": Query(
+        mini_dim_upsert, MINI_DIM_ORACLE, "U2 mini-dimension upsert MAX+1 keys"
+    ),
+    "snowflake_extraction": Query(
+        snowflake_extraction, SNOWFLAKE_ORACLE,
+        "U3 snowflake extraction + surrogate FK join-back",
+    ),
+    "insert_only_merge": Query(
+        insert_only_merge, INSERT_ONLY_ORACLE, "U4 idempotent insert-only MERGE"
     ),
 }
