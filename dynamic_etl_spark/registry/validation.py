@@ -1,5 +1,118 @@
-"""Placeholder — populated in a later milestone."""
+"""Validator queries (SURVEY.md §2.10 V1-V9).
 
-from dynamic_etl_spark.registry.core import QueryRegistry
+One dirty feed derived deterministically from orders runs through the full
+DataFrameValidator; the report (check, column, status, observed, threshold)
+is hash-compared against a DuckDB twin that recomputes every gate with
+plain SQL. Mixed PASS/FAIL statuses prove both branches of each gate.
+"""
 
-QUERIES: QueryRegistry = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamic_etl_spark.registry.core import Query, QueryRegistry, t
+from dynamic_etl_spark.validate import ValidationSpec, validate
+
+
+def _dirty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    dec = F.col("o_totalprice").cast("decimal(14,2)").cast("string")
+    return orders.select(
+        # duplicate PK group: every k%1000==7 collapses onto key 1
+        F.when(k % 1000 == 7, F.lit(1)).otherwise(k).alias("order_key"),
+        F.when(k % 17 == 0, F.lit(None)).otherwise(F.col("o_custkey")).alias("cust_key"),
+        F.when(k % 13 == 0, F.lit("abc"))
+        .when(k % 13 == 1, F.concat(F.lit("Rs. "), dec))
+        .when(k % 13 == 2, F.concat(F.lit("₹"), dec))
+        .otherwise(dec)
+        .alias("price_str"),
+        F.when(k % 11 == 0, F.lit("X"))
+        .when(k % 11 == 1, F.lit(None))
+        .when(k % 2 == 0, F.lit("Y"))
+        .otherwise(F.lit("N"))
+        .alias("status_flag"),
+        F.col("o_orderdate"),
+    )
+
+
+def validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feed = _dirty_orders(spark, sf_dir)
+    # Freshness expectation = the corpus's own MAX date (the reference
+    # compares against the DAG execution date; the high-water-mark keeps
+    # this deterministic at every scale factor) — A3 feeding V7.
+    fresh_val = t(spark, sf_dir, "orders").agg(F.max("o_orderdate")).collect()[0][0]
+    spec = ValidationSpec(
+        min_rows=1000,
+        mandatory_columns=("order_key", "cust_key"),
+        numeric_columns=("price_str",),
+        flag_columns=("status_flag",),
+        pk_column="order_key",
+        freshness=("o_orderdate", F.lit(fresh_val)),
+    )
+    return validate(spark, feed, spec)
+
+
+VALIDATION_ORACLE = """
+WITH feed AS (
+  SELECT CASE WHEN o_orderkey % 1000 = 7 THEN 1 ELSE o_orderkey END AS order_key,
+         CASE WHEN o_orderkey % 17 = 0 THEN NULL ELSE o_custkey END AS cust_key,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'abc'
+              WHEN o_orderkey % 13 = 1 THEN 'Rs. ' || CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR)
+              WHEN o_orderkey % 13 = 2 THEN '₹' || CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR)
+              ELSE CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR) END AS price_str,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+              WHEN o_orderkey % 11 = 1 THEN NULL
+              WHEN o_orderkey % 2 = 0 THEN 'Y' ELSE 'N' END AS status_flag,
+         o_orderdate
+  FROM orders
+),
+stats AS (
+  SELECT COUNT(*) AS n,
+         COUNT(CASE WHEN order_key IS NULL THEN 1 END) AS null_order_key,
+         COUNT(CASE WHEN cust_key IS NULL THEN 1 END) AS null_cust_key,
+         COUNT(CASE WHEN NOT (price_str IS NULL OR trim(price_str) = '')
+                     AND try_cast(nullif(trim(replace(replace(replace(replace(replace(
+                           trim(price_str), ',', ''), '₹', ''), '$', ''), 'Rs.', ''), 'Rs', '')), '')
+                         AS DOUBLE) IS NULL THEN 1 END) AS bad_price,
+         COUNT(CASE WHEN status_flag IS NULL
+                     OR upper(trim(status_flag)) NOT IN ('Y', 'N') THEN 1 END) AS bad_flag,
+         COUNT(CASE WHEN o_orderdate = (SELECT MAX(o_orderdate) FROM orders) THEN 1 END)
+           AS fresh
+  FROM feed
+),
+dups AS (
+  SELECT COALESCE(SUM(c), 0) AS dup_members
+  FROM (SELECT COUNT(*) AS c FROM feed GROUP BY order_key HAVING COUNT(*) > 1)
+)
+SELECT 'min_rows' AS check_name, CAST(NULL AS VARCHAR) AS column_name,
+       CASE WHEN n >= 1000 THEN 'PASS' ELSE 'FAIL' END AS status,
+       n AS observed, CAST(1000 AS BIGINT) AS threshold FROM stats
+UNION ALL SELECT 'mandatory_column', 'order_key', 'PASS', NULL, NULL
+UNION ALL SELECT 'mandatory_nulls', 'order_key',
+       CASE WHEN null_order_key = 0 THEN 'PASS' ELSE 'FAIL' END, null_order_key, 0 FROM stats
+UNION ALL SELECT 'mandatory_column', 'cust_key', 'PASS', NULL, NULL
+UNION ALL SELECT 'mandatory_nulls', 'cust_key',
+       CASE WHEN null_cust_key = 0 THEN 'PASS' ELSE 'FAIL' END, null_cust_key, 0 FROM stats
+UNION ALL SELECT 'numeric_parse', 'price_str',
+       CASE WHEN bad_price = 0 THEN 'PASS' ELSE 'FAIL' END, bad_price, 0 FROM stats
+UNION ALL SELECT 'flag_domain', 'status_flag',
+       CASE WHEN bad_flag = 0 THEN 'PASS' ELSE 'FAIL' END, bad_flag, 0 FROM stats
+UNION ALL SELECT 'pk_unique', 'order_key',
+       CASE WHEN dup_members = 0 THEN 'PASS' ELSE 'FAIL' END, dup_members, 0 FROM dups
+UNION ALL SELECT 'freshness', 'o_orderdate',
+       CASE WHEN fresh >= 1 THEN 'PASS' ELSE 'FAIL' END, fresh, 1 FROM stats
+UNION ALL SELECT 'identifier_safe', 'order_key', 'PASS', NULL, NULL
+UNION ALL SELECT 'identifier_safe', 'cust_key', 'PASS', NULL, NULL
+UNION ALL SELECT 'identifier_safe', 'price_str', 'PASS', NULL, NULL
+UNION ALL SELECT 'identifier_safe', 'status_flag', 'PASS', NULL, NULL
+"""
+
+
+QUERIES: QueryRegistry = {
+    "validation_report": Query(
+        validation_report, VALIDATION_ORACLE,
+        "V1-V7/V9 full DQ report over a dirty feed (mixed PASS/FAIL)",
+    ),
+}
