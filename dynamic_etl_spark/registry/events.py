@@ -1,5 +1,197 @@
-"""Placeholder — populated in a later milestone."""
+"""Event-stream queries over events.parquet (SURVEY.md §2.12, FIXTURES.md
+§6).
 
-from dynamic_etl_spark.registry.core import QueryRegistry
+The reference has no streaming operators — its incremental surface is the
+file queue (S8). These are the engine extras a stream table needs: tumbling
+/ sliding window aggregation, session windows, and JSON property
+extraction. The same ``F.window``/``F.session_window`` expressions run
+unchanged under Structured Streaming (dynamic_etl_spark/streaming) with a
+watermark bolted on; here they run in batch so DuckDB can oracle-check the
+semantics (time_bucket / gaps-and-islands twins).
+"""
 
-QUERIES: QueryRegistry = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dynamic_etl_spark.ops import agg as A
+from dynamic_etl_spark.registry.core import Query, QueryRegistry, sql_dsum, t
+
+
+# --------------------------------------------------------------------------
+# Tumbling window: 1-hour buckets per event_type
+# --------------------------------------------------------------------------
+
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            A.dsum("value", "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+TUMBLING_ORACLE = f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Sliding window: 1-hour length, 30-minute slide (every event lands in two
+# windows; the DuckDB twin unions the two 30-minute-grid alignments)
+# --------------------------------------------------------------------------
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), A.dsum("value", "total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+SLIDING_ORACLE = f"""
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE AS window_start, value
+  FROM events
+)
+SELECT window_start, COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+FROM assigned
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Session windows: 5-minute inactivity gap per user
+# (Spark session_window ≡ gaps-and-islands LAG + running sum in SQL)
+# --------------------------------------------------------------------------
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 5 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------------
+# JSON property extraction (§2.8 — the corpus's only semi-structured column)
+# --------------------------------------------------------------------------
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        "event_type",
+        k.alias("k_value"),
+        (k % 10).alias("k_bucket"),
+    ).filter(F.col("k_value") > 50)
+
+
+JSON_ORACLE = """
+SELECT event_id, event_type,
+       CAST(json_extract(props, '$.k') AS INT) AS k_value,
+       CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS INT) > 50
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-type rate profile: conditional counts + safe ratio over one pass
+# --------------------------------------------------------------------------
+
+def events_rate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        A.dsum("value", "total_value"),
+        A.count_if(F.col("value") >= 30, "high_value_events"),
+    )
+    w = Window.partitionBy()
+    return per_type.select(
+        "event_type",
+        "n_events",
+        "total_value",
+        "high_value_events",
+        (F.col("n_events") / F.sum("n_events").over(w)).alias("share_of_events"),
+    )
+
+
+RATE_ORACLE = f"""
+WITH per_type AS (
+  SELECT event_type, COUNT(*) AS n_events, {sql_dsum('value')} AS total_value,
+         CAST(SUM(CASE WHEN value >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS high_value_events
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_events, total_value, high_value_events,
+       CAST(n_events AS DOUBLE) / SUM(n_events) OVER () AS share_of_events
+FROM per_type
+"""
+
+
+QUERIES: QueryRegistry = {
+    "events_tumbling_window": Query(
+        events_tumbling_window, TUMBLING_ORACLE, "1-hour tumbling window counts/sums"
+    ),
+    "events_sliding_window": Query(
+        events_sliding_window, SLIDING_ORACLE, "1h/30m sliding window"
+    ),
+    "events_sessionization": Query(
+        events_sessionization, SESSION_ORACLE, "5-minute-gap session windows per user"
+    ),
+    "events_json_extract": Query(
+        events_json_extract, JSON_ORACLE, "JSON property extraction + filter"
+    ),
+    "events_rate_profile": Query(
+        events_rate_profile, RATE_ORACLE, "per-type conditional counts + global share"
+    ),
+}
