@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (driver brief: ANN for LLM
+data pipelines).
+
+Two tiers:
+- ``cosine_topk`` — exact brute force. The QUERY side must be small (it is
+  broadcast); the corpus side streams through one narrow projection. This
+  is the correctness baseline and the right tool when |queries| is tiny.
+- ``lsh_ann_topk`` — the scale path: random-hyperplane (sign) signatures,
+  banded like MinHash-LSH, candidates only where a signature band
+  collides. No corpus×corpus or corpus×queries cross join; the candidate
+  join shuffles on band hash. Hyperplanes are pseudo-random ±1 vectors
+  derived from xxhash64(seed, bit, dim) parities — deterministic across
+  runs and cluster sizes, no stored model.
+
+All arithmetic is double (embeddings arrive float32; casting first keeps
+both engines' sums bit-comparable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_vec(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double dot product (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (brute-force baseline).
+
+    queries is explicitly broadcast — every corpus partition scores its
+    rows against the (small) query set locally; the only shuffle is the
+    per-query top-k window. Self-matches are excluded.
+    Output: (query_id, neighbor_id, rank, cosine_sim rounded 6dp).
+    """
+    query_id_col = query_id_col or id_col
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            as_double_vec(F.col(vec_col)).alias("__qv"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("__cv")
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__sim", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("__sim", 6).alias("cosine_sim"))
+    )
+
+
+def _srp_bit(v: Column, bit: int, seed: int) -> Column:
+    """One sign-random-projection bit: sign of dot(v, h_bit) where h_bit's
+    component j is ±1 from xxhash64(seed, bit, j) parity. (The seed/bit
+    must be closed over by a helper, never lambda default args — PySpark
+    reads lambda arity and would pass the element index instead.)"""
+    dims = F.sequence(F.lit(1), F.size(v))
+    plane = F.transform(
+        dims,
+        lambda j: F.lit(1.0)
+        - 2.0 * (F.xxhash64(F.lit(seed), F.lit(bit), j).bitwiseAND(F.lit(1))).cast("double"),
+    )
+    proj = F.aggregate(
+        F.zip_with(v, plane, lambda x, s: x * s), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return F.when(proj > 0, 1).otherwise(0)
+
+
+def hyperplane_signature(v: Column, bits: int = 16, seed: int = 0) -> Column:
+    """Sign-random-projection signature: bit i = [dot(v, h_i) > 0].
+    Returns an array of ``bits`` 0/1 ints."""
+    return F.array(*[_srp_bit(v, i, seed) for i in range(bits)])
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    bits: int = 16,
+    bands: int = 4,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k: candidates are corpus rows sharing at least one
+    signature band with the query; exact cosine ranks the candidates.
+
+    Similar vectors agree on most signature bits (SRP property), so at
+    least one of the ``bands`` 4-bit bands collides with high probability
+    while the corpus-wide candidate count stays near-linear. Output schema
+    matches cosine_topk (rank is within retrieved candidates).
+    """
+    query_id_col = query_id_col or id_col
+    rows = bits // bands
+
+    def banded(df: DataFrame, ident: str, out_id: str) -> DataFrame:
+        sig = hyperplane_signature(as_double_vec(F.col(vec_col)), bits)
+        bands_arr = F.array(
+            *[
+                F.xxhash64(F.lit(b), *[sig[b * rows + j] for j in range(rows)])
+                for b in range(bands)
+            ]
+        )
+        return df.select(
+            F.col(ident).alias(out_id),
+            as_double_vec(F.col(vec_col)).alias(f"__v_{out_id}"),
+            F.posexplode(bands_arr).alias("band_idx", "band_hash"),
+        )
+
+    qb = banded(queries, query_id_col, "query_id")
+    cb = banded(corpus, id_col, "neighbor_id")
+    cands = (
+        qb.join(cb, ["band_idx", "band_hash"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "__v_query_id", "__v_neighbor_id")
+        .distinct()
+    )
+    scored = cands.withColumn(
+        "__sim", cosine(F.col("__v_query_id"), F.col("__v_neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("__sim", 6).alias("cosine_sim"))
+    )

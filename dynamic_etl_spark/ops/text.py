@@ -1,0 +1,104 @@
+"""Text-analysis operators for LLM training-data pipelines (driver brief:
+language-ID, quality scoring, token counting, document fingerprinting).
+
+Beyond the reference surface (it has no document processing), designed on
+the same principle as ops/clean.py: every operator is a native Column
+expression over the ``documents`` table — no Python UDFs, so a 100 TB text
+corpus stays inside whole-stage codegen with zero serialization cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokenization (empty tokens dropped)."""
+    return F.filter(F.split(F.lower(c), " "), lambda w: w != "")
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+#: BPE-ish lexer: alpha runs, digit runs, single non-alnum marks — a cheap
+#: deterministic stand-in for subword token counting.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpeish_token_count(c: Column) -> Column:
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
+
+
+def char_stats(c: Column) -> dict[str, Column]:
+    """Per-document character profile (one pass, all codegen)."""
+    n = F.length(c)
+    return {
+        "n_chars": n,
+        "n_punct": F.regexp_count(c, F.lit(r"[.,!?;:]")),
+        "n_digits": F.regexp_count(c, F.lit("[0-9]")),
+        "n_upper": F.regexp_count(c, F.lit("[A-Z]")),
+    }
+
+
+#: Minimal per-language stopword lists for the n-gram/stopword-hit
+#: language heuristic. Order = tie-break priority.
+LANG_STOPWORDS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")),
+    ("es", ("el", "la", "de", "y", "que", "en", "los", "se", "del", "por")),
+    ("de", ("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "zu")),
+    ("fr", ("le", "la", "de", "et", "les", "des", "un", "une", "du", "est")),
+)
+
+
+def stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """Count of token OCCURRENCES (not distinct) that are in ``words``."""
+    lit = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lit, t)))
+
+
+def language_id(c: Column) -> Column:
+    """Stopword-hit argmax heuristic; 'und' (undetermined) when no list
+    scores a single hit. Ties resolve in LANG_STOPWORDS order."""
+    toks = tokens(c)
+    scores = {lang: stopword_hits(toks, words) for lang, words in LANG_STOPWORDS}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang, _ in reversed(LANG_STOPWORDS):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("und"))
+
+
+def stopword_ratio(c: Column) -> Column:
+    """Share of token occurrences that are (any-language) stopwords."""
+    toks = tokens(c)
+    all_words = tuple({w for _, ws in LANG_STOPWORDS for w in ws})
+    hits = stopword_hits(toks, tuple(sorted(all_words)))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks))
+
+
+def quality_score(c: Column) -> Column:
+    """Composite 0..1 heuristic: reward reasonable length and natural
+    stopword density, penalize punctuation soup. Weights are engine policy
+    (documented, deterministic), not learned."""
+    stats = char_stats(c)
+    n_toks = token_count(c)
+    punct_ratio = F.when(
+        stats["n_chars"] > 0, stats["n_punct"].cast("double") / stats["n_chars"]
+    ).otherwise(F.lit(0.0))
+    length_score = F.least(n_toks.cast("double") / 100.0, F.lit(1.0))
+    stop_score = F.coalesce(stopword_ratio(c), F.lit(0.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))
+    return F.round(0.4 * length_score + 0.4 * stop_score + 0.2 * punct_score, 6)
+
+
+def normalize_for_fingerprint(c: Column) -> Column:
+    """Whitespace-collapse + lowercase + trim — the canonical form two
+    near-identical documents share."""
+    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def fingerprint_md5(c: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (exact-dup key)."""
+    return F.md5(normalize_for_fingerprint(c))

@@ -1,5 +1,335 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM-data-pipeline queries over documents/embeddings (driver brief
+north-star: dedup, similarity search, text analysis, multimodal columns).
 
-from dynamic_etl_spark.registry.core import QueryRegistry
+SQL-expressible operators carry DuckDB oracles; the MinHash/SimHash/
+LSH-ANN paths hash with engine-specific xxhash64 so they register as
+rows-only and are instead ground-truthed against brute force in
+tests/test_llm.py.
+"""
 
-QUERIES: QueryRegistry = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamic_etl_spark.ops import ann as ANN
+from dynamic_etl_spark.ops import lsh as L
+from dynamic_etl_spark.ops import text as TX
+from dynamic_etl_spark.ops.multimodal import (
+    documents_as_media,
+    extract_media_features,
+)
+from dynamic_etl_spark.registry.core import Query, QueryRegistry, t
+
+_SQL_TOKENS = "list_filter(string_split(lower(text), ' '), w -> w <> '')"
+_SQL_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+
+# ==========================================================================
+# Text analysis (native exprs; F.regexp_count twins len(regexp_extract_all))
+# ==========================================================================
+
+def text_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    stats = TX.char_stats(c)
+    return docs.select(
+        "doc_id",
+        stats["n_chars"].alias("n_chars"),
+        TX.token_count(c).alias("n_tokens"),
+        F.size(F.array_distinct(TX.tokens(c))).alias("n_distinct_tokens"),
+        TX.bpeish_token_count(c).alias("n_bpeish_tokens"),
+        stats["n_punct"].alias("n_punct"),
+        stats["n_digits"].alias("n_digits"),
+        F.round(F.coalesce(TX.stopword_ratio(c), F.lit(0.0)), 6).alias("stopword_ratio"),
+        TX.quality_score(c).alias("quality_score"),
+    )
+
+
+_ALL_STOPWORDS = tuple(sorted({w for _, ws in TX.LANG_STOPWORDS for w in ws}))
+_SQL_STOPLIST = "[" + ", ".join(f"'{w}'" for w in _ALL_STOPWORDS) + "]"
+
+TEXT_STATS_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents
+)
+SELECT doc_id,
+       length(text) AS n_chars,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+         AS n_bpeish_tokens,
+       CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INT) AS n_punct,
+       CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS n_digits,
+       round(CASE WHEN len(toks) > 0
+             THEN CAST(len(list_filter(toks, t -> list_contains({_SQL_STOPLIST}, t))) AS DOUBLE)
+                  / len(toks) ELSE 0.0 END, 6) AS stopword_ratio,
+       round(0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+           + 0.4 * (CASE WHEN len(toks) > 0
+                    THEN CAST(len(list_filter(toks, t -> list_contains({_SQL_STOPLIST}, t))) AS DOUBLE)
+                         / len(toks) ELSE 0.0 END)
+           + 0.2 * (1.0 - least(
+               (CASE WHEN length(text) > 0
+                THEN CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text)
+                ELSE 0.0 END) * 10.0, 1.0)), 6) AS quality_score
+FROM base
+"""
+
+
+def language_id_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    toks = TX.tokens(c)
+    cols = [F.col("doc_id"), F.col("lang").alias("labeled_lang"), TX.language_id(c).alias("detected_lang")]
+    for lang, words in TX.LANG_STOPWORDS:
+        cols.append(TX.stopword_hits(toks, words).alias(f"{lang}_hits"))
+    return docs.select(*cols)
+
+
+def _sql_lang_hits(lang: str, words: tuple[str, ...]) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"CAST(len(list_filter(toks, t -> list_contains({lst}, t))) AS INT) AS {lang}_hits"
+
+
+_LANG_HIT_COLS = ",\n       ".join(
+    _sql_lang_hits(lang, words) for lang, words in TX.LANG_STOPWORDS
+)
+_BEST = "greatest(en_hits, es_hits, de_hits, fr_hits)"
+
+LANGUAGE_ID_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, lang AS labeled_lang, {_SQL_TOKENS} AS toks FROM documents
+),
+hits AS (
+  SELECT doc_id, labeled_lang,
+       {_LANG_HIT_COLS}
+  FROM base
+)
+SELECT doc_id, labeled_lang,
+       CASE WHEN {_BEST} = 0 THEN 'und'
+            WHEN en_hits = {_BEST} THEN 'en'
+            WHEN es_hits = {_BEST} THEN 'es'
+            WHEN de_hits = {_BEST} THEN 'de'
+            ELSE 'fr' END AS detected_lang,
+       en_hits, es_hits, de_hits, fr_hits
+FROM hits
+"""
+
+
+# ==========================================================================
+# Exact dedup on the content fingerprint (one hash-shuffle groupBy)
+# ==========================================================================
+
+def exact_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Inject true duplicates so dup_count > 1 paths execute: every 10th doc
+    # re-appears (re-keyed) with whitespace/case noise the normalizer kills.
+    docs = t(spark, sf_dir, "documents")
+    resent = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper(F.concat(F.lit("  "), F.col("text"), F.lit("  "))).alias("text"),
+    )
+    feed = docs.select("doc_id", "text").unionByName(resent)
+    return L.exact_dedup(feed, "doc_id", "text")
+
+
+EXACT_DEDUP_ORACLE = f"""
+WITH feed AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, upper('  ' || text || '  ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5({_SQL_NORM}) AS fingerprint,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS dup_count
+FROM feed
+GROUP BY 1
+"""
+
+
+# ==========================================================================
+# Exact n-gram Jaccard within (lang, source) blocks — the ground-truth twin
+# of the MinHash path, and itself a useful blocked near-dup operator
+# ==========================================================================
+
+def ngram_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", L.word_shingles(F.col("text"), 3).alias("sh")
+    )
+    a = docs.select(
+        F.col("lang"), F.col("source"), F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    b = docs.select(
+        F.col("lang"), F.col("source"), F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard_sim", F.round(L.jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard_sim") >= 0.02)
+        .select("lang", "source", "id_a", "id_b", "jaccard_sim")
+    )
+
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, lang, source, {_SQL_TOKENS} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(
+           range(0, greatest(len(toks) - 3, 0) + 1),
+           i -> array_to_string(toks[i + 1 : i + 3], ' ')
+         )) AS grams
+  FROM base
+)
+SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
+             THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.grams, b.grams)))
+             ELSE 0.0 END, 6) AS jaccard_sim
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE round(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
+            THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams)))
+            ELSE 0.0 END, 6) >= 0.02
+"""
+
+
+# ==========================================================================
+# MinHash-LSH near-dup + SimHash (engine-hash-specific -> rows-only here;
+# ground-truthed against brute force in tests/test_llm.py)
+# ==========================================================================
+
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    resent = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        # near (not exact) duplicate: a short suffix perturbs a few shingles
+        F.concat(F.col("text"), F.lit(" extra trailing words appended")).alias("text"),
+    )
+    feed = docs.select("doc_id", "text").unionByName(resent)
+    return L.minhash_near_dup_pairs(feed, "doc_id", "text", threshold=0.5)
+
+
+def simhash_hamming_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sims = docs.select("doc_id", L.simhash64(F.col("text")).alias("simhash"))
+    # Hamming distance of every doc to the corpus anchor (doc 0): a cheap
+    # whole-corpus near-dup radar around one probe document.
+    anchor = sims.filter(F.col("doc_id") == 0).select(
+        F.col("simhash").alias("anchor_hash")
+    )
+    return (
+        sims.crossJoin(F.broadcast(anchor))
+        .select(
+            "doc_id",
+            "simhash",
+            F.bit_count(F.col("simhash").bitwiseXOR(F.col("anchor_hash"))).alias(
+                "hamming_to_anchor"
+            ),
+        )
+    )
+
+
+# ==========================================================================
+# Similarity search over embeddings
+# ==========================================================================
+
+def _queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 100 == 0)
+
+
+def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return ANN.cosine_topk(emb, _queries(spark, sf_dir), "vec_id", "embedding", k=10)
+
+
+TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qv, e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+           AS sim
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return ANN.lsh_ann_topk(emb, _queries(spark, sf_dir), "vec_id", "embedding", k=10)
+
+
+# ==========================================================================
+# Multimodal: binary payload -> Arrow-batched mapInPandas feature extract
+# (decoder stubbed deterministically, so the oracle CAN check the plumbing)
+# ==========================================================================
+
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(t(spark, sf_dir, "documents"))
+    return extract_media_features(media)
+
+
+MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       'text/plain' AS media_type,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       list_transform(range(1, 9),
+         i -> CASE WHEN i <= length(text)
+                   THEN CAST(ord(substr(text, CAST(i AS INT), 1)) AS DOUBLE) / 255.0
+                   ELSE 0.0 END) AS features
+FROM documents
+"""
+
+
+QUERIES: QueryRegistry = {
+    "text_stats_profile": Query(
+        text_stats_profile, TEXT_STATS_ORACLE,
+        "per-doc char/token/quality/stopword profile (all codegen)",
+    ),
+    "language_id_profile": Query(
+        language_id_profile, LANGUAGE_ID_ORACLE,
+        "stopword-hit argmax language heuristic",
+    ),
+    "exact_dedup_fingerprint": Query(
+        exact_dedup_fingerprint, EXACT_DEDUP_ORACLE,
+        "md5-fingerprint exact dedup with injected duplicates",
+    ),
+    "ngram_jaccard_similarity": Query(
+        ngram_jaccard_similarity, NGRAM_JACCARD_ORACLE,
+        "blocked exact 3-gram Jaccard pairs",
+    ),
+    "minhash_near_dup": Query(
+        minhash_near_dup, None,
+        "banded MinHash-LSH near-dup pairs (rows-only; brute-force-checked in pytest)",
+    ),
+    "simhash_near_dup": Query(
+        simhash_hamming_profile, None,
+        "64-bit SimHash + Hamming radar (rows-only; checked in pytest)",
+    ),
+    "embedding_topk_bruteforce": Query(
+        embedding_topk_bruteforce, TOPK_ORACLE,
+        "exact cosine top-10 per query (broadcast queries)",
+    ),
+    "embedding_ann_lsh": Query(
+        embedding_ann_lsh, None,
+        "banded SRP-LSH approximate top-10 (rows-only; recall-checked in pytest)",
+    ),
+    "multimodal_feature_extract": Query(
+        multimodal_feature_extract, MULTIMODAL_ORACLE,
+        "binary media column -> Arrow mapInPandas feature extraction (stub decoder)",
+    ),
+}

@@ -32,7 +32,13 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 def _canon_cell(v):
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return None
-    if pd.isna(v) if not isinstance(v, (list, tuple, set, dict)) else False:
+    # array-valued cells (Spark ArrayType / DuckDB LIST come back as
+    # list or numpy.ndarray) canonicalize element-wise
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_canon_cell(x) for x in v)
+    if isinstance(v, (set, dict)):
+        return repr(v)
+    if pd.isna(v):
         return None
     if isinstance(v, float):
         return float(v)

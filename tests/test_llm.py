@@ -1,0 +1,114 @@
+"""Ground-truth checks for the engine-hash-specific LLM operators (the
+registry records them rows-only; these tests pin their semantics against
+brute force at sf0.001)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dynamic_etl_spark.catalog import load_table
+from dynamic_etl_spark.ops import ann as ANN
+from dynamic_etl_spark.ops import lsh as L
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs_with_near_dups(spark):
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    resent = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing words appended")).alias("text"),
+    )
+    return docs.unionByName(resent).cache()
+
+
+def _brute_force_pairs(spark, docs, threshold):
+    base = docs.select("doc_id", L.word_shingles(F.col("text"), 3).alias("sh"))
+    a = base.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return {
+        (r["id_a"], r["id_b"])
+        for r in (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("j", L.jaccard(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("j") >= threshold)
+            .collect()
+        )
+    }
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs_with_near_dups):
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in L.minhash_near_dup_pairs(
+            docs_with_near_dups, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    truth = _brute_force_pairs(spark, docs_with_near_dups, 0.5)
+    planted = {(d, d + 2000000) for (d, d2) in truth if d2 == d + 2000000}
+    # no false positives (every reported pair passes exact Jaccard >= 0.5)
+    assert found <= truth
+    # the planted high-similarity pairs must essentially all be recovered
+    assert planted, "fixture must plant at least one near-dup pair"
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"LSH recall on planted near-dups {recall:.2f} < 0.9"
+
+
+def test_minhash_signature_slots_are_independent(spark, docs_with_near_dups):
+    # regression for the lambda-index bug: distinct seeds must produce
+    # distinct signature slots
+    sig = docs_with_near_dups.limit(1).select(
+        L.minhash_signature(L.word_shingles(F.col("text"), 3), 8).alias("sig")
+    )
+    values = sig.collect()[0]["sig"]
+    assert len(set(values)) > 1, "all MinHash slots identical — seeds not applied"
+
+
+def test_simhash_near_dups_have_small_hamming(spark, docs_with_near_dups):
+    sims = docs_with_near_dups.select(
+        "doc_id", L.simhash64(F.col("text")).alias("h")
+    )
+    a = sims.filter(F.col("doc_id") < 2000000).select(
+        F.col("doc_id").alias("id"), F.col("h").alias("h_a")
+    )
+    b = sims.filter(F.col("doc_id") >= 2000000).select(
+        (F.col("doc_id") - 2000000).alias("id"), F.col("h").alias("h_b")
+    )
+    dists = (
+        a.join(b, "id")
+        .select(F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("d"))
+        .collect()
+    )
+    assert dists
+    avg = sum(r["d"] for r in dists) / len(dists)
+    # near-identical docs: expect far below the ~32-bit random baseline
+    assert avg <= 12, f"avg Hamming distance {avg:.1f} too high for near-dups"
+
+
+def test_srp_signature_bits_vary(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    sigs = emb.limit(20).select(
+        ANN.hyperplane_signature(ANN.as_double_vec(F.col("embedding")), 16).alias("sig")
+    ).collect()
+    distinct = {tuple(r["sig"]) for r in sigs}
+    assert len(distinct) > 1, "all SRP signatures identical — hyperplanes degenerate"
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    exact = ANN.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    approx = ANN.lsh_ann_topk(emb, queries, "vec_id", "embedding", k=5)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(got & truth) / len(truth)
+    # random gaussian embeddings are LSH's worst case; the point is that
+    # candidates are bucketed, not exhaustive, yet recall stays useful
+    assert recall >= 0.3, f"ANN recall {recall:.2f} unusably low"
+    # and the approximate path must not degenerate into brute force:
+    # every returned neighbor shares >=1 signature band with its query
+    n_queries = queries.count()
+    assert len(got) <= n_queries * 5
