@@ -1,0 +1,70 @@
+"""CSV sinks + physical-write protocols (SURVEY.md §2.1 S3, S4, S7, S9,
+S10).
+
+Batched-insert atomicity (S9) needs no code: Spark's file committer
+stages task output and publishes on job commit, which is the reference's
+batch-then-single-commit (load_fact_sales_dw.py:376-387) at executor
+scale. The staging-table + MERGE + drop dance (S10) becomes
+write-new-then-atomic-swap on plain parquet/CSV.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    sep: str = "|",
+    header: bool = True,
+    single_file: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """S3/S4 — comma or pipe ("DW best practice" in the reference,
+    extract_sales_snapshot.py:104) delimited CSV.
+
+    ``single_file`` reproduces the reference's one-file-per-extract shape
+    (coalesce(1) — fine for extracts, wrong for bulk data; default keeps
+    one file per partition)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("sep", sep).option("header", str(header).lower()).csv(path)
+
+
+def rotate_current_to_archive(current_dir: str, archive_dir: str) -> list[str]:
+    """S7 — move Current/* -> Archive/ before writing the new extract
+    (reference extract_sales_daily.py:19-23). On object stores prefer
+    partitioned paths (.../date=YYYYMMDD/); this reproduces the
+    reference's directory protocol for local/posix layouts."""
+    os.makedirs(current_dir, exist_ok=True)
+    os.makedirs(archive_dir, exist_ok=True)
+    moved = []
+    for name in sorted(os.listdir(current_dir)):
+        shutil.move(os.path.join(current_dir, name), os.path.join(archive_dir, name))
+        moved.append(name)
+    return moved
+
+
+def write_staging_swap(df: DataFrame, final_path: str, fmt: str = "parquet") -> None:
+    """S10 — staging + atomic swap: write the full new table next to the
+    old one, then rename into place (the reference's staging-table +
+    MERGE + DROP, minus the database). The swap window is a directory
+    rename; readers see old-or-new, never a mix."""
+    parent = os.path.dirname(os.path.abspath(final_path))
+    os.makedirs(parent, exist_ok=True)
+    staging = os.path.join(parent, f".staging-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").format(fmt).save(staging)
+    backup = final_path + ".old"
+    if os.path.exists(final_path):
+        os.rename(final_path, backup)
+    try:
+        os.rename(staging, final_path)
+    except OSError:
+        if os.path.exists(backup):
+            os.rename(backup, final_path)
+        raise
+    shutil.rmtree(backup, ignore_errors=True)

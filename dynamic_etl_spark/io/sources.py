@@ -1,0 +1,74 @@
+"""CSV sources + file-selection utilities (SURVEY.md §2.1 S5, S6, S11;
+§2.2 P10).
+
+The reference's schema-on-read contract (scripts2/load_fact_sales_dw.py:
+84-90): everything ingests as STRING with sentinel nulls
+(na_values=['', 'NULL', 'null', 'NA']), and types are re-derived by the
+cleaning layer (ops/clean). Spark's CSV reader takes a single nullValue,
+so the sentinel set is applied as a post-read column expression — still
+codegen, still one scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Reference na_values (load_fact_sales_dw.py:85-88).
+NULL_SENTINELS = ("", "NULL", "null", "NA")
+
+
+def read_csv_schema_on_read(
+    spark: SparkSession,
+    path: str,
+    sep: str = "|",
+    header: bool = True,
+    sentinels: tuple[str, ...] = NULL_SENTINELS,
+    path_glob: str | None = None,
+) -> DataFrame:
+    """S5 — all-string CSV ingest with sentinel nulls; P10 — filename
+    predicate via pathGlobFilter (pushed to the file listing, so excluded
+    files are never opened)."""
+    reader = (
+        spark.read.option("sep", sep)
+        .option("header", str(header).lower())
+        .option("inferSchema", "false")
+    )
+    if path_glob is not None:
+        reader = reader.option("pathGlobFilter", path_glob)
+    df = reader.csv(path)
+    cleaned = [
+        F.when(F.trim(F.col(c)).isin(*[s for s in sentinels if s != ""]) | (F.trim(F.col(c)) == ""), None)
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in df.columns
+    ]
+    return df.select(*cleaned)
+
+
+def latest_file(directory: str, suffix: str = ".csv", prefix: str = "") -> str:
+    """S6/W3 — lexicographic newest (timestamped names sort naturally;
+    reference read_extract_snapshot.py:9-21)."""
+    names = [
+        f
+        for f in os.listdir(directory)
+        if f.startswith(prefix) and f.endswith(suffix)
+    ]
+    if not names:
+        raise FileNotFoundError(
+            f"no '{prefix}*{suffix}' files in {directory}. "
+            + list_dir_diagnostics(directory)
+        )
+    return os.path.join(directory, sorted(names)[-1])
+
+
+def list_dir_diagnostics(directory: str, limit: int = 10) -> str:
+    """S11 — first-N directory listing for error messages
+    (reference validate_table.py:98-107)."""
+    try:
+        names = sorted(os.listdir(directory))[:limit]
+    except OSError as exc:
+        return f"(listing failed: {exc})"
+    return f"Directory contains (first {limit}): {names}"

@@ -1,0 +1,152 @@
+"""CSV round-trip (hash-checked vs DuckDB read_csv), file queue policies
+(S8/U6), rotation, latest-file selection, staging swap."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from pathlib import Path
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from dynamic_etl_spark.catalog import load_table
+from dynamic_etl_spark.io import (
+    FileQueue,
+    PoisonPill,
+    SkipRetry,
+    latest_file,
+    read_csv_schema_on_read,
+    rotate_current_to_archive,
+    write_csv,
+    write_staging_swap,
+)
+from tests.conftest import SF_SMALL
+from tests.parity import canonicalize
+
+SCRATCH = Path(__file__).resolve().parent.parent / ".tmp" / "io"
+
+
+@pytest.fixture()
+def scratch():
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    SCRATCH.mkdir(parents=True)
+    yield SCRATCH
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+def test_pipe_csv_roundtrip_matches_duckdb(spark, scratch):
+    src = load_table(spark, SF_SMALL, "nation")
+    out = str(scratch / "nation_csv")
+    write_csv(src, out, sep="|", header=True, single_file=True)
+
+    back = read_csv_schema_on_read(spark, out, sep="|")
+    assert back.count() == src.count()
+    # all-string contract
+    assert all(t == "string" for _, t in back.dtypes)
+
+    csv_file = glob.glob(os.path.join(out, "*.csv"))[0]
+    oracle = duckdb.sql(
+        f"SELECT * FROM read_csv('{csv_file}', delim='|', header=true, all_varchar=true)"
+    ).df()
+    assert canonicalize(back.toPandas()) == canonicalize(oracle)
+
+
+def test_sentinel_nulls_apply(spark, scratch):
+    raw = scratch / "feed"
+    raw.mkdir()
+    (raw / "f.csv").write_text("a|b|c\n1|NULL|x\n2|NA|null\n3|ok|\n")
+    df = read_csv_schema_on_read(spark, str(raw), sep="|")
+    rows = {r["a"]: (r["b"], r["c"]) for r in df.collect()}
+    assert rows == {"1": (None, "x"), "2": (None, None), "3": ("ok", None)}
+
+
+def test_path_glob_filter(spark, scratch):
+    raw = scratch / "feed"
+    raw.mkdir()
+    (raw / "sales_1.csv").write_text("a\n1\n")
+    (raw / "other_2.csv").write_text("a\n2\n")
+    df = read_csv_schema_on_read(spark, str(raw), sep="|", path_glob="sales_*.csv")
+    assert [r["a"] for r in df.collect()] == ["1"]
+
+
+def test_latest_file_and_diagnostics(scratch):
+    d = scratch / "in"
+    d.mkdir()
+    for name in ("snap_20240101.csv", "snap_20240301.csv", "snap_20240201.csv"):
+        (d / name).write_text("x\n")
+    assert latest_file(str(d), prefix="snap_").endswith("snap_20240301.csv")
+    with pytest.raises(FileNotFoundError, match="Directory contains"):
+        latest_file(str(d), prefix="nope_")
+
+
+def test_rotation(scratch):
+    cur, arc = scratch / "Current", scratch / "Archive"
+    cur.mkdir()
+    (cur / "old1.csv").write_text("x\n")
+    (cur / "old2.csv").write_text("y\n")
+    moved = rotate_current_to_archive(str(cur), str(arc))
+    assert moved == ["old1.csv", "old2.csv"]
+    assert sorted(os.listdir(arc)) == ["old1.csv", "old2.csv"]
+    assert os.listdir(cur) == []
+
+
+def test_file_queue_exactly_once_and_policies(scratch):
+    inc = scratch / "incoming"
+    inc.mkdir()
+    for name in ("sales_02.csv", "sales_01.csv", "ignore.txt"):
+        (inc / name).write_text("x\n")
+    q = FileQueue(str(inc), str(scratch / "processed.log"), prefix="sales_")
+
+    # oldest-first selection
+    assert q.next_unprocessed() == "sales_01.csv"
+
+    # SkipRetry leaves the file queued
+    def skip(path):
+        raise SkipRetry("dims empty")
+
+    assert q.process_next(skip) == (None, None)
+    assert q.next_unprocessed() == "sales_01.csv"
+
+    # success marks AFTER the callable returns
+    seen = []
+    name, result = q.process_next(lambda p: seen.append(os.path.basename(p)) or "ok")
+    assert (name, result) == ("sales_01.csv", "ok")
+    assert seen == ["sales_01.csv"]
+    assert q.next_unprocessed() == "sales_02.csv"
+
+    # PoisonPill marks processed THEN raises — the bad file can't wedge
+    def poison(path):
+        raise PoisonPill("missing columns")
+
+    with pytest.raises(PoisonPill):
+        q.process_next(poison)
+    assert q.next_unprocessed() is None
+
+    # crash mid-fn leaves the file queued (at-least-once)
+    (inc / "sales_03.csv").write_text("x\n")
+
+    def crash(path):
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError):
+        q.process_next(crash)
+    assert q.next_unprocessed() == "sales_03.csv"
+
+
+def test_staging_swap_atomicity(spark, scratch):
+    final = str(scratch / "table")
+    v1 = spark.range(5).withColumn("v", F.lit("one"))
+    v2 = spark.range(7).withColumn("v", F.lit("two"))
+    write_staging_swap(v1, final)
+    assert spark.read.parquet(final).count() == 5
+    write_staging_swap(v2, final)
+    assert spark.read.parquet(final).count() == 7
+    got = {r["v"] for r in spark.read.parquet(final).select("v").distinct().collect()}
+    assert got == {"two"}
+    # no staging/backup litter
+    parent = os.path.dirname(final)
+    assert not [n for n in os.listdir(parent) if n.startswith(".staging") or n.endswith(".old")]
