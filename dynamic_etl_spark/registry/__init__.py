@@ -22,6 +22,7 @@ def all_queries() -> QueryRegistry:
         cleaning,
         dates,
         events,
+        generators,
         llm,
         merge,
         relational,
@@ -30,7 +31,17 @@ def all_queries() -> QueryRegistry:
     )
 
     registry: QueryRegistry = {}
-    for module in (relational, windows, cleaning, dates, merge, validation, events, llm):
+    for module in (
+        relational,
+        windows,
+        cleaning,
+        dates,
+        merge,
+        validation,
+        events,
+        llm,
+        generators,
+    ):
         overlap = registry.keys() & module.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")
