@@ -19,6 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from dynamic_etl_spark.registry import all_queries  # noqa: E402
 from dynamic_etl_spark.session import get_spark  # noqa: E402
 
+# r01 headline set first (comparable across rounds), then one
+# representative heavy query per round-2 layer.
 HEADLINE = (
     "flagship_star_join",
     "pricing_summary",
@@ -27,6 +29,15 @@ HEADLINE = (
     "dedup_keep_last_line",
     "top_part_types",
     "fallback_key_resolution",
+    # round 2 layers
+    "clean_store_feed",
+    "scd1_merge_orders",
+    "date_dimension_build",
+    "validation_report",
+    "events_sessionization",
+    "text_stats_profile",
+    "minhash_near_dup",
+    "embedding_topk_bruteforce",
 )
 
 

@@ -36,17 +36,52 @@ def word_shingles(c: Column, k: int = 3) -> Column:
     )
 
 
-def _min_hash(shingles: Column, seed: int) -> Column:
-    # NB: the seed must be closed over by a helper, never a lambda default
-    # arg — PySpark reads lambda arity, and a 2-arg transform lambda gets
-    # the ELEMENT INDEX as its second argument.
-    return F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(seed), s)))
+#: Mersenne prime 2^31-1: the affine field for the MinHash family. Values
+#: fit in 31 bits, so a*h+b stays within a long under ANSI arithmetic.
+_MINHASH_P = 2_147_483_647
+
+
+def _affine_params(i: int) -> tuple[int, int]:
+    # Deterministic odd multiplier + offset per hash index (Knuth constant)
+    a = (2_654_435_761 * (i + 1)) % _MINHASH_P or 1
+    b = (40_503 * (i + 7) ** 2) % _MINHASH_P
+    return a, b
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: per seed i, the minimum xxhash64(i, shingle).
-    Pr[sig_a[i] == sig_b[i]] = Jaccard(a, b) — the classic estimator."""
-    return F.array(*[_min_hash(shingles, i) for i in range(num_hashes)])
+    """MinHash signature via the universal-hash family
+    h_i(s) = (a_i * H(s) + b_i) mod (2^31-1), where H is ONE xxhash64 per
+    shingle folded into the field. Hashing each shingle once and deriving
+    the num_hashes functions as affine transforms is ~num_hashes x cheaper
+    than seeded re-hashing — the dominant cost of MinHash at corpus scale.
+
+    Pr[sig_a[i] == sig_b[i]] = Jaccard(a, b) — the classic estimator.
+    (Constants are closed over per index, never lambda default args —
+    PySpark reads lambda arity, and a 2-arg transform lambda would get the
+    ELEMENT INDEX as its second argument.)
+    """
+    return signature_from_hashes(shingle_hashes(shingles), num_hashes)
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """One xxhash64 per shingle, folded into the affine field.
+
+    Evaluate this ONCE per row and materialize it (e.g. behind a
+    repartition) before fanning out to the signature slots: higher-order
+    functions run interpreted (outside codegen), and Catalyst's project
+    collapsing would otherwise inline — i.e. recompute — this array into
+    every one of the num_hashes array_min expressions."""
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_P)))
+
+
+def signature_from_hashes(hashes: Column, num_hashes: int = 32) -> Column:
+    def one(i: int) -> Column:
+        a, b = _affine_params(i)
+        return F.array_min(
+            F.transform(hashes, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MINHASH_P)))
+        )
+
+    return F.array(*[one(i) for i in range(num_hashes)])
 
 
 def band_hashes(sig: Column, bands: int, rows: int) -> Column:
@@ -114,13 +149,52 @@ def minhash_near_dup_pairs(
 
     With 32 hashes / 8 bands the LSH S-curve crosses ~0.65 at
     sim=threshold 0.5; callers wanting higher recall raise bands.
+
+    Plan shape — the signature is computed WITHOUT array lambdas:
+    higher-order functions evaluate interpreted (outside whole-stage
+    codegen), which makes the array formulation the bottleneck on a big
+    corpus. Instead shingles EXPLODE to rows and each signature slot is a
+    codegen'd ``min(affine(h))`` aggregate with map-side partial
+    aggregation — one shuffle of (doc, 32 mins), fully vectorizable, and
+    parallelism follows the data, not the input file count.
     """
+    sh = F.col("__sh")
+    exploded = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("__s")
+    ).select(F.col(id_col), F.pmod(F.xxhash64("__s"), F.lit(_MINHASH_P)).alias("__h"))
+
+    def slot(i: int) -> Column:
+        a_i, b_i = _affine_params(i)
+        return F.min(
+            F.pmod(F.lit(a_i) * F.col("__h") + F.lit(b_i), F.lit(_MINHASH_P))
+        ).alias(f"__mh{i}")
+
+    sig_cols = exploded.groupBy(id_col).agg(*[slot(i) for i in range(num_hashes)])
+    rows = num_hashes // bands
+    bands_arr = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col(f"__mh{b * rows + j}") for j in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    banded = sig_cols.select(
+        F.col(id_col), F.posexplode(bands_arr).alias("band_idx", "band_hash")
+    )
+    pairs = (
+        banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+        .join(
+            banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     base = docs.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("__sh")
     )
-    pairs = lsh_candidate_pairs(base, id_col, "__sh", num_hashes, bands)
-    a = base.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
-    b = base.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    a = base.select(F.col(id_col).alias("id_a"), sh.alias("__sh_a"))
+    b = base.select(F.col(id_col).alias("id_b"), sh.alias("__sh_b"))
     verified = (
         pairs.join(a, "id_a")
         .join(b, "id_b")

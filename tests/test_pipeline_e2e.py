@@ -1,0 +1,188 @@
+"""End-to-end lifecycle test: the reference's four DAGs compressed into
+one pipeline — generate -> extract (pipe CSV + rotation) -> validate ->
+incremental queue load (clean -> key-resolve -> SCD-1 merge -> staged
+swap). This is the integration seam none of the per-operator tests cross."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dynamic_etl_spark import generate as G
+from dynamic_etl_spark.io import (
+    FileQueue,
+    SkipRetry,
+    read_csv_schema_on_read,
+    rotate_current_to_archive,
+    write_csv,
+    write_staging_swap,
+)
+from dynamic_etl_spark.ops.clean import clean_numeric, resolve_aliases
+from dynamic_etl_spark.ops.merge import scd1_merge
+from dynamic_etl_spark.pipeline import Pipeline, Step
+from dynamic_etl_spark.validate import ValidationSpec, validate
+
+SCRATCH = Path(__file__).resolve().parent.parent / ".tmp" / "e2e"
+
+
+@pytest.fixture()
+def scratch():
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    SCRATCH.mkdir(parents=True)
+    yield SCRATCH
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+def test_full_lifecycle(spark, scratch):
+    current = scratch / "Current"
+    archive = scratch / "Archive"
+    dw_path = str(scratch / "fact_sales_dw")
+
+    def gen_dims(ctx):
+        stores = G.generate_stores(spark, 50).cache()
+        products = G.generate_products(spark, 100).cache()
+        dists = G.generate_distributors(spark, 20).cache()
+        return {"stores": stores, "products": products, "dists": dists}
+
+    def gen_facts(ctx):
+        d = ctx["gen_dims"]
+        return G.generate_fact_sales(
+            spark, d["stores"], d["products"], d["dists"], date_id=20240617, rows=500
+        )
+
+    def extract(ctx):
+        rotate_current_to_archive(str(current), str(archive))
+        out = str(current / "sales_20240617")
+        # header aliases on purpose: the loader must resolve them
+        feed = ctx["gen_facts"].select(
+            F.col("sales_id").alias("SALE_ID"),
+            F.col("date_id"),
+            F.col("store_id"),
+            F.col("product_id"),
+            F.col("distributor_id").alias("DIST_ID"),
+            F.col("quantity_sold").alias("QTY"),
+            F.concat(F.lit("₹"), F.col("net_amount").cast("string")).alias("NET_SALES"),
+        )
+        write_csv(feed, out, sep="|", single_file=True)
+        return out
+
+    def validate_file(ctx):
+        df = read_csv_schema_on_read(spark, ctx["extract"], sep="|")
+        spec = ValidationSpec(
+            min_rows=100,
+            mandatory_columns=("SALE_ID", "QTY", "NET_SALES"),
+            pk_column="SALE_ID",
+        )
+        report = validate(spark, df, spec)
+        fails = [r for r in report.collect() if r["status"] == "FAIL"]
+        assert not fails, fails
+        return report
+
+    def load(ctx):
+        queue = FileQueue(str(current), str(scratch / "processed.log"), prefix="sales_", suffix="")
+        d = ctx["gen_dims"]
+
+        def load_one(path):
+            raw = read_csv_schema_on_read(spark, path, sep="|")
+            resolved = resolve_aliases(
+                raw,
+                {
+                    "SALES_ID": ["SALES_ID", "SALE_ID"],
+                    "DATE_ID": ["DATE_ID"],
+                    "STORE_ID": ["STORE_ID"],
+                    "PRODUCT_ID": ["PRODUCT_ID"],
+                    "DISTRIBUTOR_ID": ["DISTRIBUTOR_ID", "DIST_ID"],
+                    "QUANTITY_SOLD": ["QUANTITY_SOLD", "QUANTITY", "QTY"],
+                    "NET_AMOUNT": ["NET_AMOUNT", "NET_SALES", "NET"],
+                },
+            )
+            typed = resolved.select(
+                F.col("SALES_ID").cast("long").alias("sales_id"),
+                F.col("DATE_ID").cast("int").alias("date_id"),
+                F.col("STORE_ID").cast("long").alias("store_id"),
+                F.col("PRODUCT_ID").cast("long").alias("product_id"),
+                F.col("DISTRIBUTOR_ID").cast("long").alias("distributor_id"),
+                F.col("QUANTITY_SOLD").cast("long").alias("quantity_sold"),
+                clean_numeric(F.col("NET_AMOUNT"), dtype="decimal(12,2)", min_value=None)
+                .cast("double")
+                .alias("net_amount"),
+            )
+            # P8: resolve FKs against dims, drop misses
+            typed = (
+                typed.join(d["stores"].select("store_id"), "store_id", "left_semi")
+                .join(d["products"].select("product_id"), "product_id", "left_semi")
+                .join(d["dists"].select("distributor_id"), "distributor_id", "left_semi")
+            )
+            # D1: dedup to the fact grain before MERGE (duplicate natural
+            # keys in one staging batch would multiply in the outer join —
+            # the reference's Oracle MERGE would throw ORA-30926 here)
+            from dynamic_etl_spark.ops.dedup import dedup_keep_last
+
+            typed = dedup_keep_last(
+                typed,
+                keys=["date_id", "store_id", "product_id", "distributor_id"],
+                order=["sales_id"],
+            )
+            if typed.limit(1).count() == 0:
+                raise SkipRetry("no rows survived key resolution")
+            existing = (
+                spark.read.parquet(dw_path)
+                if (Path(dw_path)).exists()
+                else typed.limit(0).withColumnRenamed("sales_id", "sales_id")
+            )
+            merged = scd1_merge(
+                existing,
+                typed,
+                natural_key=["date_id", "store_id", "product_id", "distributor_id"],
+                surrogate_col="sales_id",
+                exact_cols=["quantity_sold"],
+                tolerance_cols=["net_amount"],
+            ).drop("operation")
+            write_staging_swap(merged, dw_path)
+            return spark.read.parquet(dw_path).count()
+
+        return queue.process_next(load_one)
+
+    pipe = Pipeline(
+        "retail_daily",
+        [
+            Step("gen_dims", gen_dims),
+            Step("gen_facts", gen_facts, depends_on=("gen_dims",)),
+            Step("extract", extract, depends_on=("gen_facts",)),
+            Step("validate_file", validate_file, depends_on=("extract",)),
+            Step("load", load, depends_on=("validate_file", "gen_dims")),
+        ],
+    )
+    result = pipe.run()
+    assert result.order == ["gen_dims", "gen_facts", "extract", "validate_file", "load"]
+    name, dw_rows = result.outputs["load"]
+    assert name is not None and dw_rows is not None
+
+    dw = spark.read.parquet(dw_path)
+    # the fact grain dedupes re-generated rows onto the natural key
+    assert dw.count() == dw.select("date_id", "store_id", "product_id", "distributor_id").distinct().count()
+    assert dw_rows == dw.count()
+
+    # idempotence: queue is drained, rerunning the load step is a no-op
+    queue = FileQueue(str(current), str(scratch / "processed.log"), prefix="sales_", suffix="")
+    assert queue.next_unprocessed() is None
+
+
+def test_pipeline_rejects_bad_graph():
+    with pytest.raises(ValueError, match="unknown"):
+        Pipeline("p", [Step("a", lambda c: None, depends_on=("ghost",))])
+    with pytest.raises(ValueError, match="duplicate"):
+        Pipeline("p", [Step("a", lambda c: None), Step("a", lambda c: None)])
+
+
+def test_pipeline_failure_names_step():
+    def boom(ctx):
+        raise ValueError("inner")
+
+    pipe = Pipeline("p", [Step("ok", lambda c: 1), Step("bad", boom, depends_on=("ok",))])
+    with pytest.raises(RuntimeError, match="failed at step 'bad'"):
+        pipe.run()
