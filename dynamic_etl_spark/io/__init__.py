@@ -9,4 +9,5 @@ from dynamic_etl_spark.io.sources import (  # noqa: F401
     latest_file,
     list_dir_diagnostics,
     read_csv_schema_on_read,
+    resolve_file,
 )

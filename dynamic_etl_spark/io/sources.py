@@ -64,6 +64,51 @@ def latest_file(directory: str, suffix: str = ".csv", prefix: str = "") -> str:
     return os.path.join(directory, sorted(names)[-1])
 
 
+def resolve_file(
+    pattern: str,
+    search_days_back: int = 0,
+    allow_missing: bool = False,
+) -> str | None:
+    """V8 — resolve a concrete file from a glob pattern: newest match
+    wins (reverse sort); on miss, rewind the first 8-digit yyyyMMdd token
+    in the BASENAME up to ``search_days_back`` days; still nothing ->
+    None with ``allow_missing`` else FileNotFoundError with a directory
+    listing (reference validate_table.py:71-125)."""
+    import glob as _glob
+    import re
+    from datetime import datetime, timedelta
+
+    if "*" in pattern or "?" in pattern:
+        files = sorted(_glob.glob(pattern), reverse=True)
+        if not files and search_days_back > 0:
+            basename = os.path.basename(pattern)
+            dirpart = os.path.dirname(pattern)
+            m = re.search(r"(\d{8})", basename)
+            if m:
+                token = m.group(1)
+                day0 = datetime.strptime(token, "%Y%m%d")
+                for back in range(1, search_days_back + 1):
+                    prev = (day0 - timedelta(days=back)).strftime("%Y%m%d")
+                    prev_pattern = os.path.join(dirpart, basename.replace(token, prev, 1))
+                    prev_files = sorted(_glob.glob(prev_pattern), reverse=True)
+                    if prev_files:
+                        files = prev_files
+                        break
+        if files:
+            return files[0]
+        if allow_missing:
+            return None
+        raise FileNotFoundError(
+            f"No file found matching pattern: {pattern}. "
+            + list_dir_diagnostics(os.path.dirname(pattern) or ".")
+        )
+    if os.path.exists(pattern):
+        return pattern
+    if allow_missing:
+        return None
+    raise FileNotFoundError(f"File not found: {pattern}")
+
+
 def list_dir_diagnostics(directory: str, limit: int = 10) -> str:
     """S11 — first-N directory listing for error messages
     (reference validate_table.py:98-107)."""

@@ -519,6 +519,39 @@ FROM (
 
 
 # --------------------------------------------------------------------------
+# Skew-salted join (SURVEY.md §4; driver brief "salting for skew") —
+# semantics-preserving, so the oracle is the PLAIN join of the same feed
+# --------------------------------------------------------------------------
+
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dynamic_etl_spark.ops.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem")
+    supplier = t(spark, sf_dir, "supplier")
+    # Manufacture a hot key: ~40% of lineitems hit supplier 1
+    skewed = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_orderkey") % 5 < 2, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .alias("s_suppkey"),
+    )
+    joined = salted_join(skewed, supplier, on=["s_suppkey"], buckets=8)
+    return joined.select("l_orderkey", "l_linenumber", "s_suppkey", "s_name", "s_acctbal")
+
+
+SALTED_JOIN_ORACLE = """
+WITH skewed AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_orderkey % 5 < 2 THEN 1 ELSE l_suppkey END AS s_suppkey
+  FROM lineitem
+)
+SELECT k.l_orderkey, k.l_linenumber, k.s_suppkey, s.s_name, s.s_acctbal
+FROM skewed k JOIN supplier s ON k.s_suppkey = s.s_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
 # Set operations (SURVEY.md §2.6 — free via Spark; reference has none)
 # --------------------------------------------------------------------------
 
@@ -562,4 +595,5 @@ QUERIES: QueryRegistry = {
     "nation_key_set_ops": Query(nation_key_set_ops, SET_OPS_ORACLE, "union/intersect/except"),
     "freshness_watermark": Query(freshness_watermark, FRESHNESS_ORACLE, "A3 MAX(date) watermark + days-behind"),
     "drop_unresolved_keys": Query(drop_unresolved_keys, DROP_UNRESOLVED_ORACLE, "P8 na.drop after FK resolution"),
+    "salted_skew_join": Query(salted_skew_join, SALTED_JOIN_ORACLE, "skew-salted equi-join (semantics-preserving)"),
 }

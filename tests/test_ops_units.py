@@ -1,0 +1,117 @@
+"""Unit coverage for operator paths no registry query exercises directly:
+star_join helper, sparse surrogate keys, salted aggregation, V8 file
+resolution."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dynamic_etl_spark.catalog import load_table
+from dynamic_etl_spark.io import resolve_file
+from dynamic_etl_spark.ops.joins import star_join
+from dynamic_etl_spark.ops.keys import assign_surrogate_keys
+from dynamic_etl_spark.ops.skew import salted_aggregate, salted_join
+from tests.conftest import SF_SMALL
+
+SCRATCH = Path(__file__).resolve().parent.parent / ".tmp" / "units"
+
+
+def test_star_join_helper_matches_manual(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    part = load_table(spark, SF_SMALL, "part")
+    supplier = load_table(spark, SF_SMALL, "supplier")
+    out = star_join(
+        li,
+        [
+            (part, li.l_partkey == part.p_partkey, False),
+            (supplier, li.l_suppkey == supplier.s_suppkey, True),
+        ],
+    )
+    manual = li.join(part, li.l_partkey == part.p_partkey).join(
+        supplier, li.l_suppkey == supplier.s_suppkey
+    )
+    assert out.count() == manual.count() == li.count()
+
+
+def test_sparse_surrogate_keys_unique_above_offset(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    keyed = assign_surrogate_keys(li, ["l_orderkey"], "sk", offset=500, mode="sparse")
+    stats = keyed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("sk").alias("nd"),
+        F.min("sk").alias("mn"),
+    ).collect()[0]
+    assert stats["n"] == stats["nd"]
+    assert stats["mn"] > 500
+
+
+def test_salted_aggregate_equals_plain(spark):
+    orders = load_table(spark, SF_SMALL, "orders")
+    plain = {
+        r["o_orderstatus"]: (r["n"], r["mx"])
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("o_totalprice").alias("mx"))
+        .collect()
+    }
+    salted = {
+        r["o_orderstatus"]: (r["n"], r["mx"])
+        for r in salted_aggregate(
+            orders.select("o_orderstatus", "o_totalprice"),
+            keys=["o_orderstatus"],
+            aggs=[F.count(F.lit(1)).alias("pn"), F.max("o_totalprice").alias("pmx")],
+            reaggs=[F.sum("pn").alias("n"), F.max("pmx").alias("mx")],
+            buckets=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_left_preserves_misses(spark):
+    li = load_table(spark, SF_SMALL, "lineitem").limit(100)
+    dim = load_table(spark, SF_SMALL, "supplier").filter(F.col("s_suppkey") % 2 == 0)
+    out = salted_join(
+        li.select("l_orderkey", F.col("l_suppkey").alias("s_suppkey")),
+        dim,
+        on=["s_suppkey"],
+        buckets=4,
+        how="left",
+    )
+    plain = li.select("l_orderkey", F.col("l_suppkey").alias("s_suppkey")).join(
+        dim, "s_suppkey", "left"
+    )
+    assert out.count() == plain.count() == 100
+    assert (
+        out.filter(F.col("s_name").isNull()).count()
+        == plain.filter(F.col("s_name").isNull()).count()
+    )
+
+
+@pytest.fixture()
+def scratch():
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    SCRATCH.mkdir(parents=True)
+    yield SCRATCH
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+def test_resolve_file_days_back_and_missing(scratch):
+    (scratch / "snap_20240310_0900.csv").write_text("x\n")
+    # exact-day glob hits
+    assert resolve_file(str(scratch / "snap_20240310_*.csv")).endswith("_0900.csv")
+    # requested day missing -> rewind 3 days to the 10th
+    got = resolve_file(str(scratch / "snap_20240313_*.csv"), search_days_back=5)
+    assert got is not None and got.endswith("snap_20240310_0900.csv")
+    # not within window -> allow_missing swallows, else raises with listing
+    assert resolve_file(str(scratch / "snap_20240401_*.csv"), search_days_back=2,
+                        allow_missing=True) is None
+    with pytest.raises(FileNotFoundError, match="Directory contains"):
+        resolve_file(str(scratch / "snap_20240401_*.csv"))
+    # non-glob direct path
+    direct = scratch / "snap_20240310_0900.csv"
+    assert resolve_file(str(direct)) == str(direct)
+    assert resolve_file(str(scratch / "nope.csv"), allow_missing=True) is None
