@@ -91,6 +91,43 @@ def test_salted_join_left_preserves_misses(spark):
     )
 
 
+def test_char_shingles_and_generic_lsh_candidates(spark):
+    from dynamic_etl_spark.ops.lsh import char_shingles, lsh_candidate_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely unrelated content with different words entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    sh = df.select("doc_id", char_shingles(F.col("text"), 5).alias("sh"))
+    # 5-grams of a 44-char string: 40 windows, distinct
+    assert sh.filter(F.col("doc_id") == 1).select(F.size("sh")).collect()[0][0] <= 40
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sh, "doc_id", "sh", num_hashes=32, bands=16).collect()
+    }
+    assert (1, 2) in pairs  # near-identical docs must collide in some band
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_date_key_roundtrip_and_truncate(spark):
+    from dynamic_etl_spark.ops.clean import truncate
+    from dynamic_etl_spark.ops.dates import date_key, from_date_key
+
+    df = spark.createDataFrame([("2024-02-29", "abcdefghij")], ["d", "s"])
+    row = df.select(
+        date_key(F.col("d").cast("date")).alias("k"),
+        from_date_key(date_key(F.col("d").cast("date"))).alias("back"),
+        truncate(F.col("s"), 4).alias("t"),
+    ).collect()[0]
+    assert row["k"] == 20240229
+    assert str(row["back"]) == "2024-02-29"
+    assert row["t"] == "abcd"
+
+
 @pytest.fixture()
 def scratch():
     shutil.rmtree(SCRATCH, ignore_errors=True)
