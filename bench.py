@@ -38,6 +38,7 @@ HEADLINE = (
     "text_stats_profile",
     "minhash_near_dup",
     "embedding_topk_bruteforce",
+    "embedding_topk_vectorized",
 )
 
 

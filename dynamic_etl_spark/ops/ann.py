@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def as_double_vec(v: Column) -> Column:
@@ -94,6 +95,72 @@ def _srp_bit(v: Column, bit: int, seed: int) -> Column:
         F.zip_with(v, plane, lambda x, s: x * s), F.lit(0.0), lambda acc, x: acc + x
     )
     return F.when(proj > 0, 1).otherwise(0)
+
+
+def cosine_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k, Arrow/numpy path: the query matrix ships to every
+    executor inside the mapInPandas closure, each Arrow batch scores with
+    ONE BLAS matmul and emits only its LOCAL top-k per query, and a final
+    (tiny: partitions x queries x k rows) global window merges.
+
+    Same results as cosine_topk, two structural wins at scale:
+    - compute: one `V @ Q.T` per batch instead of interpreted per-row
+      array lambdas;
+    - shuffle: O(partitions x |queries| x k) candidate rows instead of
+      O(|corpus| x |queries|) scored rows into the ranking window.
+    """
+    import numpy as np
+    import pandas as pd
+
+    query_id_col = query_id_col or id_col
+    qrows = queries.select(query_id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("__sim", T.DoubleType(), False),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            v_norm = np.sqrt((v * v).sum(axis=1))
+            sims = (v @ q_mat.T) / np.outer(v_norm, q_norm)
+            rows = {"query_id": [], "neighbor_id": [], "__sim": []}
+            for qi in range(len(q_ids)):
+                col = sims[:, qi]
+                mask = ids != q_ids[qi]
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")[:k]]
+                rows["query_id"].extend([int(q_ids[qi])] * len(top))
+                rows["neighbor_id"].extend(int(x) for x in ids[top])
+                rows["__sim"].extend(float(x) for x in col[top])
+            yield pd.DataFrame(rows)
+
+    local_topk = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
+    return (
+        local_topk.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("__sim", 6).alias("cosine_sim"))
+    )
 
 
 def hyperplane_signature(v: Column, bits: int = 16, seed: int = 0) -> Column:

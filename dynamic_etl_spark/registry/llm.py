@@ -268,6 +268,14 @@ FROM (
 """
 
 
+def embedding_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as embedding_topk_bruteforce via the Arrow/numpy
+    partial-top-k path (one matmul per batch, O(parts x q x k) shuffle) —
+    shares the brute-force oracle."""
+    emb = t(spark, sf_dir, "embeddings")
+    return ANN.cosine_topk_vectorized(emb, _queries(spark, sf_dir), "vec_id", "embedding", k=10)
+
+
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     return ANN.lsh_ann_topk(emb, _queries(spark, sf_dir), "vec_id", "embedding", k=10)
@@ -334,6 +342,10 @@ QUERIES: QueryRegistry = {
     "embedding_topk_bruteforce": Query(
         embedding_topk_bruteforce, TOPK_ORACLE,
         "exact cosine top-10 per query (broadcast queries)",
+    ),
+    "embedding_topk_vectorized": Query(
+        embedding_topk_vectorized, TOPK_ORACLE,
+        "exact cosine top-10, Arrow/numpy partial-top-k path",
     ),
     "embedding_ann_lsh": Query(
         embedding_ann_lsh, None,

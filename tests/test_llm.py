@@ -97,6 +97,20 @@ def test_srp_signature_bits_vary(spark):
     assert len(distinct) > 1, "all SRP signatures identical — hyperplanes degenerate"
 
 
+def test_vectorized_topk_matches_exact(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ANN.cosine_topk(emb, queries, "vec_id", "embedding", k=5).collect()
+    }
+    fast = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ANN.cosine_topk_vectorized(emb, queries, "vec_id", "embedding", k=5).collect()
+    }
+    assert fast == exact
+
+
 def test_lsh_ann_recall_vs_bruteforce(spark):
     emb = load_table(spark, SF_SMALL, "embeddings").cache()
     queries = emb.filter(F.col("vec_id") % 10 == 0)
