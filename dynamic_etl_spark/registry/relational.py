@@ -555,6 +555,30 @@ FROM skewed k JOIN supplier s ON k.s_suppkey = s.s_suppkey
 # Set operations (SURVEY.md §2.6 — free via Spark; reference has none)
 # --------------------------------------------------------------------------
 
+def cube_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets (engine extra; the reference only accumulates one
+    grand total driver-side — fact_sales_daily.py:160-163). CUBE gives
+    per-status, per-priority, per-both, and grand totals in one pass."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        A.dsum("o_totalprice", "total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+    )
+
+
+CUBE_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       {sql_dsum('o_totalprice')} AS total_price,
+       COUNT(*) AS n_orders,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def nation_key_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     supplier = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
@@ -596,4 +620,5 @@ QUERIES: QueryRegistry = {
     "freshness_watermark": Query(freshness_watermark, FRESHNESS_ORACLE, "A3 MAX(date) watermark + days-behind"),
     "drop_unresolved_keys": Query(drop_unresolved_keys, DROP_UNRESOLVED_ORACLE, "P8 na.drop after FK resolution"),
     "salted_skew_join": Query(salted_skew_join, SALTED_JOIN_ORACLE, "skew-salted equi-join (semantics-preserving)"),
+    "cube_order_totals": Query(cube_order_totals, CUBE_ORACLE, "CUBE grouping sets (engine extra)"),
 }

@@ -69,6 +69,36 @@ def test_available_now_drains_and_checkpoint_dedupes(spark, scratch):
     assert q3.lastProgress is None or q3.lastProgress["numInputRows"] == 0
 
 
+def test_watermarked_window_matches_batch(spark, scratch):
+    from dynamic_etl_spark.streaming import windowed_aggregate
+
+    src = scratch / "incoming"
+    src.mkdir()
+    shutil.copy(f"{SF_SMALL}/events.parquet", src / "batch1.parquet")
+    batch = spark.read.parquet(str(src))
+
+    stream = file_stream(spark, str(src), batch.schema)
+    # events.ts arrives as nanos-long (see catalog.load_table); normalize
+    # identically on both paths
+    to_ts = F.expr("timestamp_micros(ts div 1000)")
+    agg = windowed_aggregate(
+        stream.withColumn("ts", to_ts), "ts", window="1 hour", group_cols=("event_type",)
+    )
+    run_available_now(agg, str(scratch / "ckpt_w"), query_name="win", output_mode="complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql("SELECT * FROM win").collect()
+    }
+    expected = {
+        (r["w"]["start"], r["event_type"]): (r["n"], round(r["tv"], 6))
+        for r in batch.withColumn("ts", to_ts)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert got == expected
+
+
 def test_one_file_per_trigger_paces_batches(spark, scratch):
     src = scratch / "incoming"
     src.mkdir()
