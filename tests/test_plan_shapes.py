@@ -1,0 +1,75 @@
+"""Plan-shape regressions: the SCALE.md claims asserted against
+executedPlan strings, so a refactor that silently degrades a plan (lost
+pushdown, surprise cartesian, broadcast of a fact table) fails CI, not a
+100 TB run."""
+
+from __future__ import annotations
+
+import pytest
+
+from dynamic_etl_spark.registry import all_queries
+from tests.conftest import SF_SMALL
+
+REGISTRY = all_queries()
+
+
+def _plan(spark, name: str) -> str:
+    return REGISTRY[name].fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushes_filters_and_prunes_columns(spark):
+    plan = _plan(spark, "scan_projection_filter")
+    assert "PushedFilters: [" in plan and "IsNotNull(l_extendedprice)" in plan
+    # projection pruning: the untouched wide columns never reach the scan
+    assert "l_comment" not in plan and "l_returnflag" not in plan
+
+
+def test_flagship_broadcasts_constant_dims_only(spark):
+    plan = _plan(spark, "flagship_star_join")
+    # nation/region arrive via broadcast exchange
+    assert "BroadcastHashJoin" in plan
+    # fact-to-fact edge must never be a cartesian/nested-loop
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_date_lookup_broadcasts_the_calendar(spark):
+    plan = _plan(spark, "date_key_lookup")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_has_partial_aggregation_and_no_cartesian(spark):
+    plan = _plan(spark, "minhash_near_dup")
+    assert "partial_min" in plan  # map-side combine of signature slots
+    assert "CartesianProduct" not in plan
+
+
+def test_scd1_merge_shuffles_on_natural_key(spark):
+    plan = _plan(spark, "scd1_merge_orders")
+    assert "FullOuter" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_broadcasts_queries_not_corpus(spark):
+    plan = _plan(spark, "embedding_topk_bruteforce")
+    # the deliberate nested-loop builds on the (small) query side
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n
+        for n in REGISTRY
+        if n
+        not in (
+            "embedding_topk_bruteforce",  # deliberate broadcast NLJ (small queries)
+            "embedding_topk_vectorized",  # mapInPandas path
+            "freshness_watermark",        # 1x1 crossJoin of two scalar aggs
+            "simhash_near_dup",           # 1-row broadcast anchor
+        )
+    ),
+)
+def test_no_cartesian_anywhere(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
