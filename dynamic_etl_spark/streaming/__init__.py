@@ -3,3 +3,4 @@ from dynamic_etl_spark.streaming.incremental import (  # noqa: F401
     run_available_now,
     windowed_aggregate,
 )
+from dynamic_etl_spark.streaming.stateful import running_user_stats  # noqa: F401

@@ -99,6 +99,54 @@ def test_watermarked_window_matches_batch(spark, scratch):
     assert got == expected
 
 
+def test_stateful_running_user_stats(spark, scratch):
+    from dynamic_etl_spark.streaming import running_user_stats
+
+    src = scratch / "incoming"
+    src.mkdir()
+    shutil.copy(f"{SF_SMALL}/events.parquet", src / "b1.parquet")
+    batch = spark.read.parquet(str(src))
+    to_ts = F.expr("timestamp_micros(ts div 1000)")
+
+    stream = file_stream(spark, str(src), batch.schema).withColumn("ts", to_ts)
+    stats = running_user_stats(stream)
+    run_available_now(
+        stats, str(scratch / "ckpt_state"), query_name="ustats", output_mode="update"
+    )
+    # update mode may emit several rows per user (updates + a timeout
+    # finalization batch); the LATEST state is the max event count
+    got: dict[int, tuple[int, float]] = {}
+    for r in spark.sql("SELECT * FROM ustats").collect():
+        cur = got.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            got[r["user_id"]] = (r["n_events"], round(r["total_value"], 6))
+    expected = {
+        r["user_id"]: (r["n"], round(r["tv"], 6))
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert got == expected
+
+    # second drain with a new file AND a fresh checkpoint over both files:
+    # per-key state accumulates across micro-batches within the run
+    shutil.copy(f"{SF_SMALL}/events.parquet", src / "b2.parquet")
+    stream2 = file_stream(
+        spark, str(src), batch.schema, max_files_per_trigger=1
+    ).withColumn("ts", to_ts)
+    run_available_now(
+        running_user_stats(stream2),
+        str(scratch / "ckpt_state2"),
+        query_name="ustats2",
+        output_mode="update",
+    )
+    got2: dict[int, int] = {}
+    for r in spark.sql("SELECT * FROM ustats2").collect():
+        got2[r["user_id"]] = max(got2.get(r["user_id"], 0), r["n_events"])
+    for uid, (n, _) in expected.items():
+        assert got2[uid] == 2 * n, f"state did not accumulate for user {uid}"
+
+
 def test_one_file_per_trigger_paces_batches(spark, scratch):
     src = scratch / "incoming"
     src.mkdir()
