@@ -279,6 +279,23 @@ def generate_fact_sales(
     i = F.col("id")
     facts = _base(spark, rows)
 
+    # Picks are constrained to groups that actually EXIST in the supplied
+    # dimensions — otherwise the resolution inner-joins silently drop rows
+    # whose weighted class/category has no members (e.g. no Baby Care
+    # products in a tiny catalog) and the 1000-row contract breaks.
+    # Both collects are bounded by the 5/6 configured groups.
+    present_classes = {
+        r[0] for r in stores.select("store_class_of_trade").distinct().collect()
+    }
+    if not present_classes:
+        raise ValueError("stores dimension is empty")
+    class_weights = [
+        (c, w) for c, w in STORE_VOLUME_WEIGHTS if c in present_classes
+    ] or [(c, 2.0) for c in sorted(present_classes)]
+    present_cats = {r[0] for r in products.select("category").distinct().collect()}
+    if not present_cats:
+        raise ValueError("products dimension is empty")
+
     s_idx = Window.partitionBy("store_class_of_trade").orderBy("store_id")
     stores_i = stores.select(
         "store_id", "store_class_of_trade", "is_chain",
@@ -302,10 +319,12 @@ def generate_fact_sales(
     )
     n_dists = dists_i.count()
 
-    picked_class = weighted_choice(uniform(seed + 31, i), STORE_VOLUME_WEIGHTS)
-    affinity = F.lit(None).cast("string")
+    picked_class = weighted_choice(uniform(seed + 31, i), class_weights)
+    fallback_cats = tuple(sorted(present_cats))
+    affinity = pick_from(seed + 32, fallback_cats, i)
     for cls, cats in CLASS_AFFINITY.items():
-        pick = pick_from(seed + 32, cats, i)
+        present_affinity = tuple(c for c in cats if c in present_cats) or fallback_cats
+        pick = pick_from(seed + 32, present_affinity, i)
         affinity = F.when(picked_class == cls, pick).otherwise(affinity)
 
     fact_seeds = facts.select(

@@ -57,14 +57,22 @@ def write_staging_swap(df: DataFrame, final_path: str, fmt: str = "parquet") -> 
     parent = os.path.dirname(os.path.abspath(final_path))
     os.makedirs(parent, exist_ok=True)
     staging = os.path.join(parent, f".staging-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").format(fmt).save(staging)
     backup = final_path + ".old"
-    if os.path.exists(final_path):
-        os.rename(final_path, backup)
+    # A crash after a previous swap can orphan the backup; renaming onto a
+    # non-empty directory fails on POSIX, so clear it up front or every
+    # subsequent swap wedges.
+    shutil.rmtree(backup, ignore_errors=True)
     try:
-        os.rename(staging, final_path)
-    except OSError:
-        if os.path.exists(backup):
-            os.rename(backup, final_path)
+        df.write.mode("overwrite").format(fmt).save(staging)
+        if os.path.exists(final_path):
+            os.rename(final_path, backup)
+        try:
+            os.rename(staging, final_path)
+        except OSError:
+            if os.path.exists(backup):
+                os.rename(backup, final_path)
+            raise
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
         raise
     shutil.rmtree(backup, ignore_errors=True)

@@ -148,7 +148,11 @@ def cosine_topk_vectorized(
                 cand_idx = np.nonzero(mask)[0]
                 if len(cand_idx) == 0:
                     continue
-                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")[:k]]
+                # tie-break by ascending neighbor_id (lexsort: last key is
+                # primary) so local top-k can never drop a row the global
+                # asc-id window would have kept
+                order = np.lexsort((ids[cand_idx], -col[cand_idx]))[:k]
+                top = cand_idx[order]
                 rows["query_id"].extend([int(q_ids[qi])] * len(top))
                 rows["neighbor_id"].extend(int(x) for x in ids[top])
                 rows["__sim"].extend(float(x) for x in col[top])

@@ -82,27 +82,32 @@ def scd1_merge(
         .when(any_diff, F.lit("UPDATE"))
         .otherwise(F.lit("NOOP"))
     )
-    j = j.withColumn(op_col, op)
-
-    insert_window = Window.partitionBy(F.col(op_col) == "INSERT").orderBy(
-        *[F.coalesce(F.col(f"__in_{k}"), ex[k]) for k in keys]
-    )
-    surrogate = F.when(
-        F.col(op_col) == "INSERT",
-        (F.row_number().over(insert_window) + F.lit(hwm)).cast("long"),
-    ).otherwise(F.col("__ex_sk"))
-
-    out_cols = [surrogate.alias(surrogate_col)]
-    for k in keys:
-        out_cols.append(F.coalesce(F.col(f"__in_{k}"), ex[k]).alias(k))
-    for c in value_cols:
-        out_cols.append(
-            F.when(F.col(op_col).isin("UPDATE", "INSERT"), F.col(f"__in_{c}"))
+    joined = j.select(
+        *[F.coalesce(F.col(f"__in_{k}"), ex[k]).alias(k) for k in keys],
+        F.col("__ex_sk"),
+        *[
+            F.when(op.isin("UPDATE", "INSERT"), F.col(f"__in_{c}"))
             .otherwise(F.col(f"__ex_{c}"))
             .alias(c)
-        )
-    out_cols.append(F.col(op_col))
-    return j.select(*out_cols)
+            for c in value_cols
+        ],
+        op.alias(op_col),
+    )
+
+    # Surrogate numbering runs over the INSERT rows ONLY: a window
+    # partitioned on (op == 'INSERT') would also funnel the entire
+    # existing table through the false-partition's single-task sort just
+    # to discard the result. Inserts are delta-sized; the rest never
+    # touches a window.
+    insert_window = Window.orderBy(*[F.col(k) for k in keys])
+    inserts = joined.filter(F.col(op_col) == "INSERT").withColumn(
+        surrogate_col, (F.row_number().over(insert_window) + F.lit(hwm)).cast("long")
+    )
+    others = joined.filter(F.col(op_col) != "INSERT").withColumn(
+        surrogate_col, F.col("__ex_sk")
+    )
+    out_cols = [surrogate_col, *keys, *value_cols, op_col]
+    return inserts.select(*out_cols).unionByName(others.select(*out_cols))
 
 
 def merge_insert_only(
@@ -127,10 +132,16 @@ def upsert_mini_dim(
     (reference upsert_dim, load_dim_product_dw.py:428-468).
 
     Mini-dims are bounded-cardinality by construction (categories,
-    manufacturers, chains) so the ordering window is safe.
+    manufacturers, chains) so the ordering window is safe. NULL names are
+    dropped — a left-anti join never matches NULL, so without the drop a
+    NULL value would be "new" on every run and mint a key each time
+    (the reference's dropna().unique() has the same semantics,
+    load_dim_store_dw.py:231).
     """
     hwm = high_water_mark(dim, key_col)
-    new_names = anti_join(values.select(name_col).distinct(), dim, [name_col])
+    new_names = anti_join(
+        values.select(name_col).na.drop().distinct(), dim, [name_col]
+    )
     w = Window.orderBy(name_col)
     assigned = new_names.select(
         (F.row_number().over(w) + F.lit(hwm)).cast("long").alias(key_col),

@@ -61,10 +61,18 @@ def salted_join(
     the join key becomes (key, salt) — a hot fact key now lands on
     ``buckets`` different reducers instead of one.
 
-    Result is exactly the unsalted join. Replication multiplies the dim
-    shuffle volume by ``buckets``: use for moderate dims that are too big
-    to broadcast but far smaller than the fact side.
+    Result is exactly the unsalted join for fact-preserving modes.
+    Right/full-outer are rejected: an unmatched dim row exists ``buckets``
+    times after replication and would be emitted once per copy.
+    Replication multiplies the dim shuffle volume by ``buckets``: use for
+    moderate dims that are too big to broadcast but far smaller than the
+    fact side.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports fact-preserving modes only, not {how!r} "
+            "(replicated dim rows would duplicate in right/full outer)"
+        )
     keys = list(on)
     salted_fact = with_salt(fact, buckets)
     replicated = dim.withColumn(

@@ -14,8 +14,10 @@ from pyspark.sql import functions as F
 
 
 def tokens(c: Column) -> Column:
-    """Whitespace tokenization (empty tokens dropped)."""
-    return F.filter(F.split(F.lower(c), " "), lambda w: w != "")
+    """Whitespace tokenization (any run of whitespace splits; empty tokens
+    dropped — a single-space split would fuse newline/tab-separated words
+    and corrupt every token-derived statistic downstream)."""
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda w: w != "")
 
 
 def token_count(c: Column) -> Column:

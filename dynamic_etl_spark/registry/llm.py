@@ -21,7 +21,7 @@ from dynamic_etl_spark.ops.multimodal import (
 )
 from dynamic_etl_spark.registry.core import Query, QueryRegistry, t
 
-_SQL_TOKENS = "list_filter(string_split(lower(text), ' '), w -> w <> '')"
+_SQL_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
 _SQL_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 
 

@@ -95,7 +95,7 @@ def validate(spark: SparkSession, df: DataFrame, spec: ValidationSpec) -> DataFr
             up = F.upper(F.trim(F.col(c)))
             bad = F.col(c).isNull() | ~up.isin("Y", "N")
             aggs.append(F.count(F.when(bad, 1)).alias(f"flag__{c}"))
-    if spec.freshness is not None:
+    if spec.freshness is not None and spec.freshness[0] in present:
         fcol, fval = spec.freshness
         aggs.append(F.count(F.when(F.col(fcol) == fval, 1)).alias("__fresh"))
 
@@ -136,8 +136,12 @@ def validate(spark: SparkSession, df: DataFrame, spec: ValidationSpec) -> DataFr
         rows.append(("pk_unique", spec.pk_column, "FAIL", None, None))
 
     if spec.freshness is not None:
-        fresh = int(stats["__fresh"])
-        rows.append(("freshness", spec.freshness[0], _status(fresh >= 1), fresh, 1))
+        if spec.freshness[0] in present:
+            fresh = int(stats["__fresh"])
+            rows.append(("freshness", spec.freshness[0], _status(fresh >= 1), fresh, 1))
+        else:
+            # missing column degrades to a FAIL row like every other gate
+            rows.append(("freshness", spec.freshness[0], "FAIL", None, None))
 
     checked = list(
         dict.fromkeys(

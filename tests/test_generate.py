@@ -102,6 +102,17 @@ def test_facts_money_invariants_and_fks(spark, star):
     assert facts.join(inactive, "distributor_id", "left_semi").count() == 0
 
 
+def test_fact_generation_survives_sparse_dimensions(spark):
+    # tiny catalog: some weighted classes/categories have no members —
+    # the row-count contract must hold anyway (picks re-roll into
+    # present groups instead of being dropped by the resolution joins)
+    stores = G.generate_stores(spark, 5)
+    products = G.generate_products(spark, 8)
+    dists = G.generate_distributors(spark, 4)
+    facts = G.generate_fact_sales(spark, stores, products, dists, date_id=20240601, rows=300)
+    assert facts.count() == 300
+
+
 def test_generation_is_partitioning_independent(spark):
     a = G.generate_products(spark, 50)
     b_df = G._base(spark, 50, partitions=1).select(F.col("id"))

@@ -150,3 +150,16 @@ def test_staging_swap_atomicity(spark, scratch):
     # no staging/backup litter
     parent = os.path.dirname(final)
     assert not [n for n in os.listdir(parent) if n.startswith(".staging") or n.endswith(".old")]
+
+
+def test_staging_swap_recovers_from_stale_backup(spark, scratch):
+    # a crash after swap can orphan '<final>.old'; the next swap must
+    # clear it instead of wedging on rename-onto-nonempty-directory
+    final = str(scratch / "table")
+    write_staging_swap(spark.range(3), final)
+    stale = Path(final + ".old")
+    stale.mkdir()
+    (stale / "junk.txt").write_text("leftover\n")
+    write_staging_swap(spark.range(9), final)
+    assert spark.read.parquet(final).count() == 9
+    assert not stale.exists()

@@ -91,6 +91,21 @@ def test_salted_join_left_preserves_misses(spark):
     )
 
 
+def test_mini_dim_upsert_ignores_nulls_and_is_idempotent(spark):
+    from dynamic_etl_spark.ops.merge import upsert_mini_dim
+
+    dim = spark.createDataFrame([(1, "Alpha")], ["k", "name"])
+    values = spark.createDataFrame(
+        [("Alpha",), ("Beta",), (None,), ("Beta",)], ["name"]
+    )
+    out1 = upsert_mini_dim(dim, values, "k", "name")
+    rows = {r["name"]: r["k"] for r in out1.collect()}
+    assert rows == {"Alpha": 1, "Beta": 2}  # no NULL key minted
+    # idempotent: re-upserting the same values changes nothing
+    out2 = upsert_mini_dim(out1, values, "k", "name")
+    assert {r["name"]: r["k"] for r in out2.collect()} == rows
+
+
 def test_char_shingles_and_generic_lsh_candidates(spark):
     from dynamic_etl_spark.ops.lsh import char_shingles, lsh_candidate_pairs
 
