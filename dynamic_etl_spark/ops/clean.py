@@ -110,6 +110,14 @@ def clean_numeric(
     return F.when(cond, parsed)
 
 
+def split_valid(df: DataFrame, condition: Column) -> tuple[DataFrame, DataFrame]:
+    """P9 side channel — (valid, rejected) pair for loaders that must
+    quarantine rather than silently drop (SURVEY §2.2: "invalid-row side
+    channel via filter(isNull)"). Both frames share the scan; write the
+    rejects to a dead-letter path instead of losing them."""
+    return df.filter(condition), df.filter(~F.coalesce(condition, F.lit(False)))
+
+
 def coercion_failures(raw: Column, parsed: Column) -> Column:
     """F25 — rows that were non-blank but failed the numeric parse
     (reference counts them: validate_table.py:158-197). Use inside an agg:

@@ -152,6 +152,45 @@ def test_staging_swap_atomicity(spark, scratch):
     assert not [n for n in os.listdir(parent) if n.startswith(".staging") or n.endswith(".old")]
 
 
+def test_split_valid_side_channel(spark):
+    from pyspark.sql import functions as F2
+
+    from dynamic_etl_spark.ops.clean import clean_numeric, split_valid
+
+    df = spark.createDataFrame(
+        [("1", "₹10.50"), ("2", "abc"), ("3", None), ("4", "99")], ["k", "raw"]
+    )
+    parsed = df.withColumn("amt", clean_numeric(F2.col("raw"), min_value=None))
+    valid, rejected = split_valid(parsed, F2.col("amt").isNotNull())
+    assert {r["k"] for r in valid.collect()} == {"1", "4"}
+    assert {r["k"] for r in rejected.collect()} == {"2", "3"}
+    # nothing lost, nothing duplicated
+    assert valid.count() + rejected.count() == df.count()
+
+
+def test_json_and_orc_roundtrip(spark, scratch):
+    src = load_table(spark, SF_SMALL, "nation")
+    for fmt in ("json", "orc"):
+        out = str(scratch / f"nation_{fmt}")
+        src.write.mode("overwrite").format(fmt).save(out)
+        back = spark.read.format(fmt).load(out)
+        assert back.count() == src.count()
+        assert {r["n_name"] for r in back.collect()} == {r["n_name"] for r in src.collect()}
+
+
+def test_parquet_schema_evolution_merge(spark, scratch):
+    out = str(scratch / "evolving")
+    spark.range(3).write.mode("overwrite").parquet(out + "/v=1")
+    spark.range(3).withColumn("extra", F.lit("new")).write.mode("overwrite").parquet(
+        out + "/v=2"
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) >= {"id", "extra"}
+    assert merged.count() == 6
+    # rows from the old files surface the evolved column as null
+    assert merged.filter(F.col("extra").isNull()).count() == 3
+
+
 def test_staging_swap_recovers_from_stale_backup(spark, scratch):
     # a crash after swap can orphan '<final>.old'; the next swap must
     # clear it instead of wedging on rename-onto-nonempty-directory
