@@ -190,6 +190,9 @@ def minhash_near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # the verify branches recompute shingles rather than shuffling the
+    # (heavy) shingle arrays behind a shared exchange — measured cheaper:
+    # the arrays dwarf the doc text they derive from
     base = docs.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("__sh")
     )
