@@ -281,6 +281,11 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ANN.lsh_ann_topk(emb, _queries(spark, sf_dir), "vec_id", "embedding", k=10)
 
 
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return ANN.ivf_topk(emb, _queries(spark, sf_dir), "vec_id", "embedding", k=10)
+
+
 # ==========================================================================
 # Multimodal: binary payload -> Arrow-batched mapInPandas feature extract
 # (decoder stubbed deterministically, so the oracle CAN check the plumbing)
@@ -350,6 +355,10 @@ QUERIES: QueryRegistry = {
     "embedding_ann_lsh": Query(
         embedding_ann_lsh, None,
         "banded SRP-LSH approximate top-10 (rows-only; recall-checked in pytest)",
+    ),
+    "embedding_ann_ivf": Query(
+        embedding_ann_ivf, None,
+        "IVF (k-means cells, nprobe) approximate top-10 (rows-only; recall-checked in pytest)",
     ),
     "multimodal_feature_extract": Query(
         multimodal_feature_extract, MULTIMODAL_ORACLE,

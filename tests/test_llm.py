@@ -111,6 +111,20 @@ def test_vectorized_topk_matches_exact(spark):
     assert fast == exact
 
 
+def test_ivf_ann_recall_and_candidate_bound(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    exact = ANN.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    ivf = ANN.ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_cells=8, n_probe=3)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.4, f"IVF recall {recall:.2f} unusably low"
+    # probing 3 of 8 cells must not return more than k per query
+    n_queries = queries.count()
+    assert len(got) <= n_queries * 5
+
+
 def test_lsh_ann_recall_vs_bruteforce(spark):
     emb = load_table(spark, SF_SMALL, "embeddings").cache()
     queries = emb.filter(F.col("vec_id") % 10 == 0)
