@@ -35,6 +35,12 @@ TESTDATA_TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes filters/projections into it."""
+    if name == "events":
+        # events.ts is Parquet TIMESTAMP(NANOS); without this (runtime-
+        # settable) conf the scan fails with PARQUET_TYPE_ILLEGAL. Set it
+        # here so the engine works on ANY caller-provided session, not
+        # just ones built by session.get_spark.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ts is Parquet TIMESTAMP(NANOS,isAdjustedToUTC=false), surfaced as
