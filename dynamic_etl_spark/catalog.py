@@ -38,10 +38,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is Parquet TIMESTAMP(NANOS); without this (runtime-
         # settable) conf the scan fails with PARQUET_TYPE_ILLEGAL. Set it
-        # here so the engine works on ANY caller-provided session, not
-        # just ones built by session.get_spark.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        # around the read only — the resolved schema is captured at read
+        # time — and restore, so a caller-provided session's behavior on
+        # its OWN nanos parquet files is left untouched.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        try:
+            prior = spark.conf.get(key)
+        except Exception:
+            prior = None
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        finally:
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ts is Parquet TIMESTAMP(NANOS,isAdjustedToUTC=false), surfaced as
         # nanos-since-epoch via nanosAsLong (session.py). `div 1000` floors

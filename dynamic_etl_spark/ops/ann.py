@@ -42,6 +42,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared epilogue: per-query rank by (desc sim, asc neighbor_id),
+    keep k, surface the similarity rounded."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("__sim", 6).alias("cosine_sim"))
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -72,12 +83,7 @@ def cosine_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("__sim", cosine(F.col("__qv"), F.col("__cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("__sim", 6).alias("cosine_sim"))
-    )
+    return _rank_topk(scored, k)
 
 
 def _srp_bit(v: Column, bit: int, seed: int) -> Column:
@@ -159,12 +165,7 @@ def cosine_topk_vectorized(
             yield pd.DataFrame(rows)
 
     local_topk = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
-    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
-    return (
-        local_topk.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("__sim", 6).alias("cosine_sim"))
-    )
+    return _rank_topk(local_topk, k)
 
 
 def ivf_topk(
@@ -209,9 +210,17 @@ def ivf_topk(
         qv = np.asarray(r[1], dtype=np.float64)
         d = ((centers - qv) ** 2).sum(axis=1)
         for cell in np.argsort(d)[:n_probe]:
-            probe_rows.append((int(r[0]), int(cell)))
+            probe_rows.append((r[0], int(cell)))
+    # explicit schema: keeps the caller's id type (ints are NOT assumed)
+    # and makes an empty query set a valid empty frame, not a crash
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id_col].dataType, True),
+            T.StructField("__cell", T.IntegerType(), False),
+        ]
+    )
     probes = F.broadcast(
-        queries.sparkSession.createDataFrame(probe_rows, ["query_id", "__cell"])
+        queries.sparkSession.createDataFrame(probe_rows, probe_schema)
     )
     q = F.broadcast(
         queries.select(
@@ -224,12 +233,7 @@ def ivf_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("__sim", cosine(F.col("__qv"), F.col("__cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
-    return (
-        cands.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("__sim", 6).alias("cosine_sim"))
-    )
+    return _rank_topk(cands, k)
 
 
 def hyperplane_signature(v: Column, bits: int = 16, seed: int = 0) -> Column:
@@ -284,9 +288,4 @@ def lsh_ann_topk(
     scored = cands.withColumn(
         "__sim", cosine(F.col("__v_query_id"), F.col("__v_neighbor_id"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("__sim", 6).alias("cosine_sim"))
-    )
+    return _rank_topk(scored, k)
