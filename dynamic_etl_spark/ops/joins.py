@@ -73,6 +73,32 @@ def lookup_with_fallback(
     ).drop("__fb_primary", "__fb_fallback")
 
 
+def any_change(
+    exact_cols: Sequence[str],
+    tolerance_cols: Sequence[str],
+    tolerance: float,
+    new_prefix: str = "",
+    old_prefix: str = "__ex_",
+) -> Column:
+    """F24 — the shared change predicate of J8 and the SCD-1 merge:
+    null-safe inequality on exact columns; ``abs(a-b) > tolerance`` on
+    measures with both-null counting as unchanged and one-sided null as
+    changed (reference: load_fact_sales_dw.py:320-350,
+    load_dim_product_dw.py:524-531)."""
+    diffs: list[Column] = []
+    for c in exact_cols:
+        diffs.append(~F.col(f"{new_prefix}{c}").eqNullSafe(F.col(f"{old_prefix}{c}")))
+    for c in tolerance_cols:
+        new, old = F.col(f"{new_prefix}{c}"), F.col(f"{old_prefix}{c}")
+        both_null = new.isNull() & old.isNull()
+        moved = F.abs(new - old) > F.lit(tolerance)
+        diffs.append(~both_null & F.coalesce(moved, F.lit(True)))
+    out = F.lit(False)
+    for d in diffs:
+        out = out | d
+    return out
+
+
 def change_detection(
     incoming: DataFrame,
     existing: DataFrame,
@@ -98,18 +124,7 @@ def change_detection(
         F.lit(True).alias("__ex_present"),
     )
     joined = incoming.join(ex, keys, "left")
-
-    diffs = []
-    for c in exact_cols:
-        diffs.append(~F.col(c).eqNullSafe(F.col(f"__ex_{c}")))
-    for c in tolerance_cols:
-        both_null = F.col(c).isNull() & F.col(f"__ex_{c}").isNull()
-        changed = F.abs(F.col(c) - F.col(f"__ex_{c}")) > F.lit(tolerance)
-        diffs.append(~both_null & F.coalesce(changed, F.lit(True)))
-    any_diff = F.lit(False)
-    for d in diffs:
-        any_diff = any_diff | d
-
+    any_diff = any_change(exact_cols, tolerance_cols, tolerance)
     out = joined.withColumn(
         op_col,
         F.when(F.col("__ex_present").isNull(), F.lit("INSERT"))

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dynamic_etl_spark.ops.agg import high_water_mark
-from dynamic_etl_spark.ops.joins import anti_join
+from dynamic_etl_spark.ops.joins import anti_join, any_change
 
 
 def scd1_merge(
@@ -65,17 +65,7 @@ def scd1_merge(
     cond = [ex[k].eqNullSafe(inc[f"__in_{k}"]) for k in keys]
     j = ex.join(inc, cond, "full_outer")
 
-    diffs = []
-    for c in exact_cols:
-        diffs.append(~F.col(f"__in_{c}").eqNullSafe(F.col(f"__ex_{c}")))
-    for c in tolerance_cols:
-        both_null = F.col(f"__in_{c}").isNull() & F.col(f"__ex_{c}").isNull()
-        moved = F.abs(F.col(f"__in_{c}") - F.col(f"__ex_{c}")) > F.lit(tolerance)
-        diffs.append(~both_null & F.coalesce(moved, F.lit(True)))
-    any_diff = F.lit(False)
-    for d in diffs:
-        any_diff = any_diff | d
-
+    any_diff = any_change(exact_cols, tolerance_cols, tolerance, new_prefix="__in_")
     op = (
         F.when(F.col("__in_present").isNull(), F.lit("KEEP"))
         .when(F.col("__ex_present").isNull(), F.lit("INSERT"))
