@@ -289,3 +289,56 @@ def lsh_ann_topk(
         "__sim", cosine(F.col("__v_query_id"), F.col("__v_neighbor_id"))
     )
     return _rank_topk(scored, k)
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    bits: int = 32,
+    bands: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup detection (driver brief: the fifth dedup
+    tier after exact / MinHash / SimHash / n-gram Jaccard): corpus
+    self-joined ONLY where an SRP signature band collides, then exact
+    cosine verifies ``>= threshold``. Output (id_a, id_b, cosine_sim),
+    each unordered pair once (id_a < id_b). Zero false positives by
+    construction; recall is the banded-LSH S-curve — with 32 bits / 4
+    bands (8-bit rows) a 0.9-cosine pair collides with p≈0.75 and a
+    random orthogonal pair with p≈0.015, so candidate volume stays
+    near-linear while true near-dups (sim→1) are found with p→1. Raise
+    ``bands`` for recall on borderline pairs, ``bits`` to prune harder.
+
+    Scale shape: one signature pass over the corpus, one shuffle on
+    (band_idx, band_hash), pairwise work only within buckets — never an
+    O(n²) cross join (same structure as MinHash-LSH in ops/lsh.py).
+    """
+    rows = bits // bands
+    sig = hyperplane_signature(as_double_vec(F.col(vec_col)), bits)
+    bands_arr = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[sig[b * rows + j] for j in range(rows)])
+            for b in range(bands)
+        ]
+    )
+
+    def banded(side: str) -> DataFrame:
+        return corpus.select(
+            F.col(id_col).alias(f"id_{side}"),
+            as_double_vec(F.col(vec_col)).alias(f"__v_{side}"),
+            F.posexplode(bands_arr).alias("band_idx", "band_hash"),
+        )
+
+    cands = (
+        banded("a")
+        .join(banded("b"), ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__v_a", "__v_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn("__sim", cosine(F.col("__v_a"), F.col("__v_b")))
+        .filter(F.col("__sim") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("__sim", 6).alias("cosine_sim"))
+    )

@@ -286,6 +286,65 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ANN.ivf_topk(emb, _queries(spark, sf_dir), "vec_id", "embedding", k=10)
 
 
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus deterministically planted near-dups: every 50th
+    vector re-enters under vec_id+1000000 with a tiny index-keyed
+    perturbation (±0.0005 by element position mod 3 — the repo's
+    key-modulo dirty-fixture convention, reproducible in SQL). Planted
+    pairs land at cosine ≈ 0.99999; the synthetic corpus' natural max
+    pairwise cosine is ≈ 0.51, so threshold 0.9 isolates exactly the
+    planted pairs. The 2-arg transform lambda deliberately receives the
+    ELEMENT INDEX as its second argument (see CLAUDE.md lambda-arity
+    note) — here the index drives the perturbation."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (x.cast("double") + F.lit(0.0005) * ((i % 3) - 1)),
+        ).cast("array<float>").alias("embedding"),
+    )
+    return emb.unionByName(planted)
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ANN.cosine_near_dup_pairs(
+        _near_dup_corpus(spark, sf_dir), "vec_id", "embedding", threshold=0.9
+    )
+
+
+# Oracle is exact brute force over the same planted corpus; the Spark side
+# is banded SRP-LSH + exact-cosine verify. They agree because every
+# >=0.9-cosine pair in this corpus sits at ~0.99999 where the 32-bit/4-band
+# S-curve retrieves with certainty in practice (verified at sf0.001 and
+# sf0.01 — the driver's correctness scales); false positives are
+# impossible (candidates are exact-verified before the threshold filter).
+EMBEDDING_NEAR_DUP_ORACLE = """
+WITH planted AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(range(1, len(embedding) + 1),
+           i -> CAST(CAST(embedding[i] AS DOUBLE)
+                     + 0.0005 * (((i - 1) % 3) - 1) AS REAL)) AS embedding
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id, embedding FROM planted
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+           AS sim
+  FROM corpus a, corpus b
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(sim, 6) AS cosine_sim
+FROM pairs WHERE sim >= 0.9
+"""
+
+
 # ==========================================================================
 # Multimodal: binary payload -> Arrow-batched mapInPandas feature extract
 # (decoder stubbed deterministically, so the oracle CAN check the plumbing)
@@ -343,6 +402,10 @@ QUERIES: QueryRegistry = {
     "simhash_near_dup": Query(
         simhash_hamming_profile, None,
         "64-bit SimHash + Hamming radar (rows-only; checked in pytest)",
+    ),
+    "embedding_near_dup": Query(
+        embedding_near_dup, EMBEDDING_NEAR_DUP_ORACLE,
+        "embedding-cosine near-dup pairs: SRP-LSH buckets + exact verify vs brute-force oracle",
     ),
     "embedding_topk_bruteforce": Query(
         embedding_topk_bruteforce, TOPK_ORACLE,
