@@ -39,6 +39,7 @@ HEADLINE = (
     "minhash_near_dup",
     "embedding_topk_bruteforce",
     "embedding_topk_vectorized",
+    "embedding_near_dup",
 )
 
 

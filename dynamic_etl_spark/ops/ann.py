@@ -291,6 +291,50 @@ def lsh_ann_topk(
     return _rank_topk(scored, k)
 
 
+def srp_banded_rows(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows of a sign-random-projection signature,
+    computed the codegen way: the vector EXPLODES to (id, pos, value) rows
+    and every one of the ``bits`` hyperplane projections is a plain ``sum``
+    aggregate in ONE groupBy — map-side partial aggregation, whole-stage
+    codegen, no interpreted array lambdas (the higher-order-function
+    formulation in ``_srp_bit`` runs interpreted and was measured ~10x
+    slower per corpus pass; same trade-off as MinHash in ops/lsh.py).
+    Hyperplane component j of bit b is ±1 from xxhash64(seed, b, j) parity
+    — deterministic across runs, partitions, and cluster sizes.
+    """
+
+    def proj(b: int) -> Column:
+        sign = F.lit(1.0) - 2.0 * (
+            F.xxhash64(F.lit(seed), F.lit(b), F.col("__j")).bitwiseAND(F.lit(1))
+        ).cast("double")
+        return F.sum(F.col("__x") * sign).alias(f"__p{b}")
+
+    exploded = df.select(
+        F.col(id_col), F.posexplode(as_double_vec(F.col(vec_col))).alias("__j", "__x")
+    )
+    sig = exploded.groupBy(id_col).agg(*[proj(b) for b in range(bits)])
+
+    rows = bits // bands
+
+    def bit(b: int) -> Column:
+        return F.when(F.col(f"__p{b}") > 0, 1).otherwise(0)
+
+    bands_arr = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[bit(b * rows + j) for j in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.posexplode(bands_arr).alias("band_idx", "band_hash"))
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     id_col: str,
@@ -310,35 +354,31 @@ def cosine_near_dup_pairs(
     near-linear while true near-dups (sim→1) are found with p→1. Raise
     ``bands`` for recall on borderline pairs, ``bits`` to prune harder.
 
-    Scale shape: one signature pass over the corpus, one shuffle on
-    (band_idx, band_hash), pairwise work only within buckets — never an
+    Scale shape: one codegen signature pass over the corpus (see
+    srp_banded_rows; both sides of the self-join share the plan, so the
+    signature exchange is built once and reused), one shuffle on
+    (band_idx, band_hash), candidate dedup on bare (id_a, id_b) — vectors
+    are joined back per candidate, never shuffled through the distinct —
+    and the exact-cosine verify (sequential left-to-right double dot, the
+    oracle-bit-parity form) runs only on surviving candidates. Never an
     O(n²) cross join (same structure as MinHash-LSH in ops/lsh.py).
     """
-    rows = bits // bands
-    sig = hyperplane_signature(as_double_vec(F.col(vec_col)), bits)
-    bands_arr = F.array(
-        *[
-            F.xxhash64(F.lit(b), *[sig[b * rows + j] for j in range(rows)])
-            for b in range(bands)
-        ]
-    )
-
-    def banded(side: str) -> DataFrame:
-        return corpus.select(
-            F.col(id_col).alias(f"id_{side}"),
-            as_double_vec(F.col(vec_col)).alias(f"__v_{side}"),
-            F.posexplode(bands_arr).alias("band_idx", "band_hash"),
+    banded = srp_banded_rows(corpus, id_col, vec_col, bits, bands)
+    pairs = (
+        banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+        .join(
+            banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
         )
-
-    cands = (
-        banded("a")
-        .join(banded("b"), ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__v_a", "__v_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    vecs = corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__v"))
     return (
-        cands.withColumn("__sim", cosine(F.col("__v_a"), F.col("__v_b")))
+        pairs.join(vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__v_a")), "id_a")
+        .join(vecs.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__v_b")), "id_b")
+        .withColumn("__sim", cosine(F.col("__v_a"), F.col("__v_b")))
         .filter(F.col("__sim") >= F.lit(threshold))
         .select("id_a", "id_b", F.round("__sim", 6).alias("cosine_sim"))
     )
