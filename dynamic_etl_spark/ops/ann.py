@@ -238,7 +238,11 @@ def ivf_topk(
 
 def hyperplane_signature(v: Column, bits: int = 16, seed: int = 0) -> Column:
     """Sign-random-projection signature: bit i = [dot(v, h_i) > 0].
-    Returns an array of ``bits`` 0/1 ints."""
+    Returns an array of ``bits`` 0/1 ints.
+
+    Per-row expression form (interpreted HOFs) — fine for inspecting a
+    handful of signatures; corpus-scale passes use srp_banded_rows, the
+    explode + codegen-aggregate formulation of the same idea."""
     return F.array(*[_srp_bit(v, i, seed) for i in range(bits)])
 
 
@@ -259,34 +263,29 @@ def lsh_ann_topk(
     least one of the ``bands`` 4-bit bands collides with high probability
     while the corpus-wide candidate count stays near-linear. Output schema
     matches cosine_topk (rank is within retrieved candidates).
+
+    Signatures come from srp_banded_rows (explode + codegen sum
+    aggregates); candidate dedup runs on bare (query_id, neighbor_id) and
+    vectors are joined back only for the exact-cosine re-rank — the heavy
+    arrays never ride through the band join or the distinct.
     """
     query_id_col = query_id_col or id_col
-    rows = bits // bands
-
-    def banded(df: DataFrame, ident: str, out_id: str) -> DataFrame:
-        sig = hyperplane_signature(as_double_vec(F.col(vec_col)), bits)
-        bands_arr = F.array(
-            *[
-                F.xxhash64(F.lit(b), *[sig[b * rows + j] for j in range(rows)])
-                for b in range(bands)
-            ]
-        )
-        return df.select(
-            F.col(ident).alias(out_id),
-            as_double_vec(F.col(vec_col)).alias(f"__v_{out_id}"),
-            F.posexplode(bands_arr).alias("band_idx", "band_hash"),
-        )
-
-    qb = banded(queries, query_id_col, "query_id")
-    cb = banded(corpus, id_col, "neighbor_id")
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
     cands = (
-        qb.join(cb, ["band_idx", "band_hash"])
+        srp_banded_rows(q, "query_id", vec_col, bits, bands)
+        .join(srp_banded_rows(c, "neighbor_id", vec_col, bits, bands),
+              ["band_idx", "band_hash"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "__v_query_id", "__v_neighbor_id")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cands.withColumn(
-        "__sim", cosine(F.col("__v_query_id"), F.col("__v_neighbor_id"))
+    scored = (
+        cands.join(q.select("query_id", as_double_vec(F.col(vec_col)).alias("__v_q")),
+                   "query_id")
+        .join(c.select("neighbor_id", as_double_vec(F.col(vec_col)).alias("__v_n")),
+              "neighbor_id")
+        .withColumn("__sim", cosine(F.col("__v_q"), F.col("__v_n")))
     )
     return _rank_topk(scored, k)
 
