@@ -192,7 +192,12 @@ def minhash_near_dup_pairs(
     )
     # the verify branches recompute shingles rather than shuffling the
     # (heavy) shingle arrays behind a shared exchange — measured cheaper:
-    # the arrays dwarf the doc text they derive from
+    # the arrays dwarf the doc text they derive from. A counts-based
+    # verify (join exploded shingle hashes per candidate pair, Jaccard
+    # from |∩| and per-doc counts) was also measured: 2x SLOWER at sf0.1
+    # — the exploded relation is recomputed per join side anyway
+    # (different shuffle keys, no exchange reuse) and the intersection
+    # join shuffles the full exploded corpus twice more.
     base = docs.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("__sh")
     )
