@@ -6,10 +6,14 @@ The reference generates rows in Python loops with ``random``
 fact_sales_daily.py:154-200). Here every generator is ``spark.range(n)``
 plus column expressions, so fixture volume is a parameter, not a cost.
 
-Determinism: randomness comes from ``uniform(seed, id)`` =
-xxhash64(seed, id) scaled to [0,1) — NOT ``F.rand(seed)``, whose stream
-depends on partitioning and therefore on cluster size. Hash-based
-uniforms make the generated corpus bit-identical on 1 core or 1000.
+Determinism: randomness comes from ``uniform(seed, id)`` — an
+affine-mod-prime + xorshift mix of the key column — NOT ``F.rand(seed)``,
+whose stream depends on partitioning and therefore on cluster size.
+Key-derived uniforms make the generated corpus bit-identical on 1 core or
+1000, and (unlike xxhash64, which DuckDB lacks) the mix is plain 64-bit
+integer arithmetic both engines evaluate identically, so every generator
+has an exact DuckDB SQL twin (the ``sql_*`` builders below) and the
+driver can hash-check generated tables like any other query.
 
 Weighted choice (F28/F29) is the inverse-CDF when-chain; store pick and
 product affinity (F36) are two-stage: weighted class/category choice,
@@ -30,12 +34,43 @@ from dynamic_etl_spark.ops.clean import synthesize_sku, tiered_discount_rate
 # Seeded primitives (F21, F28-F30)
 # --------------------------------------------------------------------------
 
-_SCALE = 1_000_000
+#: Mersenne prime 2^31-1 — field for the uniform mix. Every intermediate
+#: product is < 2^62, so the arithmetic never overflows a long (no ANSI
+#: surprises) and DuckDB's BIGINT evaluates it bit-identically.
+_P = 2_147_483_647
+
+
+def _mix_params(seed: int) -> tuple[int, int, int, int]:
+    """Per-seed affine constants (Knuth/xxhash prime multipliers)."""
+    a1 = (2_654_435_761 * (seed + 1)) % _P or 1
+    b1 = (40_503 * (seed + 7)) % _P
+    a2 = (2_246_822_519 * (seed + 3)) % _P or 1
+    b2 = (3_266_489_917 * (seed + 11)) % _P
+    return a1, b1, a2, b2
+
+
+def _fold(*cols: Column) -> Column:
+    """Fold key columns into one long in [0, P)."""
+    k = F.pmod(cols[0].cast("long"), F.lit(_P))
+    for c in cols[1:]:
+        k = F.pmod(k * F.lit(1_000_003) + F.pmod(c.cast("long"), F.lit(_P)), F.lit(_P))
+    return k
 
 
 def uniform(seed: int, *cols: Column) -> Column:
-    """Deterministic U[0,1) from a seed + key columns (partitioning-proof)."""
-    return (F.abs(F.xxhash64(F.lit(seed), *cols)) % _SCALE) / float(_SCALE)
+    """Deterministic U[0,1) from a seed + key columns (partitioning-proof).
+
+    Two affine-mod-P rounds with an xorshift between them (the xor breaks
+    the affine composition, so draws from different seeds decorrelate);
+    the final h/P division is one exact double op in both engines.
+    ``sql_uniform`` is the bit-identical DuckDB twin — change them
+    together (tests/test_generate.py pins cross-engine equality).
+    """
+    a1, b1, a2, b2 = _mix_params(seed)
+    h1 = F.pmod(F.lit(a1) * _fold(*cols) + F.lit(b1), F.lit(_P))
+    mixed = h1.bitwiseXOR(F.shiftright(h1, 15))
+    h2 = F.pmod(F.lit(a2) * mixed + F.lit(b2), F.lit(_P))
+    return h2 / float(_P)
 
 
 def uniform_int(seed: int, lo: int, hi: int, *cols: Column) -> Column:
@@ -70,6 +105,50 @@ def random_date(seed: int, start: str, days: int, *cols: Column) -> Column:
 def pick_from(seed: int, values: Sequence[str], *cols: Column) -> Column:
     arr = F.array(*[F.lit(v) for v in values])
     return F.element_at(arr, uniform_int(seed, 1, len(values), *cols))
+
+
+# --------------------------------------------------------------------------
+# DuckDB SQL twins of the primitives above. Each mirrors its Spark
+# counterpart operation-for-operation (same constants, same double ops) so
+# generated tables hash-match across engines. ``expr`` is a SQL expression
+# for the integer key column.
+# --------------------------------------------------------------------------
+
+
+def sql_uniform(seed: int, expr: str = "i") -> str:
+    a1, b1, a2, b2 = _mix_params(seed)
+    h1 = f"(({a1} * (({expr}) % {_P}) + {b1}) % {_P})"
+    mixed = f"xor({h1}, {h1} >> 15)"
+    return f"(CAST(({a2} * {mixed} + {b2}) % {_P} AS DOUBLE) / {_P})"
+
+
+def sql_uniform_int(seed: int, lo: int, hi: int, expr: str = "i") -> str:
+    return f"CAST(floor({sql_uniform(seed, expr)} * {hi - lo + 1}) + {lo} AS INT)"
+
+
+def sql_uniform_range(seed: int, lo: float, hi: float, expr: str = "i") -> str:
+    return f"({sql_uniform(seed, expr)} * {hi - lo!r} + {lo!r})"
+
+
+def sql_weighted_choice(u_expr: str, options: Sequence[tuple[str, float]]) -> str:
+    """CASE twin of weighted_choice — thresholds computed by the SAME
+    Python float accumulation, embedded at full precision."""
+    total = float(sum(w for _, w in options))
+    acc = 0.0
+    branches = []
+    for value, weight in options[:-1]:
+        acc += weight / total
+        branches.append(f"WHEN {u_expr} < {acc!r} THEN '{value}'")
+    return "CASE " + " ".join(branches) + f" ELSE '{options[-1][0]}' END"
+
+
+def sql_pick_from(seed: int, values: Sequence[str], expr: str = "i") -> str:
+    lst = "[" + ", ".join(f"'{v}'" for v in values) + "]"
+    return f"({lst})[{sql_uniform_int(seed, 1, len(values), expr)}]"
+
+
+def sql_random_date(seed: int, start: str, days: int, expr: str = "i") -> str:
+    return f"(DATE '{start}' + {sql_uniform_int(seed, 0, days - 1, expr)})"
 
 
 # --------------------------------------------------------------------------

@@ -16,6 +16,99 @@ from __future__ import annotations
 
 from dynamic_etl_spark.registry.core import Query, QueryRegistry
 
+#: The driver records hard correctness rows (row-count + schema + value
+#: hash vs the DuckDB oracle) for the FIRST 50 registered queries only, so
+#: registration order is a verification-signal decision, not cosmetics.
+#: The window below holds one green-checkable query per distinct operator
+#: family; near-duplicate formulations of an already-windowed operator
+#: (e.g. cube vs rollup — both A9) sit past position 50, where the local
+#: pytest parity harness (tests/test_oracle_parity.py) still hash-checks
+#: them against the same oracles. Rows-only queries (engine-hash-specific
+#: LSH/ANN paths, brute-force-checked in tests/test_llm.py) go last.
+DRIVER_WINDOW = 50
+
+#: Positions 1-50: every entry has (or is about to get) a DuckDB oracle.
+_WINDOW_ORDER = (
+    # relational scans / joins / aggregates
+    "flagship_star_join",
+    "scan_projection_filter",
+    "pricing_summary",
+    "high_water_mark",
+    "distinct_profile",
+    "numeric_profile",
+    "duplicate_detection",
+    "null_count_profile",
+    "rollup_totals",
+    "top_part_types",
+    "customers_with_orders",
+    "customers_without_orders",
+    "fallback_key_resolution",
+    "nation_key_set_ops",
+    "freshness_watermark",
+    "drop_unresolved_keys",
+    "salted_skew_join",
+    # windows / dedup
+    "surrogate_key_assignment",
+    "customer_order_sequence",
+    "latest_order_per_customer",
+    "dedup_keep_last_line",
+    # cleaning
+    "clean_store_feed",
+    "clean_product_feed",
+    "clean_distributor_feed",
+    "alias_header_resolution",
+    "tiered_discount_pricing",
+    "coercion_failure_profile",
+    # dates
+    "date_dimension_build",
+    "date_key_lookup",
+    "date_gap_fill_incremental",
+    # merge / SCD
+    "change_detection_classification",
+    "scd1_merge_orders",
+    "mini_dim_upsert",
+    "snowflake_extraction",
+    "insert_only_merge",
+    # validation
+    "validation_report",
+    # events
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_sessionization",
+    "events_json_extract",
+    "events_rate_profile",
+    # LLM-data-pipeline layer (driver-brief first-class components)
+    "text_stats_profile",
+    "language_id_profile",
+    "exact_dedup_fingerprint",
+    "ngram_jaccard_similarity",
+    "embedding_near_dup",
+    "embedding_topk_bruteforce",
+    "embedding_topk_vectorized",
+    "multimodal_feature_extract",
+    # generators
+    "generator_fact_day",
+)
+
+#: Positions 51+: oracle-backed near-duplicates of windowed operators
+#: first (still locally hash-checked), then the rows-only queries.
+_TAIL_ORDER = (
+    "point_and_flag_filter",       # P-coverage subsumed by scan_projection_filter
+    "cube_order_totals",           # A9 subsumed by rollup_totals
+    "dedup_keep_first_line",       # D2 twin of dedup_keep_last_line (+ clean_store_feed)
+    "duplicate_group_members",     # D3 sibling of duplicate_detection (A7)
+    "natural_key_concat",          # F9 concat also exercised in the clean feeds
+    "date_backfill_initial",       # U5 twin of date_gap_fill_incremental
+    "generator_stores",
+    "generator_products",
+    "generator_distributors",
+    # rows-only (engine-hash-specific; brute-force-checked in pytest)
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "embedding_ann_lsh",
+    "embedding_ann_ivf",
+)
+
 
 def all_queries() -> QueryRegistry:
     from dynamic_etl_spark.registry import (
@@ -30,7 +123,7 @@ def all_queries() -> QueryRegistry:
         windows,
     )
 
-    registry: QueryRegistry = {}
+    pooled: QueryRegistry = {}
     for module in (
         relational,
         windows,
@@ -42,8 +135,24 @@ def all_queries() -> QueryRegistry:
         llm,
         generators,
     ):
-        overlap = registry.keys() & module.QUERIES.keys()
+        overlap = pooled.keys() & module.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")
-        registry.update(module.QUERIES)
-    return registry
+        pooled.update(module.QUERIES)
+
+    order = (*_WINDOW_ORDER, *_TAIL_ORDER)
+    if len(_WINDOW_ORDER) != DRIVER_WINDOW:
+        raise ValueError(
+            f"driver window holds {DRIVER_WINDOW} queries, order lists {len(_WINDOW_ORDER)}"
+        )
+    # adding/removing a query without placing it in the explicit order (or
+    # a typo in the order) must fail loudly, not silently shift the window
+    missing = pooled.keys() - set(order)
+    unknown = set(order) - pooled.keys()
+    if missing or unknown:
+        raise ValueError(
+            f"registry order out of sync: unordered={sorted(missing)} unknown={sorted(unknown)}"
+        )
+    if len(order) != len(set(order)):
+        raise ValueError("registry order contains duplicates")
+    return {name: pooled[name] for name in order}

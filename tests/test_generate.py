@@ -113,6 +113,62 @@ def test_fact_generation_survives_sparse_dimensions(spark):
     assert facts.count() == 300
 
 
+def test_all_weighted_groups_present(spark, star):
+    """The fact-generator oracle (registry/generators.py) embeds the FULL
+    weight tables, which is only equivalent to generate_fact_sales'
+    present-group filtering when every class/category actually occurs in
+    the generated dims. Pin that so a size/seed change fails here, not as
+    silent oracle drift."""
+    stores, products, dists, _ = star
+    classes = {r[0] for r in stores.select("store_class_of_trade").distinct().collect()}
+    assert classes == {c for c, _ in G.STORE_VOLUME_WEIGHTS}
+    cats = {r[0] for r in products.select("category").distinct().collect()}
+    assert cats == {c for c, _ in G.CATEGORY_WEIGHTS}
+    assert dists.filter(F.col("active_flag") == "Y").count() >= 1
+
+
+def test_uniform_sql_twins_bit_identical(spark):
+    """uniform/uniform_int/uniform_range/pick_from/weighted_choice and
+    their sql_* twins must agree bit-for-bit across engines — this is the
+    foundation of every generator oracle."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    n = 500
+    seeds = (0, 1, 43, 53, 66, 999)
+    df = spark.range(0, n, 1, 3)
+    cols = [G.uniform(s, F.col("id")).alias(f"u{s}") for s in seeds]
+    cols += [
+        G.uniform_int(7, 3, 17, F.col("id")).alias("ui"),
+        G.uniform_range(9, 2.5, 7.75, F.col("id")).alias("ur"),
+        G.pick_from(5, ("a", "b", "c", "d"), F.col("id")).alias("pk"),
+        G.weighted_choice(
+            G.uniform(11, F.col("id")), (("x", 1.0), ("y", 2.5), ("z", 0.5))
+        ).alias("wc"),
+    ]
+    spark_rows = {r["id"]: r for r in df.select("id", *cols).collect()}
+
+    sel = ", ".join(f"{G.sql_uniform(s, 'i')} AS u{s}" for s in seeds)
+    sel += f", {G.sql_uniform_int(7, 3, 17, 'i')} AS ui"
+    sel += f", {G.sql_uniform_range(9, 2.5, 7.75, 'i')} AS ur"
+    sel += f", {G.sql_pick_from(5, ('a', 'b', 'c', 'd'), 'i')} AS pk"
+    sel += (
+        f", {G.sql_weighted_choice(G.sql_uniform(11, 'i'), (('x', 1.0), ('y', 2.5), ('z', 0.5)))}"
+        " AS wc"
+    )
+    con = duckdb.connect()
+    try:
+        duck = con.execute(f"SELECT i, {sel} FROM range(0, {n}) t(i)").fetchall()
+    finally:
+        con.close()
+    names = [f"u{s}" for s in seeds] + ["ui", "ur", "pk", "wc"]
+    for row in duck:
+        srow = spark_rows[row[0]]
+        for j, name in enumerate(names, start=1):
+            assert row[j] == srow[name], (row[0], name, row[j], srow[name])
+
+
 def test_generation_is_partitioning_independent(spark):
     a = G.generate_products(spark, 50)
     b_df = G._base(spark, 50, partitions=1).select(F.col("id"))

@@ -30,3 +30,30 @@ def test_rows_only_query_runs(spark, name):
     df = REGISTRY[name].fn(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_driver_window_holds_the_llm_layer():
+    """The driver hash-checks only the first DRIVER_WINDOW registered
+    queries; the LLM similarity layer (driver-brief first-class) and the
+    fact generator must sit inside it (VERDICT r2 next-steps #1/#3)."""
+    from dynamic_etl_spark.registry import DRIVER_WINDOW
+
+    window = list(REGISTRY)[:DRIVER_WINDOW]
+    for name in (
+        "ngram_jaccard_similarity",
+        "embedding_near_dup",
+        "embedding_topk_bruteforce",
+        "embedding_topk_vectorized",
+        "multimodal_feature_extract",
+        "generator_fact_day",
+    ):
+        assert name in window, f"{name} fell outside the driver correctness window"
+
+
+def test_driver_window_is_fully_oracle_backed():
+    """A rows-only query inside the window wastes a hard-signal slot."""
+    from dynamic_etl_spark.registry import DRIVER_WINDOW
+
+    window = list(REGISTRY.items())[:DRIVER_WINDOW]
+    missing = [n for n, q in window if q.oracle is None]
+    assert not missing, f"windowed queries without oracles: {missing}"
