@@ -26,6 +26,13 @@ class SkipRetry(Exception):
     """Transient condition: leave the file unprocessed and stop cleanly."""
 
 
+#: Result marker for a SkipRetry outcome: the returned filename was seen
+#: but deliberately left queued. Distinguishes "file present but deferred"
+#: from "nothing pending" ((None, None)) so schedulers can count
+#: consecutive retries of the same file and alert on a wedged feed.
+SKIPPED = object()
+
+
 class PoisonPill(Exception):
     """Structural defect: mark the file processed, then surface the error."""
 
@@ -81,8 +88,9 @@ class FileQueue:
         mid-fn leaves the file queued — at-least-once with idempotent
         merges = exactly-once effect).
 
-        Returns (filename, result); (None, None) when the queue is empty
-        or a SkipRetry fired.
+        Returns (filename, result); (None, None) when the queue is empty;
+        (filename, SKIPPED) when a SkipRetry deferred the file — the name
+        is surfaced so callers can log/alert on repeated deferrals.
         """
         name = self.next_unprocessed()
         if name is None:
@@ -91,7 +99,7 @@ class FileQueue:
         try:
             result = fn(path)
         except SkipRetry:
-            return None, None
+            return name, SKIPPED
         except PoisonPill:
             self.mark_processed(name)
             raise

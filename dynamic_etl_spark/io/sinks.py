@@ -52,19 +52,32 @@ def rotate_current_to_archive(current_dir: str, archive_dir: str) -> list[str]:
 def write_staging_swap(df: DataFrame, final_path: str, fmt: str = "parquet") -> None:
     """S10 — staging + atomic swap: write the full new table next to the
     old one, then rename into place (the reference's staging-table +
-    MERGE + DROP, minus the database). The swap window is a directory
-    rename; readers see old-or-new, never a mix."""
+    MERGE + DROP, minus the database). Readers see the old table or the
+    new one; the only non-atomic window is the two renames of the swap
+    itself, and a hard crash inside it is repaired on the next call.
+
+    Crash protocol (ADVICE r2): ``final.old`` is the last good copy until
+    a swap COMPLETES. On entry, a missing ``final`` with a surviving
+    backup (crash between the two renames) restores the backup first —
+    both so readers and the ``df`` computation (which usually derives
+    from ``final_path``) see the table again, and so the last good copy
+    is never deleted before the replacement is safely on disk. The backup
+    is only removed (a) right before rotating a fresh ``final`` into it,
+    at which point the new table already exists in staging, or (b) after
+    a completed swap."""
     parent = os.path.dirname(os.path.abspath(final_path))
     os.makedirs(parent, exist_ok=True)
     staging = os.path.join(parent, f".staging-{uuid.uuid4().hex}")
     backup = final_path + ".old"
-    # A crash after a previous swap can orphan the backup; renaming onto a
-    # non-empty directory fails on POSIX, so clear it up front or every
-    # subsequent swap wedges.
-    shutil.rmtree(backup, ignore_errors=True)
+    if not os.path.exists(final_path) and os.path.exists(backup):
+        os.rename(backup, final_path)
     try:
         df.write.mode("overwrite").format(fmt).save(staging)
         if os.path.exists(final_path):
+            # a completed-swap crash can orphan the backup; clear it only
+            # NOW (new table safely in staging) — renaming onto a
+            # non-empty dir fails on POSIX and would wedge every swap
+            shutil.rmtree(backup, ignore_errors=True)
             os.rename(final_path, backup)
         try:
             os.rename(staging, final_path)

@@ -88,10 +88,13 @@ def cosine_topk(
 
 def _srp_bit(v: Column, bit: int, seed: int) -> Column:
     """One sign-random-projection bit: sign of dot(v, h_bit) where h_bit's
-    component j is ±1 from xxhash64(seed, bit, j) parity. (The seed/bit
-    must be closed over by a helper, never lambda default args — PySpark
-    reads lambda arity and would pass the element index instead.)"""
-    dims = F.sequence(F.lit(1), F.size(v))
+    component j is ±1 from xxhash64(seed, bit, j) parity, j being the
+    0-BASED element index — bit-identical to srp_banded_rows' posexplode
+    formulation (ADVICE r2: the two hashed different indices and would
+    silently produce disjoint buckets; tests/test_llm.py pins equality).
+    (The seed/bit must be closed over by a helper, never lambda default
+    args — PySpark reads lambda arity and would pass the element index.)"""
+    dims = F.sequence(F.lit(0), F.size(v) - 1)
     plane = F.transform(
         dims,
         lambda j: F.lit(1.0)
@@ -121,20 +124,24 @@ def cosine_topk_vectorized(
       array lambdas;
     - shuffle: O(partitions x |queries| x k) candidate rows instead of
       O(|corpus| x |queries|) scored rows into the ranking window.
+
+    Like ivf_topk, the caller's id type is preserved (ADVICE r2: this
+    path used to assume long ids) — the output schema is derived from the
+    input schemas and ids ride through numpy without dtype coercion.
     """
     import numpy as np
     import pandas as pd
 
     query_id_col = query_id_col or id_col
     qrows = queries.select(query_id_col, vec_col).collect()
-    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_ids = [r[0] for r in qrows]
     q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
 
     out_schema = T.StructType(
         [
-            T.StructField("query_id", T.LongType(), False),
-            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("query_id", queries.schema[query_id_col].dataType, True),
+            T.StructField("neighbor_id", corpus.schema[id_col].dataType, True),
             T.StructField("__sim", T.DoubleType(), False),
         ]
     )
@@ -143,14 +150,14 @@ def cosine_topk_vectorized(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
             v = np.array(list(pdf[vec_col]), dtype=np.float64)
             v_norm = np.sqrt((v * v).sum(axis=1))
             sims = (v @ q_mat.T) / np.outer(v_norm, q_norm)
             rows = {"query_id": [], "neighbor_id": [], "__sim": []}
-            for qi in range(len(q_ids)):
+            for qi, q_id in enumerate(q_ids):
                 col = sims[:, qi]
-                mask = ids != q_ids[qi]
+                mask = ids != q_id
                 cand_idx = np.nonzero(mask)[0]
                 if len(cand_idx) == 0:
                     continue
@@ -159,8 +166,8 @@ def cosine_topk_vectorized(
                 # asc-id window would have kept
                 order = np.lexsort((ids[cand_idx], -col[cand_idx]))[:k]
                 top = cand_idx[order]
-                rows["query_id"].extend([int(q_ids[qi])] * len(top))
-                rows["neighbor_id"].extend(int(x) for x in ids[top])
+                rows["query_id"].extend([q_id] * len(top))
+                rows["neighbor_id"].extend(ids[top].tolist())
                 rows["__sim"].extend(float(x) for x in col[top])
             yield pd.DataFrame(rows)
 

@@ -203,13 +203,16 @@ def minhash_near_dup_pairs(
     )
     a = base.select(F.col(id_col).alias("id_a"), sh.alias("__sh_a"))
     b = base.select(F.col(id_col).alias("id_b"), sh.alias("__sh_b"))
+    # threshold applies to the UNROUNDED jaccard (rounding only in the
+    # output projection) — same boundary semantics as cosine_near_dup_pairs
+    # and the brute-force truth in tests/test_llm.py (ADVICE r2)
     verified = (
         pairs.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("jaccard_sim", F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 6))
-        .filter(F.col("jaccard_sim") >= threshold)
+        .withColumn("__j", jaccard(F.col("__sh_a"), F.col("__sh_b")))
+        .filter(F.col("__j") >= threshold)
     )
-    return verified.select("id_a", "id_b", "jaccard_sim")
+    return verified.select("id_a", "id_b", F.round("__j", 6).alias("jaccard_sim"))
 
 
 def simhash64(c: Column, bits: int = 64) -> Column:

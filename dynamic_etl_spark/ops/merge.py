@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from dynamic_etl_spark.ops.agg import high_water_mark
 from dynamic_etl_spark.ops.joins import anti_join, any_change
+from dynamic_etl_spark.ops.keys import CONTIGUOUS_GUARD_ROWS, assign_surrogate_keys
 
 
 def scd1_merge(
@@ -29,6 +30,8 @@ def scd1_merge(
     tolerance_cols: Sequence[str] = (),
     tolerance: float = 0.01,
     op_col: str = "operation",
+    key_mode: str = "contiguous",
+    max_contiguous_insert_rows: int | None = CONTIGUOUS_GUARD_ROWS,
 ) -> DataFrame:
     """U1/J5/J8 — SCD Type-1 MERGE as one full-outer join rewrite.
 
@@ -43,9 +46,14 @@ def scd1_merge(
       is deliberately not written, same as the reference's skip).
 
     Scale: one shuffle on the natural key (the join), one scalar MAX to the
-    driver (the reference's A1 pattern). Insert surrogates come from a
-    row_number over the inserts only — fine at dimension/daily-delta scale;
-    at bulk-backfill scale pass non-contiguous keys in ``incoming`` instead.
+    driver (the reference's A1 pattern). Insert surrogates route through
+    ``assign_surrogate_keys``: ``key_mode='contiguous'`` (reference
+    semantics, gap-free) runs the numbering window on a single partition
+    and therefore inherits the ``CONTIGUOUS_GUARD_ROWS`` row-count guard —
+    a bulk/initial load where everything classifies INSERT raises instead
+    of silently funneling the table through one task. For such loads pass
+    ``key_mode='sparse'`` (monotonically increasing above the high-water
+    mark, non-contiguous, no shuffle, 100 TB-safe).
     """
     keys = list(natural_key)
     value_cols = [*exact_cols, *tolerance_cols]
@@ -87,11 +95,15 @@ def scd1_merge(
     # Surrogate numbering runs over the INSERT rows ONLY: a window
     # partitioned on (op == 'INSERT') would also funnel the entire
     # existing table through the false-partition's single-task sort just
-    # to discard the result. Inserts are delta-sized; the rest never
-    # touches a window.
-    insert_window = Window.orderBy(*[F.col(k) for k in keys])
-    inserts = joined.filter(F.col(op_col) == "INSERT").withColumn(
-        surrogate_col, (F.row_number().over(insert_window) + F.lit(hwm)).cast("long")
+    # to discard the result. Inserts are delta-sized in steady state; the
+    # guard inside assign_surrogate_keys catches the bulk-load case.
+    inserts = assign_surrogate_keys(
+        joined.filter(F.col(op_col) == "INSERT"),
+        order_cols=keys,
+        key_col=surrogate_col,
+        offset=hwm,
+        mode=key_mode,
+        max_contiguous_rows=max_contiguous_insert_rows,
     )
     others = joined.filter(F.col(op_col) != "INSERT").withColumn(
         surrogate_col, F.col("__ex_sk")

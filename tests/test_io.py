@@ -108,7 +108,11 @@ def test_file_queue_exactly_once_and_policies(scratch):
     def skip(path):
         raise SkipRetry("dims empty")
 
-    assert q.process_next(skip) == (None, None)
+    from dynamic_etl_spark.io.queue import SKIPPED
+
+    # the deferred file's NAME is surfaced (so a scheduler can count
+    # consecutive retries), but it stays queued
+    assert q.process_next(skip) == ("sales_01.csv", SKIPPED)
     assert q.next_unprocessed() == "sales_01.csv"
 
     # success marks AFTER the callable returns
@@ -150,6 +154,41 @@ def test_staging_swap_atomicity(spark, scratch):
     # no staging/backup litter
     parent = os.path.dirname(final)
     assert not [n for n in os.listdir(parent) if n.startswith(".staging") or n.endswith(".old")]
+
+
+def test_staging_swap_crash_recovery(spark, scratch):
+    """ADVICE r2: a hard crash between the two swap renames leaves only
+    `final.old`. The next invocation must RESTORE it (not delete it) —
+    even when that invocation's own write then fails — so the last good
+    copy of the table survives any single crash."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    final = str(scratch / "crash_table")
+    good = spark.range(5).withColumn("v", F.lit("good"))
+    write_staging_swap(good, final)
+
+    # simulate the crash window: final renamed to backup, new final never
+    # landed, plus an orphaned staging dir from the dead writer
+    os.rename(final, final + ".old")
+    os.makedirs(os.path.dirname(final) + "/.staging-dead", exist_ok=True)
+
+    def boom(_it):
+        raise RuntimeError("writer died")
+        yield
+
+    failing = spark.range(1).mapInPandas(boom, T.StructType([T.StructField("id", T.LongType())]))
+    with pytest.raises(Exception):
+        write_staging_swap(failing, final)
+    # last good copy restored and intact despite the failed write
+    assert spark.read.parquet(final).count() == 5
+    assert not os.path.exists(final + ".old")
+
+    # and a subsequent healthy swap completes normally
+    write_staging_swap(spark.range(9).withColumn("v", F.lit("new")), final)
+    assert spark.read.parquet(final).count() == 9
+    shutil.rmtree(os.path.dirname(final) + "/.staging-dead", ignore_errors=True)
 
 
 def test_split_valid_side_channel(spark):

@@ -97,6 +97,35 @@ def test_srp_signature_bits_vary(spark):
     assert len(distinct) > 1, "all SRP signatures identical — hyperplanes degenerate"
 
 
+def test_srp_formulations_are_bit_identical(spark):
+    """ADVICE r2: hyperplane_signature (per-row HOF form) and
+    srp_banded_rows (explode+codegen form) claim to be the same
+    formulation — indexing a corpus with one and probing with the other
+    only works if the band hashes agree exactly."""
+    bits, bands, seed = 16, 4, 0
+    rows = bits // bands
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(50).cache()
+
+    sig = ANN.hyperplane_signature(F.col("embedding"), bits, seed)
+    per_band = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[sig[b * rows + j] for j in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    hof = {
+        (r["vec_id"], r["band_idx"]): r["band_hash"]
+        for r in emb.select(
+            "vec_id", F.posexplode(per_band).alias("band_idx", "band_hash")
+        ).collect()
+    }
+    codegen = {
+        (r["vec_id"], r["band_idx"]): r["band_hash"]
+        for r in ANN.srp_banded_rows(emb, "vec_id", "embedding", bits, bands, seed).collect()
+    }
+    assert hof == codegen
+
+
 def test_vectorized_topk_matches_exact(spark):
     emb = load_table(spark, SF_SMALL, "embeddings").cache()
     queries = emb.filter(F.col("vec_id") % 10 == 0)
