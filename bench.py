@@ -40,6 +40,9 @@ HEADLINE = (
     "embedding_topk_bruteforce",
     "embedding_topk_vectorized",
     "embedding_near_dup",
+    # round 3: ANN index path + calendar join get tracked numbers
+    "embedding_ann_lsh",
+    "date_key_lookup",
 )
 
 

@@ -96,6 +96,7 @@ _TAIL_ORDER = (
     "point_and_flag_filter",       # P-coverage subsumed by scan_projection_filter
     "cube_order_totals",           # A9 subsumed by rollup_totals
     "dedup_keep_first_line",       # D2 twin of dedup_keep_last_line (+ clean_store_feed)
+    "dedup_keep_last_line_agg",    # D1 again, skew-resilient max_by formulation
     "duplicate_group_members",     # D3 sibling of duplicate_detection (A7)
     "natural_key_concat",          # F9 concat also exercised in the clean feeds
     "date_backfill_initial",       # U5 twin of date_gap_fill_incremental

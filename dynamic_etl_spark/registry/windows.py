@@ -132,6 +132,17 @@ FROM (
 """
 
 
+def dedup_keep_last_line_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same D1 semantics as ``dedup_keep_last_line`` via the hot-key-
+    resilient ``max_by`` aggregate (map-side partial combine; see
+    ops/dedup.dedup_keep_last_agg). Shares the window oracle — the two
+    formulations are required to agree exactly."""
+    li = t(spark, sf_dir, "lineitem")
+    return D.dedup_keep_last_agg(li, keys=["l_orderkey"], order=_DEDUP_ORDER).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
 def dedup_keep_first_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     return D.dedup_keep_first(li, keys=["l_orderkey"], order=_DEDUP_ORDER).select(
@@ -173,6 +184,7 @@ QUERIES: QueryRegistry = {
     "customer_order_sequence": Query(customer_order_sequence, SEQUENCE_ORACLE, "rank/lag/lead/running-total windows"),
     "latest_order_per_customer": Query(latest_order_per_customer, LATEST_ORACLE, "W3 top-1 per group"),
     "dedup_keep_last_line": Query(dedup_keep_last_line, KEEP_LAST_ORACLE, "D1 keep-last dedup"),
+    "dedup_keep_last_line_agg": Query(dedup_keep_last_line_agg, KEEP_LAST_ORACLE, "D1 keep-last dedup, skew-resilient max_by form"),
     "dedup_keep_first_line": Query(dedup_keep_first_line, KEEP_FIRST_ORACLE, "D2 keep-first dedup"),
     "duplicate_group_members": Query(duplicate_group_members, DUP_MEMBERS_ORACLE, "D3 duplicate-group members"),
 }

@@ -57,6 +57,17 @@ def test_minhash_lsh_finds_planted_near_dups(spark, docs_with_near_dups):
     assert recall >= 0.9, f"LSH recall on planted near-dups {recall:.2f} < 0.9"
 
 
+def test_minhash_verify_scopes_agree(spark, docs_with_near_dups):
+    """The corpus-wide and candidate-restricted verify strategies are
+    required to produce identical pairs and jaccard values — verify_scope
+    is a physical-plan choice, never a semantic one."""
+    c = L.minhash_near_dup_pairs(docs_with_near_dups, "doc_id", "text", threshold=0.5)
+    k = L.minhash_near_dup_pairs(
+        docs_with_near_dups, "doc_id", "text", threshold=0.5, verify_scope="candidates"
+    )
+    assert c.exceptAll(k).count() == 0 and k.exceptAll(c).count() == 0
+
+
 def test_minhash_signature_slots_are_independent(spark, docs_with_near_dups):
     # regression for the lambda-index bug: distinct seeds must produce
     # distinct signature slots

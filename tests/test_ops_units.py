@@ -91,6 +91,43 @@ def test_salted_join_left_preserves_misses(spark):
     )
 
 
+def test_dedup_hot_key_stress(spark):
+    """VERDICT r2 #8 — hot-key stress for the dedup layer: one key holds
+    50% of a 400k-row feed. The max_by formulation must (a) agree exactly
+    with the window formulation, (b) run two-phase so the hot key is
+    partially combined map-side instead of colocating on one reducer (a
+    window partition can't be split, by AQE or anything else), and
+    (c) finish within a generous wall bound."""
+    import time
+
+    from dynamic_etl_spark.ops import dedup as D
+
+    n = 400_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(10_000)) + 1)
+        .cast("long")
+        .alias("k"),
+        F.col("id").alias("seq"),
+        (F.col("id") % 97).alias("v"),
+    )
+    expected_keys = df.select("k").distinct().count()
+
+    start = time.perf_counter()
+    agg = D.dedup_keep_last_agg(df, ["k"], ["seq"])
+    assert agg.count() == expected_keys
+    assert time.perf_counter() - start < 60
+
+    win = D.dedup_keep_last(df, ["k"], ["seq"])
+    assert agg.exceptAll(win).count() == 0 and win.exceptAll(agg).count() == 0
+
+    plan = agg._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # partial + final phases of the extremum aggregate
+    assert plan.count("SortAggregate") >= 2 or plan.count("HashAggregate") >= 2
+
+
 def test_scd1_bulk_insert_guard_and_sparse_mode(spark):
     """VERDICT r2 'what's wrong' #1: an all-INSERT bulk merge must not
     silently funnel the table through the contiguous window's single
