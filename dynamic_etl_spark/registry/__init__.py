@@ -40,7 +40,6 @@ _WINDOW_ORDER = (
     "null_count_profile",
     "rollup_totals",
     "top_part_types",
-    "customers_with_orders",
     "customers_without_orders",
     "fallback_key_resolution",
     "nation_key_set_ops",
@@ -82,6 +81,7 @@ _WINDOW_ORDER = (
     "language_id_profile",
     "exact_dedup_fingerprint",
     "ngram_jaccard_similarity",
+    "near_dup_components",
     "embedding_near_dup",
     "embedding_topk_bruteforce",
     "embedding_topk_vectorized",
@@ -94,6 +94,7 @@ _WINDOW_ORDER = (
 #: first (still locally hash-checked), then the rows-only queries.
 _TAIL_ORDER = (
     "point_and_flag_filter",       # P-coverage subsumed by scan_projection_filter
+    "customers_with_orders",       # J6 semi twin of the windowed J7 anti (P11)
     "cube_order_totals",           # A9 subsumed by rollup_totals
     "dedup_keep_first_line",       # D2 twin of dedup_keep_last_line (+ clean_store_feed)
     "dedup_keep_last_line_agg",    # D1 again, skew-resilient max_by formulation

@@ -197,6 +197,80 @@ WHERE round(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
 
 
 # ==========================================================================
+# Near-dup clustering: pair graph -> connected components -> canonical doc
+# (the dedup pipeline's last mile; component label = MIN doc_id = the
+# keep-first survivor convention). Edges here come from the exact n-gram
+# pairs so the WHOLE query is oracle-checkable via DuckDB's recursive CTE;
+# the production-scale edge source is the MinHash-LSH pair query, which
+# composes with the same operator (ops/graph.connected_components).
+# ==========================================================================
+
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dynamic_etl_spark.ops.graph import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_similarity(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(edges, "id_a", "id_b")
+    labeled = docs.select("doc_id").join(
+        comp.select(F.col("v").alias("doc_id"), "component"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component_id"),
+    )
+    sizes = labeled.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return labeled.join(sizes, "component_id").select(
+        "doc_id", "component_id", "component_size"
+    )
+
+
+NEAR_DUP_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, lang, source, {_SQL_TOKENS} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(
+           range(0, greatest(len(toks) - 3, 0) + 1),
+           i -> array_to_string(toks[i + 1 : i + 3], ' ')
+         )) AS grams
+  FROM base
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
+                     AND a.doc_id < b.doc_id
+  WHERE round(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
+              THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.grams, b.grams)))
+              ELSE 0.0 END, 6) >= 0.02
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS v, src AS l FROM edges
+  UNION
+  SELECT e.dst AS v, r.l FROM reach r JOIN edges e ON e.src = r.v
+),
+comp AS (
+  SELECT v AS doc_id, MIN(l) AS component_id FROM reach GROUP BY v
+),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT labeled.doc_id, labeled.component_id, cnt.component_size
+FROM labeled
+JOIN (SELECT component_id, COUNT(*) AS component_size
+      FROM labeled GROUP BY component_id) cnt USING (component_id)
+"""
+
+
+# ==========================================================================
 # MinHash-LSH near-dup + SimHash (engine-hash-specific -> rows-only here;
 # ground-truthed against brute force in tests/test_llm.py)
 # ==========================================================================
@@ -394,6 +468,10 @@ QUERIES: QueryRegistry = {
     "ngram_jaccard_similarity": Query(
         ngram_jaccard_similarity, NGRAM_JACCARD_ORACLE,
         "blocked exact 3-gram Jaccard pairs",
+    ),
+    "near_dup_components": Query(
+        near_dup_components, NEAR_DUP_COMPONENTS_ORACLE,
+        "near-dup clustering: pair graph -> connected components (pointer-jumping label propagation)",
     ),
     "minhash_near_dup": Query(
         minhash_near_dup, None,
