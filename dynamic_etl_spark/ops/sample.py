@@ -1,0 +1,96 @@
+"""Deterministic sampling operators (beyond-reference LLM-data layer).
+
+Training-corpus curation constantly needs "keep X% of stratum S" — e.g.
+downsample boilerplate-heavy sources, upweight rare languages. Spark's
+``df.sample``/``sampleBy`` draw from a partition-seeded RNG, so results
+change with partitioning and resurrect the nondeterminism this repo bans
+(see SCALE.md "no F.rand"). Both operators here decide membership from a
+pure function of the ROW (a hash-derived uniform), so the same row makes
+the same decision at any parallelism, on any cluster, in any round.
+
+Scale shape: membership is a codegen filter — no shuffle, no state, and
+Parquet row-group pruning still applies upstream. The fraction lookup is
+a literal CASE chain (strata maps are config-sized), never a join.
+
+The reference has no sampling operator (its generators draw from seeded
+Python ``random``, scripts/generate_stores.py:71-99); this generalizes
+that determinism to distributed filters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Large prime modulus for the affine uniform: big enough that the
+#: lattice step 1/M is invisible at any practical sampling fraction.
+_AFFINE_M = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+#: Knuth's multiplicative-hash constant (2^32 / phi).
+_AFFINE_A = 2_654_435_761
+
+
+def uniform_hash(*cols: Column | str, salt: int = 0) -> Column:
+    """xxhash64-derived uniform in [0, 1) — the production-grade mixer.
+
+    Engine-specific (xxhash64 exists only in Spark), so queries that need
+    a DuckDB oracle use :func:`uniform_affine` instead; the operator
+    contract is just "a deterministic [0,1) column".
+    """
+    h = F.xxhash64(*cols, F.lit(salt))
+    return (F.pmod(h, F.lit(_AFFINE_M)).cast("double") / F.lit(float(_AFFINE_M)))
+
+
+def uniform_affine(key: Column | str, salt: int = 0) -> Column:
+    """Multiplicative-hash uniform in [0, 1), exactly reproducible in ANSI
+    SQL (see :func:`sql_uniform_affine`): ``((key % M) * A + salt) % M / M``
+    over BIGINT arithmetic. The pre-reduction ``key % M`` keeps the product
+    below 2^62, so the arithmetic never overflows for any BIGINT key.
+
+    Weaker mixing than xxhash64 (affine in key) — fine for sampling
+    decisions, not for bucketing adversarial keys.
+    """
+    k = F.pmod(F.col(key) if isinstance(key, str) else key, F.lit(_AFFINE_M))
+    return (
+        F.pmod(k * F.lit(_AFFINE_A) + F.lit(salt), F.lit(_AFFINE_M)).cast("double")
+        / F.lit(float(_AFFINE_M))
+    )
+
+
+def sql_uniform_affine(key_sql: str, salt: int = 0) -> str:
+    """DuckDB twin of :func:`uniform_affine` (same BIGINT lattice)."""
+    m, a = _AFFINE_M, _AFFINE_A
+    return (
+        f"(CAST((((({key_sql}) % {m} + {m}) % {m}) * {a} + {salt}) % {m} AS DOUBLE)"
+        f" / {m}.0)"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Sequence[str],
+    fractions: Mapping[tuple | str, float],
+    uniform: Column,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep each row with probability ``fractions[its stratum]``, decided
+    by comparing the caller-supplied deterministic ``uniform`` column to
+    the stratum's fraction. Rows in strata absent from ``fractions`` keep
+    with ``default_fraction`` (0 = drop, 1 = keep all).
+
+    ``fractions`` keys are tuples matching ``strata`` (bare values allowed
+    for a single stratum column). The lookup compiles to a literal CASE
+    chain — strata maps are config-sized by definition; a data-sized map
+    should be a broadcast join instead.
+    """
+    frac = F.lit(float(default_fraction))
+    for key, fraction in reversed(list(fractions.items())):
+        key_t = key if isinstance(key, tuple) else (key,)
+        if len(key_t) != len(strata):
+            raise ValueError(f"stratum key {key!r} does not match strata {strata!r}")
+        cond = F.lit(True)
+        for col, val in zip(strata, key_t):
+            cond = cond & (F.col(col) == F.lit(val))
+        frac = F.when(cond, F.lit(float(fraction))).otherwise(frac)
+    return df.filter(uniform < frac)

@@ -40,7 +40,6 @@ _WINDOW_ORDER = (
     "null_count_profile",
     "rollup_totals",
     "top_part_types",
-    "customers_without_orders",
     "fallback_key_resolution",
     "nation_key_set_ops",
     "freshness_watermark",
@@ -72,16 +71,17 @@ _WINDOW_ORDER = (
     "validation_report",
     # events
     "events_tumbling_window",
-    "events_sliding_window",
     "events_sessionization",
     "events_json_extract",
-    "events_rate_profile",
     # LLM-data-pipeline layer (driver-brief first-class components)
     "text_stats_profile",
     "language_id_profile",
     "exact_dedup_fingerprint",
     "ngram_jaccard_similarity",
     "near_dup_components",
+    "dedup_survivors",
+    "corpus_stratified_sample",
+    "sequence_packing",
     "embedding_near_dup",
     "embedding_topk_bruteforce",
     "embedding_topk_vectorized",
@@ -95,6 +95,10 @@ _WINDOW_ORDER = (
 _TAIL_ORDER = (
     "point_and_flag_filter",       # P-coverage subsumed by scan_projection_filter
     "customers_with_orders",       # J6 semi twin of the windowed J7 anti (P11)
+    "customers_without_orders",    # J7 anti; 0-row result — weak driver signal,
+                                   # anti coverage stays via drop_unresolved_keys
+    "events_sliding_window",       # W twin of events_tumbling_window
+    "events_rate_profile",         # bounded agg twin of the events family
     "cube_order_totals",           # A9 subsumed by rollup_totals
     "dedup_keep_first_line",       # D2 twin of dedup_keep_last_line (+ clean_store_feed)
     "dedup_keep_last_line_agg",    # D1 again, skew-resilient max_by formulation

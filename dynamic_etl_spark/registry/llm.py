@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 from dynamic_etl_spark.ops import ann as ANN
 from dynamic_etl_spark.ops import lsh as L
+from dynamic_etl_spark.ops import pack as PK
+from dynamic_etl_spark.ops import sample as SMP
 from dynamic_etl_spark.ops import text as TX
 from dynamic_etl_spark.ops.multimodal import (
     documents_as_media,
@@ -225,8 +227,9 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NEAR_DUP_COMPONENTS_ORACLE = f"""
-WITH RECURSIVE base AS (
+#: Shared CTE chain: n-gram pair edges -> transitive closure -> per-doc
+#: component label + size (used by both component queries below).
+_COMPONENT_CTES = f"""base AS (
   SELECT doc_id, lang, source, {_SQL_TOKENS} AS toks FROM documents
 ),
 sh AS (
@@ -262,11 +265,108 @@ comp AS (
 labeled AS (
   SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id
   FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+sizes AS (
+  SELECT component_id, COUNT(*) AS component_size
+  FROM labeled GROUP BY component_id
+)"""
+
+NEAR_DUP_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE {_COMPONENT_CTES}
+SELECT labeled.doc_id, labeled.component_id, sizes.component_size
+FROM labeled JOIN sizes USING (component_id)
+"""
+
+
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's output side: keep exactly one canonical doc
+    per near-dup component (the MIN-id survivor — component label ==
+    own id) and report how many docs it absorbed. Composes
+    near_dup_components with a filter + payload join-back; at 100 TB the
+    payload join is the only wide-row stage and it moves surviving rows
+    only."""
+    comp = near_dup_components(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    return (
+        comp.filter(F.col("doc_id") == F.col("component_id"))
+        .join(docs.select("doc_id", "lang", "source", "n_chars"), "doc_id")
+        .select("doc_id", "lang", "source", "n_chars", "component_size")
+    )
+
+
+DEDUP_SURVIVORS_ORACLE = f"""
+WITH RECURSIVE {_COMPONENT_CTES}
+SELECT l.doc_id, d.lang, d.source, d.n_chars, sizes.component_size
+FROM labeled l
+JOIN sizes USING (component_id)
+JOIN documents d USING (doc_id)
+WHERE l.doc_id = l.component_id
+"""
+
+
+# ==========================================================================
+# Corpus curation: deterministic stratified sampling + training-sequence
+# packing (ops/sample.py, ops/pack.py — beyond-reference LLM-data layer)
+# ==========================================================================
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing downsample: per-lang keep rates decided by the
+    SQL-reproducible affine uniform (ops/sample.uniform_affine) so the
+    whole filter is a codegen expression — no shuffle, no RNG state."""
+    docs = t(spark, sf_dir, "documents")
+    return SMP.stratified_sample(
+        docs,
+        ["lang"],
+        {"en": 0.5, "es": 0.25, "de": 0.1},
+        SMP.uniform_affine("doc_id", salt=17),
+        default_fraction=0.75,
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+_SAMPLE_U = SMP.sql_uniform_affine("doc_id", salt=17)
+
+STRATIFIED_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE {_SAMPLE_U} < CASE lang WHEN 'en' THEN 0.5
+                              WHEN 'es' THEN 0.25
+                              WHEN 'de' THEN 0.1
+                              ELSE 0.75 END
+"""
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing of the corpus into 512-token training
+    sequences via the two-level distributed prefix sum (ops/pack.py) —
+    no single-task global window anywhere in the plan."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"))
+    return PK.sequence_pack(toks, "doc_id", "n_tokens", budget=512).select(
+        "doc_id", "n_tokens", "global_offset", "seq_id", "seq_offset", "spans_boundary"
+    )
+
+
+SEQUENCE_PACKING_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, CAST(len({_SQL_TOKENS}) AS INT) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(CAST(n_tokens AS BIGINT)) OVER
+           (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM base
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         CAST(cum - n_tokens AS BIGINT) AS global_offset,
+         CAST(greatest(cum - 1, cum - n_tokens) AS BIGINT) AS last_tok
+  FROM c
 )
-SELECT labeled.doc_id, labeled.component_id, cnt.component_size
-FROM labeled
-JOIN (SELECT component_id, COUNT(*) AS component_size
-      FROM labeled GROUP BY component_id) cnt USING (component_id)
+SELECT doc_id, n_tokens, global_offset,
+       global_offset // 512 AS seq_id,
+       global_offset % 512 AS seq_offset,
+       (last_tok // 512) > (global_offset // 512) AS spans_boundary
+FROM o
 """
 
 
@@ -472,6 +572,18 @@ QUERIES: QueryRegistry = {
     "near_dup_components": Query(
         near_dup_components, NEAR_DUP_COMPONENTS_ORACLE,
         "near-dup clustering: pair graph -> connected components (pointer-jumping label propagation)",
+    ),
+    "dedup_survivors": Query(
+        dedup_survivors, DEDUP_SURVIVORS_ORACLE,
+        "canonical-survivor corpus: one MIN-id doc per near-dup component",
+    ),
+    "corpus_stratified_sample": Query(
+        corpus_stratified_sample, STRATIFIED_SAMPLE_ORACLE,
+        "deterministic per-language stratified downsample (shuffle-free codegen filter)",
+    ),
+    "sequence_packing": Query(
+        sequence_packing, SEQUENCE_PACKING_ORACLE,
+        "512-token concat-and-chunk packing via distributed two-level prefix sum",
     ),
     "minhash_near_dup": Query(
         minhash_near_dup, None,

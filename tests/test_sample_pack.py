@@ -1,0 +1,124 @@
+"""Sampling (ops/sample.py) and prefix-sum/packing (ops/pack.py):
+determinism across partitionings, ground truth vs Python, edge cases."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamic_etl_spark.ops.pack import prefix_sum, sequence_pack
+from dynamic_etl_spark.ops.sample import (
+    stratified_sample,
+    uniform_affine,
+    uniform_hash,
+)
+
+
+# ---------------------------------------------------------------- sampling
+
+def test_uniforms_in_unit_interval_and_partition_invariant(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    for uni in (uniform_affine("k", salt=3), uniform_hash(F.col("k"), salt=3)):
+        got1 = {
+            r["k"]: r["u"]
+            for r in df.repartition(1).select("k", uni.alias("u")).collect()
+        }
+        got7 = {
+            r["k"]: r["u"]
+            for r in df.repartition(7).select("k", uni.alias("u")).collect()
+        }
+        assert got1 == got7
+        assert all(0.0 <= u < 1.0 for u in got1.values())
+        # not constant / degenerate
+        assert len({round(u, 3) for u in got1.values()}) > 100
+
+
+def test_stratified_sample_fractions_and_default(spark):
+    rows = [(i, ["en", "es", "de"][i % 3] if i % 10 else "fr") for i in range(9000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = stratified_sample(
+        df,
+        ["lang"],
+        {"en": 0.5, "es": 0.1, "de": 0.0},
+        uniform_affine("doc_id", salt=11),
+        default_fraction=1.0,
+    )
+    kept = out.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in kept}
+    n_en = sum(1 for _, lang in rows if lang == "en")
+    n_es = sum(1 for _, lang in rows if lang == "es")
+    n_fr = sum(1 for _, lang in rows if lang == "fr")
+    assert abs(by_lang["en"] / n_en - 0.5) < 0.05
+    assert abs(by_lang["es"] / n_es - 0.1) < 0.05
+    assert "de" not in by_lang  # fraction 0 drops the stratum entirely
+    assert by_lang["fr"] == n_fr  # default 1.0 keeps unlisted strata
+
+    with pytest.raises(ValueError, match="does not match strata"):
+        stratified_sample(df, ["lang"], {("en", "x"): 0.5}, uniform_affine("doc_id"))
+
+
+def test_stratified_sample_is_row_stable(spark):
+    # the same row makes the same decision regardless of partitioning
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "es") for i in range(2000)], ["doc_id", "lang"]
+    )
+    pick = lambda d: {
+        r["doc_id"]
+        for r in stratified_sample(
+            d, ["lang"], {"en": 0.3, "es": 0.7}, uniform_affine("doc_id", salt=5)
+        ).collect()
+    }
+    assert pick(df.repartition(1)) == pick(df.repartition(13))
+
+
+# ------------------------------------------------------------- prefix sums
+
+@pytest.mark.parametrize("num_buckets", [1, 7, 64])
+def test_prefix_sum_matches_python(spark, num_buckets):
+    rng = random.Random(42)
+    ids = rng.sample(range(100000), 600)  # sparse, unordered ids
+    rows = [(i, rng.randrange(0, 50)) for i in ids]
+    df = spark.createDataFrame(rows, ["k", "v"]).repartition(8)
+    out = {
+        r["k"]: r["c"]
+        for r in prefix_sum(df, "k", "v", "c", num_buckets=num_buckets).collect()
+    }
+    running = 0
+    for k, v in sorted(rows):
+        running += v
+        assert out[k] == running
+
+
+def test_prefix_sum_empty(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    empty = spark.createDataFrame([], schema)
+    assert prefix_sum(empty, "k", "v").count() == 0
+
+
+def test_sequence_pack_hand_example(spark):
+    # budget 10; docs: 4, 9, 0, 8, 3 tokens in id order
+    rows = [(1, 4), (2, 9), (3, 0), (4, 8), (5, 3)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"]).repartition(3)
+    got = {
+        r["doc_id"]: (
+            r["global_offset"],
+            r["seq_id"],
+            r["seq_offset"],
+            r["spans_boundary"],
+        )
+        for r in sequence_pack(df, "doc_id", "n_tokens", budget=10).collect()
+    }
+    assert got[1] == (0, 0, 0, False)
+    assert got[2] == (4, 0, 4, True)  # tokens 4..12 cross seq 0 -> 1
+    assert got[3] == (13, 1, 3, False)  # empty doc pins to its offset
+    assert got[4] == (13, 1, 3, True)  # tokens 13..20
+    assert got[5] == (21, 2, 1, False)
+
+    with pytest.raises(ValueError, match="budget"):
+        sequence_pack(df, "doc_id", "n_tokens", budget=0)
