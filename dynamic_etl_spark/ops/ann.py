@@ -22,6 +22,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Fan-out guard ONLY on the brute-force path: per-row interpreted cosine x
+# |queries| dwarfs the extra exchange. The signature/matmul paths were
+# measured NET-NEGATIVE with it on a small corpus (the added stage's
+# schedule+compile exceeds the win; at real scale inputs are well-split
+# and the guard is a no-op either way).
+from dynamic_etl_spark.session import ensure_fanout_parallelism
+
 
 def as_double_vec(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
@@ -75,7 +82,9 @@ def cosine_topk(
             as_double_vec(F.col(vec_col)).alias("__qv"),
         )
     )
-    c = corpus.select(
+    # scoring is |queries| interpreted dot products per corpus row —
+    # guarantee it parallelizes even off a single-split input
+    c = ensure_fanout_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("__cv")
     )
     scored = (

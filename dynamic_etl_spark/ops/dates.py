@@ -3,11 +3,15 @@
 
 The reference builds its date dimension with a per-day Python loop
 (scripts/dim_date_daily.py:149-204, scripts2/load_dim_date_dw.py:140-169).
-Here the row set comes from ``spark.range(n_days)`` — parallel from the
-start (an ``explode(sequence(...))`` would materialize the whole span in a
-single row/partition; range partitions it) — and every attribute is a
+Here the row set comes from ``spark.range`` and every attribute is a
 native column expression, so a 100-year calendar costs nothing and the
 same builder serves fixtures at any scale.
+
+The range is deliberately built with ~1 partition per century of days: a
+calendar is dimension-sized by definition (a row is ~100 bytes; a century
+is 4 MB), so defaulting to cluster parallelism just buys 32 tasks of
+scheduling overhead per build (measured 0.5s/build at local[32]) and a
+multi-partition input to every downstream broadcast.
 """
 
 from __future__ import annotations
@@ -16,6 +20,8 @@ from datetime import date
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from dynamic_etl_spark.session import local_df
 
 # Indian public holidays 2023-2026, date_id -> name (public calendar facts;
 # the reference ships the same table inline, scripts/dim_date_daily.py:15-76).
@@ -48,7 +54,12 @@ INDIAN_HOLIDAYS: tuple[tuple[int, str], ...] = (
 
 
 def holiday_table(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(list(INDIAN_HOLIDAYS), ["date_id", "holiday_name"])
+    # VALUES LocalRelation, not createDataFrame: the calendar build joins
+    # this on every invocation and a LocalRelation broadcast costs zero
+    # tasks (see session.local_df).
+    return local_df(
+        spark, INDIAN_HOLIDAYS, {"date_id": "BIGINT", "holiday_name": "STRING"}
+    )
 
 
 def date_key(d: Column) -> Column:
@@ -88,14 +99,15 @@ def build_date_dimension(
     """G4/F13-F17 — full calendar dimension for [start, end] inclusive
     (reference row loop: scripts/dim_date_daily.py:149-204).
 
-    Plan shape: ``range(n)`` (parallel, no shuffle) -> column exprs ->
-    broadcast left join against the tiny holiday table. day_of_week is
-    1=Monday..7=Sunday; week_of_year is ISO (both parity traps, SURVEY §7).
+    Plan shape: ``range(n)`` (no shuffle, ~1 partition per 100 years —
+    see module docstring) -> column exprs -> broadcast left join against
+    the tiny holiday table. day_of_week is 1=Monday..7=Sunday;
+    week_of_year is ISO (both parity traps, SURVEY §7).
     """
     start_d, end_d = date.fromisoformat(str(start)), date.fromisoformat(str(end))
     n_days = (end_d - start_d).days + 1
     d = F.date_add(F.lit(str(start_d)).cast("date"), F.col("id").cast("int"))
-    cal = spark.range(n_days).select(
+    cal = spark.range(0, n_days, 1, n_days // 36525 + 1).select(
         date_key(d).alias("date_id"),
         d.alias("full_date"),
         F.dayofmonth(d).alias("day"),

@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dynamic_etl_spark.ops.text import normalize_for_fingerprint, tokens
+from dynamic_etl_spark.session import ensure_fanout_parallelism
 
 
 def char_shingles(c: Column, k: int = 5) -> Column:
@@ -181,6 +182,9 @@ def minhash_near_dup_pairs(
     """
     if verify_scope not in ("corpus", "candidates"):
         raise ValueError(f"unknown verify_scope: {verify_scope!r}")
+    # shingling + signatures dwarf a raw-row shuffle; no-op on well-split
+    # inputs (see session.ensure_fanout_parallelism — measured 3.5x here)
+    docs = ensure_fanout_parallelism(docs)
     exploded = docs.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("__s")
     ).select(F.col(id_col), F.pmod(F.xxhash64("__s"), F.lit(_MINHASH_P)).alias("__h"))

@@ -19,6 +19,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from dynamic_etl_spark.session import ensure_fanout_parallelism
 from pyspark.sql import types as T
 
 #: Feature vector length produced by the default header decoder.
@@ -87,7 +89,9 @@ def extract_media_features(
                 out["features"].append(decoder(raw))
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(run, FEATURE_SCHEMA)
+    # decode work per row dwarfs a raw-byte shuffle; no-op when the
+    # source is already well-split (session.ensure_fanout_parallelism)
+    return ensure_fanout_parallelism(media).mapInPandas(run, FEATURE_SCHEMA)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:

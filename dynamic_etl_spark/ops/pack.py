@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from dynamic_etl_spark.session import local_df
+
 
 def prefix_sum(
     df: DataFrame,
@@ -79,7 +81,7 @@ def prefix_sum(
         running += int(row["__total"])
     spark = df.sparkSession
     offset_df = F.broadcast(
-        spark.createDataFrame(offsets, ["__bucket", "__offset"])
+        local_df(spark, offsets, {"__bucket": "BIGINT", "__offset": "BIGINT"})
     )
 
     within = Window.partitionBy("__bucket").orderBy(order_col).rowsBetween(

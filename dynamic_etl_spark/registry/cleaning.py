@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from dynamic_etl_spark.ops import clean as C
 from dynamic_etl_spark.ops import dedup as D
 from dynamic_etl_spark.registry.core import Query, QueryRegistry, t
+from dynamic_etl_spark.session import local_df
 
 
 def _sql_initcap(expr: str) -> str:
@@ -348,7 +349,11 @@ def clean_product_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("price_raw"), min_value=0, max_value=100000, min_exclusive=True
         ).cast("double").alias("unit_price"),
     )
-    lookup = spark.createDataFrame(list(BRAND_MANUFACTURERS), ["brand_key", "manufacturer_name"])
+    lookup = local_df(
+        spark,
+        BRAND_MANUFACTURERS,
+        {"brand_key": "STRING", "manufacturer_name": "STRING"},
+    )
     enriched = C.lookup_map_join(
         cleaned,
         lookup,

@@ -22,6 +22,7 @@ from dynamic_etl_spark.ops.multimodal import (
     extract_media_features,
 )
 from dynamic_etl_spark.registry.core import Query, QueryRegistry, t
+from dynamic_etl_spark.session import ensure_fanout_parallelism
 
 _SQL_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '')"
 _SQL_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
@@ -155,7 +156,7 @@ GROUP BY 1
 # ==========================================================================
 
 def ngram_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select(
+    docs = ensure_fanout_parallelism(t(spark, sf_dir, "documents")).select(
         "doc_id", "lang", "source", L.word_shingles(F.col("text"), 3).alias("sh")
     )
     a = docs.select(
@@ -387,7 +388,8 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_hamming_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    # 64 interpreted bit-vote aggregates per row: force full parallelism
+    docs = ensure_fanout_parallelism(t(spark, sf_dir, "documents"))
     sims = docs.select("doc_id", L.simhash64(F.col("text")).alias("simhash"))
     # Hamming distance of every doc to the corpus anchor (doc 0): a cheap
     # whole-corpus near-dup radar around one probe document.

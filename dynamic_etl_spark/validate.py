@@ -18,6 +18,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dynamic_etl_spark.session import local_df
+
 #: V9 — identifier-safety guard (reference validate_table.py:55-65).
 SAFE_IDENTIFIER = re.compile(r"^[A-Za-z0-9_$#]{1,128}$")
 
@@ -155,7 +157,19 @@ def validate(spark: SparkSession, df: DataFrame, spec: ValidationSpec) -> DataFr
     for name in checked:
         rows.append(("identifier_safe", name, _status(safe_identifier(name)), None, None))
 
-    return spark.createDataFrame(rows, REPORT_SCHEMA)
+    # report rows are driver-computed scalars; a VALUES LocalRelation skips
+    # the 32-slice parallelize a createDataFrame would schedule
+    return local_df(
+        spark,
+        rows,
+        {
+            "check_name": "STRING",
+            "column_name": "STRING",
+            "status": "STRING",
+            "observed": "BIGINT",
+            "threshold": "BIGINT",
+        },
+    )
 
 
 def _status(ok: bool) -> str:
