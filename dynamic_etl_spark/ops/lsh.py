@@ -29,12 +29,17 @@ def char_shingles(c: Column, k: int = 5) -> Column:
 
 def word_shingles(c: Column, k: int = 3) -> Column:
     """Distinct word k-grams (n-gram Jaccard's unit)."""
+    return F.array_distinct(word_gram_seq(c, k))
+
+
+def word_gram_seq(c: Column, k: int) -> Column:
+    """Word k-grams in document order, duplicates kept. Winnowing's input:
+    position matters there, so no ``array_distinct`` — contrast
+    ``word_shingles``, which is set-semantics for Jaccard."""
     toks = tokens(c)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
 
 
 #: Mersenne prime 2^31-1: the affine field for the MinHash family. Values

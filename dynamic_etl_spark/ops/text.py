@@ -104,3 +104,54 @@ def normalize_for_fingerprint(c: Column) -> Column:
 def fingerprint_md5(c: Column) -> Column:
     """Document fingerprint: md5 of the normalized text (exact-dup key)."""
     return F.md5(normalize_for_fingerprint(c))
+
+
+def winnow_fingerprints(df, *, id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 3, w: int = 4):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 "Winnowing: Local Algorithms for Document Fingerprinting").
+
+    Every window of ``w`` consecutive word-``k``-gram hashes contributes
+    its minimum hash; the distinct set of selected hashes is the
+    document's fingerprint. The winnowing guarantee: any run of
+    ``w + k - 1`` shared words between two documents selects at least one
+    common fingerprint — the property overlap/plagiarism detection and
+    partial-dup mining rely on, at ~1/w the density of the full gram set.
+
+    Hashes are md5 hex strings ordered lexicographically, NOT xxhash64:
+    md5 is the one hash both engines share, so the DuckDB oracle can
+    reproduce fingerprints bit-for-bit (hex is lowercase ASCII on both,
+    so min/sort orderings agree). Documents with fewer than ``w`` grams
+    contribute their single clamped window (min over what exists).
+
+    Scale: the gram explode is map-side; the one shuffle is the
+    doc-partitioned position window (pos is unique per doc — total order,
+    deterministic at any parallelism); the fingerprint-set aggregate
+    partial-combines map-side. No joins, no cartesian anything.
+
+    Returns one row per document: (id_col, n_fingerprints, fp_digest)
+    where fp_digest = md5 of the ','-joined ascending fingerprint set.
+    """
+    from pyspark.sql import Window
+
+    from dynamic_etl_spark.ops.lsh import word_gram_seq
+
+    g = df.select(
+        F.col(id_col),
+        F.posexplode(word_gram_seq(F.col(text_col), k)).alias("pos", "gram"),
+    ).withColumn("h", F.md5("gram"))
+    part = Window.partitionBy(id_col)
+    frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        g.withColumn("n_grams", F.count(F.lit(1)).over(part))
+        .withColumn("fp", F.min("h").over(frame))
+        # full windows only (plus the clamped single window when n < w)
+        .filter(F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0)))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("fp")).alias("__fps"))
+        .select(
+            F.col(id_col),
+            F.size("__fps").alias("n_fingerprints"),
+            F.md5(F.concat_ws(",", F.col("__fps"))).alias("fp_digest"),
+        )
+    )

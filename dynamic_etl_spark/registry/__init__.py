@@ -108,6 +108,11 @@ _TAIL_ORDER = (
     "generator_stores",
     "generator_products",
     "generator_distributors",
+    # corpus curation (oracle-backed; new families — hash-checked locally,
+    # window slots already hold one rep per driver-visible family)
+    "benchmark_decontamination",
+    "pii_detect_redact",
+    "winnowing_fingerprint",
     # rows-only (engine-hash-specific; brute-force-checked in pytest)
     "minhash_near_dup",
     "simhash_near_dup",
@@ -119,6 +124,7 @@ _TAIL_ORDER = (
 def all_queries() -> QueryRegistry:
     from dynamic_etl_spark.registry import (
         cleaning,
+        curation,
         dates,
         events,
         generators,
@@ -140,6 +146,7 @@ def all_queries() -> QueryRegistry:
         events,
         llm,
         generators,
+        curation,
     ):
         overlap = pooled.keys() & module.QUERIES.keys()
         if overlap:

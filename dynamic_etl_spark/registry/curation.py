@@ -1,0 +1,234 @@
+"""Corpus-curation queries: benchmark decontamination, PII scrubbing, and
+winnowing fingerprints — the train/test-leak, privacy, and partial-dup
+gates a training-data pipeline runs after dedup and before packing.
+
+All three are fully oracle-checkable: contamination and winnowing use
+md5/engine-neutral gram logic, PII uses the Java-regex ∩ RE2 pattern
+subset (ops/pii.py). The documents table carries no real PII, so the PII
+fixture is synthesized with the repo's dirty-feed convention — key-modulo
+CASE switches reproduced verbatim in the oracle SQL (same trick as
+registry/cleaning.py's store/product feeds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamic_etl_spark.ops import pii as PII
+from dynamic_etl_spark.ops.decontam import contamination_profile
+from dynamic_etl_spark.ops.text import winnow_fingerprints
+from dynamic_etl_spark.registry.core import Query, QueryRegistry, t
+from dynamic_etl_spark.registry.llm import _SQL_TOKENS  # shared tokenizer twin
+from dynamic_etl_spark.session import ensure_fanout_parallelism
+
+
+# ==========================================================================
+# Benchmark decontamination (eval set = doc_id % 41 == 0; contamination is
+# PLANTED deterministically: every corpus doc with doc_id % 17 == 3 gets an
+# 80-char fragment of benchmark doc (doc_id % 13) * 41 appended, so the
+# flag fires on a known subset and the oracle can rebuild the same corpus)
+# ==========================================================================
+
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    frag = bench.select(
+        F.col("doc_id").alias("__bid"),
+        F.substring("text", 1, 80).alias("__frag"),
+    )
+    planted = (
+        docs.filter(F.col("doc_id") % 41 != 0)
+        .withColumn(
+            "__bid",
+            F.when(F.col("doc_id") % 17 == 3, (F.col("doc_id") % 13) * 41),
+        )
+        .join(F.broadcast(frag), "__bid", "left")
+        .withColumn(
+            "text",
+            F.when(
+                F.col("__frag").isNotNull(),
+                F.concat(F.col("text"), F.lit(" "), F.col("__frag")),
+            ).otherwise(F.col("text")),
+        )
+        .select("doc_id", "text")
+    )
+    return contamination_profile(
+        ensure_fanout_parallelism(planted), bench, k=5, min_shared=5
+    )
+
+
+_SQL_GRAMS_5 = """list_distinct(list_transform(
+           range(0, greatest(len(toks) - 5, 0) + 1),
+           i -> array_to_string(toks[i + 1 : i + 5], ' ')
+         ))"""
+
+DECONTAMINATION_ORACLE = f"""
+WITH bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 41 = 0
+),
+corpus AS (
+  SELECT c.doc_id,
+         CASE WHEN b.frag IS NOT NULL THEN c.text || ' ' || b.frag
+              ELSE c.text END AS text
+  FROM (
+    SELECT doc_id, text,
+           CASE WHEN doc_id % 17 = 3 THEN (doc_id % 13) * 41 END AS bid
+    FROM documents WHERE doc_id % 41 <> 0
+  ) c
+  LEFT JOIN (SELECT doc_id AS bid, substr(text, 1, 80) AS frag FROM bench) b
+  USING (bid)
+),
+bgrams AS (
+  SELECT DISTINCT unnest({_SQL_GRAMS_5}) AS g
+  FROM (SELECT {_SQL_TOKENS} AS toks FROM bench)
+),
+cgrams AS (
+  SELECT doc_id, unnest({_SQL_GRAMS_5}) AS g
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS toks FROM corpus)
+),
+prof AS (
+  SELECT c.doc_id,
+         count(*) AS n_grams,
+         count(b.g) AS n_shared_grams
+  FROM cgrams c LEFT JOIN bgrams b USING (g)
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_grams, n_shared_grams,
+       round(CAST(n_shared_grams AS DOUBLE) / n_grams, 6) AS contamination_ratio,
+       CAST(n_shared_grams >= 5 AS INT) AS is_contaminated
+FROM prof
+"""
+
+
+# ==========================================================================
+# PII detect + redact (dirty fixture: every 7th doc gets an email, the
+# next residue a phone, the next an IPv4 — all derived from doc_id)
+# ==========================================================================
+
+def pii_detect_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 7
+    email = F.concat(
+        F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com")
+    )
+    phone = F.concat(
+        F.lit("555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit("10."), (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0."), ((F.col("doc_id") % 250) + 1).cast("string"),
+    )
+    dirty = (
+        F.when(m == 0, F.concat(F.col("text"), F.lit(" contact "), email))
+        .when(m == 1, F.concat(F.col("text"), F.lit(" call "), phone, F.lit(" today")))
+        .when(m == 2, F.concat(F.col("text"), F.lit(" host "), ip, F.lit(" up")))
+        .otherwise(F.col("text"))
+    )
+    d = docs.select("doc_id", dirty.alias("text"))
+    counts = PII.pii_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
+        counts["ip"].alias("n_ips"),
+        PII.has_pii(F.col("text")).alias("has_pii"),
+        PII.redact(F.col("text")).alias("redacted"),
+    )
+
+
+PII_ORACLE = f"""
+WITH dirty AS (
+  SELECT doc_id,
+    CASE doc_id % 7
+      WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com'
+      WHEN 1 THEN text || ' call 555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+      WHEN 2 THEN text || ' host 10.' || CAST(doc_id % 200 AS VARCHAR)
+                  || '.0.' || CAST((doc_id % 250) + 1 AS VARCHAR) || ' up'
+      ELSE text
+    END AS text
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{PII.EMAIL_RE}')) AS n_emails,
+  len(regexp_extract_all(text, '{PII.PHONE_RE}')) AS n_phones,
+  len(regexp_extract_all(text, '{PII.IPV4_RE}')) AS n_ips,
+  CAST((len(regexp_extract_all(text, '{PII.EMAIL_RE}'))
+      + len(regexp_extract_all(text, '{PII.PHONE_RE}'))
+      + len(regexp_extract_all(text, '{PII.IPV4_RE}'))) > 0 AS INT) AS has_pii,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '{PII.EMAIL_RE}', '[EMAIL]', 'g'),
+      '{PII.PHONE_RE}', '[PHONE]', 'g'),
+    '{PII.IPV4_RE}', '[IP]', 'g') AS redacted
+FROM dirty
+"""
+
+
+# ==========================================================================
+# Winnowing fingerprints (k=3 word grams, window w=4; md5 hashes so the
+# oracle reproduces selections bit-for-bit — see ops/text.py docstring)
+# ==========================================================================
+
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_fingerprints(ensure_fanout_parallelism(docs), k=3, w=4)
+
+
+WINNOWING_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+),
+seq AS (
+  SELECT doc_id,
+         list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+                        i -> array_to_string(toks[i + 1 : i + 3], ' ')) AS grams
+  FROM base
+),
+g AS (
+  -- parallel unnests zip positionally in DuckDB: pos is 1-based
+  SELECT doc_id, len(grams) AS n_grams,
+         unnest(range(1, len(grams) + 1)) AS pos,
+         unnest(grams) AS gram
+  FROM seq
+),
+m AS (
+  SELECT doc_id, n_grams, pos,
+         min(md5(gram)) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g
+),
+f AS (
+  SELECT DISTINCT doc_id, fp FROM m
+  WHERE pos <= greatest(n_grams - 4, 0) + 1
+)
+SELECT doc_id, count(*) AS n_fingerprints,
+       md5(string_agg(fp, ',' ORDER BY fp)) AS fp_digest
+FROM f
+GROUP BY doc_id
+"""
+
+
+QUERIES: QueryRegistry = {
+    "benchmark_decontamination": Query(
+        benchmark_decontamination,
+        DECONTAMINATION_ORACLE,
+        "n-gram overlap vs a broadcast benchmark gram set; planted leaks flagged",
+    ),
+    "pii_detect_redact": Query(
+        pii_detect_redact,
+        PII_ORACLE,
+        "regex PII tier counts + redaction over a deterministic dirty fixture",
+    ),
+    "winnowing_fingerprint": Query(
+        winnowing_fingerprint,
+        WINNOWING_ORACLE,
+        "SIGMOD'03 winnowing: min-hash-per-window fingerprint set per document",
+    ),
+}
