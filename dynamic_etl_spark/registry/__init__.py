@@ -113,6 +113,9 @@ _TAIL_ORDER = (
     "benchmark_decontamination",
     "pii_detect_redact",
     "winnowing_fingerprint",
+    # beyond-reference join strategies (oracle-backed)
+    "events_asof_last_purchase",
+    "events_range_interval_join",
     # rows-only (engine-hash-specific; brute-force-checked in pytest)
     "minhash_near_dup",
     "simhash_near_dup",

@@ -178,6 +178,113 @@ FROM per_type
 """
 
 
+# --------------------------------------------------------------------------
+# As-of join: every click event gets the user's most recent purchase at or
+# before it (union + running last-non-null — see ops/asof.py for why this
+# beats a range join at scale). DuckDB's native ASOF JOIN is the oracle,
+# so the two formulations check each other. (user_id, ts) is unique in
+# events, so the tiebreak never fires — it's there for the total order.
+# --------------------------------------------------------------------------
+
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dynamic_etl_spark.ops.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        key_cols=["user_id"],
+        ts_col="ts",
+        attach_cols=["event_id", "value", "ts"],
+        tiebreak_col="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_event_id").alias("purchase_event_id"),
+        F.col("asof_value").alias("purchase_value"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts"))).alias(
+            "micros_since_purchase"
+        ),
+    )
+
+
+ASOF_ORACLE = """
+SELECT p.event_id,
+       p.user_id,
+       p.ts,
+       s.event_id AS purchase_event_id,
+       s.value AS purchase_value,
+       date_diff('microsecond', s.ts, p.ts) AS micros_since_purchase
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') p
+ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'purchase') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+# --------------------------------------------------------------------------
+# Range join: 2-hour analysis windows every 7 hours across January 2024,
+# each aggregating the events it contains. Bucketized to stay an
+# equi-join (ops/rangejoin.py); the oracle is DuckDB's plain inequality
+# join, which a small table can afford.
+# --------------------------------------------------------------------------
+
+_RANGE_BASE_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+_RANGE_N, _RANGE_EVERY_H, _RANGE_LEN_H = 103, 7, 2
+
+
+def events_range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dynamic_etl_spark.ops.rangejoin import point_in_interval_join
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    hour_us = 3_600_000_000
+    ivals = spark.range(_RANGE_N).select(
+        F.col("id").alias("interval_id"),
+        F.timestamp_micros(
+            F.lit(_RANGE_BASE_US) + F.col("id") * (_RANGE_EVERY_H * hour_us)
+        ).alias("w_start"),
+        F.timestamp_micros(
+            F.lit(_RANGE_BASE_US)
+            + F.col("id") * (_RANGE_EVERY_H * hour_us)
+            + _RANGE_LEN_H * hour_us
+        ).alias("w_end"),
+    )
+    joined = point_in_interval_join(
+        ev, ivals, ts_col="ts", bucket_seconds=_RANGE_LEN_H * 3600, how="left"
+    )
+    return joined.groupBy("interval_id", "w_start").agg(
+        F.count("event_id").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        A.dsum("value", "total_value"),
+    )
+
+
+RANGE_ORACLE = f"""
+WITH intervals AS (
+  SELECT i AS interval_id,
+         TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL '{_RANGE_EVERY_H} hours' AS w_start,
+         TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL '{_RANGE_EVERY_H} hours'
+           + INTERVAL '{_RANGE_LEN_H} hours' AS w_end
+  FROM unnest(range(0, {_RANGE_N})) AS t(i)
+)
+SELECT i.interval_id, i.w_start,
+       COUNT(e.event_id) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users,
+       {sql_dsum('e.value')} AS total_value
+FROM intervals i
+LEFT JOIN events e ON e.ts >= i.w_start AND e.ts < i.w_end
+GROUP BY i.interval_id, i.w_start
+"""
+
+
 QUERIES: QueryRegistry = {
     "events_tumbling_window": Query(
         events_tumbling_window, TUMBLING_ORACLE, "1-hour tumbling window counts/sums"
@@ -193,5 +300,15 @@ QUERIES: QueryRegistry = {
     ),
     "events_rate_profile": Query(
         events_rate_profile, RATE_ORACLE, "per-type conditional counts + global share"
+    ),
+    "events_asof_last_purchase": Query(
+        events_asof_last_purchase,
+        ASOF_ORACLE,
+        "as-of join via union + running last-non-null vs DuckDB native ASOF",
+    ),
+    "events_range_interval_join": Query(
+        events_range_interval_join,
+        RANGE_ORACLE,
+        "bucketized point-in-interval equi-join vs DuckDB inequality join",
     ),
 }
