@@ -43,6 +43,14 @@ HEADLINE = (
     # round 3: ANN index path + calendar join get tracked numbers
     "embedding_ann_lsh",
     "date_key_lookup",
+    # round 3: curation gates + beyond-reference join strategies
+    "benchmark_decontamination",
+    "winnowing_fingerprint",
+    "pii_detect_redact",
+    "events_asof_last_purchase",
+    "events_range_interval_join",
+    "gopher_repetition_gates",
+    "tfidf_top_terms",
 )
 
 

@@ -116,6 +116,10 @@ _TAIL_ORDER = (
     # beyond-reference join strategies (oracle-backed)
     "events_asof_last_purchase",
     "events_range_interval_join",
+    # document-quality layer (oracle-backed)
+    "gopher_repetition_gates",
+    "tfidf_top_terms",
+    "events_funnel_conversion",
     # rows-only (engine-hash-specific; brute-force-checked in pytest)
     "minhash_near_dup",
     "simhash_near_dup",
@@ -133,6 +137,7 @@ def all_queries() -> QueryRegistry:
         generators,
         llm,
         merge,
+        quality,
         relational,
         validation,
         windows,
@@ -150,6 +155,7 @@ def all_queries() -> QueryRegistry:
         llm,
         generators,
         curation,
+        quality,
     ):
         overlap = pooled.keys() & module.QUERIES.keys()
         if overlap:

@@ -285,6 +285,94 @@ GROUP BY i.interval_id, i.w_start
 """
 
 
+# --------------------------------------------------------------------------
+# Funnel conversion: view -> click (strictly after first view) -> purchase
+# (strictly after that click), per user, collapsed to one global row of
+# stage counts + conversion rates. One shuffle on user_id: the three
+# "first event after prior stage" timestamps are whole-partition window
+# MINs (order-independent, so no ORDER BY is needed — the total-order rule
+# applies to rank/row_number windows, not commutative aggregates).
+# --------------------------------------------------------------------------
+
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return funnel_conversion(ev)
+
+
+def funnel_conversion(ev: DataFrame) -> DataFrame:
+    w = Window.partitionBy("user_id")
+    ty = F.col("event_type")
+    staged = (
+        ev.withColumn("__fv", F.min(F.when(ty == "view", F.col("ts"))).over(w))
+        .withColumn(
+            "__fc",
+            F.min(
+                F.when((ty == "click") & (F.col("ts") > F.col("__fv")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "__fp",
+            F.min(
+                F.when((ty == "purchase") & (F.col("ts") > F.col("__fc")), F.col("ts"))
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("__fv").alias("fv"), F.min("__fc").alias("fc"), F.min("__fp").alias("fp")
+    )
+    out = per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("fv").alias("n_viewed"),
+        F.count("fc").alias("n_clicked_after_view"),
+        F.count("fp").alias("n_purchased_after_funnel"),
+    )
+    rate = lambda num, den: F.round(  # noqa: E731
+        F.when(F.col(den) > 0, F.col(num).cast("double") / F.col(den)).otherwise(0.0), 6
+    )
+    return out.select(
+        "*",
+        rate("n_clicked_after_view", "n_viewed").alias("view_to_click_rate"),
+        rate("n_purchased_after_funnel", "n_clicked_after_view").alias("click_to_purchase_rate"),
+        rate("n_purchased_after_funnel", "n_viewed").alias("view_to_purchase_rate"),
+    )
+
+
+FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS fv FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS fc
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.fv
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS fp
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.fc
+  GROUP BY e.user_id
+),
+counts AS (
+  SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+         (SELECT count(*) FROM v) AS n_viewed,
+         (SELECT count(*) FROM c) AS n_clicked_after_view,
+         (SELECT count(*) FROM p) AS n_purchased_after_funnel
+)
+SELECT *,
+       round(CASE WHEN n_viewed > 0
+             THEN CAST(n_clicked_after_view AS DOUBLE) / n_viewed ELSE 0.0 END, 6)
+         AS view_to_click_rate,
+       round(CASE WHEN n_clicked_after_view > 0
+             THEN CAST(n_purchased_after_funnel AS DOUBLE) / n_clicked_after_view
+             ELSE 0.0 END, 6) AS click_to_purchase_rate,
+       round(CASE WHEN n_viewed > 0
+             THEN CAST(n_purchased_after_funnel AS DOUBLE) / n_viewed ELSE 0.0 END, 6)
+         AS view_to_purchase_rate
+FROM counts
+"""
+
+
 QUERIES: QueryRegistry = {
     "events_tumbling_window": Query(
         events_tumbling_window, TUMBLING_ORACLE, "1-hour tumbling window counts/sums"
@@ -310,5 +398,10 @@ QUERIES: QueryRegistry = {
         events_range_interval_join,
         RANGE_ORACLE,
         "bucketized point-in-interval equi-join vs DuckDB inequality join",
+    ),
+    "events_funnel_conversion": Query(
+        events_funnel_conversion,
+        FUNNEL_ORACLE,
+        "view->click->purchase funnel stage counts + conversion rates",
     ),
 }

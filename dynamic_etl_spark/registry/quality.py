@@ -1,0 +1,133 @@
+"""Document-quality queries: Gopher-style repetition gates and TF-IDF.
+
+Both are fully oracle-checkable: the gates are integer-count arithmetic
+plus 6dp-rounded ratios, and TF-IDF uses the smoothed-idf formulation on
+(tf, df) integer inputs so both engines rank on bit-identical doubles
+(ties within one (doc, score) group are broken by term, per the repo's
+total-order-every-window rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dynamic_etl_spark.ops import quality as Q
+from dynamic_etl_spark.registry.core import Query, QueryRegistry, t
+from dynamic_etl_spark.registry.llm import _SQL_TOKENS  # shared tokenizer twin
+
+
+def gopher_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return Q.repetition_profile(docs)
+
+
+_G = Q  # threshold constants referenced in the SQL below
+
+
+GOPHER_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents
+),
+g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM base WHERE len(toks) >= 2
+),
+g2c AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram),
+s2 AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS total_2grams,
+         count(*) AS distinct_2grams,
+         max(c) AS top_2gram_count
+  FROM g2c GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
+  FROM base WHERE len(toks) >= 3
+),
+g3c AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY doc_id, gram),
+s3 AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS total_3grams,
+         count(*) AS distinct_3grams
+  FROM g3c GROUP BY doc_id
+),
+prof AS (
+  SELECT b.doc_id,
+         CAST(len(b.toks) AS INT) AS n_tokens,
+         round(CASE WHEN len(b.toks) > 0
+               THEN CAST(length(regexp_replace(b.text, '\\s', '', 'g')) AS DOUBLE)
+                    / len(b.toks) ELSE 0.0 END, 6) AS mean_word_len,
+         round(CASE WHEN len(b.toks) > 0
+               THEN CAST(len(regexp_extract_all(b.text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                    / len(b.toks) ELSE 0.0 END, 6) AS symbol_word_ratio,
+         round(CASE WHEN coalesce(s2.total_2grams, 0) > 0
+               THEN CAST(s2.top_2gram_count AS DOUBLE) / s2.total_2grams
+               ELSE 0.0 END, 6) AS top_2gram_frac,
+         round(CASE WHEN coalesce(s3.total_3grams, 0) > 0
+               THEN CAST(s3.total_3grams - s3.distinct_3grams AS DOUBLE) / s3.total_3grams
+               ELSE 0.0 END, 6) AS dup_3gram_frac
+  FROM base b
+  LEFT JOIN s2 ON b.doc_id = s2.doc_id
+  LEFT JOIN s3 ON b.doc_id = s3.doc_id
+)
+SELECT *,
+       (gate_word_count AND gate_mean_word_len AND gate_symbol_ratio
+        AND gate_top_2gram AND gate_dup_3gram) AS passes_gopher
+FROM (
+  SELECT *,
+         n_tokens BETWEEN {_G.GATE_MIN_WORDS} AND {_G.GATE_MAX_WORDS} AS gate_word_count,
+         mean_word_len BETWEEN {_G.GATE_MIN_MEAN_WORD_LEN} AND {_G.GATE_MAX_MEAN_WORD_LEN}
+           AS gate_mean_word_len,
+         symbol_word_ratio <= {_G.GATE_MAX_SYMBOL_WORD_RATIO} AS gate_symbol_ratio,
+         top_2gram_frac <= {_G.GATE_MAX_TOP_2GRAM_FRAC} AS gate_top_2gram,
+         dup_3gram_frac <= {_G.GATE_MAX_DUP_3GRAM_FRAC} AS gate_dup_3gram
+  FROM prof
+)
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return Q.tfidf_topk(docs, k=3)
+
+
+TFIDF_ORACLE = """
+WITH base AS (
+  SELECT doc_id, {tokens} AS toks FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, docfreq.df,
+         tf.tf * (ln((CAST((SELECT count(*) FROM documents) AS DOUBLE) + 1.0)
+                     / (docfreq.df + 1.0)) + 1.0) AS score
+  FROM tf JOIN docfreq USING (term)
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tf, df, round(score, 6) AS tfidf
+FROM ranked WHERE rank <= 3
+""".format(tokens=_SQL_TOKENS)
+
+
+QUERIES: QueryRegistry = {
+    "gopher_repetition_gates": Query(
+        gopher_repetition_gates,
+        GOPHER_ORACLE,
+        "Gopher A1.1 repetition/quality gates (occurrence-fraction variant)",
+    ),
+    "tfidf_top_terms": Query(
+        tfidf_top_terms,
+        TFIDF_ORACLE,
+        "top-3 TF-IDF terms per document (smoothed idf, total-ordered ranks)",
+    ),
+}
