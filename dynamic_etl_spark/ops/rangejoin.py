@@ -16,8 +16,19 @@ shuffles each side once and scales like any other equi-join at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _epoch_us(c: Column) -> Column:
+    """Micros since epoch for TIMESTAMP *or* TIMESTAMP_NTZ input.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ (the events table's type), so
+    cast through TIMESTAMP first: the engine pins the session timezone
+    to UTC (session.py), making the cast interpret naive timestamps as
+    UTC, and it is a no-op for already-zoned columns.
+    """
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def point_in_interval_join(
@@ -47,11 +58,11 @@ def point_in_interval_join(
     """
     us = int(bucket_seconds) * 1_000_000
     p = points.withColumn(
-        "__pbucket", F.floor(F.unix_micros(F.col(ts_col)) / F.lit(us))
+        "__pbucket", F.floor(_epoch_us(F.col(ts_col)) / F.lit(us))
     )
     last_bucket = F.when(
-        F.unix_micros(F.col(end_col)) - F.unix_micros(F.col(start_col)) <= F.lit(us),
-        F.floor((F.unix_micros(F.col(end_col)) - 1) / F.lit(us)),
+        _epoch_us(F.col(end_col)) - _epoch_us(F.col(start_col)) <= F.lit(us),
+        F.floor((_epoch_us(F.col(end_col)) - 1) / F.lit(us)),
     ).otherwise(
         F.raise_error(F.lit(
             f"interval longer than bucket_seconds={bucket_seconds}; "
@@ -62,7 +73,7 @@ def point_in_interval_join(
         "__bucket",
         F.explode(
             F.sequence(
-                F.floor(F.unix_micros(F.col(start_col)) / F.lit(us)), last_bucket
+                F.floor(_epoch_us(F.col(start_col)) / F.lit(us)), last_bucket
             )
         ),
     )

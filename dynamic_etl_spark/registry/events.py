@@ -210,7 +210,8 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.col("asof_event_id").alias("purchase_event_id"),
         F.col("asof_value").alias("purchase_value"),
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts"))).alias(
+        # timestampdiff works on TIMESTAMP_NTZ directly (unix_micros does not)
+        F.expr("timestampdiff(MICROSECOND, asof_ts, ts)").alias(
             "micros_since_purchase"
         ),
     )

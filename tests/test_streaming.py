@@ -25,6 +25,20 @@ def scratch():
     shutil.rmtree(SCRATCH, ignore_errors=True)
 
 
+def _normalize_ts(df):
+    """events.ts is Parquet TIMESTAMP(NANOS): with the legacy nanosAsLong
+    conf Spark surfaces it as a nanos bigint, while newer readers surface
+    it natively as TIMESTAMP_NTZ (already truncated to micros) — normalize
+    both to the same zoned micros timestamp (watermarks reject NTZ; the
+    session timezone is pinned UTC) so stream and batch paths agree."""
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dtype == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def _type_counts(df):
     return {
         r["event_type"]: r["n"]
@@ -78,11 +92,8 @@ def test_watermarked_window_matches_batch(spark, scratch):
     batch = spark.read.parquet(str(src))
 
     stream = file_stream(spark, str(src), batch.schema)
-    # events.ts arrives as nanos-long (see catalog.load_table); normalize
-    # identically on both paths
-    to_ts = F.expr("timestamp_micros(ts div 1000)")
     agg = windowed_aggregate(
-        stream.withColumn("ts", to_ts), "ts", window="1 hour", group_cols=("event_type",)
+        _normalize_ts(stream), "ts", window="1 hour", group_cols=("event_type",)
     )
     run_available_now(agg, str(scratch / "ckpt_w"), query_name="win", output_mode="complete")
     got = {
@@ -91,7 +102,7 @@ def test_watermarked_window_matches_batch(spark, scratch):
     }
     expected = {
         (r["w"]["start"], r["event_type"]): (r["n"], round(r["tv"], 6))
-        for r in batch.withColumn("ts", to_ts)
+        for r in _normalize_ts(batch)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
         .collect()
@@ -106,9 +117,8 @@ def test_stateful_running_user_stats(spark, scratch):
     src.mkdir()
     shutil.copy(f"{SF_SMALL}/events.parquet", src / "b1.parquet")
     batch = spark.read.parquet(str(src))
-    to_ts = F.expr("timestamp_micros(ts div 1000)")
 
-    stream = file_stream(spark, str(src), batch.schema).withColumn("ts", to_ts)
+    stream = _normalize_ts(file_stream(spark, str(src), batch.schema))
     stats = running_user_stats(stream)
     run_available_now(
         stats, str(scratch / "ckpt_state"), query_name="ustats", output_mode="update"
@@ -131,9 +141,9 @@ def test_stateful_running_user_stats(spark, scratch):
     # second drain with a new file AND a fresh checkpoint over both files:
     # per-key state accumulates across micro-batches within the run
     shutil.copy(f"{SF_SMALL}/events.parquet", src / "b2.parquet")
-    stream2 = file_stream(
-        spark, str(src), batch.schema, max_files_per_trigger=1
-    ).withColumn("ts", to_ts)
+    stream2 = _normalize_ts(
+        file_stream(spark, str(src), batch.schema, max_files_per_trigger=1)
+    )
     run_available_now(
         running_user_stats(stream2),
         str(scratch / "ckpt_state2"),
