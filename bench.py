@@ -51,6 +51,9 @@ HEADLINE = (
     "events_range_interval_join",
     "gopher_repetition_gates",
     "tfidf_top_terms",
+    # round 3: line-level dedup + exact percentile sort get tracked numbers
+    "line_dedup_profile",
+    "events_value_percentiles",
 )
 
 

@@ -1,0 +1,133 @@
+"""Line-level (CCNet-style) exact deduplication.
+
+CCNet (Wenzek et al., LREC 2020) removes the boilerplate that survives
+document-level dedup — cookie banners, nav menus, copyright footers — by
+hashing each line/paragraph and dropping the ones whose hash repeats
+across the corpus. The reference has no counterpart (its dedup is
+whole-row keep-first/last, SURVEY.md §2.6); this is the finer-grained
+tier between exact whole-document dedup (ops/lsh.exact_dedup) and
+near-dup MinHash (ops/lsh.minhash_near_dup_pairs).
+
+Scale shape (100 TB): lines explode to rows; the per-line-hash document
+count is a codegen hash aggregate with map-side partial aggregation, so
+the mega-duplicated boilerplate lines (the whole point of the operator)
+collapse to one row per partition BEFORE the shuffle — the hot hash never
+concentrates rows on one reducer. The count join back is an ordinary
+equi-join on the hash (counts side is one row per distinct line; AQE
+splits any skewed probe partitions), and the final per-document rollup
+shuffles on the document id, which is near-unique by construction. No
+cartesian products, no windows over unbounded groups, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _exploded_lines(
+    docs: DataFrame, id_col: str, text_col: str, sep: str, with_pos: bool
+) -> DataFrame:
+    """One row per non-empty line; ``sep`` is a Java regex (F.split)."""
+    parts = F.split(F.col(text_col), sep)
+    if with_pos:
+        ex = docs.select(
+            F.col(id_col), F.posexplode(parts).alias("__pos", "__line")
+        )
+    else:
+        ex = docs.select(F.col(id_col), F.explode(parts).alias("__line"))
+    return ex.filter(F.col("__line") != "")
+
+
+def _line_doc_counts(hashed: DataFrame, id_col: str) -> DataFrame:
+    """Distinct-document count per line hash (partial-agg friendly)."""
+    return hashed.groupBy("__lh").agg(
+        F.countDistinct(id_col).alias("__n_docs")
+    )
+
+
+def line_dup_profile(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-line profile.
+
+    Returns ``(id_col, n_lines, n_dup_lines, dup_line_frac)`` where a line
+    is "duplicated" when its md5 appears in at least ``min_docs`` distinct
+    documents (md5 so a SQL oracle reproduces the decision bit-for-bit).
+    Empty lines are ignored. This is the measurement half of CCNet's gate;
+    :func:`drop_duplicated_lines` is the enforcement half.
+    """
+    hashed = _exploded_lines(docs, id_col, text_col, sep, with_pos=False).select(
+        id_col, F.md5(F.col("__line")).alias("__lh")
+    )
+    joined = hashed.join(_line_doc_counts(hashed, id_col), "__lh")
+    dup: Column = F.sum(
+        F.when(F.col("__n_docs") >= min_docs, 1).otherwise(0)
+    ).cast("long")
+    return (
+        joined.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lines"), dup.alias("n_dup_lines"))
+        .select(
+            id_col,
+            "n_lines",
+            "n_dup_lines",
+            F.round(F.col("n_dup_lines") / F.col("n_lines"), 6).alias(
+                "dup_line_frac"
+            ),
+        )
+    )
+
+
+def drop_duplicated_lines(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    keep_first: bool = True,
+) -> DataFrame:
+    """Rebuild each document with corpus-duplicated lines removed.
+
+    ``keep_first=True`` keeps one canonical copy of each duplicated line
+    (in the MIN-``id_col`` document holding it — deterministic, matching
+    the repo's MIN-id survivor convention in exact_dedup); ``False`` drops
+    every copy, CCNet's harsher variant. Line order within a document is
+    preserved (positions ride the explode and a total-ordered re-sort).
+    Documents whose every line was dropped come back with empty text
+    rather than vanishing — downstream length gates decide their fate.
+    ``sep`` doubles as the literal rejoin delimiter, so pass a fixed
+    string (the default newline), not a regex class.
+    """
+    lines = _exploded_lines(docs, id_col, text_col, sep, with_pos=True)
+    hashed = lines.withColumn("__lh", F.md5(F.col("__line")))
+    owners = hashed.groupBy("__lh").agg(
+        F.countDistinct(id_col).alias("__n_docs"),
+        F.min(id_col).alias("__owner"),
+    )
+    kept = hashed.join(owners, "__lh").filter(
+        (F.col("__n_docs") == 1)
+        | (F.lit(keep_first) & (F.col(id_col) == F.col("__owner")))
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__pos", "__line"))
+            ).alias("__ordered")
+        )
+        .select(
+            id_col,
+            F.array_join(
+                F.transform(F.col("__ordered"), lambda s: s["__line"]), sep
+            ).alias(text_col),
+        )
+    )
+    ids = docs.select(id_col)
+    return ids.join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Large prime modulus for the affine uniform: big enough that the
@@ -65,6 +65,37 @@ def sql_uniform_affine(key_sql: str, salt: int = 0) -> str:
         f"(CAST((((({key_sql}) % {m} + {m}) % {m}) * {a} + {salt}) % {m} AS DOUBLE)"
         f" / {m}.0)"
     )
+
+
+def per_key_top_n(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    n: int,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Quota cap: keep each key group's top-``n`` rows under ``order_by``.
+
+    The corpus-curation use is per-source/per-domain quotas — cap how much
+    any one domain contributes to a training mix, keeping its "best" docs
+    under a caller-supplied TOTAL order (repo determinism rule: the order
+    must break ties, e.g. ``[quality DESC, doc_id]``). ``rank_col`` keeps
+    the 1-based rank in the output (long, matching SQL ROW_NUMBER).
+
+    Scale shape: one shuffle on ``keys``; Spark evaluates row_number with
+    a rank-limit pushdown (WindowGroupLimit) so each partition retains
+    only ``n`` candidates per key before the final sort. A group never
+    needs to fit in memory beyond its top-``n``; quota keys with millions
+    of rows are fine. The filter-then-drop formulation keeps the plan an
+    ordinary window + filter Catalyst already optimizes.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    rn = F.row_number().over(w).cast("long")
+    out = df.withColumn(rank_col or "__rn", rn).filter(
+        F.col(rank_col or "__rn") <= n
+    )
+    return out if rank_col else out.drop("__rn")
 
 
 def stratified_sample(

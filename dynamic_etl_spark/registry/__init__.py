@@ -120,6 +120,10 @@ _TAIL_ORDER = (
     "gopher_repetition_gates",
     "tfidf_top_terms",
     "events_funnel_conversion",
+    # line-level dedup, quota capping, percentile profiles (oracle-backed)
+    "line_dedup_profile",
+    "source_quota_cap",
+    "events_value_percentiles",
     # rows-only (engine-hash-specific; brute-force-checked in pytest)
     "minhash_near_dup",
     "simhash_near_dup",

@@ -215,6 +215,95 @@ GROUP BY doc_id
 """
 
 
+# ==========================================================================
+# Line-level (CCNet-style) dedup profile. documents.text is single-line,
+# so boilerplate lines are PLANTED deterministically (repo dirty-fixture
+# convention): doc_id % 4 == 0 gains a newsletter footer, % 4 == 1 a
+# copyright footer, and % 6 == 0 a click-bait line — each repeated across
+# hundreds of documents, exactly the cross-corpus duplicates the gate
+# exists to catch; every base text line stays unique.
+# ==========================================================================
+
+_B1 = "subscribe to our newsletter for updates"
+_B2 = "all rights reserved copyright notice"
+_B3 = "click here to read more"
+
+
+def line_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dynamic_etl_spark.ops.lines import line_dup_profile
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    m4, m6 = F.col("doc_id") % 4, F.col("doc_id") % 6
+    dirty = F.concat(
+        F.col("text"),
+        F.when(m4 == 0, F.lit("\n" + _B1))
+        .when(m4 == 1, F.lit("\n" + _B2))
+        .otherwise(F.lit("")),
+        F.when(m6 == 0, F.lit("\n" + _B3)).otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", dirty.alias("text"))
+    return line_dup_profile(ensure_fanout_parallelism(d))
+
+
+LINE_DEDUP_ORACLE = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '{_B1}'
+                 WHEN doc_id % 4 = 1 THEN chr(10) || '{_B2}'
+                 ELSE '' END
+         || CASE WHEN doc_id % 6 = 0 THEN chr(10) || '{_B3}' ELSE '' END AS text
+  FROM documents
+),
+h AS (
+  SELECT doc_id, md5(line) AS lh
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM dirty)
+  WHERE line <> ''
+),
+c AS (SELECT lh, count(DISTINCT doc_id) AS n_docs FROM h GROUP BY lh),
+p AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines
+  FROM h JOIN c USING (lh)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_lines, n_dup_lines,
+       round(CAST(n_dup_lines AS DOUBLE) / n_lines, 6) AS dup_line_frac
+FROM p
+"""
+
+
+# ==========================================================================
+# Per-source quota cap: keep each source's top-10 documents by
+# (n_chars DESC, doc_id) — a total order, per the repo window rule.
+# ==========================================================================
+
+def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dynamic_etl_spark.ops.sample import per_key_top_n
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return per_key_top_n(
+        docs,
+        keys=["source"],
+        order_by=[F.col("n_chars").desc(), F.col("doc_id")],
+        n=10,
+        rank_col="src_rank",
+    )
+
+
+QUOTA_ORACLE = """
+SELECT doc_id, source, n_chars, src_rank
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS src_rank
+  FROM documents
+)
+WHERE src_rank <= 10
+"""
+
+
 QUERIES: QueryRegistry = {
     "benchmark_decontamination": Query(
         benchmark_decontamination,
@@ -230,5 +319,15 @@ QUERIES: QueryRegistry = {
         winnowing_fingerprint,
         WINNOWING_ORACLE,
         "SIGMOD'03 winnowing: min-hash-per-window fingerprint set per document",
+    ),
+    "line_dedup_profile": Query(
+        line_dedup_profile,
+        LINE_DEDUP_ORACLE,
+        "CCNet-style duplicated-line profile over planted boilerplate footers",
+    ),
+    "source_quota_cap": Query(
+        source_quota_cap,
+        QUOTA_ORACLE,
+        "per-source quota: top-10 docs by (n_chars DESC, doc_id) rank-limit window",
     ),
 }

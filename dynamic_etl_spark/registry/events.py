@@ -374,6 +374,38 @@ FROM counts
 """
 
 
+# --------------------------------------------------------------------------
+# Percentile profile: exact interpolated quartiles/tails of value per
+# event_type (PERCENTILE_CONT semantics — Spark `percentile` and DuckDB
+# `quantile_cont` share the (n-1)*p linear-interpolation definition, so
+# 6dp rounding is oracle-stable). Exact percentiles sort each group; the
+# 100 TB path is ops/agg.pct_approx (mergeable sketch), tolerance-tested
+# against this in tests/test_ops_units.py.
+# --------------------------------------------------------------------------
+
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        A.pct_exact("value", 0.25, "p25"),
+        A.pct_exact("value", 0.50, "p50"),
+        A.pct_exact("value", 0.90, "p90"),
+        A.pct_exact("value", 0.99, "p99"),
+    )
+
+
+PERCENTILES_ORACLE = """
+SELECT event_type,
+       count(value) AS n,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.90), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES: QueryRegistry = {
     "events_tumbling_window": Query(
         events_tumbling_window, TUMBLING_ORACLE, "1-hour tumbling window counts/sums"
@@ -404,5 +436,10 @@ QUERIES: QueryRegistry = {
         events_funnel_conversion,
         FUNNEL_ORACLE,
         "view->click->purchase funnel stage counts + conversion rates",
+    ),
+    "events_value_percentiles": Query(
+        events_value_percentiles,
+        PERCENTILES_ORACLE,
+        "exact PERCENTILE_CONT quartiles/tails per event_type",
     ),
 }

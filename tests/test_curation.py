@@ -163,3 +163,83 @@ def test_winnowing_density(spark):
     # expected density for random hashes is 2/(w+1) = 0.4
     assert row["n_fingerprints"] < n_grams * 0.6
     assert row["n_fingerprints"] >= n_grams / 8
+
+
+# ------------------------------------------------ line-level (CCNet) dedup ---
+
+def test_line_dup_profile_hand_example(spark):
+    from dynamic_etl_spark.ops.lines import line_dup_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\ncommon footer\nbeta"),
+            (2, "gamma\ncommon footer"),
+            (3, "delta\n\nepsilon"),  # empty line ignored
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in line_dup_profile(df).collect()}
+    assert (rows[1]["n_lines"], rows[1]["n_dup_lines"]) == (3, 1)
+    assert (rows[2]["n_lines"], rows[2]["n_dup_lines"]) == (2, 1)
+    assert (rows[3]["n_lines"], rows[3]["n_dup_lines"]) == (2, 0)
+    assert rows[2]["dup_line_frac"] == 0.5
+
+
+def test_drop_duplicated_lines_keep_first_and_drop_all(spark):
+    from dynamic_etl_spark.ops.lines import drop_duplicated_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\ncommon footer\nbeta"),
+            (2, "gamma\ncommon footer"),
+            (3, "common footer"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"]: r["text"] for r in drop_duplicated_lines(df).collect()}
+    # doc 1 is the MIN-id owner of the footer: keeps it, in original order
+    assert kept[1] == "alpha\ncommon footer\nbeta"
+    assert kept[2] == "gamma"
+    assert kept[3] == ""  # fully-deduped doc survives with empty text
+    harsh = {
+        r["doc_id"]: r["text"]
+        for r in drop_duplicated_lines(df, keep_first=False).collect()
+    }
+    assert harsh[1] == "alpha\nbeta"
+    assert harsh[2] == "gamma"
+    assert harsh[3] == ""
+
+
+# ------------------------------------------------------------- quota cap ---
+
+def test_per_key_top_n_rank_and_quota(spark):
+    from dynamic_etl_spark.ops.sample import per_key_top_n
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 30), ("a", 3, 30), ("a", 4, 5), ("b", 5, 1)],
+        "src string, id long, score long",
+    )
+    order = [F.col("score").desc(), F.col("id")]
+    out = per_key_top_n(df, keys=["src"], order_by=order, n=2, rank_col="rk")
+    rows = {(r["src"], r["id"]): r["rk"] for r in out.collect()}
+    assert rows == {("a", 2): 1, ("a", 3): 2, ("b", 5): 1}
+    # without rank_col the schema is untouched, rows still capped
+    out2 = per_key_top_n(df, keys=["src"], order_by=order, n=1)
+    assert out2.columns == ["src", "id", "score"]
+    assert {r["id"] for r in out2.collect()} == {2, 5}
+
+
+def test_per_key_top_n_plan_has_rank_limit_pushdown(spark):
+    """The quota window must compile with the rank-limit pushdown
+    (WindowGroupLimit), so each partition retains only n candidates per
+    key before the shuffle — the property the 100 TB claim rests on."""
+    from dynamic_etl_spark.ops.sample import per_key_top_n
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    out = per_key_top_n(
+        df, keys=["k"], order_by=[F.col("v").desc()], n=3, rank_col="r"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

@@ -233,3 +233,24 @@ def test_resolve_file_days_back_and_missing(scratch):
     direct = scratch / "snap_20240310_0900.csv"
     assert resolve_file(str(direct)) == str(direct)
     assert resolve_file(str(scratch / "nope.csv"), allow_missing=True) is None
+
+
+def test_percentile_exact_interpolation_and_approx_bound(spark):
+    """pct_exact follows PERCENTILE_CONT interpolation (oracle-matched in
+    events_value_percentiles); pct_approx (the 100 TB sketch path) must
+    land within rank error ~1/accuracy of the exact answer."""
+    from dynamic_etl_spark.ops import agg as A
+
+    df = spark.createDataFrame([(float(i),) for i in range(101)], "v double")
+    row = df.agg(
+        A.pct_exact("v", 0.5, "m"),
+        A.pct_exact("v", 0.9, "p90"),
+        A.pct_approx("v", 0.5, "am"),
+        A.pct_approx("v", 0.9, "ap90"),
+    ).collect()[0]
+    assert row["m"] == 50.0 and row["p90"] == 90.0
+    assert abs(row["am"] - 50.0) <= 1.0
+    assert abs(row["ap90"] - 90.0) <= 1.0
+    # 4 values: p50 interpolates halfway between the 2nd and 3rd
+    df2 = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (10.0,)], "v double")
+    assert df2.agg(A.pct_exact("v", 0.5, "m")).collect()[0]["m"] == 2.5
