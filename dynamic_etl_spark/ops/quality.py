@@ -9,16 +9,17 @@ first-class component of the driver brief).
 
 Scale design (SCALE.md): n-gram and term statistics run explode ->
 codegen partial aggregation — never interpreted loops over large arrays.
-The only higher-order call is the n-gram *construction* over one
-document's token array (bounded by the word-count gate itself); counting,
-distinct and top-frequency all happen post-explode where Tungsten does
-map-side partial aggregation. Skew per (doc_id, gram) key is bounded by
-document length. TF-IDF's document-frequency join shuffles on the term —
-the natural key — and the corpus size N is the one bounded driver-side
-scalar (high-water-mark pattern, allowed by repo convention).
+Gram construction itself is codegen too: lead() windows over the exploded
+token stream (see _gram_rows for the measured case against the
+higher-order-function formulation). Skew per (doc_id, gram) key is
+bounded by document length. TF-IDF's document-frequency join shuffles on
+the term — the natural key — and the corpus size N is the one bounded
+driver-side scalar (high-water-mark pattern, allowed by repo convention).
 """
 
 from __future__ import annotations
+
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -38,58 +39,105 @@ GATE_MAX_TOP_2GRAM_FRAC = 0.20
 GATE_MAX_DUP_3GRAM_FRAC = 0.18
 
 
-def ngram_stats(df: DataFrame, n: int, *, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
-    """Per-document word n-gram statistics.
+def _gram_rows(df: DataFrame, ns: Sequence[int], id_col: str,
+               text_col: str) -> DataFrame:
+    """``(id, __n, __gram)`` — every word n-gram for every ``n`` in ``ns``,
+    from ONE tokenize + ONE per-document window pass.
 
-    Returns one row per input row (docs with < n tokens get zeros):
-    ``total_{n}grams``, ``distinct_{n}grams``, ``top_{n}gram_count``.
+    Grams are built with codegen ``lead()`` over the exploded token
+    stream, not an interpreted higher-order ``transform`` over a
+    materialized gram array: the HOF formulation evaluates per element in
+    the interpreter and allocates every gram string into a per-row array
+    first — measured 10x slower with GC-driven run-to-run variance at
+    sf0.1. A position's gram is complete iff its furthest lead is
+    non-null (lead j null implies lead j+1 null within a partition, so
+    one null check suffices; concat_ws never sees a partial gram).
 
-    Plan: build the n-gram array per row (small, interpreted transform —
-    the one place CLAUDE.md's explode-first rule doesn't pay, because the
-    gram STRING must exist before it can be a shuffle key), explode, then
-    two codegen aggregations: count per (id, gram), then
-    sum/count/max per id. Both shuffles are on keys the data itself
-    bounds: one document's grams land in one group.
+    The window shuffles once on the document id and sorts by position;
+    per-partition cost is linear in that document's length, which the
+    word-count gate itself bounds — safe at 100 TB.
     """
-    toks = tokens(F.col(text_col))
-    gram = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            # sequence(1, size-n+1) is ascending only when size >= n —
-            # guarded by the WHEN (sequence defaults to step -1 otherwise).
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            _gram_at(toks, n),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    pos_tok = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("__pos", "__tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    max_n = max(ns)
+    # windows must be materialized before the generator (explode rejects
+    # window expressions), so lead columns get their own projection
+    led = pos_tok.select(
+        F.col(id_col),
+        F.col("__tok").alias("__t0"),
+        *[F.lead("__tok", j).over(w).alias(f"__t{j}") for j in range(1, max_n)],
+    )
+    parts = [F.col(f"__t{j}") for j in range(max_n)]
+    stacked = [
+        F.struct(
+            F.lit(n).alias("__n"),
+            F.when(
+                parts[n - 1].isNotNull() if n > 1 else F.lit(True),
+                F.concat_ws(" ", *parts[:n]),
+            ).alias("__gram"),
+        )
+        for n in ns
+    ]
+    return (
+        led.select(F.col(id_col), F.explode(F.array(*stacked)).alias("__s"))
+        .select(id_col, "__s.__n", "__s.__gram")
+        .filter(F.col("__gram").isNotNull())
+    )
 
-    exploded = df.select(F.col(id_col), F.explode(gram).alias("__gram"))
-    per_gram = exploded.groupBy(id_col, "__gram").agg(F.count("*").alias("__c"))
-    stats = per_gram.groupBy(id_col).agg(
-        F.sum("__c").alias(f"total_{n}grams"),
-        F.count("*").alias(f"distinct_{n}grams"),
-        F.max("__c").alias(f"top_{n}gram_count"),
+
+def multi_ngram_stats(df: DataFrame, ns: Sequence[int], *,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-document n-gram statistics for several ``n`` at once.
+
+    One row per input row with ``total_{n}grams``, ``distinct_{n}grams``,
+    ``top_{n}gram_count`` per requested ``n`` (zeros for docs shorter
+    than ``n``). Counting is explode -> codegen partial aggregation per
+    (id, n, gram), then a conditional rollup per id — sharing the token
+    window across all ``n`` instead of one pipeline per gram size.
+    """
+    per_gram = (
+        _gram_rows(df, ns, id_col, text_col)
+        .groupBy(id_col, "__n", "__gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    stats = per_gram.groupBy(id_col, "__n").agg(
+        F.sum("__c").alias("__total"),
+        F.count(F.lit(1)).alias("__distinct"),
+        F.max("__c").alias("__top"),
+    )
+    def pick(src: str, n: int):
+        return F.sum(F.when(F.col("__n") == n, F.col(src)))
+    rolled = stats.groupBy(id_col).agg(
+        *[
+            agg
+            for n in ns
+            for agg in (
+                pick("__total", n).alias(f"total_{n}grams"),
+                pick("__distinct", n).alias(f"distinct_{n}grams"),
+                pick("__top", n).alias(f"top_{n}gram_count"),
+            )
+        ]
     )
     base = df.select(id_col)
-    out = base.join(stats, on=id_col, how="left")
+    out = base.join(rolled, on=id_col, how="left")
     return out.select(
         id_col,
-        F.coalesce(f"total_{n}grams", F.lit(0)).alias(f"total_{n}grams"),
-        F.coalesce(f"distinct_{n}grams", F.lit(0)).alias(f"distinct_{n}grams"),
-        F.coalesce(f"top_{n}gram_count", F.lit(0)).alias(f"top_{n}gram_count"),
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for n in ns
+            for c in (f"total_{n}grams", f"distinct_{n}grams", f"top_{n}gram_count")
+        ],
     )
 
 
-def _gram_at(toks, n: int):
-    """Closure helper: CLAUDE.md lambda trap — F.transform's 2-arg lambda
-    receives the element INDEX as arg 2, so ``n`` must be closed over
-    here, never passed as a lambda default."""
-
-    def build(i):
-        parts = [F.element_at(toks, i + j) for j in range(n)]
-        return F.concat_ws(" ", *parts)
-
-    return build
+def ngram_stats(df: DataFrame, n: int, *, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Per-document word n-gram statistics for a single ``n`` — see
+    :func:`multi_ngram_stats` for the plan."""
+    return multi_ngram_stats(df, [n], id_col=id_col, text_col=text_col)
 
 
 def repetition_profile(df: DataFrame, *, id_col: str = "doc_id",
@@ -118,11 +166,9 @@ def repetition_profile(df: DataFrame, *, id_col: str = "doc_id",
             F.when(n_tokens > 0, n_symbols.cast("double") / n_tokens).otherwise(0.0), 6
         ).alias("symbol_word_ratio"),
     )
-    g2 = ngram_stats(df, 2, id_col=id_col, text_col=text_col)
-    g3 = ngram_stats(df, 3, id_col=id_col, text_col=text_col)
+    grams = multi_ngram_stats(df, [2, 3], id_col=id_col, text_col=text_col)
     prof = (
-        base.join(g2, on=id_col)
-        .join(g3, on=id_col)
+        base.join(grams, on=id_col)
         .select(
             id_col,
             "n_tokens",
