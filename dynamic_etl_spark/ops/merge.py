@@ -112,6 +112,143 @@ def scd1_merge(
     return inserts.select(*out_cols).unionByName(others.select(*out_cols))
 
 
+def scd2_merge(
+    existing: DataFrame,
+    incoming: DataFrame,
+    natural_key: Sequence[str],
+    surrogate_col: str,
+    effective_date: str,
+    exact_cols: Sequence[str] = (),
+    tolerance_cols: Sequence[str] = (),
+    tolerance: float = 0.01,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    current_col: str = "is_current",
+    open_end_date: str = "2100-01-01 00:00:00",
+    op_col: str = "operation",
+    key_mode: str = "contiguous",
+    max_contiguous_insert_rows: int | None = CONTIGUOUS_GUARD_ROWS,
+) -> DataFrame:
+    """SCD Type-2 MERGE: history-preserving upsert as one full-outer join.
+
+    The reference stops at Type-1 overwrite (its MERGE updates in place,
+    load_dim_product_dw.py:524-531); Type-2 is the standard extension every
+    warehouse needs for auditable dimensions. ``existing`` carries the
+    version columns (``valid_from``/``valid_to``/``is_current`` with the
+    reference's Y/N flag convention); ``incoming`` is a current snapshot
+    keyed by the natural key. Per key:
+
+    - closed-out history rows (``is_current <> 'Y'``) pass through
+      untouched (op HISTORY);
+    - a current row with no incoming match stays open (KEEP — no delete
+      detection, matching the reference's merge);
+    - a matched row with no change (same null-safe exact cols, tolerance
+      cols within ``tolerance`` — the shared ``any_change`` predicate)
+      stays open (KEEP);
+    - a changed row is emitted twice: the old version closed out at
+      ``effective_date`` with ``is_current='N'`` (CLOSE), and a new open
+      version with the incoming values and a fresh surrogate (REVISE);
+    - an unmatched incoming key becomes a first open version (INSERT).
+
+    The open-end sentinel defaults to 2100-01-01 rather than the
+    warehouse-classic 9999-12-31: the parity harness (and any pandas
+    consumer) converts timestamps to nanoseconds, whose ceiling is
+    2262-04-11 — a year-9999 sentinel overflows Arrow's ns cast.
+    ``effective_date`` is an explicit literal (repo determinism rule: no
+    ``current_date``), cast to ``valid_from_col``'s type; it must postdate
+    every open row's ``valid_from`` (same-day re-merge of a key is the
+    caller's conflict to resolve). New surrogates are numbered
+    hwm+1.. in natural-key order over INSERT∪REVISE together, through
+    the same guard/sparse switch as :func:`scd1_merge`.
+
+    Scale: identical shape to ``scd1_merge`` — one natural-key shuffle for
+    the join (current rows only; history never shuffles), one scalar MAX,
+    delta-sized insert numbering.
+    """
+    keys = list(natural_key)
+    value_cols = [*exact_cols, *tolerance_cols]
+    out_cols = [
+        surrogate_col, *keys, *value_cols,
+        valid_from_col, valid_to_col, current_col, op_col,
+    ]
+    vf_type = existing.schema[valid_from_col].dataType
+    eff = F.lit(effective_date).cast(vf_type)
+    open_end = F.lit(open_end_date).cast(vf_type)
+    hwm = high_water_mark(existing, surrogate_col)
+
+    history = existing.filter(F.col(current_col) != "Y").withColumn(
+        op_col, F.lit("HISTORY")
+    )
+    cur = existing.filter(F.col(current_col) == "Y")
+
+    ex = cur.select(
+        *keys,
+        F.col(surrogate_col).alias("__ex_sk"),
+        F.col(valid_from_col).alias("__ex_vf"),
+        F.col(valid_to_col).alias("__ex_vt"),
+        *[F.col(c).alias(f"__ex_{c}") for c in value_cols],
+        F.lit(True).alias("__ex_present"),
+    )
+    inc = incoming.select(
+        *[F.col(c).alias(f"__in_{c}") for c in keys],
+        *[F.col(c).alias(f"__in_{c}") for c in value_cols],
+        F.lit(True).alias("__in_present"),
+    )
+    j = ex.join(
+        inc, [ex[k].eqNullSafe(inc[f"__in_{k}"]) for k in keys], "full_outer"
+    )
+    matched = F.col("__ex_present").isNotNull() & F.col("__in_present").isNotNull()
+    changed = matched & any_change(
+        exact_cols, tolerance_cols, tolerance, new_prefix="__in_"
+    )
+
+    keep = j.filter(
+        (F.col("__in_present").isNull() & F.col("__ex_present").isNotNull())
+        | (matched & ~any_change(exact_cols, tolerance_cols, tolerance, new_prefix="__in_"))
+    ).select(
+        F.col("__ex_sk").alias(surrogate_col),
+        *keys,
+        *[F.col(f"__ex_{c}").alias(c) for c in value_cols],
+        F.col("__ex_vf").alias(valid_from_col),
+        F.col("__ex_vt").alias(valid_to_col),
+        F.lit("Y").alias(current_col),
+        F.lit("KEEP").alias(op_col),
+    )
+    closed = j.filter(changed).select(
+        F.col("__ex_sk").alias(surrogate_col),
+        *keys,
+        *[F.col(f"__ex_{c}").alias(c) for c in value_cols],
+        F.col("__ex_vf").alias(valid_from_col),
+        eff.alias(valid_to_col),
+        F.lit("N").alias(current_col),
+        F.lit("CLOSE").alias(op_col),
+    )
+    fresh = j.filter(changed | F.col("__ex_present").isNull()).select(
+        *[F.col(f"__in_{k}").alias(k) for k in keys],
+        *[F.col(f"__in_{c}").alias(c) for c in value_cols],
+        eff.alias(valid_from_col),
+        open_end.alias(valid_to_col),
+        F.lit("Y").alias(current_col),
+        F.when(F.col("__ex_present").isNull(), F.lit("INSERT"))
+        .otherwise(F.lit("REVISE"))
+        .alias(op_col),
+    )
+    fresh = assign_surrogate_keys(
+        fresh,
+        order_cols=keys,
+        key_col=surrogate_col,
+        offset=hwm,
+        mode=key_mode,
+        max_contiguous_rows=max_contiguous_insert_rows,
+    )
+    return (
+        history.select(*out_cols)
+        .unionByName(keep.select(*out_cols))
+        .unionByName(closed.select(*out_cols))
+        .unionByName(fresh.select(*out_cols))
+    )
+
+
 def merge_insert_only(
     existing: DataFrame, incoming: DataFrame, key: Sequence[str] | str
 ) -> DataFrame:

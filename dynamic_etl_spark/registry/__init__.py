@@ -124,6 +124,8 @@ _TAIL_ORDER = (
     "line_dedup_profile",
     "source_quota_cap",
     "events_value_percentiles",
+    # SCD Type-2 history-preserving merge (oracle-backed)
+    "scd2_merge_customers",
     # rows-only (engine-hash-specific; brute-force-checked in pytest)
     "minhash_near_dup",
     "simhash_near_dup",

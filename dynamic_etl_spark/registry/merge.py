@@ -12,7 +12,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dynamic_etl_spark.ops.joins import change_detection
-from dynamic_etl_spark.ops.merge import merge_insert_only, scd1_merge, upsert_mini_dim
+from dynamic_etl_spark.ops.merge import (
+    merge_insert_only,
+    scd1_merge,
+    scd2_merge,
+    upsert_mini_dim,
+)
 from dynamic_etl_spark.registry.core import Query, QueryRegistry, t
 
 
@@ -129,6 +134,131 @@ SELECT CASE WHEN operation = 'INSERT'
          AS o_totalprice,
        operation
 FROM j
+"""
+
+
+# --------------------------------------------------------------------------
+# SCD Type-2 — history-preserving MERGE (beyond-reference: the reference
+# stops at Type-1 overwrite). Deterministic customer-dim fixture:
+# history rows for every 9th key, missing / changed-beyond-tolerance /
+# changed-name / within-tolerance / brand-new incoming slices by key
+# modulus, effective date a fixed literal (determinism rule).
+# --------------------------------------------------------------------------
+
+def scd2_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+
+    def ts(s: str):
+        return F.lit(s).cast("timestamp_ntz")
+
+    cur = cust.select(
+        k.alias("cust_sk"),
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        ts("2020-01-01 00:00:00").alias("valid_from"),
+        ts("2100-01-01 00:00:00").alias("valid_to"),
+        F.lit("Y").alias("is_current"),
+    )
+    hist = cust.filter(k % 9 == 0).select(
+        (k + 5_000_000).alias("cust_sk"),
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal") - 50.0).alias("c_acctbal"),
+        ts("2015-01-01 00:00:00").alias("valid_from"),
+        ts("2020-01-01 00:00:00").alias("valid_to"),
+        F.lit("N").alias("is_current"),
+    )
+    incoming = cust.filter(k % 13 != 5).select(
+        "c_custkey",
+        F.when(k % 10 == 3, F.concat(F.col("c_name"), F.lit(" JR")))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        F.when(k % 7 == 0, F.col("c_acctbal") + 100.0)
+        .when(k % 17 == 2, F.col("c_acctbal") + 0.005)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    ).unionByName(
+        cust.filter(k % 11 == 0).select(
+            (k + 1_000_000).alias("c_custkey"),
+            F.concat(F.lit("NEW "), F.col("c_name")).alias("c_name"),
+            F.col("c_acctbal"),
+        )
+    )
+    return scd2_merge(
+        cur.unionByName(hist),
+        incoming,
+        natural_key=["c_custkey"],
+        surrogate_col="cust_sk",
+        effective_date="2024-06-01 00:00:00",
+        exact_cols=["c_name"],
+        tolerance_cols=["c_acctbal"],
+    )
+
+
+SCD2_ORACLE = """
+WITH cur AS (
+  SELECT c_custkey AS cust_sk, c_custkey, c_name, c_acctbal,
+         TIMESTAMP '2020-01-01' AS valid_from,
+         TIMESTAMP '2100-01-01' AS valid_to, 'Y' AS is_current
+  FROM customer
+),
+hist AS (
+  SELECT c_custkey + 5000000 AS cust_sk, c_custkey, c_name,
+         c_acctbal - 50.0 AS c_acctbal,
+         TIMESTAMP '2015-01-01' AS valid_from,
+         TIMESTAMP '2020-01-01' AS valid_to, 'N' AS is_current
+  FROM customer WHERE c_custkey % 9 = 0
+),
+inc AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 3 THEN c_name || ' JR' ELSE c_name END AS c_name,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+              WHEN c_custkey % 17 = 2 THEN c_acctbal + 0.005
+              ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 13 <> 5
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW ' || c_name, c_acctbal
+  FROM customer WHERE c_custkey % 11 = 0
+),
+hwm AS (
+  SELECT max(cust_sk) AS v
+  FROM (SELECT cust_sk FROM cur UNION ALL SELECT cust_sk FROM hist)
+),
+j AS (
+  SELECT cur.cust_sk AS ex_sk, cur.c_custkey AS ex_key,
+         cur.c_name AS ex_name, cur.c_acctbal AS ex_bal,
+         cur.valid_from AS ex_vf, cur.valid_to AS ex_vt,
+         i.c_custkey AS in_key, i.c_name AS in_name, i.c_acctbal AS in_bal,
+         CASE WHEN i.c_custkey IS NULL THEN 'KEEP'
+              WHEN cur.c_custkey IS NULL THEN 'INSERT'
+              WHEN (i.c_name IS DISTINCT FROM cur.c_name)
+                OR (NOT (i.c_acctbal IS NULL AND cur.c_acctbal IS NULL)
+                    AND COALESCE(ABS(i.c_acctbal - cur.c_acctbal) > 0.01, TRUE))
+              THEN 'CHANGED' ELSE 'KEEP' END AS cls
+  FROM cur FULL OUTER JOIN inc i ON cur.c_custkey = i.c_custkey
+)
+SELECT cust_sk, c_custkey, c_name, c_acctbal,
+       valid_from, valid_to, is_current, operation
+FROM (
+  SELECT cust_sk, c_custkey, c_name, c_acctbal, valid_from, valid_to,
+         is_current, 'HISTORY' AS operation
+  FROM hist
+  UNION ALL
+  SELECT ex_sk, ex_key, ex_name, ex_bal, ex_vf, ex_vt, 'Y', 'KEEP'
+  FROM j WHERE cls = 'KEEP' AND ex_key IS NOT NULL
+  UNION ALL
+  SELECT ex_sk, ex_key, ex_name, ex_bal, ex_vf, TIMESTAMP '2024-06-01',
+         'N', 'CLOSE'
+  FROM j WHERE cls = 'CHANGED'
+  UNION ALL
+  SELECT (SELECT v FROM hwm) + ROW_NUMBER() OVER (ORDER BY in_key),
+         in_key, in_name, in_bal, TIMESTAMP '2024-06-01',
+         TIMESTAMP '2100-01-01', 'Y',
+         CASE WHEN cls = 'INSERT' THEN 'INSERT' ELSE 'REVISE' END
+  FROM j WHERE cls IN ('INSERT', 'CHANGED')
+)
 """
 
 
@@ -260,6 +390,10 @@ QUERIES: QueryRegistry = {
     "scd1_merge_orders": Query(
         scd1_merge_orders, SCD1_ORACLE,
         "U1/J5 SCD-1 full-outer MERGE rewrite with surrogate continuation",
+    ),
+    "scd2_merge_customers": Query(
+        scd2_merge_customers, SCD2_ORACLE,
+        "SCD-2 history-preserving MERGE: KEEP/CLOSE/REVISE/INSERT/HISTORY",
     ),
     "mini_dim_upsert": Query(
         mini_dim_upsert, MINI_DIM_ORACLE, "U2 mini-dimension upsert MAX+1 keys"

@@ -254,3 +254,61 @@ def test_percentile_exact_interpolation_and_approx_bound(spark):
     # 4 values: p50 interpolates halfway between the 2nd and 3rd
     df2 = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (10.0,)], "v double")
     assert df2.agg(A.pct_exact("v", 0.5, "m")).collect()[0]["m"] == 2.5
+
+
+def test_scd2_merge_hand_example(spark):
+    """All five SCD-2 operations on a 4-key fixture: history pass-through,
+    keep (unchanged + missing-from-feed), close+revise on change, insert
+    for a new key; new surrogates continue above the global high-water
+    mark in natural-key order."""
+    from dynamic_etl_spark.ops.merge import scd2_merge
+
+    existing = spark.createDataFrame(
+        [
+            # closed-out history for key 1 (sk 90 is also the hwm)
+            (90, 1, "alice", 10.0, "2015-01-01 00:00:00", "2020-01-01 00:00:00", "N"),
+            (1, 1, "alice", 20.0, "2020-01-01 00:00:00", "2100-01-01 00:00:00", "Y"),
+            (2, 2, "bob", 30.0, "2020-01-01 00:00:00", "2100-01-01 00:00:00", "Y"),
+            (3, 3, "carol", 40.0, "2020-01-01 00:00:00", "2100-01-01 00:00:00", "Y"),
+        ],
+        "sk long, k long, name string, bal double, "
+        "valid_from string, valid_to string, is_current string",
+    ).withColumns(
+        {
+            "valid_from": F.col("valid_from").cast("timestamp_ntz"),
+            "valid_to": F.col("valid_to").cast("timestamp_ntz"),
+        }
+    )
+    incoming = spark.createDataFrame(
+        [
+            (1, "alice", 20.005),   # within tolerance -> KEEP
+            (2, "bob", 31.0),       # beyond tolerance -> CLOSE + REVISE
+            (9, "zoe", 5.0),        # new key -> INSERT
+            # key 3 missing -> KEEP (no delete detection)
+        ],
+        "k long, name string, bal double",
+    )
+    out = scd2_merge(
+        existing,
+        incoming,
+        natural_key=["k"],
+        surrogate_col="sk",
+        effective_date="2024-06-01 00:00:00",
+        exact_cols=["name"],
+        tolerance_cols=["bal"],
+    )
+    rows = {(r["sk"], r["operation"]): r for r in out.collect()}
+    assert len(rows) == 6
+    assert (90, "HISTORY") in rows
+    assert (1, "KEEP") in rows and rows[(1, "KEEP")]["bal"] == 20.0
+    assert (3, "KEEP") in rows
+    closed = rows[(2, "CLOSE")]
+    assert closed["is_current"] == "N"
+    assert str(closed["valid_to"]).startswith("2024-06-01")
+    # inserts numbered hwm(90)+1.. in key order: key 2 revision, then key 9
+    revised = rows[(91, "REVISE")]
+    assert revised["k"] == 2 and revised["bal"] == 31.0
+    assert revised["is_current"] == "Y"
+    assert str(revised["valid_from"]).startswith("2024-06-01")
+    inserted = rows[(92, "INSERT")]
+    assert inserted["k"] == 9 and inserted["name"] == "zoe"
