@@ -127,6 +127,7 @@ _TAIL_ORDER = (
     # SCD Type-2 history-preserving merge (oracle-backed)
     "scd2_merge_customers",
     # rows-only (engine-hash-specific; brute-force-checked in pytest)
+    "approx_distinct_profile",
     "minhash_near_dup",
     "simhash_near_dup",
     "embedding_ann_lsh",

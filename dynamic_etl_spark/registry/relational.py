@@ -256,6 +256,24 @@ FROM part
 """
 
 
+def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5's 100 TB path: HyperLogLog++ cardinalities instead of exact
+    COUNT(DISTINCT). Exact distinct counting shuffles every distinct value
+    (one exchange per column in one agg); the sketch is fixed-size per
+    column, merges map-side, and never reshuffles data — the profile the
+    reference's validators would run against a 10^11-row fact table.
+    Engine-hash-specific (rows-only check); tests/test_ops_units.py bounds
+    it against the exact profile at rsd=0.01.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("n_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("n_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 # --------------------------------------------------------------------------
 # A6 — numeric column profile (reference: scripts/validate_table.py:403-408)
 # --------------------------------------------------------------------------
@@ -608,6 +626,10 @@ QUERIES: QueryRegistry = {
     "pricing_summary": Query(pricing_summary, PRICING_ORACLE, "A2/A4 TPC-H Q1-shape multi-aggregate"),
     "high_water_mark": Query(high_water_mark, HWM_ORACLE, "A1 NVL(MAX(id),0)"),
     "distinct_profile": Query(distinct_profile, DISTINCT_PROFILE_ORACLE, "A5 countDistinct profile"),
+    "approx_distinct_profile": Query(
+        approx_distinct_profile, None,
+        "A5 at scale: HyperLogLog++ cardinality sketch profile (rows-only; pytest-bounded vs exact)",
+    ),
     "numeric_profile": Query(numeric_profile, NUMERIC_PROFILE_ORACLE, "A6 min/max/avg/count profile"),
     "duplicate_detection": Query(duplicate_detection, DUP_ORACLE, "A7/D3 GROUP BY HAVING dup detection"),
     "null_count_profile": Query(null_count_profile, NULL_COUNT_ORACLE, "A8 one-pass null counts"),

@@ -1,4 +1,5 @@
 from dynamic_etl_spark.streaming.incremental import (  # noqa: F401
+    dedup_within_watermark,
     file_stream,
     run_available_now,
     windowed_aggregate,

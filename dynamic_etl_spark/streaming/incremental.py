@@ -64,6 +64,27 @@ def windowed_aggregate(
     )
 
 
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: tuple[str, ...] | list[str],
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Row-level exactly-once on top of the file queue's file-level
+    exactly-once: drops re-deliveries of the same key (retried producer
+    batches, overlapping extracts) arriving within ``delay`` of each
+    other — the streaming twin of D1 dedup-keep-first.
+
+    State is keyed by ``keys`` and EVICTED once the watermark passes a
+    row's event time (unlike plain ``dropDuplicates``, whose state grows
+    without bound on an endless stream). The contract at 100 TB: state is
+    O(keys arriving within one delay window); a duplicate older than
+    ``delay`` slips through, which is the documented at-least-once
+    residue an idempotent sink absorbs.
+    """
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(keys))
+
+
 def run_available_now(
     df: DataFrame,
     checkpoint_dir: str,

@@ -312,3 +312,25 @@ def test_scd2_merge_hand_example(spark):
     assert str(revised["valid_from"]).startswith("2024-06-01")
     inserted = rows[(92, "INSERT")]
     assert inserted["k"] == 9 and inserted["name"] == "zoe"
+
+
+def test_approx_distinct_within_rsd_of_exact(spark):
+    """The HLL++ profile must land within ~3x the configured rsd (0.01) of
+    the exact distinct counts — the bound that justifies replacing exact
+    COUNT(DISTINCT) at 100 TB."""
+    from dynamic_etl_spark.registry import all_queries
+    from tests.conftest import SF_MEDIUM
+
+    reg = all_queries()
+    approx = reg["approx_distinct_profile"].fn(spark, SF_MEDIUM).collect()[0]
+    from dynamic_etl_spark.catalog import load_table
+
+    li = load_table(spark, SF_MEDIUM, "lineitem")
+    exact = li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    ).collect()[0]
+    for col in ("n_orders", "n_parts", "n_suppliers"):
+        rel_err = abs(approx[col] - exact[col]) / exact[col]
+        assert rel_err <= 0.03, f"{col}: {approx[col]} vs {exact[col]} ({rel_err:.3%})"

@@ -176,3 +176,26 @@ def test_one_file_per_trigger_paces_batches(spark, scratch):
     batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
     assert len(batches) == 2
     assert all(p["numInputRows"] == batch.count() for p in batches)
+
+
+def test_dedup_within_watermark_drops_redelivered_rows(spark, scratch):
+    """Two copies of the same file pass the FILE-level ledger (different
+    names), but row-level dedup on event_id collapses them back to one
+    copy's worth of rows."""
+    from dynamic_etl_spark.streaming import dedup_within_watermark
+
+    src = scratch / "incoming"
+    src.mkdir()
+    events_file = f"{SF_SMALL}/events.parquet"
+    shutil.copy(events_file, src / "copy1.parquet")
+    shutil.copy(events_file, src / "copy2.parquet")
+    batch = spark.read.parquet(events_file)
+
+    stream = _normalize_ts(file_stream(spark, str(src), batch.schema))
+    deduped = dedup_within_watermark(stream, ["event_id"], delay="10 minutes")
+    counts = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    run_available_now(
+        counts, str(scratch / "ckpt_dd"), query_name="dd", output_mode="complete"
+    )
+    got = {r["event_type"]: r["n"] for r in spark.sql("SELECT * FROM dd").collect()}
+    assert got == _type_counts(batch)  # single-copy counts, not doubled
