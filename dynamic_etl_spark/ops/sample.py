@@ -98,6 +98,66 @@ def per_key_top_n(
     return out if rank_col else out.drop("__rn")
 
 
+def per_key_quota_sample(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    quota: Column,
+    uniform: Column,
+    tiebreak: Sequence[str],
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Exact per-stratum sample sizes (training-mix rebalancing): keep the
+    ``quota`` lowest rows per key under a deterministic pseudo-random rank.
+
+    Ranking by a hash-derived ``uniform`` (plus ``tiebreak`` for a total
+    order) is an exact-count stratified draw — the way a corpus mix hits
+    "12 docs from every even source, 5 from every odd one" precisely,
+    where probabilistic filtering only hits it in expectation.
+    ``quota`` is a per-row Column (typically a CASE over the key), so
+    different strata get different counts in one pass.
+
+    Scale: one shuffle on ``keys``. A column-valued quota defeats the
+    WindowGroupLimit rank pushdown (that optimization needs a literal
+    bound), so each group is fully sorted — fine for quota keys up to
+    millions of rows; for a single literal quota use
+    :func:`per_key_top_n`, which keeps the pushdown.
+    """
+    w = Window.partitionBy(*keys).orderBy(uniform, *[F.col(c) for c in tiebreak])
+    rn = F.row_number().over(w).cast("long")
+    col = rank_col or "__rn"
+    out = df.withColumn(col, rn).filter(F.col(col) <= quota)
+    return out if rank_col else out.drop("__rn")
+
+
+def hash_split(
+    df: DataFrame,
+    uniform: Column,
+    splits: Sequence[tuple[str, float]],
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation/test assignment: label each row by
+    where its hash-uniform falls in the cumulative split fractions.
+
+    ``splits`` is ordered (name, fraction) pairs summing to 1.0 (the last
+    split absorbs rounding residue). A pure row-local codegen expression —
+    no shuffle, no state, stable under repartitioning, and reproducible
+    in SQL when ``uniform`` is :func:`uniform_affine`.
+    """
+    fracs = [f for _, f in splits]
+    if abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1.0, got {sum(fracs)}")
+    expr = F.lit(splits[-1][0])
+    cum = 0.0
+    bounds = []
+    for name, frac in splits[:-1]:
+        cum += frac
+        bounds.append((name, cum))
+    for name, bound in reversed(bounds):
+        expr = F.when(uniform < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
 def stratified_sample(
     df: DataFrame,
     strata: Sequence[str],

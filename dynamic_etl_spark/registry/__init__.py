@@ -126,6 +126,9 @@ _TAIL_ORDER = (
     "events_value_percentiles",
     # SCD Type-2 history-preserving merge (oracle-backed)
     "scd2_merge_customers",
+    # training-mix assembly (oracle-backed)
+    "corpus_split_assignment",
+    "corpus_mixture_sample",
     # rows-only (engine-hash-specific; brute-force-checked in pytest)
     "approx_distinct_profile",
     "minhash_near_dup",

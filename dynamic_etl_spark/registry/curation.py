@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from dynamic_etl_spark.ops import pii as PII
 from dynamic_etl_spark.ops.decontam import contamination_profile
+from dynamic_etl_spark.ops.sample import sql_uniform_affine
 from dynamic_etl_spark.ops.text import winnow_fingerprints
 from dynamic_etl_spark.registry.core import Query, QueryRegistry, t
 from dynamic_etl_spark.registry.llm import _SQL_TOKENS  # shared tokenizer twin
@@ -304,6 +305,69 @@ WHERE src_rank <= 10
 """
 
 
+# ==========================================================================
+# Train/validation/test split: 98/1/1 by a hash-uniform of doc_id — the
+# standard leakage-safe split (membership is a pure function of the key,
+# so re-runs, re-partitions and incremental loads agree forever).
+# ==========================================================================
+
+def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dynamic_etl_spark.ops.sample import hash_split, uniform_affine
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    u = uniform_affine("doc_id", salt=71)
+    return hash_split(
+        docs, u, [("train", 0.98), ("validation", 0.01), ("test", 0.01)]
+    ).select("doc_id", "source", "split")
+
+
+_SQL_U71 = sql_uniform_affine("doc_id", 71)
+SPLIT_ORACLE = f"""
+SELECT doc_id, source,
+       CASE WHEN {_SQL_U71} < 0.98 THEN 'train'
+            WHEN {_SQL_U71} < 0.99 THEN 'validation'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+# ==========================================================================
+# Exact mixture quotas: every even-numbered source contributes exactly 12
+# documents, every odd one exactly 5, drawn by deterministic pseudo-random
+# rank (uniform + doc_id tiebreak) — probabilistic sampling only hits
+# target mixes in expectation; ranked quotas hit them exactly.
+# ==========================================================================
+
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dynamic_etl_spark.ops.sample import per_key_quota_sample, uniform_affine
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    src_num = F.substring("source", 4, 10).cast("int")
+    quota = F.when(src_num % 2 == 0, F.lit(12)).otherwise(F.lit(5))
+    return per_key_quota_sample(
+        docs,
+        keys=["source"],
+        quota=quota,
+        uniform=uniform_affine("doc_id", salt=97),
+        tiebreak=["doc_id"],
+        rank_col="mix_rank",
+    )
+
+
+_SQL_U97 = sql_uniform_affine("doc_id", 97)
+MIXTURE_ORACLE = f"""
+SELECT doc_id, source, mix_rank
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {_SQL_U97}, doc_id) AS mix_rank,
+         CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 12 ELSE 5 END AS q
+  FROM documents
+)
+WHERE mix_rank <= q
+"""
+
+
 QUERIES: QueryRegistry = {
     "benchmark_decontamination": Query(
         benchmark_decontamination,
@@ -329,5 +393,15 @@ QUERIES: QueryRegistry = {
         source_quota_cap,
         QUOTA_ORACLE,
         "per-source quota: top-10 docs by (n_chars DESC, doc_id) rank-limit window",
+    ),
+    "corpus_split_assignment": Query(
+        corpus_split_assignment,
+        SPLIT_ORACLE,
+        "deterministic 98/1/1 train/validation/test split by key hash-uniform",
+    ),
+    "corpus_mixture_sample": Query(
+        corpus_mixture_sample,
+        MIXTURE_ORACLE,
+        "exact per-source mixture quotas via deterministic pseudo-random rank",
     ),
 }

@@ -122,3 +122,46 @@ def test_sequence_pack_hand_example(spark):
 
     with pytest.raises(ValueError, match="budget"):
         sequence_pack(df, "doc_id", "n_tokens", budget=0)
+
+
+def test_hash_split_fractions_and_stability(spark):
+    from dynamic_etl_spark.ops.sample import hash_split, uniform_affine
+
+    df = spark.range(20_000).select(F.col("id"))
+    u = uniform_affine("id", salt=7)
+    out = hash_split(df, u, [("train", 0.9), ("val", 0.05), ("test", 0.05)])
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20_000 - 0.9) < 0.01
+    assert abs(counts["val"] / 20_000 - 0.05) < 0.005
+    # row-stable: same assignment at different parallelism
+    again = {
+        r["id"]: r["split"]
+        for r in hash_split(df.repartition(17), u, [("train", 0.9), ("val", 0.05), ("test", 0.05)]).collect()
+    }
+    first = {r["id"]: r["split"] for r in out.collect()}
+    assert first == again
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hash_split(df, u, [("a", 0.5), ("b", 0.4)])
+
+
+def test_per_key_quota_sample_exact_counts_and_determinism(spark):
+    from dynamic_etl_spark.ops.sample import per_key_quota_sample, uniform_affine
+
+    df = spark.range(1000).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("doc")
+    )
+    quota = F.when(F.col("k") % 2 == 0, F.lit(7)).otherwise(F.lit(3))
+    out = per_key_quota_sample(
+        df, keys=["k"], quota=quota,
+        uniform=uniform_affine("doc", salt=3), tiebreak=["doc"], rank_col="r",
+    )
+    counts = {r["k"]: r["n"] for r in out.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {k: (7 if k % 2 == 0 else 3) for k in range(10)}
+    # deterministic membership at different parallelism
+    out2 = per_key_quota_sample(
+        df.repartition(13), keys=["k"], quota=quota,
+        uniform=uniform_affine("doc", salt=3), tiebreak=["doc"],
+    )
+    assert {r["doc"] for r in out.collect()} == {r["doc"] for r in out2.collect()}
