@@ -129,6 +129,8 @@ _TAIL_ORDER = (
     # training-mix assembly (oracle-backed)
     "corpus_split_assignment",
     "corpus_mixture_sample",
+    # embedding aggregation (oracle-backed)
+    "embedding_label_centroids",
     # rows-only (engine-hash-specific; brute-force-checked in pytest)
     "approx_distinct_profile",
     "minhash_near_dup",

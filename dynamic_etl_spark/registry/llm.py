@@ -554,6 +554,54 @@ FROM documents
 """
 
 
+# ==========================================================================
+# Per-label embedding centroids: vector aggregation WITHOUT higher-order
+# functions or Python — posexplode to (label, dim, v), exact-decimal mean
+# per cell (order-independent, so the hash matches at any parallelism),
+# one row per (label, dim). The classifier-head / cluster-seed primitive.
+# ==========================================================================
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    # NOT the money dsum pattern: decimal(25,6) quantizes each float and
+    # the two engines round the quantization differently (money values
+    # are ≤4dp-exact, embedding floats are not). decimal(38,30) holds a
+    # [-1,1] float32-as-double EXACTLY (expansion fits the scale for this
+    # data's magnitude range), so the sum is order-independent and both
+    # engines see the identical value before the final 6dp rounding.
+    s = F.sum(F.col("v").cast("decimal(38,30)"))
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(s.cast("double") / F.count("v"), 6).alias("centroid"),
+        )
+        .select("label", "dim", "n_vectors", "centroid")
+    )
+
+
+# v is FLOAT in parquet; both engines cast through DOUBLE, then to the
+# scale-30 decimal that holds the float exactly (see the Spark twin)
+_SQL_CENTROID = (
+    "(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,30)))"
+    " AS DOUBLE) / COUNT(v))"
+)
+CENTROIDS_ORACLE = f"""
+SELECT label, i - 1 AS dim, count(*) AS n_vectors,
+       round({_SQL_CENTROID}, 6) AS centroid
+FROM (
+  SELECT label,
+         unnest(range(1, len(embedding) + 1)) AS i,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+GROUP BY label, i - 1
+"""
+
+
 QUERIES: QueryRegistry = {
     "text_stats_profile": Query(
         text_stats_profile, TEXT_STATS_ORACLE,
@@ -618,5 +666,9 @@ QUERIES: QueryRegistry = {
     "multimodal_feature_extract": Query(
         multimodal_feature_extract, MULTIMODAL_ORACLE,
         "binary media column -> Arrow mapInPandas feature extraction (stub decoder)",
+    ),
+    "embedding_label_centroids": Query(
+        embedding_label_centroids, CENTROIDS_ORACLE,
+        "per-label centroid via posexplode + exact-decimal mean per cell",
     ),
 }

