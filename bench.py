@@ -54,6 +54,7 @@ HEADLINE = (
     # round 3: line-level dedup + exact percentile sort get tracked numbers
     "line_dedup_profile",
     "events_value_percentiles",
+    "events_rolling_user_value",
 )
 
 

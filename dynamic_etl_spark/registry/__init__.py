@@ -131,6 +131,9 @@ _TAIL_ORDER = (
     "corpus_mixture_sample",
     # embedding aggregation (oracle-backed)
     "embedding_label_centroids",
+    # rolling / inter-arrival event analytics (oracle-backed)
+    "events_rolling_user_value",
+    "events_interarrival_profile",
     # rows-only (engine-hash-specific; brute-force-checked in pytest)
     "approx_distinct_profile",
     "minhash_near_dup",

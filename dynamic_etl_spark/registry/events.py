@@ -375,6 +375,97 @@ FROM counts
 
 
 # --------------------------------------------------------------------------
+# Trailing 1-hour rolling aggregate per user: a RANGE frame over the
+# event-time epoch (both engines define RANGE ... PRECEDING inclusively,
+# and equal-timestamp rows share the same frame, so no ORDER tiebreak is
+# needed for these commutative aggregates). The in-frame sum is the
+# exact-decimal pattern, so partial-order differences can't leak into the
+# hash. One shuffle on user_id; frame cost is bounded by one user's rate.
+# --------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+
+def events_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-_HOUR_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        A.as_double(F.sum(F.col("value").cast(A.MEASURE_DECIMAL)).over(w)).alias(
+            "sum_1h"
+        ),
+    )
+
+
+ROLLING_ORACLE = """
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS n_1h,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w
+            AS DECIMAL(38,4)) AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
+# Inter-arrival profile: per-user gap statistics from a total-ordered lag
+# (ties broken by event_id per the repo window rule).
+# --------------------------------------------------------------------------
+
+def events_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # timestampdiff handles TIMESTAMP_NTZ directly; the lag rides inside
+    # the same SQL expression (a Column-API lag would need an epoch cast).
+    # Gaps stay in INTEGER microseconds through the aggregate: a per-row
+    # micros/1e6 double lands exactly ON a 6dp tie for every value (the
+    # true quotient has exactly 6 decimals), so engines round it apart —
+    # integer sums keep both sides bit-identical until one final division.
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    )
+    gapped = ev.withColumn("__gap_us", gap_us)
+    return gapped.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("__gap_us").alias("n_gaps"),
+        F.round(
+            F.sum("__gap_us").cast("double") / F.count("__gap_us") / 1_000_000.0, 6
+        ).alias("avg_gap_s"),
+        F.round(F.max("__gap_us").cast("double") / 1_000_000.0, 6).alias(
+            "max_gap_s"
+        ),
+    )
+
+
+INTERARRIVAL_ORACLE = """
+WITH g AS (
+  SELECT user_id,
+         date_diff('microsecond',
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+              ts) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       count(gap_us) AS n_gaps,
+       round(CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) / 1000000.0, 6)
+         AS avg_gap_s,
+       round(CAST(max(gap_us) AS DOUBLE) / 1000000.0, 6) AS max_gap_s
+FROM g
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Percentile profile: exact interpolated quartiles/tails of value per
 # event_type (PERCENTILE_CONT semantics — Spark `percentile` and DuckDB
 # `quantile_cont` share the (n-1)*p linear-interpolation definition, so
@@ -441,5 +532,15 @@ QUERIES: QueryRegistry = {
         events_value_percentiles,
         PERCENTILES_ORACLE,
         "exact PERCENTILE_CONT quartiles/tails per event_type",
+    ),
+    "events_rolling_user_value": Query(
+        events_rolling_user_value,
+        ROLLING_ORACLE,
+        "trailing 1-hour RANGE-frame count/exact-sum per user",
+    ),
+    "events_interarrival_profile": Query(
+        events_interarrival_profile,
+        INTERARRIVAL_ORACLE,
+        "per-user inter-arrival gap stats from a total-ordered lag",
     ),
 }
