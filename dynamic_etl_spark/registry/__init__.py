@@ -134,6 +134,8 @@ _TAIL_ORDER = (
     # rolling / inter-arrival event analytics (oracle-backed)
     "events_rolling_user_value",
     "events_interarrival_profile",
+    # robust-statistics DQ gate (oracle-backed)
+    "value_outlier_gate",
     # rows-only (engine-hash-specific; brute-force-checked in pytest)
     "approx_distinct_profile",
     "minhash_near_dup",

@@ -110,9 +110,79 @@ UNION ALL SELECT 'identifier_safe', 'status_flag', 'PASS', NULL, NULL
 """
 
 
+# --------------------------------------------------------------------------
+# IQR (Tukey-fence) outlier gate: per-group quartiles -> [q1-1.5·IQR,
+# q3+1.5·IQR] bounds -> flag counts. Two-phase plan: the bounds table is
+# group-cardinality-sized (broadcast back), the corpus scans once more to
+# classify — the robust-statistics twin of the min/max numeric profile.
+# Fence arithmetic is written identically on both sides so IEEE doubles
+# agree; an event exactly ON a fence is inside it (strict < / >).
+# --------------------------------------------------------------------------
+
+def value_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("__q1"),
+        F.percentile("value", F.lit(0.75)).alias("__q3"),
+    )
+    iqr = F.col("__q3") - F.col("__q1")
+    b = q.select(
+        "event_type",
+        (F.col("__q1") - 1.5 * iqr).alias("__lo"),
+        (F.col("__q3") + 1.5 * iqr).alias("__hi"),
+    )
+    out_flag = (F.col("value") < F.col("__lo")) | (F.col("value") > F.col("__hi"))
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(out_flag, 1).otherwise(0)).cast("long").alias("n_outliers"),
+            F.round(F.min("__lo"), 6).alias("lo_bound"),
+            F.round(F.min("__hi"), 6).alias("hi_bound"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_outliers",
+            F.round(F.col("n_outliers") / F.col("n"), 6).alias("outlier_frac"),
+            "lo_bound",
+            "hi_bound",
+        )
+    )
+
+
+OUTLIER_ORACLE = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+),
+b AS (
+  SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+  FROM q
+)
+SELECT e.event_type,
+       count(*) AS n,
+       CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       round(CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 6) AS outlier_frac,
+       round(min(lo), 6) AS lo_bound,
+       round(min(hi), 6) AS hi_bound
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type
+"""
+
+
 QUERIES: QueryRegistry = {
     "validation_report": Query(
         validation_report, VALIDATION_ORACLE,
         "V1-V7/V9 full DQ report over a dirty feed (mixed PASS/FAIL)",
+    ),
+    "value_outlier_gate": Query(
+        value_outlier_gate, OUTLIER_ORACLE,
+        "IQR/Tukey-fence outlier counts per group (robust numeric profile)",
     ),
 }
