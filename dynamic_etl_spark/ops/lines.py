@@ -26,9 +26,16 @@ from pyspark.sql import functions as F
 
 
 def _exploded_lines(
-    docs: DataFrame, id_col: str, text_col: str, sep: str, with_pos: bool
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str,
+    with_pos: bool,
+    keep_empty: bool = False,
 ) -> DataFrame:
-    """One row per non-empty line; ``sep`` is a Java regex (F.split)."""
+    """One row per line (``sep`` is a Java regex, F.split). Empty lines
+    are dropped unless ``keep_empty`` — the rebuild path needs them to
+    preserve paragraph structure."""
     parts = F.split(F.col(text_col), sep)
     if with_pos:
         ex = docs.select(
@@ -36,7 +43,7 @@ def _exploded_lines(
         )
     else:
         ex = docs.select(F.col(id_col), F.explode(parts).alias("__line"))
-    return ex.filter(F.col("__line") != "")
+    return ex if keep_empty else ex.filter(F.col("__line") != "")
 
 
 def _line_doc_counts(hashed: DataFrame, id_col: str) -> DataFrame:
@@ -59,8 +66,10 @@ def line_dup_profile(
     Returns ``(id_col, n_lines, n_dup_lines, dup_line_frac)`` where a line
     is "duplicated" when its md5 appears in at least ``min_docs`` distinct
     documents (md5 so a SQL oracle reproduces the decision bit-for-bit).
-    Empty lines are ignored. This is the measurement half of CCNet's gate;
-    :func:`drop_duplicated_lines` is the enforcement half.
+    Empty lines are ignored; a document with no non-empty lines still
+    gets a row (zeros, frac 0.0) so downstream gates that join the
+    profile never silently lose it. This is the measurement half of
+    CCNet's gate; :func:`drop_duplicated_lines` is the enforcement half.
     """
     hashed = _exploded_lines(docs, id_col, text_col, sep, with_pos=False).select(
         id_col, F.md5(F.col("__line")).alias("__lh")
@@ -69,17 +78,19 @@ def line_dup_profile(
     dup: Column = F.sum(
         F.when(F.col("__n_docs") >= min_docs, 1).otherwise(0)
     ).cast("long")
-    return (
-        joined.groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_lines"), dup.alias("n_dup_lines"))
-        .select(
-            id_col,
-            "n_lines",
-            "n_dup_lines",
-            F.round(F.col("n_dup_lines") / F.col("n_lines"), 6).alias(
-                "dup_line_frac"
-            ),
+    stats = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"), dup.alias("n_dup_lines")
+    )
+    return docs.select(id_col).join(stats, id_col, "left").select(
+        id_col,
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("n_dup_lines", F.lit(0)).alias("n_dup_lines"),
+        F.when(
+            F.coalesce("n_lines", F.lit(0)) > 0,
+            F.round(F.col("n_dup_lines") / F.col("n_lines"), 6),
         )
+        .otherwise(0.0)
+        .alias("dup_line_frac"),
     )
 
 
@@ -100,17 +111,29 @@ def drop_duplicated_lines(
     preserved (positions ride the explode and a total-ordered re-sort).
     Documents whose every line was dropped come back with empty text
     rather than vanishing — downstream length gates decide their fate.
+    Empty lines are structure, not content: they are never counted as
+    duplicates and always survive, so blank-line paragraph breaks in
+    otherwise-unique documents pass through untouched.
     ``sep`` doubles as the literal rejoin delimiter, so pass a fixed
     string (the default newline), not a regex class.
     """
-    lines = _exploded_lines(docs, id_col, text_col, sep, with_pos=True)
-    hashed = lines.withColumn("__lh", F.md5(F.col("__line")))
-    owners = hashed.groupBy("__lh").agg(
-        F.countDistinct(id_col).alias("__n_docs"),
-        F.min(id_col).alias("__owner"),
+    lines = _exploded_lines(
+        docs, id_col, text_col, sep, with_pos=True, keep_empty=True
     )
-    kept = hashed.join(owners, "__lh").filter(
-        (F.col("__n_docs") == 1)
+    hashed = lines.withColumn(
+        "__lh", F.when(F.col("__line") != "", F.md5(F.col("__line")))
+    )
+    owners = (
+        hashed.filter(F.col("__lh").isNotNull())
+        .groupBy("__lh")
+        .agg(
+            F.countDistinct(id_col).alias("__n_docs"),
+            F.min(id_col).alias("__owner"),
+        )
+    )
+    kept = hashed.join(owners, "__lh", "left").filter(
+        F.col("__lh").isNull()  # empty line: always kept
+        | (F.col("__n_docs") == 1)
         | (F.lit(keep_first) & (F.col(id_col) == F.col("__owner")))
     )
     rebuilt = (

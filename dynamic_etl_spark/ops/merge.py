@@ -176,10 +176,12 @@ def scd2_merge(
     open_end = F.lit(open_end_date).cast(vf_type)
     hwm = high_water_mark(existing, surrogate_col)
 
-    history = existing.filter(F.col(current_col) != "Y").withColumn(
-        op_col, F.lit("HISTORY")
-    )
-    cur = existing.filter(F.col(current_col) == "Y")
+    # null-safe split: a row with a NULL current flag counts as history
+    # (plain != 'Y' is NULL for it, which would drop the row from BOTH
+    # branches — silent data loss in a history-PRESERVING merge)
+    is_open = F.col(current_col).eqNullSafe(F.lit("Y"))
+    history = existing.filter(~is_open).withColumn(op_col, F.lit("HISTORY"))
+    cur = existing.filter(is_open)
 
     ex = cur.select(
         *keys,
@@ -204,7 +206,7 @@ def scd2_merge(
 
     keep = j.filter(
         (F.col("__in_present").isNull() & F.col("__ex_present").isNotNull())
-        | (matched & ~any_change(exact_cols, tolerance_cols, tolerance, new_prefix="__in_"))
+        | (matched & ~changed)
     ).select(
         F.col("__ex_sk").alias(surrogate_col),
         *keys,

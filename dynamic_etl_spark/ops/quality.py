@@ -57,10 +57,18 @@ def _gram_rows(df: DataFrame, ns: Sequence[int], id_col: str,
     per-partition cost is linear in that document's length, which the
     word-count gate itself bounds — safe at 100 TB.
     """
-    pos_tok = df.select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("__pos", "__tok")
+    # grams are built WITHIN one input row's token stream: partitioning
+    # the window on a per-row discriminator (unique per physical row;
+    # only its distinct-per-row property matters, the value is dropped)
+    # keeps the order total even if an id spans several input rows —
+    # otherwise orderBy(__pos) ties across rows and lead() would mix
+    # tokens nondeterministically (repo rule: total-order every window).
+    pos_tok = df.withColumn("__row", F.monotonically_increasing_id()).select(
+        F.col(id_col),
+        "__row",
+        F.posexplode(tokens(F.col(text_col))).alias("__pos", "__tok"),
     )
-    w = Window.partitionBy(id_col).orderBy("__pos")
+    w = Window.partitionBy(id_col, "__row").orderBy("__pos")
     max_n = max(ns)
     # windows must be materialized before the generator (explode rejects
     # window expressions), so lead columns get their own projection
@@ -68,7 +76,7 @@ def _gram_rows(df: DataFrame, ns: Sequence[int], id_col: str,
         F.col(id_col),
         F.col("__tok").alias("__t0"),
         *[F.lead("__tok", j).over(w).alias(f"__t{j}") for j in range(1, max_n)],
-    )
+    )  # __row served the window partition; grams key on id_col alone
     parts = [F.col(f"__t{j}") for j in range(max_n)]
     stacked = [
         F.struct(

@@ -92,10 +92,11 @@ def per_key_top_n(
     """
     w = Window.partitionBy(*keys).orderBy(*order_by)
     rn = F.row_number().over(w).cast("long")
-    out = df.withColumn(rank_col or "__rn", rn).filter(
-        F.col(rank_col or "__rn") <= n
-    )
-    return out if rank_col else out.drop("__rn")
+    col = rank_col if rank_col is not None else "__rn"
+    if col in df.columns:
+        raise ValueError(f"rank column {col!r} already exists in the input")
+    out = df.withColumn(col, rn).filter(F.col(col) <= n)
+    return out if rank_col is not None else out.drop("__rn")
 
 
 def per_key_quota_sample(
@@ -125,9 +126,11 @@ def per_key_quota_sample(
     """
     w = Window.partitionBy(*keys).orderBy(uniform, *[F.col(c) for c in tiebreak])
     rn = F.row_number().over(w).cast("long")
-    col = rank_col or "__rn"
+    col = rank_col if rank_col is not None else "__rn"
+    if col in df.columns:
+        raise ValueError(f"rank column {col!r} already exists in the input")
     out = df.withColumn(col, rn).filter(F.col(col) <= quota)
-    return out if rank_col else out.drop("__rn")
+    return out if rank_col is not None else out.drop("__rn")
 
 
 def hash_split(
@@ -142,7 +145,11 @@ def hash_split(
     ``splits`` is ordered (name, fraction) pairs summing to 1.0 (the last
     split absorbs rounding residue). A pure row-local codegen expression —
     no shuffle, no state, stable under repartitioning, and reproducible
-    in SQL when ``uniform`` is :func:`uniform_affine`.
+    in SQL when ``uniform`` is :func:`uniform_affine`. Cumulative bounds
+    are re-rounded to 10dp so short-decimal fractions produce the exact
+    decimal literals a SQL oracle twin writes (0.9 + 0.05 in raw doubles
+    is 0.9500000000000001, one ulp off the literal 0.95 — enough to flip
+    a uniform landing in the gap and break bit-exact parity).
     """
     fracs = [f for _, f in splits]
     if abs(sum(fracs) - 1.0) > 1e-9:
@@ -151,7 +158,7 @@ def hash_split(
     cum = 0.0
     bounds = []
     for name, frac in splits[:-1]:
-        cum += frac
+        cum = round(cum + frac, 10)
         bounds.append((name, cum))
     for name, bound in reversed(bounds):
         expr = F.when(uniform < F.lit(bound), F.lit(name)).otherwise(expr)

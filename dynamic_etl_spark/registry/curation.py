@@ -269,9 +269,13 @@ p AS (
   FROM h JOIN c USING (lh)
   GROUP BY doc_id
 )
-SELECT doc_id, n_lines, n_dup_lines,
-       round(CAST(n_dup_lines AS DOUBLE) / n_lines, 6) AS dup_line_frac
-FROM p
+SELECT d.doc_id,
+       COALESCE(n_lines, 0) AS n_lines,
+       COALESCE(n_dup_lines, 0) AS n_dup_lines,
+       CASE WHEN COALESCE(n_lines, 0) > 0
+            THEN round(CAST(n_dup_lines AS DOUBLE) / n_lines, 6)
+            ELSE 0.0 END AS dup_line_frac
+FROM documents d LEFT JOIN p USING (doc_id)
 """
 
 

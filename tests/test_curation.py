@@ -243,3 +243,27 @@ def test_per_key_top_n_plan_has_rank_limit_pushdown(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_line_ops_edge_cases_blank_lines_and_empty_docs(spark):
+    """Review fixes: blank lines are structure (never deduped, always
+    survive the rebuild); empty docs still get a zero profile row; a
+    rank-column collision raises instead of clobbering."""
+    from dynamic_etl_spark.ops.lines import drop_duplicated_lines, line_dup_profile
+    from dynamic_etl_spark.ops.sample import per_key_top_n
+
+    df = spark.createDataFrame(
+        [(1, "para1\n\npara2"), (2, "other\n\nthing"), (3, "")],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"]: r["text"] for r in drop_duplicated_lines(df).collect()}
+    assert kept[1] == "para1\n\npara2"  # blank line preserved, not "deduped"
+    assert kept[2] == "other\n\nthing"
+    prof = {r["doc_id"]: r for r in line_dup_profile(df).collect()}
+    assert prof[3]["n_lines"] == 0 and prof[3]["dup_line_frac"] == 0.0
+    assert prof[1]["n_lines"] == 2  # blank line not counted as content
+
+    clash = df.withColumn("rk", F.lit(1))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        per_key_top_n(clash, keys=["doc_id"], order_by=[F.col("text")], n=1, rank_col="rk")
