@@ -136,6 +136,8 @@ _TAIL_ORDER = (
     "events_interarrival_profile",
     # robust-statistics DQ gate (oracle-backed)
     "value_outlier_gate",
+    # long->wide pivot (oracle-backed)
+    "events_type_pivot",
     # rows-only (engine-hash-specific; brute-force-checked in pytest)
     "approx_distinct_profile",
     "minhash_near_dup",

@@ -466,6 +466,44 @@ GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
+# Pivot: long->wide per-user event-type counts. The type list is pinned
+# (passing values to pivot() skips Spark's distinct-discovery job AND
+# keeps the output schema deterministic — required for both the oracle
+# and any production sink). Compiles to one conditional aggregation:
+# a single user_id shuffle with map-side partials, no joins.
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t_), F.lit(0)).cast("long").alias(f"n_{t_}")
+            for t_ in _EVENT_TYPES
+        ],
+    )
+
+
+PIVOT_ORACLE = f"""
+SELECT user_id,
+       {", ".join(
+           f"CAST(sum(CASE WHEN event_type = '{t_}' THEN 1 ELSE 0 END) AS BIGINT)"
+           f" AS n_{t_}" for t_ in _EVENT_TYPES
+       )}
+FROM events
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Percentile profile: exact interpolated quartiles/tails of value per
 # event_type (PERCENTILE_CONT semantics — Spark `percentile` and DuckDB
 # `quantile_cont` share the (n-1)*p linear-interpolation definition, so
@@ -542,5 +580,10 @@ QUERIES: QueryRegistry = {
         events_interarrival_profile,
         INTERARRIVAL_ORACLE,
         "per-user inter-arrival gap stats from a total-ordered lag",
+    ),
+    "events_type_pivot": Query(
+        events_type_pivot,
+        PIVOT_ORACLE,
+        "long->wide pivot: per-user counts, pinned value list, one shuffle",
     ),
 }
