@@ -136,8 +136,9 @@ _TAIL_ORDER = (
     "events_interarrival_profile",
     # robust-statistics DQ gate (oracle-backed)
     "value_outlier_gate",
-    # long->wide pivot (oracle-backed)
+    # long->wide pivot and its melt inverse (oracle-backed)
     "events_type_pivot",
+    "events_type_unpivot",
     # rows-only (engine-hash-specific; brute-force-checked in pytest)
     "approx_distinct_profile",
     "minhash_near_dup",

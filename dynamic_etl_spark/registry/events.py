@@ -504,6 +504,45 @@ GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
+# Unpivot (melt): the wide per-user matrix back to long form — one row
+# per (user, type) INCLUDING zero cells (unpivot emits every listed
+# column, unlike the original groupBy, which has no row for a user/type
+# the data never paired). Narrow transform, no extra shuffle beyond the
+# pivot it consumes.
+# --------------------------------------------------------------------------
+
+def events_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = events_type_pivot(spark, sf_dir)
+    long = wide.unpivot(
+        ["user_id"],
+        [f"n_{t_}" for t_ in _EVENT_TYPES],
+        "event_type",
+        "n_events",
+    )
+    return long.select(
+        "user_id",
+        F.expr("substring(event_type, 3)").alias("event_type"),
+        "n_events",
+    )
+
+
+UNPIVOT_ORACLE = f"""
+WITH counts AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+),
+types(event_type) AS (
+  VALUES {", ".join(f"('{t_}')" for t_ in _EVENT_TYPES)}
+),
+users AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id, ty.event_type, COALESCE(c.n, 0) AS n_events
+FROM users u
+CROSS JOIN types ty
+LEFT JOIN counts c ON c.user_id = u.user_id AND c.event_type = ty.event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Percentile profile: exact interpolated quartiles/tails of value per
 # event_type (PERCENTILE_CONT semantics — Spark `percentile` and DuckDB
 # `quantile_cont` share the (n-1)*p linear-interpolation definition, so
@@ -585,5 +624,10 @@ QUERIES: QueryRegistry = {
         events_type_pivot,
         PIVOT_ORACLE,
         "long->wide pivot: per-user counts, pinned value list, one shuffle",
+    ),
+    "events_type_unpivot": Query(
+        events_type_unpivot,
+        UNPIVOT_ORACLE,
+        "wide->long unpivot/melt including zero cells",
     ),
 }
