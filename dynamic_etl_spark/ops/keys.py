@@ -35,17 +35,32 @@ def assign_surrogate_keys(
     max_contiguous_rows: int | None = CONTIGUOUS_GUARD_ROWS,
 ) -> DataFrame:
     if mode == "contiguous":
-        if max_contiguous_rows is not None:
-            # limit(n+1).count() short-circuits: it never scans past the
-            # guard threshold, so the check is cheap even on a huge input.
-            if df.limit(max_contiguous_rows + 1).count() > max_contiguous_rows:
-                raise ValueError(
-                    f"contiguous surrogate keys run on a single partition; input "
-                    f"exceeds {max_contiguous_rows} rows — use mode='sparse' or "
-                    f"pass max_contiguous_rows=None to override"
-                )
         window = Window.orderBy(*[F.col(c) for c in order_cols])
-        return df.withColumn(key_col, (F.row_number().over(window) + F.lit(offset)).cast("long"))
+        rn = F.row_number().over(window)
+        key = (rn + F.lit(offset)).cast("long")
+        if max_contiguous_rows is not None:
+            # The guard rides INSIDE the numbering expression: a row past
+            # the threshold raises at execution time (SparkRuntimeException,
+            # USER_RAISED_EXCEPTION). An eager limit(n+1).count() pre-check
+            # was measured to re-execute the caller's whole upstream plan
+            # as an extra job (+35% on scd1_merge_orders) just to count.
+            # Scope: the raise fires exactly when the single-partition
+            # window EXECUTES (the hazard being guarded); an action that
+            # prunes the key column prunes the window too, so nothing
+            # funnels and nothing raises. The oversized partition is
+            # sorted before the raise surfaces — the guard rejects the
+            # misconfiguration, it does not pre-empt that one sort.
+            key = F.when(rn <= F.lit(max_contiguous_rows), key).otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"contiguous surrogate keys run on a single partition; "
+                        f"input exceeds {max_contiguous_rows} rows — use "
+                        f"mode='sparse' or pass max_contiguous_rows=None to "
+                        f"override"
+                    )
+                )
+            )
+        return df.withColumn(key_col, key)
     if mode == "sparse":
         return df.withColumn(
             key_col, (F.monotonically_increasing_id() + F.lit(offset) + 1).cast("long")

@@ -138,11 +138,17 @@ def test_scd1_bulk_insert_guard_and_sparse_mode(spark):
     bulk = spark.range(0, 200).select(
         F.concat(F.lit("new"), F.col("id")).alias("nk"), F.lit(2.0).alias("v")
     )
-    with pytest.raises(ValueError, match="single partition"):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    # The guard rides inside the numbering expression (no eager pre-count
+    # job), so it fires exactly when the single-partition window executes
+    # — an action that prunes the key column away also prunes the window
+    # (no funnel, nothing to guard). Evaluate the key to trip it.
+    with pytest.raises(SparkRuntimeException, match="single partition"):
         scd1_merge(
             existing, bulk, ["nk"], "sk",
             tolerance_cols=["v"], max_contiguous_insert_rows=100,
-        ).count()
+        ).agg(F.max("sk")).collect()
     # sparse mode: same classification, keys unique and above the HWM
     out = scd1_merge(
         existing, bulk, ["nk"], "sk", tolerance_cols=["v"], key_mode="sparse"
