@@ -132,3 +132,55 @@ def change_detection(
         .otherwise(F.lit("NOOP")),
     )
     return out.drop("__ex_present", *[f"__ex_{c}" for c in (*exact_cols, *tolerance_cols)])
+
+
+def fuzzy_blocked_match(
+    dirty: DataFrame,
+    dim: DataFrame,
+    *,
+    dirty_col: str,
+    dim_col: str,
+    block,
+    max_distance: int = 2,
+    out_prefix: str = "match_",
+) -> DataFrame:
+    """Fuzzy lookup: resolve each dirty value to its closest dimension
+    value by Levenshtein distance, comparing ONLY within a blocking key.
+
+    The fuzzy rung missing from the reference's exact -> case-insensitive
+    -> Generic lookup ladder (load_dim_product_dw.py:437-468 via
+    ops/clean.lookup_map_join). ``block`` is a Column->Column function
+    building the blocking key (e.g. last-2-chars, soundex, length
+    bucket); candidates are generated by an EQUI-join on that key, so
+    the plan shuffles on the block — never dirty x dim. Choose a block
+    the expected error mode cannot corrupt. Best match per dirty value =
+    lowest (distance, dim value) — a total order, per the repo window
+    rule; ``dirty`` must be unique on ``dirty_col`` (pre-distinct it).
+    Values with no in-block candidate within ``max_distance`` are
+    dropped — the caller decides the fallback, as with any lookup miss.
+    """
+    from pyspark.sql import Window
+
+    d = dirty.withColumn("__blk", block(F.col(dirty_col)))
+    m = (
+        dim.select(F.col(dim_col).alias("__dim_val"))
+        .distinct()
+        .withColumn("__blk", block(F.col("__dim_val")))
+    )
+    cand = (
+        d.join(m, "__blk")
+        .withColumn(
+            "__dist", F.levenshtein(F.col(dirty_col), F.col("__dim_val")).cast("long")
+        )
+        .filter(F.col("__dist") <= max_distance)
+    )
+    w = Window.partitionBy(dirty_col).orderBy("__dist", "__dim_val")
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            dirty_col,
+            F.col("__dim_val").alias(f"{out_prefix}value"),
+            F.col("__dist").alias(f"{out_prefix}distance"),
+        )
+    )

@@ -139,6 +139,10 @@ _TAIL_ORDER = (
     # long->wide pivot and its melt inverse (oracle-backed)
     "events_type_pivot",
     "events_type_unpivot",
+    # retention cohort triangle (oracle-backed)
+    "events_retention_cohorts",
+    # blocked edit-distance lookup (oracle-backed)
+    "fuzzy_brand_match",
     # rows-only (engine-hash-specific; brute-force-checked in pytest)
     "approx_distinct_profile",
     "minhash_near_dup",

@@ -824,10 +824,71 @@ FROM parsed
 """
 
 
+# ==========================================================================
+# Fuzzy brand resolution: the edit-distance rung the reference's exact ->
+# case-insensitive -> Generic brand ladder (F34) lacks. Typos are planted
+# deterministically (char deleted / first char swapped by key modulus);
+# blocking on the last 2 chars (the brand number, untouched by either
+# typo mode) keeps the candidate join an equi-join.
+# ==========================================================================
+
+def fuzzy_brand_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dynamic_etl_spark.ops.joins import fuzzy_blocked_match
+
+    part = t(spark, sf_dir, "part")
+    m = F.col("p_partkey") % 5
+    b = F.col("p_brand")
+    typo = (
+        F.when(m == 0, F.concat(F.substring(b, 1, 2), F.substring(b, 4, 100)))
+        .when(m == 1, F.concat(F.lit("P"), F.substring(b, 2, 100)))
+        .otherwise(b)
+    )
+    dirty = part.select(typo.alias("raw_brand")).distinct()
+    dim = part.select("p_brand").distinct()
+    return fuzzy_blocked_match(
+        dirty,
+        dim,
+        dirty_col="raw_brand",
+        dim_col="p_brand",
+        block=lambda c: F.substring(c, -2, 2),
+        max_distance=2,
+    )
+
+
+FUZZY_BRAND_ORACLE = """
+WITH dirty AS (
+  SELECT DISTINCT
+    CASE WHEN p_partkey % 5 = 0 THEN substr(p_brand, 1, 2) || substr(p_brand, 4)
+         WHEN p_partkey % 5 = 1 THEN 'P' || substr(p_brand, 2)
+         ELSE p_brand END AS raw_brand
+  FROM part
+),
+dim AS (SELECT DISTINCT p_brand AS dim_val FROM part),
+cand AS (
+  SELECT d.raw_brand, m.dim_val,
+         CAST(levenshtein(d.raw_brand, m.dim_val) AS BIGINT) AS dist
+  FROM dirty d
+  JOIN dim m ON right(d.raw_brand, 2) = right(m.dim_val, 2)
+  WHERE levenshtein(d.raw_brand, m.dim_val) <= 2
+)
+SELECT raw_brand, dim_val AS match_value, dist AS match_distance
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY raw_brand
+                               ORDER BY dist, dim_val) AS rn
+  FROM cand
+)
+WHERE rn = 1
+"""
+
+
 QUERIES: QueryRegistry = {
     "clean_store_feed": Query(
         clean_store_feed, CLEAN_STORE_ORACLE,
         "F1-F4/F31/F32/F35/P7/D2 store-feed standardization pipeline",
+    ),
+    "fuzzy_brand_match": Query(
+        fuzzy_brand_match, FUZZY_BRAND_ORACLE,
+        "blocked Levenshtein lookup: best in-block match per dirty brand",
     ),
     "clean_product_feed": Query(
         clean_product_feed, CLEAN_PRODUCT_ORACLE,

@@ -466,6 +466,51 @@ GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
+# Retention cohorts: users grouped by first-seen week, activity counted
+# per week offset — the standard growth-analytics triangle. The cohort
+# timestamp is a whole-partition window MIN (commutative — no ORDER BY
+# needed, same pattern as the funnel), so the plan is one user_id
+# shuffle + one (cohort, offset) aggregation, no self-join.
+# --------------------------------------------------------------------------
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    staged = ev.select(
+        "user_id",
+        F.date_trunc("week", F.min("ts").over(w)).alias("cohort_week"),
+        F.date_trunc("week", F.col("ts")).alias("active_week"),
+    )
+    return (
+        staged.select(
+            "user_id",
+            "cohort_week",
+            (
+                F.expr("timestampdiff(DAY, cohort_week, active_week)") / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+COHORT_ORACLE = """
+WITH staged AS (
+  SELECT user_id,
+         date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS cohort_week,
+         date_trunc('week', ts) AS active_week
+  FROM events
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, active_week) // 7 AS BIGINT)
+         AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM staged
+GROUP BY cohort_week, week_offset
+"""
+
+
+# --------------------------------------------------------------------------
 # Pivot: long->wide per-user event-type counts. The type list is pinned
 # (passing values to pivot() skips Spark's distinct-discovery job AND
 # keeps the output schema deterministic — required for both the oracle
@@ -629,5 +674,10 @@ QUERIES: QueryRegistry = {
         events_type_unpivot,
         UNPIVOT_ORACLE,
         "wide->long unpivot/melt including zero cells",
+    ),
+    "events_retention_cohorts": Query(
+        events_retention_cohorts,
+        COHORT_ORACLE,
+        "first-seen-week cohorts x week-offset distinct-user retention",
     ),
 }

@@ -340,3 +340,25 @@ def test_approx_distinct_within_rsd_of_exact(spark):
     for col in ("n_orders", "n_parts", "n_suppliers"):
         rel_err = abs(approx[col] - exact[col]) / exact[col]
         assert rel_err <= 0.03, f"{col}: {approx[col]} vs {exact[col]} ({rel_err:.3%})"
+
+
+def test_fuzzy_blocked_match_resolves_typos(spark):
+    from dynamic_etl_spark.ops.joins import fuzzy_blocked_match
+
+    dim = spark.createDataFrame(
+        [("Brand#11",), ("Brand#25",), ("Other#11",)], "name string"
+    )
+    dirty = spark.createDataFrame(
+        [("Brnd#11",), ("Prand#25",), ("Brand#11",), ("Zzzzz#99",)], "raw string"
+    )
+    out = {
+        r["raw"]: (r["match_value"], r["match_distance"])
+        for r in fuzzy_blocked_match(
+            dirty, dim, dirty_col="raw", dim_col="name",
+            block=lambda c: F.substring(c, -2, 2), max_distance=2,
+        ).collect()
+    }
+    assert out["Brnd#11"] == ("Brand#11", 1)
+    assert out["Prand#25"] == ("Brand#25", 1)
+    assert out["Brand#11"] == ("Brand#11", 0)
+    assert "Zzzzz#99" not in out  # no in-block candidate within distance
