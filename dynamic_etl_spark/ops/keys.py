@@ -36,21 +36,28 @@ def assign_surrogate_keys(
 ) -> DataFrame:
     if mode == "contiguous":
         window = Window.orderBy(*[F.col(c) for c in order_cols])
-        rn = F.row_number().over(window)
-        key = (rn + F.lit(offset)).cast("long")
+        key = (F.row_number().over(window) + F.lit(offset)).cast("long")
         if max_contiguous_rows is not None:
-            # The guard rides INSIDE the numbering expression: a row past
-            # the threshold raises at execution time (SparkRuntimeException,
-            # USER_RAISED_EXCEPTION). An eager limit(n+1).count() pre-check
-            # was measured to re-execute the caller's whole upstream plan
-            # as an extra job (+35% on scd1_merge_orders) just to count.
-            # Scope: the raise fires exactly when the single-partition
-            # window EXECUTES (the hazard being guarded); an action that
-            # prunes the key column prunes the window too, so nothing
-            # funnels and nothing raises. The oversized partition is
-            # sorted before the raise surfaces — the guard rejects the
-            # misconfiguration, it does not pre-empt that one sort.
-            key = F.when(rn <= F.lit(max_contiguous_rows), key).otherwise(
+            # The guard rides INSIDE the numbering expression: it raises
+            # at execution time (SparkRuntimeException,
+            # USER_RAISED_EXCEPTION). An eager limit(n+1).count()
+            # pre-check was measured to re-execute the caller's whole
+            # upstream plan as an extra job (+35% on scd1_merge_orders).
+            # The check gates on the FULL-FRAME partition count, not the
+            # row number, so EVERY emitted row — including the first —
+            # sees the partition size: a prefix-consuming action
+            # (limit/first/show) still raises even though it never
+            # reaches row guard+1. Scope: an action that prunes the key
+            # column prunes the window too — nothing funnels, nothing
+            # raises; and the oversized partition is sorted before the
+            # raise surfaces — the guard rejects the misconfiguration,
+            # it does not pre-empt that one sort.
+            total = F.count(F.lit(1)).over(
+                window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            key = F.when(total <= F.lit(max_contiguous_rows), key).otherwise(
                 F.raise_error(
                     F.lit(
                         f"contiguous surrogate keys run on a single partition; "

@@ -844,7 +844,7 @@ def fuzzy_brand_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(b)
     )
     dirty = part.select(typo.alias("raw_brand")).distinct()
-    dim = part.select("p_brand").distinct()
+    dim = part.select("p_brand")  # helper distincts the dim side itself
     return fuzzy_blocked_match(
         dirty,
         dim,

@@ -522,7 +522,7 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
 def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type")
     wide = (
         ev.groupBy("user_id")
         .pivot("event_type", list(_EVENT_TYPES))
@@ -583,7 +583,8 @@ users AS (SELECT DISTINCT user_id FROM events)
 SELECT u.user_id, ty.event_type, COALESCE(c.n, 0) AS n_events
 FROM users u
 CROSS JOIN types ty
-LEFT JOIN counts c ON c.user_id = u.user_id AND c.event_type = ty.event_type
+LEFT JOIN counts c ON c.user_id IS NOT DISTINCT FROM u.user_id
+                  AND c.event_type = ty.event_type
 """
 
 

@@ -141,14 +141,20 @@ def test_scd1_bulk_insert_guard_and_sparse_mode(spark):
     from pyspark.errors.exceptions.captured import SparkRuntimeException
 
     # The guard rides inside the numbering expression (no eager pre-count
-    # job), so it fires exactly when the single-partition window executes
-    # — an action that prunes the key column away also prunes the window
-    # (no funnel, nothing to guard). Evaluate the key to trip it.
+    # job) gated on the FULL-FRAME partition count, so it fires whenever
+    # the single-partition window executes — an action that prunes the
+    # key column away also prunes the window (no funnel, nothing to
+    # guard). Evaluate the key to trip it.
+    guarded = scd1_merge(
+        existing, bulk, ["nk"], "sk",
+        tolerance_cols=["v"], max_contiguous_insert_rows=100,
+    )
     with pytest.raises(SparkRuntimeException, match="single partition"):
-        scd1_merge(
-            existing, bulk, ["nk"], "sk",
-            tolerance_cols=["v"], max_contiguous_insert_rows=100,
-        ).agg(F.max("sk")).collect()
+        guarded.agg(F.max("sk")).collect()
+    # prefix-consuming actions must ALSO raise (review r3: a row_number
+    # gate is skipped by limit/first even though the oversized sort ran)
+    with pytest.raises(SparkRuntimeException, match="single partition"):
+        guarded.select("sk").limit(3).collect()
     # sparse mode: same classification, keys unique and above the HWM
     out = scd1_merge(
         existing, bulk, ["nk"], "sk", tolerance_cols=["v"], key_mode="sparse"
