@@ -1,7 +1,9 @@
 from dynamic_etl_spark.streaming.incremental import (  # noqa: F401
     dedup_within_watermark,
     file_stream,
+    interval_stream_join,
     run_available_now,
     windowed_aggregate,
 )
+from dynamic_etl_spark.streaming.sink import run_streaming_merge  # noqa: F401
 from dynamic_etl_spark.streaming.stateful import running_user_stats  # noqa: F401

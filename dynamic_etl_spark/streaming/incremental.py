@@ -85,6 +85,40 @@ def dedup_within_watermark(
     return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(keys))
 
 
+def interval_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left row with
+    the right rows for the same key whose event time falls in
+    ``[left_ts, left_ts + within]`` — click-to-purchase attribution,
+    request/response correlation.
+
+    Both sides carry a watermark equal to ``within`` and the join
+    condition bounds right's time against left's, which is exactly what
+    Structured Streaming needs to EVICT state: each side buffers only
+    rows younger than the watermark, so state is O(rate x within), not
+    O(stream). Without the time bound the state store grows forever —
+    the unbounded join is rejected for append output. Key/ts columns are
+    named per side; any remaining name collisions are the caller's to
+    pre-alias, as with any Spark join.
+    """
+    l_wm = left.withWatermark(left_ts, within)
+    r_wm = right.withWatermark(right_ts, within)
+    cond = (
+        (l_wm[left_key] == r_wm[right_key])
+        & (r_wm[right_ts] >= l_wm[left_ts])
+        & (r_wm[right_ts] <= l_wm[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return l_wm.join(r_wm, cond, "inner")
+
+
 def run_available_now(
     df: DataFrame,
     checkpoint_dir: str,

@@ -1,0 +1,76 @@
+"""Streaming MERGE sink: the reference's incremental-load-then-MERGE
+cycle (scripts2/load_fact_sales_dw.py:65-77 one file per run, 299-416
+MERGE into the warehouse table) as a single Structured Streaming query.
+
+``foreachBatch`` is Spark's blessed escape hatch for sinks that need
+batch-only operations (here: a full-outer MERGE rewrite + atomic table
+swap) — each micro-batch arrives exactly-once as a batch DataFrame
+together with a ``batch_id`` the checkpoint tracks, so a crashed batch
+is re-delivered with the same id and the sink stays idempotent as long
+as re-applying the same delta is (an SCD-1 merge is: re-merging already-
+merged rows classifies NOOP).
+
+At scale the same topology targets a Delta/Iceberg ``MERGE INTO`` in the
+batch function; on plain parquet it rewrites via the staging+swap
+protocol (io/sinks.write_staging_swap, crash-safe).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from dynamic_etl_spark.io.sinks import write_staging_swap
+from dynamic_etl_spark.ops.merge import scd1_merge
+
+
+def run_streaming_merge(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    *,
+    natural_key: Sequence[str],
+    surrogate_col: str,
+    exact_cols: Sequence[str] = (),
+    tolerance_cols: Sequence[str] = (),
+    op_col: str = "operation",
+    timeout_sec: int = 120,
+) -> StreamingQuery:
+    """Continuously upsert a parquet table from a stream of change rows.
+
+    Each micro-batch runs the SCD-1 full-outer MERGE against the current
+    table and swaps the result into place atomically. The op column is
+    dropped from the persisted table (it is per-merge provenance, not
+    state). Drains with ``Trigger.AvailableNow`` and blocks, matching
+    the repo's batch-cadence convention; remove the trigger for a
+    continuous deployment.
+    """
+    spark = stream_df.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            existing = spark.read.parquet(table_path)
+            merged = scd1_merge(
+                existing,
+                batch_df,
+                natural_key=natural_key,
+                surrogate_col=surrogate_col,
+                exact_cols=exact_cols,
+                tolerance_cols=tolerance_cols,
+                op_col=op_col,
+            ).drop(op_col)
+            # self-referential rewrite is safe: the swap fully writes the
+            # staging copy (executing the read of the current table)
+            # before any rename touches final_path
+            write_staging_swap(merged, table_path)
+
+    query = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    return query

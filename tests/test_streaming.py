@@ -199,3 +199,93 @@ def test_dedup_within_watermark_drops_redelivered_rows(spark, scratch):
     )
     got = {r["event_type"]: r["n"] for r in spark.sql("SELECT * FROM dd").collect()}
     assert got == _type_counts(batch)  # single-copy counts, not doubled
+
+
+def test_interval_stream_join_matches_batch(spark, scratch):
+    """Watermarked stream-stream interval join == the equivalent batch
+    join: every click pairs with same-user purchases within 30 minutes
+    after it."""
+    from dynamic_etl_spark.streaming import interval_stream_join
+
+    src = scratch / "incoming"
+    src.mkdir()
+    shutil.copy(f"{SF_SMALL}/events.parquet", src / "b1.parquet")
+    batch = _normalize_ts(spark.read.parquet(str(src)))
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        return clicks, purchases
+
+    sc, sp = sides(_normalize_ts(file_stream(spark, str(src), spark.read.parquet(str(src)).schema)))
+    joined = interval_stream_join(
+        sc, sp, left_key="c_user", right_key="p_user",
+        left_ts="c_ts", right_ts="p_ts", within="30 minutes",
+    ).select("click_id", "purchase_id")
+    run_available_now(
+        joined, str(scratch / "ckpt_ssj"), query_name="ssj", output_mode="append"
+    )
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+    bc, bp = sides(batch)
+    expected = {
+        (r["click_id"], r["purchase_id"])
+        for r in bc.join(
+            bp,
+            (bc.c_user == bp.p_user)
+            & (bp.p_ts >= bc.c_ts)
+            & (bp.p_ts <= bc.c_ts + F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert got == expected and len(expected) > 0
+
+
+def test_streaming_merge_sink_upserts_table(spark, scratch):
+    """foreachBatch MERGE sink: an update feed streamed against a parquet
+    table lands as SCD-1 semantics (update beyond tolerance, insert new
+    keys, keep the rest), swapped atomically; a second drain with no new
+    files changes nothing (checkpoint exactly-once)."""
+    from dynamic_etl_spark.streaming import file_stream, run_streaming_merge
+
+    table = str(scratch / "dim_table")
+    initial = spark.createDataFrame(
+        [(1, "k1", 10.0), (2, "k2", 20.0), (3, "k3", 30.0)], ["sk", "nk", "v"]
+    )
+    initial.write.parquet(table)
+
+    feed_dir = scratch / "feed"
+    feed_dir.mkdir()
+    updates = spark.createDataFrame(
+        [("k1", 11.0), ("k2", 20.005), ("k9", 90.0)], ["nk", "v"]
+    )
+    updates.coalesce(1).write.parquet(str(feed_dir / "f1.parquet"))
+
+    stream = file_stream(spark, str(feed_dir / "f1.parquet"), updates.schema)
+    run_streaming_merge(
+        stream, table, str(scratch / "ckpt_merge"),
+        natural_key=["nk"], surrogate_col="sk", tolerance_cols=["v"],
+    )
+    got = {r["nk"]: (r["sk"], r["v"]) for r in spark.read.parquet(table).collect()}
+    assert got["k1"] == (1, 11.0)      # UPDATE beyond tolerance
+    assert got["k2"] == (2, 20.0)      # NOOP within tolerance keeps existing
+    assert got["k3"] == (3, 30.0)      # KEEP (absent from feed)
+    assert got["k9"][1] == 90.0 and got["k9"][0] == 4  # INSERT, hwm+1
+
+    # re-drain same checkpoint: nothing pending, table untouched
+    stream2 = file_stream(spark, str(feed_dir / "f1.parquet"), updates.schema)
+    run_streaming_merge(
+        stream2, table, str(scratch / "ckpt_merge"),
+        natural_key=["nk"], surrogate_col="sk", tolerance_cols=["v"],
+    )
+    again = {r["nk"]: (r["sk"], r["v"]) for r in spark.read.parquet(table).collect()}
+    assert again == got
