@@ -83,3 +83,18 @@ def test_topk_broadcasts_queries_not_corpus(spark):
 def test_no_cartesian_anywhere(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, name
+
+
+def test_line_dedup_counts_partial_aggregate_and_quota_rank_pushdown(spark):
+    """SCALE.md r3 claims: (a) the line-hash document count partial-
+    aggregates map-side, so boilerplate hot hashes collapse BEFORE the
+    shuffle; (b) the literal-quota window compiles with the
+    WindowGroupLimit rank pushdown."""
+    plan = _plan(spark, "line_dedup_profile")
+    # two-phase aggregation on the line hash: a partial_ mode aggregate
+    # must appear below the exchange
+    assert "partial_" in plan and "Exchange" in plan
+    assert "CartesianProduct" not in plan
+
+    qplan = _plan(spark, "source_quota_cap")
+    assert "WindowGroupLimit" in qplan
