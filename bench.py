@@ -55,6 +55,10 @@ HEADLINE = (
     "line_dedup_profile",
     "events_value_percentiles",
     "events_rolling_user_value",
+    # round 3: SCD-2 history merge, fuzzy lookup, retention cohorts
+    "scd2_merge_customers",
+    "fuzzy_brand_match",
+    "events_retention_cohorts",
 )
 
 
