@@ -143,6 +143,9 @@ _TAIL_ORDER = (
     "events_retention_cohorts",
     # blocked edit-distance lookup (oracle-backed)
     "fuzzy_brand_match",
+    # correlated-aggregate filter + distribution ranks (oracle-backed)
+    "orders_above_customer_avg",
+    "order_price_distribution_ranks",
     # rows-only (engine-hash-specific; brute-force-checked in pytest)
     "approx_distinct_profile",
     "minhash_near_dup",

@@ -179,6 +179,82 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# Correlated-aggregate filter: orders above their own customer's average
+# — the decorrelated form of `WHERE price > (SELECT AVG(...) WHERE
+# custkey = o.custkey)`. A window average (exact-decimal sum / count, so
+# both engines compare against the identical double) replaces the
+# correlated subquery: one customer-key shuffle, no join, no re-scan.
+# --------------------------------------------------------------------------
+
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    price = F.col("o_totalprice")
+    cavg = (
+        A.as_double(F.sum(price.cast(A.MEASURE_DECIMAL)).over(w))
+        / F.count(price).over(w)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            cavg.alias("__cavg"),
+        )
+        .filter(price > F.col("__cavg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.round("__cavg", 6).alias("cust_avg"),
+        )
+    )
+
+
+ABOVE_AVG_ORACLE = """
+WITH w AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+              OVER (PARTITION BY o_custkey) AS DECIMAL(38,4)) AS DOUBLE)
+         / COUNT(o_totalprice) OVER (PARTITION BY o_custkey) AS cavg
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice, round(cavg, 6) AS cust_avg
+FROM w
+WHERE o_totalprice > cavg
+"""
+
+
+# --------------------------------------------------------------------------
+# Distribution ranks: ntile / percent_rank / cume_dist per customer under
+# a total order (ties broken by order key, so rank ties cannot occur and
+# the integer-ratio definitions produce identical doubles both engines).
+# --------------------------------------------------------------------------
+
+def order_price_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+DISTRIBUTION_RANKS_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(ntile(4) OVER w AS BIGINT) AS price_quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""
+
+
 QUERIES: QueryRegistry = {
     "surrogate_key_assignment": Query(surrogate_key_assignment, SURROGATE_ORACLE, "W5 row_number + high-water-mark offset"),
     "customer_order_sequence": Query(customer_order_sequence, SEQUENCE_ORACLE, "rank/lag/lead/running-total windows"),
@@ -187,4 +263,12 @@ QUERIES: QueryRegistry = {
     "dedup_keep_last_line_agg": Query(dedup_keep_last_line_agg, KEEP_LAST_ORACLE, "D1 keep-last dedup, skew-resilient max_by form"),
     "dedup_keep_first_line": Query(dedup_keep_first_line, KEEP_FIRST_ORACLE, "D2 keep-first dedup"),
     "duplicate_group_members": Query(duplicate_group_members, DUP_MEMBERS_ORACLE, "D3 duplicate-group members"),
+    "orders_above_customer_avg": Query(
+        orders_above_customer_avg, ABOVE_AVG_ORACLE,
+        "correlated-aggregate filter decorrelated to a window average",
+    ),
+    "order_price_distribution_ranks": Query(
+        order_price_distribution_ranks, DISTRIBUTION_RANKS_ORACLE,
+        "ntile/percent_rank/cume_dist under a total order",
+    ),
 }
