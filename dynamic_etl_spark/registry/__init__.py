@@ -146,6 +146,8 @@ _TAIL_ORDER = (
     # correlated-aggregate filter + distribution ranks (oracle-backed)
     "orders_above_customer_avg",
     "order_price_distribution_ranks",
+    # string aggregation (oracle-backed)
+    "nation_segment_listagg",
     # rows-only (engine-hash-specific; brute-force-checked in pytest)
     "approx_distinct_profile",
     "minhash_near_dup",

@@ -256,6 +256,42 @@ FROM part
 """
 
 
+def nation_segment_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (LISTAGG/STRING_AGG): per nation, the sorted
+    distinct market segments as one CSV cell + the customer count.
+    collect_set -> array_sort -> array_join is the deterministic Spark
+    form (collect_list order varies with partitioning — banned); the
+    small nation dim broadcasts onto the aggregate."""
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    agg = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+            "segments"
+        ),
+    )
+    return agg.join(
+        F.broadcast(nation), agg.c_nationkey == nation.n_nationkey
+    ).select("n_name", "n_customers", "segments")
+
+
+LISTAGG_ORACLE = """
+WITH segs AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer),
+agg AS (
+  SELECT c_nationkey,
+         string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+  FROM segs GROUP BY c_nationkey
+),
+counts AS (
+  SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY c_nationkey
+)
+SELECT n.n_name, c.n_customers, a.segments
+FROM counts c
+JOIN agg a USING (c_nationkey)
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+"""
+
+
 def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5's 100 TB path: HyperLogLog++ cardinalities instead of exact
     COUNT(DISTINCT). Exact distinct counting shuffles every distinct value
@@ -626,6 +662,10 @@ QUERIES: QueryRegistry = {
     "pricing_summary": Query(pricing_summary, PRICING_ORACLE, "A2/A4 TPC-H Q1-shape multi-aggregate"),
     "high_water_mark": Query(high_water_mark, HWM_ORACLE, "A1 NVL(MAX(id),0)"),
     "distinct_profile": Query(distinct_profile, DISTINCT_PROFILE_ORACLE, "A5 countDistinct profile"),
+    "nation_segment_listagg": Query(
+        nation_segment_listagg, LISTAGG_ORACLE,
+        "LISTAGG/STRING_AGG: sorted distinct CSV cell per group",
+    ),
     "approx_distinct_profile": Query(
         approx_distinct_profile, None,
         "A5 at scale: HyperLogLog++ cardinality sketch profile (rows-only; pytest-bounded vs exact)",
