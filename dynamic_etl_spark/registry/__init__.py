@@ -148,6 +148,9 @@ _TAIL_ORDER = (
     "order_price_distribution_ranks",
     # string aggregation (oracle-backed)
     "nation_segment_listagg",
+    # windowed distinct count + binned histogram (oracle-backed)
+    "events_rolling_distinct_users",
+    "events_value_histogram",
     # rows-only (engine-hash-specific; brute-force-checked in pytest)
     "approx_distinct_profile",
     "minhash_near_dup",

@@ -417,6 +417,75 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 
 
 # --------------------------------------------------------------------------
+# Rolling distinct users: Spark has no countDistinct over a window — the
+# native form is size(collect_set() OVER frame), which buffers only the
+# frame's distinct keys (bounded by the 1-hour rate). Same RANGE frame
+# semantics as events_rolling_user_value.
+# --------------------------------------------------------------------------
+
+def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "ts", "user_id")
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(epoch)
+        .rangeBetween(-_HOUR_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.size(F.collect_set("user_id").over(w)).cast("long").alias(
+            "distinct_users_1h"
+        ),
+    )
+
+
+ROLLING_DISTINCT_ORACLE = """
+SELECT event_id, event_type, ts,
+       count(DISTINCT user_id) OVER (PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+         AS distinct_users_1h
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# Binned value histogram: fixed-width bins from identical floor
+# arithmetic on both engines (bin edges are exact in doubles). Fixed
+# literal bounds keep the oracle static; a data-driven range would be a
+# scalar high-water-mark first.
+# --------------------------------------------------------------------------
+
+_BIN_WIDTH = 50.0
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    bin_id = F.floor(F.col("value") / F.lit(_BIN_WIDTH)).cast("long")
+    return (
+        ev.groupBy("event_type", bin_id.alias("bin_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bin_id",
+            (F.col("bin_id") * _BIN_WIDTH).alias("bin_lo"),
+            "n",
+        )
+    )
+
+
+HISTOGRAM_ORACLE = f"""
+SELECT event_type,
+       CAST(floor(value / {_BIN_WIDTH}) AS BIGINT) AS bin_id,
+       CAST(floor(value / {_BIN_WIDTH}) AS BIGINT) * {_BIN_WIDTH} AS bin_lo,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
 # Inter-arrival profile: per-user gap statistics from a total-ordered lag
 # (ties broken by event_id per the repo window rule).
 # --------------------------------------------------------------------------
@@ -680,5 +749,15 @@ QUERIES: QueryRegistry = {
         events_retention_cohorts,
         COHORT_ORACLE,
         "first-seen-week cohorts x week-offset distinct-user retention",
+    ),
+    "events_rolling_distinct_users": Query(
+        events_rolling_distinct_users,
+        ROLLING_DISTINCT_ORACLE,
+        "windowed distinct count via size(collect_set) over a RANGE frame",
+    ),
+    "events_value_histogram": Query(
+        events_value_histogram,
+        HISTOGRAM_ORACLE,
+        "fixed-width binned histogram from identical floor arithmetic",
     ),
 }
