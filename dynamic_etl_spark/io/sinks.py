@@ -89,3 +89,35 @@ def write_staging_swap(df: DataFrame, final_path: str, fmt: str = "parquet") -> 
         shutil.rmtree(staging, ignore_errors=True)
         raise
     shutil.rmtree(backup, ignore_errors=True)
+
+
+def compact_table(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+    rebalance: bool = False,
+) -> int:
+    """Small-file compaction: rewrite a table directory into
+    ``ceil(total_bytes / target_file_bytes)`` files via the crash-safe
+    staging swap. Incremental appends (the streaming merge sink, the
+    file queue) accrete files whose per-file overhead — task scheduling,
+    footer reads, open/close — dominates scans long before data size
+    does; periodic compaction is the maintenance half of any
+    incremental-write design.
+
+    ``rebalance=False`` (default) uses ``coalesce``: no shuffle, files
+    may stay skewed toward the original layout. ``rebalance=True`` pays
+    one round-robin shuffle for evenly-sized output — worth it when the
+    table will be scanned many times. Returns the target file count.
+    """
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, -(-total // int(target_file_bytes)))
+    df = spark.read.format(fmt).load(path)
+    shaped = df.repartition(n) if rebalance else df.coalesce(n)
+    write_staging_swap(shaped, path, fmt=fmt)
+    return n

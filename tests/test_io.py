@@ -241,3 +241,37 @@ def test_staging_swap_recovers_from_stale_backup(spark, scratch):
     write_staging_swap(spark.range(9), final)
     assert spark.read.parquet(final).count() == 9
     assert not stale.exists()
+
+
+def test_compact_table_reduces_files_and_preserves_rows(spark, scratch):
+    from dynamic_etl_spark.io.sinks import compact_table
+
+    path = str(scratch / "fragmented")
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS k")
+    df.repartition(20).write.parquet(path)
+    import glob
+
+    before = len(glob.glob(f"{path}/part-*"))
+    assert before >= 20
+    # tiny target forces n from actual byte size; returns >=1
+    n = compact_table(spark, path, target_file_bytes=1 << 30)
+    after = len(glob.glob(f"{path}/part-*"))
+    assert n == 1 and after == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg({"id": "sum"}).collect()[0][0] == sum(range(10_000))
+    # rebalance path: pick a target ~1/4 of the table for a multi-file
+    # even split (a tiny target would request size-in-bytes partitions)
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.startswith("part-")
+    )
+    n4 = compact_table(
+        spark, path, target_file_bytes=max(1, total // 4), rebalance=True
+    )
+    assert 2 <= n4 <= 8
+    assert len(glob.glob(f"{path}/part-*")) == n4
+    assert spark.read.parquet(path).count() == 10_000
