@@ -49,7 +49,12 @@ def rotate_current_to_archive(current_dir: str, archive_dir: str) -> list[str]:
     return moved
 
 
-def write_staging_swap(df: DataFrame, final_path: str, fmt: str = "parquet") -> None:
+def write_staging_swap(
+    df: DataFrame,
+    final_path: str,
+    fmt: str = "parquet",
+    options: dict[str, str] | None = None,
+) -> None:
     """S10 — staging + atomic swap: write the full new table next to the
     old one, then rename into place (the reference's staging-table +
     MERGE + DROP, minus the database). Readers see the old table or the
@@ -72,7 +77,7 @@ def write_staging_swap(df: DataFrame, final_path: str, fmt: str = "parquet") -> 
     if not os.path.exists(final_path) and os.path.exists(backup):
         os.rename(backup, final_path)
     try:
-        df.write.mode("overwrite").format(fmt).save(staging)
+        df.write.mode("overwrite").format(fmt).options(**(options or {})).save(staging)
         if os.path.exists(final_path):
             # a completed-swap crash can orphan the backup; clear it only
             # NOW (new table safely in staging) — renaming onto a
@@ -97,8 +102,9 @@ def compact_table(
     target_file_bytes: int = 128 * 1024 * 1024,
     fmt: str = "parquet",
     rebalance: bool = False,
+    options: dict[str, str] | None = None,
 ) -> int:
-    """Small-file compaction: rewrite a table directory into
+    """Small-file compaction: rewrite a table directory toward
     ``ceil(total_bytes / target_file_bytes)`` files via the crash-safe
     staging swap. Incremental appends (the streaming merge sink, the
     file queue) accrete files whose per-file overhead — task scheduling,
@@ -106,18 +112,35 @@ def compact_table(
     does; periodic compaction is the maintenance half of any
     incremental-write design.
 
-    ``rebalance=False`` (default) uses ``coalesce``: no shuffle, files
-    may stay skewed toward the original layout. ``rebalance=True`` pays
-    one round-robin shuffle for evenly-sized output — worth it when the
-    table will be scanned many times. Returns the target file count.
+    Non-parquet formats MUST pass the same reader ``options`` the table
+    was written with (a pipe-delimited header CSV read with defaults
+    would be re-persisted mangled); they are applied to both the read
+    and the rewrite. ``rebalance=False`` (default) uses ``coalesce``: no
+    shuffle, but the file count cannot EXCEED the scan's parallelism and
+    sizes follow the original layout; ``rebalance=True`` pays one
+    round-robin shuffle for evenly-sized output at exactly the target
+    count. Returns the ACTUAL post-swap data-file count (coalesce may
+    deliver fewer files than the target — the return value is the
+    truth, not the goal).
     """
+    if fmt != "parquet" and not options:
+        raise ValueError(
+            f"compacting fmt={fmt!r} requires the reader options the "
+            f"table was written with (sep/header/...); defaults would "
+            f"corrupt it"
+        )
     total = 0
     for root, _dirs, files in os.walk(path):
         for f in files:
             if not f.startswith(("_", ".")):
                 total += os.path.getsize(os.path.join(root, f))
     n = max(1, -(-total // int(target_file_bytes)))
-    df = spark.read.format(fmt).load(path)
+    df = spark.read.format(fmt).options(**(options or {})).load(path)
     shaped = df.repartition(n) if rebalance else df.coalesce(n)
-    write_staging_swap(shaped, path, fmt=fmt)
-    return n
+    write_staging_swap(shaped, path, fmt=fmt, options=options)
+    return sum(
+        1
+        for root, _dirs, files in os.walk(path)
+        for f in files
+        if not f.startswith(("_", "."))
+    )

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from dynamic_etl_spark.io.sinks import write_staging_swap
+from dynamic_etl_spark.ops.keys import assign_surrogate_keys
 from dynamic_etl_spark.ops.merge import scd1_merge
 
 
@@ -43,28 +44,54 @@ def run_streaming_merge(
     Each micro-batch runs the SCD-1 full-outer MERGE against the current
     table and swaps the result into place atomically. The op column is
     dropped from the persisted table (it is per-merge provenance, not
-    state). Drains with ``Trigger.AvailableNow`` and blocks, matching
-    the repo's batch-cadence convention; remove the trigger for a
-    continuous deployment.
+    state). A missing ``table_path`` bootstraps from the first batch
+    (declared columns + surrogate keys from 1). Drains with
+    ``Trigger.AvailableNow`` and blocks, matching the repo's
+    batch-cadence convention; remove the trigger for a continuous
+    deployment.
+
+    Because the merge result REPLACES the table, the declared columns
+    (``surrogate_col`` + ``natural_key`` + ``exact_cols`` +
+    ``tolerance_cols``) must cover every existing table column — a
+    column the caller forgot to declare would otherwise be silently
+    destroyed by the rewrite, so the first batch raises instead.
     """
+    import os
+
     spark = stream_df.sparkSession
+    declared = [surrogate_col, *natural_key, *exact_cols, *tolerance_cols]
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.isEmpty():
-            existing = spark.read.parquet(table_path)
-            merged = scd1_merge(
-                existing,
-                batch_df,
-                natural_key=natural_key,
-                surrogate_col=surrogate_col,
-                exact_cols=exact_cols,
-                tolerance_cols=tolerance_cols,
-                op_col=op_col,
-            ).drop(op_col)
-            # self-referential rewrite is safe: the swap fully writes the
-            # staging copy (executing the read of the current table)
-            # before any rename touches final_path
-            write_staging_swap(merged, table_path)
+        if batch_df.isEmpty():
+            return
+        if not os.path.exists(table_path):
+            initial = assign_surrogate_keys(
+                batch_df.select(*[c for c in declared if c != surrogate_col]),
+                order_cols=natural_key,
+                key_col=surrogate_col,
+            )
+            write_staging_swap(initial.select(*declared), table_path)
+            return
+        existing = spark.read.parquet(table_path)
+        undeclared = set(existing.columns) - set(declared)
+        if undeclared:
+            raise ValueError(
+                f"table has columns the merge would destroy (declare them "
+                f"as exact/tolerance cols): {sorted(undeclared)}"
+            )
+        merged = scd1_merge(
+            existing,
+            batch_df,
+            natural_key=natural_key,
+            surrogate_col=surrogate_col,
+            exact_cols=exact_cols,
+            tolerance_cols=tolerance_cols,
+            op_col=op_col,
+        ).drop(op_col)
+        # self-referential rewrite is safe: the swap fully writes the
+        # staging copy (executing the read of the current table)
+        # before any rename touches final_path
+        write_staging_swap(merged, table_path)
 
     query = (
         stream_df.writeStream.foreachBatch(_apply)
@@ -72,5 +99,9 @@ def run_streaming_merge(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_sec)
+    if not query.awaitTermination(timeout_sec):
+        raise TimeoutError(
+            f"streaming merge did not drain within {timeout_sec}s; the "
+            f"query is still running — raise timeout_sec or stop() it"
+        )
     return query

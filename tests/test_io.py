@@ -253,17 +253,14 @@ def test_compact_table_reduces_files_and_preserves_rows(spark, scratch):
 
     before = len(glob.glob(f"{path}/part-*"))
     assert before >= 20
-    # tiny target forces n from actual byte size; returns >=1
+    # big target -> single file; return value is the ACTUAL file count
     n = compact_table(spark, path, target_file_bytes=1 << 30)
-    after = len(glob.glob(f"{path}/part-*"))
-    assert n == 1 and after == 1
+    assert n == 1 and len(glob.glob(f"{path}/part-*")) == 1
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.agg({"id": "sum"}).collect()[0][0] == sum(range(10_000))
     # rebalance path: pick a target ~1/4 of the table for a multi-file
     # even split (a tiny target would request size-in-bytes partitions)
-    import os
-
     total = sum(
         os.path.getsize(os.path.join(path, f))
         for f in os.listdir(path)
@@ -275,3 +272,6 @@ def test_compact_table_reduces_files_and_preserves_rows(spark, scratch):
     assert 2 <= n4 <= 8
     assert len(glob.glob(f"{path}/part-*")) == n4
     assert spark.read.parquet(path).count() == 10_000
+    # non-parquet formats without reader options are rejected, not mangled
+    with pytest.raises(ValueError, match="options"):
+        compact_table(spark, path, fmt="csv")

@@ -91,9 +91,10 @@ def test_line_dedup_counts_partial_aggregate_and_quota_rank_pushdown(spark):
     shuffle; (b) the literal-quota window compiles with the
     WindowGroupLimit rank pushdown."""
     plan = _plan(spark, "line_dedup_profile")
-    # two-phase aggregation on the line hash: a partial_ mode aggregate
-    # must appear below the exchange
-    assert "partial_" in plan and "Exchange" in plan
+    # two-phase aggregation on the line hash: the distinct-doc count must
+    # compile with a partial_count below an exchange (not just any
+    # partial aggregate somewhere in the plan)
+    assert "partial_count" in plan and "Exchange" in plan
     assert "CartesianProduct" not in plan
 
     qplan = _plan(spark, "source_quota_cap")

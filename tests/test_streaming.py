@@ -289,3 +289,41 @@ def test_streaming_merge_sink_upserts_table(spark, scratch):
     )
     again = {r["nk"]: (r["sk"], r["v"]) for r in spark.read.parquet(table).collect()}
     assert again == got
+
+
+def test_streaming_merge_sink_bootstrap_and_column_guard(spark, scratch):
+    """Review r3: a missing table bootstraps from the first batch; an
+    existing table with a column the caller didn't declare raises instead
+    of silently destroying it in the rewrite."""
+    from dynamic_etl_spark.streaming import file_stream, run_streaming_merge
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    feed_dir = scratch / "feed"
+    feed_dir.mkdir()
+    updates = spark.createDataFrame([("k1", 1.0), ("k2", 2.0)], ["nk", "v"])
+    updates.coalesce(1).write.parquet(str(feed_dir / "f1.parquet"))
+
+    # bootstrap: table path does not exist yet
+    table = str(scratch / "fresh_table")
+    stream = file_stream(spark, str(feed_dir / "f1.parquet"), updates.schema)
+    run_streaming_merge(
+        stream, table, str(scratch / "ckpt_boot"),
+        natural_key=["nk"], surrogate_col="sk", tolerance_cols=["v"],
+    )
+    got = {r["nk"]: (r["sk"], r["v"]) for r in spark.read.parquet(table).collect()}
+    assert got == {"k1": (1, 1.0), "k2": (2, 2.0)}  # keys numbered from 1
+
+    # column guard: an undeclared audit column must abort the merge
+    table2 = str(scratch / "guarded_table")
+    spark.createDataFrame(
+        [(1, "k1", 1.0, "keep me")], ["sk", "nk", "v", "audit_note"]
+    ).write.parquet(table2)
+    stream2 = file_stream(spark, str(feed_dir / "f1.parquet"), updates.schema)
+    with pytest.raises(StreamingQueryException, match="destroy"):
+        run_streaming_merge(
+            stream2, table2, str(scratch / "ckpt_guard"),
+            natural_key=["nk"], surrogate_col="sk", tolerance_cols=["v"],
+        )
+    # the guarded table is untouched
+    row = spark.read.parquet(table2).collect()[0]
+    assert row["audit_note"] == "keep me"
