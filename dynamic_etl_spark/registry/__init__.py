@@ -151,6 +151,8 @@ _TAIL_ORDER = (
     # windowed distinct count + binned histogram (oracle-backed)
     "events_rolling_distinct_users",
     "events_value_histogram",
+    # min-max feature scaling (oracle-backed)
+    "events_minmax_scaled",
     # rows-only (engine-hash-specific; brute-force-checked in pytest)
     "approx_distinct_profile",
     "minhash_near_dup",

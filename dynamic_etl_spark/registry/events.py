@@ -451,6 +451,44 @@ FROM events
 
 
 # --------------------------------------------------------------------------
+# Min-max feature scaling: (v - min) / (max - min) per group. Two-phase:
+# the per-group extrema (a 5-row aggregate) broadcast back onto the
+# corpus — the feature-engineering normalization pattern. Extrema are
+# EXACT input doubles (no arithmetic, no quantization), so the scaling
+# expression is identical IEEE math on both engines — none of the
+# decimal-rounding parity traps apply.
+# --------------------------------------------------------------------------
+
+def events_minmax_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ext = ev.groupBy("event_type").agg(
+        F.min("value").alias("__lo"), F.max("value").alias("__hi")
+    )
+    scaled = F.when(
+        F.col("__hi") > F.col("__lo"),
+        (F.col("value") - F.col("__lo")) / (F.col("__hi") - F.col("__lo")),
+    ).otherwise(0.0)  # degenerate group: all values equal
+    return ev.join(F.broadcast(ext), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(scaled, 6).alias("value_scaled"),
+    )
+
+
+MINMAX_ORACLE = """
+WITH ext AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       round(CASE WHEN hi > lo THEN (e.value - lo) / (hi - lo)
+                  ELSE 0.0 END, 6) AS value_scaled
+FROM events e JOIN ext USING (event_type)
+"""
+
+
+# --------------------------------------------------------------------------
 # Binned value histogram: fixed-width bins from identical floor
 # arithmetic on both engines (bin edges are exact in doubles). Fixed
 # literal bounds keep the oracle static; a data-driven range would be a
@@ -759,5 +797,10 @@ QUERIES: QueryRegistry = {
         events_value_histogram,
         HISTOGRAM_ORACLE,
         "fixed-width binned histogram from identical floor arithmetic",
+    ),
+    "events_minmax_scaled": Query(
+        events_minmax_scaled,
+        MINMAX_ORACLE,
+        "per-group min-max feature scaling, extrema broadcast back",
     ),
 }
