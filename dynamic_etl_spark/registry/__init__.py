@@ -151,8 +151,9 @@ _TAIL_ORDER = (
     # windowed distinct count + binned histogram (oracle-backed)
     "events_rolling_distinct_users",
     "events_value_histogram",
-    # min-max feature scaling (oracle-backed)
+    # feature scaling: min-max + z-score (oracle-backed)
     "events_minmax_scaled",
+    "events_value_zscore",
     # rows-only (engine-hash-specific; brute-force-checked in pytest)
     "approx_distinct_profile",
     "minhash_near_dup",

@@ -489,6 +489,63 @@ FROM events e JOIN ext USING (event_type)
 
 
 # --------------------------------------------------------------------------
+# Z-score standardization: the scaling pair's other half. Mean and
+# variance derive from exact decimal(38,24) sums of v and v*v (order-
+# independent; 24-dp quantization of a double is never a rounding tie,
+# unlike the 6-dp money hop — see SCALE.md parity traps), converted to
+# double ONCE and pushed through the identical variance formula on both
+# engines, so the final 6dp rounding sees the same IEEE value.
+# --------------------------------------------------------------------------
+
+_ZDEC = "decimal(38,24)"
+
+
+def events_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    v = F.col("value")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(v.cast(_ZDEC)).cast("double").alias("__s1"),
+        F.sum((v * v).cast(_ZDEC)).cast("double").alias("__s2"),
+    )
+    mean = F.col("__s1") / F.col("__n")
+    var = (F.col("__s2") - F.col("__n") * mean * mean) / (F.col("__n") - 1)
+    b = stats.select(
+        "event_type", mean.alias("__mean"), F.sqrt(var).alias("__sd")
+    )
+    z = F.when(
+        F.col("__sd") > 0, (v - F.col("__mean")) / F.col("__sd")
+    ).otherwise(0.0)
+    return ev.join(F.broadcast(b), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(z, 6).alias("zscore"),
+    )
+
+
+ZSCORE_ORACLE = """
+WITH stats AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,24))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,24))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+),
+b AS (
+  SELECT event_type,
+         s1 / n AS mean,
+         sqrt((s2 - n * (s1 / n) * (s1 / n)) / (n - 1)) AS sd
+  FROM stats
+)
+SELECT e.event_id, e.event_type, e.value,
+       round(CASE WHEN sd > 0 THEN (e.value - mean) / sd ELSE 0.0 END, 6)
+         AS zscore
+FROM events e JOIN b USING (event_type)
+"""
+
+
+# --------------------------------------------------------------------------
 # Binned value histogram: fixed-width bins from identical floor
 # arithmetic on both engines (bin edges are exact in doubles). Fixed
 # literal bounds keep the oracle static; a data-driven range would be a
@@ -802,5 +859,10 @@ QUERIES: QueryRegistry = {
         events_minmax_scaled,
         MINMAX_ORACLE,
         "per-group min-max feature scaling, extrema broadcast back",
+    ),
+    "events_value_zscore": Query(
+        events_value_zscore,
+        ZSCORE_ORACLE,
+        "z-score standardization from exact-decimal moment sums",
     ),
 }
