@@ -275,3 +275,19 @@ def test_compact_table_reduces_files_and_preserves_rows(spark, scratch):
     # non-parquet formats without reader options are rejected, not mangled
     with pytest.raises(ValueError, match="options"):
         compact_table(spark, path, fmt="csv")
+
+
+def test_parquet_merge_schema_reads_evolved_table(spark, scratch):
+    """Schema evolution: a column added mid-stream is readable across the
+    whole table with mergeSchema — old files surface NULLs, new files
+    their values. The incremental sinks (file queue, streaming merge)
+    rely on this being the read-side contract."""
+    p = str(scratch / "evolving")
+    spark.createDataFrame([(1, "a")], ["id", "name"]).write.parquet(f"{p}/b=1")
+    spark.createDataFrame(
+        [(2, "b", 99.0)], ["id", "name", "score"]
+    ).write.parquet(f"{p}/b=2")
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert {"id", "name", "score"} <= set(df.columns)
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 99.0
