@@ -15,6 +15,28 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _hive_partition_cols(path: str) -> list[str]:
+    """Discover the ``k=v`` partition-directory chain under ``path``
+    (empty list for flat layouts). Only the first branch is walked —
+    Hive layouts are uniform by construction."""
+    cols: list[str] = []
+    cur = path
+    while os.path.isdir(cur):
+        subs = sorted(
+            d
+            for d in os.listdir(cur)
+            if "=" in d
+            and not d.startswith((".", "_"))
+            and os.path.isdir(os.path.join(cur, d))
+        )
+        if not subs:
+            break
+        cols.append(subs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subs[0])
+    return cols
 
 
 def write_csv(
@@ -54,6 +76,7 @@ def write_staging_swap(
     final_path: str,
     fmt: str = "parquet",
     options: dict[str, str] | None = None,
+    partition_by: tuple[str, ...] = (),
 ) -> None:
     """S10 — staging + atomic swap: write the full new table next to the
     old one, then rename into place (the reference's staging-table +
@@ -77,7 +100,10 @@ def write_staging_swap(
     if not os.path.exists(final_path) and os.path.exists(backup):
         os.rename(backup, final_path)
     try:
-        df.write.mode("overwrite").format(fmt).options(**(options or {})).save(staging)
+        writer = df.write.mode("overwrite").format(fmt).options(**(options or {}))
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(staging)
         if os.path.exists(final_path):
             # a completed-swap crash can orphan the backup; clear it only
             # NOW (new table safely in staging) — renaming onto a
@@ -122,6 +148,16 @@ def compact_table(
     count. Returns the ACTUAL post-swap data-file count (coalesce may
     deliver fewer files than the target — the return value is the
     truth, not the goal).
+
+    Hive-partitioned layouts (``.../date=20240101/...``) are detected
+    and PRESERVED (ADVICE r3): partition discovery folds the partition
+    columns into the data, so a naive rewrite would flatten the layout
+    and break downstream partition pruning. Here the rewrite hashes on
+    the discovered partition columns and re-emits ``partitionBy`` dirs —
+    one data file per partition value, which is the right compaction
+    shape for date-partitioned incremental tables (many small appends
+    per partition → one file). ``rebalance``/``target_file_bytes`` are
+    ignored for partitioned layouts.
     """
     if fmt != "parquet" and not options:
         raise ValueError(
@@ -129,15 +165,20 @@ def compact_table(
             f"table was written with (sep/header/...); defaults would "
             f"corrupt it"
         )
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if not f.startswith(("_", ".")):
-                total += os.path.getsize(os.path.join(root, f))
-    n = max(1, -(-total // int(target_file_bytes)))
+    pcols = _hive_partition_cols(path)
     df = spark.read.format(fmt).options(**(options or {})).load(path)
-    shaped = df.repartition(n) if rebalance else df.coalesce(n)
-    write_staging_swap(shaped, path, fmt=fmt, options=options)
+    if pcols:
+        shaped = df.repartition(*[F.col(c) for c in pcols])
+        write_staging_swap(shaped, path, fmt=fmt, options=options, partition_by=tuple(pcols))
+    else:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    total += os.path.getsize(os.path.join(root, f))
+        n = max(1, -(-total // int(target_file_bytes)))
+        shaped = df.repartition(n) if rebalance else df.coalesce(n)
+        write_staging_swap(shaped, path, fmt=fmt, options=options)
     return sum(
         1
         for root, _dirs, files in os.walk(path)

@@ -54,6 +54,16 @@ def scd1_merge(
     of silently funneling the table through one task. For such loads pass
     ``key_mode='sparse'`` (monotonically increasing above the high-water
     mark, non-contiguous, no shuffle, 100 TB-safe).
+
+    Preconditions: BOTH sides must be unique per natural key — the
+    full-outer join fans out otherwise, and a duplicated incoming key
+    emits multiple UPDATE rows carrying the SAME preserved surrogate
+    (collapse change feeds first, e.g. ``dedup_keep_last_agg``;
+    ``run_streaming_merge`` does this per micro-batch via
+    ``batch_order_col``). Note the contiguous-key guard raises lazily
+    from the executor as ``SparkRuntimeException`` when the key column
+    is evaluated (not ``ValueError`` at build time) — see
+    ``assign_surrogate_keys``.
     """
     keys = list(natural_key)
     value_cols = [*exact_cols, *tolerance_cols]

@@ -569,9 +569,17 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOT the money dsum pattern: decimal(25,6) quantizes each float and
     # the two engines round the quantization differently (money values
     # are ≤4dp-exact, embedding floats are not). decimal(38,30) holds a
-    # [-1,1] float32-as-double EXACTLY (expansion fits the scale for this
-    # data's magnitude range), so the sum is order-independent and both
-    # engines see the identical value before the final 6dp rounding.
+    # float32-as-double EXACTLY only while |v| >= 2^-7 (the binary
+    # expansion of smaller cells runs past 30 decimal digits, and the
+    # two engines demonstrably round that cast differently — ADVICE r3:
+    # 7*2^-31 lands on ...175000000E-9 in Spark vs ...175000576E-9 in
+    # DuckDB). The sum is therefore NEAR-exact: order-independent within
+    # each engine, with a cross-engine divergence bounded by ~1e-27·n
+    # that the final round(...,6) absorbs unless the true mean sits
+    # within that sliver of a .xxxxxx5 half-boundary — a theoretical
+    # 6dp-tie risk accepted for this oracle (verified green at sf0.001
+    # AND sf0.01; a bit-exact cross-engine float sum would need ~159
+    # fractional bits, beyond both engines' decimal width).
     s = F.sum(F.col("v").cast("decimal(38,30)"))
     return (
         ex.groupBy("label", "dim")
@@ -583,8 +591,9 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# v is FLOAT in parquet; both engines cast through DOUBLE, then to the
-# scale-30 decimal that holds the float exactly (see the Spark twin)
+# v is FLOAT in parquet; both engines cast through DOUBLE, then to a
+# scale-30 decimal — exact for |v| >= 2^-7, near-exact below (see the
+# Spark twin's rounding-divergence note)
 _SQL_CENTROID = (
     "(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,30)))"
     " AS DOUBLE) / COUNT(v))"

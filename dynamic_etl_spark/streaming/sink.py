@@ -20,9 +20,11 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from dynamic_etl_spark.io.sinks import write_staging_swap
+from dynamic_etl_spark.ops.dedup import dedup_keep_last_agg
 from dynamic_etl_spark.ops.keys import assign_surrogate_keys
 from dynamic_etl_spark.ops.merge import scd1_merge
 
@@ -37,6 +39,7 @@ def run_streaming_merge(
     exact_cols: Sequence[str] = (),
     tolerance_cols: Sequence[str] = (),
     op_col: str = "operation",
+    batch_order_col: str | None = None,
     timeout_sec: int = 120,
 ) -> StreamingQuery:
     """Continuously upsert a parquet table from a stream of change rows.
@@ -55,6 +58,16 @@ def run_streaming_merge(
     ``tolerance_cols``) must cover every existing table column — a
     column the caller forgot to declare would otherwise be silently
     destroyed by the rewrite, so the first batch raises instead.
+
+    ``scd1_merge`` requires the incoming side to be unique per natural
+    key (a full-outer join fans out otherwise, emitting duplicate
+    surrogate rows that compound on the next merge). A change stream
+    routinely delivers several change rows for one key in a micro-batch,
+    so each batch is collapsed first: pass ``batch_order_col`` (an
+    event-time / version column present in the stream) to keep the
+    LATEST change per key via a ``max_by`` aggregate (map-side combine,
+    hot-key safe). Without it, a batch containing duplicate natural keys
+    raises — there is no deterministic "last" row in an unordered batch.
     """
     import os
 
@@ -64,6 +77,22 @@ def run_streaming_merge(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if batch_order_col is not None:
+            batch_df = dedup_keep_last_agg(
+                batch_df, keys=natural_key, order=[batch_order_col]
+            )
+        else:
+            dups = (
+                batch_df.groupBy(*natural_key)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+            )
+            if not dups.isEmpty():
+                raise ValueError(
+                    "micro-batch contains duplicate natural keys; pass "
+                    "batch_order_col to keep the latest change per key"
+                )
         if not os.path.exists(table_path):
             initial = assign_surrogate_keys(
                 batch_df.select(*[c for c in declared if c != surrogate_col]),

@@ -291,3 +291,29 @@ def test_parquet_merge_schema_reads_evolved_table(spark, scratch):
     assert {"id", "name", "score"} <= set(df.columns)
     rows = {r["id"]: r for r in df.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 99.0
+
+
+def test_compact_table_preserves_hive_partitioning(spark, scratch):
+    """ADVICE r3: compacting a date-partitioned directory must keep the
+    ``date=.../`` layout (partition pruning depends on it), not flatten
+    the partition column into the data files."""
+    import glob
+
+    from dynamic_etl_spark.io.sinks import compact_table
+
+    path = str(scratch / "parted")
+    df = spark.range(1_000).selectExpr("id", "CAST(id % 3 AS INT) AS date")
+    # many small appends per partition — the compaction motivation
+    df.repartition(10).write.partitionBy("date").parquet(path)
+    assert len(glob.glob(f"{path}/date=*/part-*")) > 3
+
+    compact_table(spark, path)
+    part_files = glob.glob(f"{path}/date=*/part-*")
+    assert sorted(os.path.basename(os.path.dirname(p)) for p in part_files) == [
+        "date=0", "date=1", "date=2",
+    ]  # layout preserved, one file per partition value
+    assert not glob.glob(f"{path}/part-*")  # nothing flattened to the root
+    back = spark.read.parquet(path)
+    assert back.count() == 1_000
+    assert back.agg({"id": "sum"}).collect()[0][0] == sum(range(1_000))
+    assert {r["date"] for r in back.select("date").distinct().collect()} == {0, 1, 2}

@@ -327,3 +327,48 @@ def test_streaming_merge_sink_bootstrap_and_column_guard(spark, scratch):
     # the guarded table is untouched
     row = spark.read.parquet(table2).collect()[0]
     assert row["audit_note"] == "keep me"
+
+
+def test_streaming_merge_sink_dedups_batch_on_natural_key(spark, scratch):
+    """ADVICE r3 (medium): a micro-batch with two change rows for one
+    natural key must NOT fan out the full-outer merge into duplicate
+    (sk, nk) rows. With ``batch_order_col`` the latest change per key
+    wins; without it a duplicated batch raises instead of corrupting."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from dynamic_etl_spark.streaming import file_stream, run_streaming_merge
+
+    table = str(scratch / "dim_table")
+    spark.createDataFrame([(1, "k1", 10.0)], ["sk", "nk", "v"]).write.parquet(table)
+
+    feed_dir = scratch / "feed"
+    feed_dir.mkdir()
+    # two changes for k1 (seq 1 then 2) + an insert for k9, one batch
+    changes = spark.createDataFrame(
+        [("k1", 11.0, 1), ("k1", 12.0, 2), ("k9", 90.0, 1)],
+        ["nk", "v", "seq"],
+    )
+    changes.coalesce(1).write.parquet(str(feed_dir / "f1.parquet"))
+
+    stream = file_stream(spark, str(feed_dir / "f1.parquet"), changes.schema)
+    run_streaming_merge(
+        stream, table, str(scratch / "ckpt_dedup"),
+        natural_key=["nk"], surrogate_col="sk", tolerance_cols=["v"],
+        batch_order_col="seq",
+    )
+    rows = spark.read.parquet(table).collect()
+    assert len(rows) == 2  # no duplicate (sk, nk) rows
+    got = {r["nk"]: (r["sk"], r["v"]) for r in rows}
+    assert got["k1"] == (1, 12.0)  # latest change by seq wins
+    assert got["k9"] == (2, 90.0)
+
+    # without batch_order_col the same duplicated batch must abort
+    table2 = str(scratch / "dim_table2")
+    spark.createDataFrame([(1, "k1", 10.0)], ["sk", "nk", "v"]).write.parquet(table2)
+    stream2 = file_stream(spark, str(feed_dir / "f1.parquet"), changes.schema)
+    with pytest.raises(StreamingQueryException, match="duplicate natural keys"):
+        run_streaming_merge(
+            stream2, table2, str(scratch / "ckpt_dedup2"),
+            natural_key=["nk"], surrogate_col="sk", tolerance_cols=["v"],
+        )
+    assert spark.read.parquet(table2).count() == 1  # table untouched
