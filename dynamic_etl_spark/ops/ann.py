@@ -155,6 +155,8 @@ def cosine_topk_vectorized(
         ]
     )
 
+    q_arr = np.asarray(q_ids)
+
     def score(batches):
         for pdf in batches:
             if len(pdf) == 0:
@@ -163,22 +165,28 @@ def cosine_topk_vectorized(
             v = np.array(list(pdf[vec_col]), dtype=np.float64)
             v_norm = np.sqrt((v * v).sum(axis=1))
             sims = (v @ q_mat.T) / np.outer(v_norm, q_norm)
-            rows = {"query_id": [], "neighbor_id": [], "__sim": []}
-            for qi, q_id in enumerate(q_ids):
-                col = sims[:, qi]
-                mask = ids != q_id
-                cand_idx = np.nonzero(mask)[0]
-                if len(cand_idx) == 0:
-                    continue
-                # tie-break by ascending neighbor_id (lexsort: last key is
-                # primary) so local top-k can never drop a row the global
-                # asc-id window would have kept
-                order = np.lexsort((ids[cand_idx], -col[cand_idx]))[:k]
-                top = cand_idx[order]
-                rows["query_id"].extend([q_id] * len(top))
-                rows["neighbor_id"].extend(ids[top].tolist())
-                rows["__sim"].extend(float(x) for x in col[top])
-            yield pd.DataFrame(rows)
+            # self-matches can never enter a top-k
+            not_self = ids[:, None] != q_arr[None, :]
+            sims = np.where(not_self, sims, -np.inf)
+            # ONE C-side partial selection across ALL queries (axis=0)
+            # instead of a per-query Python loop with full lexsorts —
+            # the loop was the bottleneck (bench r3: 4.5s, slower than
+            # the interpreted brute force). Emitting every row tied with
+            # the local k-th sim (a superset of the local top-k under
+            # any tie-break) keeps the global (sim desc, id asc) window
+            # exact without per-query id-ordering work here.
+            kk = min(k, sims.shape[0])
+            part = np.argpartition(-sims, kk - 1, axis=0)
+            kth = sims[part[kk - 1], np.arange(sims.shape[1])]
+            mask = (sims >= kth[None, :]) & not_self
+            row_idx, q_idx = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "query_id": q_arr[q_idx],
+                    "neighbor_id": ids[row_idx],
+                    "__sim": sims[row_idx, q_idx],
+                }
+            )
 
     local_topk = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
     return _rank_topk(local_topk, k)

@@ -149,6 +149,9 @@ _DIRTY_STORE_SQL = """
 
 
 def clean_store_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # measured: fanning the 1-split customer scan out costs MORE than the
+    # regex chain saves (dim-sized input; the dedup window reshuffles
+    # anyway) — ensure_fanout_parallelism is for fact-sized fan-out work
     dirty = _dirty_store_feed(spark, sf_dir)
     cleaned = dirty.select(
         F.col("k").alias("store_src_key"),

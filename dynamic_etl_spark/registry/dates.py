@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from dynamic_etl_spark.ops import clean as C
 from dynamic_etl_spark.ops import dates as DT
 from dynamic_etl_spark.registry.core import Query, QueryRegistry, t
+from dynamic_etl_spark.session import ensure_fanout_parallelism
 
 _HOLIDAY_VALUES = ", ".join(f"({k}, '{v}')" for k, v in DT.INDIAN_HOLIDAYS)
 
@@ -90,7 +91,10 @@ def date_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(d.cast("string"))
     )
     parsed = C.lenient_date(raw, max_date="1998-12-31")
-    feed = orders.select(
+    # multi-format try_to_timestamp is ~µs/row-attempt CPU — heavy enough
+    # that a 1-split input (sf0.1 orders is one row group) serializes the
+    # whole parse on one task; fan out first (no-op on well-split inputs)
+    feed = ensure_fanout_parallelism(orders).select(
         F.col("o_orderkey").alias("order_key"),
         DT.date_key(parsed).alias("date_id"),
     )

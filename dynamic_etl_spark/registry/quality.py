@@ -14,9 +14,14 @@ from pyspark.sql import DataFrame, SparkSession
 from dynamic_etl_spark.ops import quality as Q
 from dynamic_etl_spark.registry.core import Query, QueryRegistry, t
 from dynamic_etl_spark.registry.llm import _SQL_TOKENS  # shared tokenizer twin
+from dynamic_etl_spark.session import ensure_fanout_parallelism
 
 
 def gopher_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # measured: fanning the 1-split documents scan out does NOT pay here —
+    # the n-gram explode feeds a partial agg whose shuffle re-spreads the
+    # work regardless (unlike the shuffle-free signature builders that do
+    # use ensure_fanout_parallelism)
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return Q.repetition_profile(docs)
 
