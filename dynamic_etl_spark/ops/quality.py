@@ -255,3 +255,135 @@ def tfidf_topk(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tf", "df", F.round("__score", 6).alias("tfidf"))
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus bigram language model: familiarity/novelty gates and add-k
+# perplexity — the CCNet/KenLM-style "does this doc look like the corpus"
+# quality signal (Wenzek et al. 2020 score documents with a corpus LM;
+# re-expressed here as distributed bigram statistics over the same
+# _gram_rows machinery the Gopher gates use).
+# --------------------------------------------------------------------------
+
+def bigram_model(df: DataFrame, *, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Corpus bigram counts ``(w1, gram, c)`` — one explode + one codegen
+    partial aggregation on the gram key. The model is corpus-sized (not
+    bounded), so NOTHING here collects or broadcasts it: consumers join
+    on the gram key, which shuffles model and corpus alike on their
+    natural key. ``w1`` (the context word) rides along for context-count
+    rollups; grams never contain internal whitespace beyond the single
+    separator (whitespace tokenization), so the split is lossless."""
+    return (
+        _gram_rows(df, [2], id_col, text_col)
+        .groupBy("__gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.split_part(F.col("__gram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.col("__gram").alias("gram"),
+            "c",
+        )
+    )
+
+
+def bigram_novelty_profile(df: DataFrame, *, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           familiar_min_count: int = 2) -> DataFrame:
+    """Per-document novelty vs the self-trained corpus bigram model:
+    ``n_bigrams``, ``n_familiar`` (bigram INSTANCES whose corpus count >=
+    ``familiar_min_count``), ``novelty_ratio = 1 - familiar/n``.
+
+    Oracle-exact by construction (repo float rules): every statistic is
+    an integer count; the single ratio divides the integer sums ONCE at
+    the end (both engines compute the identical IEEE quotient). Docs
+    shorter than 2 tokens surface with zeros, mirroring
+    multi_ngram_stats' left-join contract."""
+    grams = _gram_rows(df, [2], id_col, text_col).select(id_col, "__gram")
+    model = grams.groupBy("__gram").agg(F.count(F.lit(1)).alias("__c"))
+    scored = (
+        grams.join(model, on="__gram")  # self-trained: always matches
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("__c") >= familiar_min_count, 1).otherwise(0)
+            ).alias("n_familiar"),
+        )
+    )
+    out = df.select(id_col).join(scored, on=id_col, how="left")
+    n, fam = F.col("n_bigrams"), F.col("n_familiar")
+    return out.select(
+        id_col,
+        F.coalesce(n, F.lit(0)).alias("n_bigrams"),
+        F.coalesce(fam, F.lit(0)).alias("n_familiar"),
+        F.round(
+            F.when(n > 0, 1.0 - fam.cast("double") / n).otherwise(0.0), 6
+        ).alias("novelty_ratio"),
+    )
+
+
+def bigram_perplexity_profile(df: DataFrame, *, id_col: str = "doc_id",
+                              text_col: str = "text", k: float = 1.0) -> DataFrame:
+    """Per-document add-k bigram perplexity under the self-trained corpus
+    model: ``P(w2|w1) = (c(w1 w2) + k) / (c(w1 .) + k*V)``, ``V`` =
+    corpus vocabulary size; ``cross_entropy = -mean(log2 P)``;
+    ``perplexity = 2^cross_entropy``.
+
+    Determinism at any parallelism (repo convention): log2 of a smoothed
+    probability is irrational, and a raw double sum would be
+    partition-order dependent — each bigram's log-prob is rounded to 12dp
+    and summed as decimal(38,12) (exact, order-free), divided once per
+    doc. Cross-ENGINE the log itself is libm-dependent, so this operator
+    is rows-only at the driver with a numpy brute-force pytest twin
+    (CLAUDE.md rows-only rule).
+
+    Scale: model + context-count joins shuffle on gram/w1 (natural keys,
+    skew bounded by stopword frequency caps at ~corpus fraction); V is a
+    1-row aggregate joined via broadcast anchor (repo's bounded-scalar
+    pattern) — nothing corpus-sized crosses the driver."""
+    grams = _gram_rows(df, [2], id_col, text_col).select(id_col, "__gram")
+    model = grams.groupBy("__gram").agg(F.count(F.lit(1)).alias("__cg"))
+    ctx = model.groupBy(
+        F.split_part(F.col("__gram"), F.lit(" "), F.lit(1)).alias("__w1")
+    ).agg(F.sum("__cg").alias("__cw"))
+    vocab = df.select(
+        F.explode(tokens(F.col(text_col))).alias("__tok")
+    ).agg(F.countDistinct("__tok").alias("__v"))
+
+    scored = (
+        grams.join(model, on="__gram")
+        .withColumn("__w1", F.split_part(F.col("__gram"), F.lit(" "), F.lit(1)))
+        .join(ctx, on="__w1")
+        .join(F.broadcast(vocab))  # 1-row anchor (deliberate, plan-tested class)
+        .select(
+            id_col,
+            F.round(
+                F.log2(
+                    (F.col("__cg") + F.lit(k))
+                    / (F.col("__cw") + F.lit(k) * F.col("__v"))
+                ),
+                12,
+            )
+            .cast("decimal(38,12)")
+            .alias("__lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("__lp").alias("__slp"),
+    )
+    h = -F.col("__slp").cast("double") / F.col("n_bigrams")
+    return (
+        df.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.round(F.when(F.col("n_bigrams") > 0, h).otherwise(0.0), 6).alias(
+                "cross_entropy"
+            ),
+            F.round(
+                F.when(F.col("n_bigrams") > 0, F.pow(F.lit(2.0), h)).otherwise(1.0), 6
+            ).alias("perplexity"),
+        )
+    )

@@ -154,12 +154,16 @@ _TAIL_ORDER = (
     # feature scaling: min-max + z-score (oracle-backed)
     "events_minmax_scaled",
     "events_value_zscore",
+    # corpus-LM quality gate (oracle-backed)
+    "bigram_novelty_profile",
     # rows-only (engine-hash-specific; brute-force-checked in pytest)
     "approx_distinct_profile",
     "minhash_near_dup",
     "simhash_near_dup",
     "embedding_ann_lsh",
     "embedding_ann_ivf",
+    # rows-only (libm log2 is engine-specific; numpy-checked in pytest)
+    "bigram_perplexity_profile",
 )
 
 

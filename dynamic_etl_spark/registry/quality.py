@@ -124,6 +124,44 @@ FROM ranked WHERE rank <= 3
 """.format(tokens=_SQL_TOKENS)
 
 
+
+
+def bigram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return Q.bigram_novelty_profile(docs)
+
+
+NOVELTY_ORACLE = """
+WITH base AS (
+  SELECT doc_id, {tokens} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM base WHERE len(toks) >= 2
+),
+model AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+scored AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         CAST(sum(CASE WHEN m.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_familiar
+  FROM g JOIN model m USING (gram) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_bigrams, 0) AS n_bigrams,
+       coalesce(s.n_familiar, 0) AS n_familiar,
+       round(CASE WHEN coalesce(s.n_bigrams, 0) > 0
+             THEN 1.0 - CAST(s.n_familiar AS DOUBLE) / s.n_bigrams
+             ELSE 0.0 END, 6) AS novelty_ratio
+FROM documents d LEFT JOIN scored s USING (doc_id)
+""".format(tokens=_SQL_TOKENS)
+
+
+def bigram_perplexity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return Q.bigram_perplexity_profile(docs)
+
+
 QUERIES: QueryRegistry = {
     "gopher_repetition_gates": Query(
         gopher_repetition_gates,
@@ -134,5 +172,16 @@ QUERIES: QueryRegistry = {
         tfidf_top_terms,
         TFIDF_ORACLE,
         "top-3 TF-IDF terms per document (smoothed idf, total-ordered ranks)",
+    ),
+    "bigram_novelty_profile": Query(
+        bigram_novelty_profile,
+        NOVELTY_ORACLE,
+        "CCNet-style corpus-LM familiarity gate (integer-exact bigram counts)",
+    ),
+    "bigram_perplexity_profile": Query(
+        bigram_perplexity_profile,
+        None,
+        "add-k bigram perplexity vs self-trained corpus model "
+        "(rows-only: libm log2 is engine-specific; numpy brute-force pytest)",
     ),
 }

@@ -95,3 +95,59 @@ def test_funnel_orders_stages_strictly(spark):
     assert got.n_purchased_after_funnel == 1      # user 1 only
     assert got.view_to_click_rate == round(2 / 3, 6)
     assert got.click_to_purchase_rate == 0.5
+
+
+def test_bigram_novelty_hand_computed(spark):
+    # corpus: "a b c", "a b d", "x y" -> model counts: "a b":2, "b c":1,
+    # "b d":1, "x y":1. familiar (count>=2) instances: each doc's "a b".
+    df = _docs(spark, ["a b c", "a b d", "x y", "solo"])
+    rows = {r.doc_id: r for r in Q.bigram_novelty_profile(df).collect()}
+    assert (rows[0].n_bigrams, rows[0].n_familiar) == (2, 1)
+    assert (rows[1].n_bigrams, rows[1].n_familiar) == (2, 1)
+    assert (rows[2].n_bigrams, rows[2].n_familiar) == (1, 0)
+    assert rows[2].novelty_ratio == 1.0
+    assert (rows[3].n_bigrams, rows[3].n_familiar, rows[3].novelty_ratio) == (0, 0, 0.0)
+    assert rows[0].novelty_ratio == 0.5
+
+
+def test_bigram_perplexity_matches_numpy_bruteforce(spark):
+    """Rows-only registry query: recompute add-1 bigram perplexity with a
+    plain Python/numpy model over the real sf0.001 documents and compare
+    within float tolerance (log2 is libm-specific; the Spark plan rounds
+    each log-prob at 12dp before the exact decimal sum, so agreement is
+    ~1e-9, far tighter than the 1e-6 asserted here)."""
+    import math
+    from collections import Counter
+
+    from dynamic_etl_spark.catalog import load_table
+    from dynamic_etl_spark.ops.text import tokens as _  # noqa: F401
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    got = {r.doc_id: r for r in Q.bigram_perplexity_profile(docs).collect()}
+
+    corpus = {r.doc_id: r.text.lower().split() for r in docs.collect()}
+    grams = Counter()
+    ctx = Counter()
+    vocab = set()
+    for toks in corpus.values():
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            grams[(a, b)] += 1
+            ctx[a] += 1
+    v = len(vocab)
+    checked = 0
+    for doc_id, toks in corpus.items():
+        pairs = list(zip(toks, toks[1:]))
+        r = got[doc_id]
+        assert r.n_bigrams == len(pairs)
+        if not pairs:
+            assert (r.cross_entropy, r.perplexity) == (0.0, 1.0)
+            continue
+        h = -sum(
+            math.log2((grams[p] + 1.0) / (ctx[p[0]] + 1.0 * v)) for p in pairs
+        ) / len(pairs)
+        assert abs(r.cross_entropy - h) < 1e-6, doc_id
+        assert abs(r.perplexity - 2.0**h) < 1e-4 * 2.0**h, doc_id
+        checked += 1
+    assert checked > 100  # the fixture corpus genuinely exercises the model
