@@ -185,3 +185,69 @@ def compact_table(
         for f in files
         if not f.startswith(("_", "."))
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str,
+    salt: int = 0,
+    shard_col: str = "shard",
+) -> dict:
+    """Deterministic training-shard export: every row lands in
+    ``shard=K/`` (Hive layout) by ``ops.sample.assign_shard`` of its key,
+    plus a ``_manifest.json`` recording per-shard rows / files / bytes and
+    the assignment recipe. A training loader can consume shards
+    independently, restart per shard, and RECOMPUTE any row's shard from
+    its key (the manifest pins n_shards/salt/key_col — no stored mapping).
+
+    Scale: the shard id is row-local codegen, and the write keeps the
+    scan's parallelism — each task fans its rows across shard dirs, so no
+    repartition funnels a whole shard through one executor (a shard of a
+    100 TB corpus is itself huge). Many files per shard dir is the
+    intended layout; compact per-partition later via ``compact_table``
+    if a consumer needs fewer. Row counts come from ONE distributed agg
+    (n_shards bounded rows to the driver — repo bounded-scalar rule).
+    """
+    import json
+
+    from dynamic_etl_spark.ops.sample import assign_shard
+
+    out = df.withColumn(shard_col, assign_shard(key_col, n_shards, salt))
+    out.write.mode("overwrite").partitionBy(shard_col).parquet(path)
+    rows = {
+        r[shard_col]: r["n_rows"]
+        for r in out.groupBy(shard_col).agg(F.count(F.lit(1)).alias("n_rows")).collect()
+    }
+    shards = []
+    for k in range(n_shards):
+        shard_dir = os.path.join(path, f"{shard_col}={k}")
+        files = (
+            sorted(
+                f for f in os.listdir(shard_dir) if not f.startswith(("_", "."))
+            )
+            if os.path.isdir(shard_dir)
+            else []
+        )
+        shards.append(
+            {
+                "shard": k,
+                "rows": int(rows.get(k, 0)),
+                "files": len(files),
+                "bytes": sum(os.path.getsize(os.path.join(shard_dir, f)) for f in files),
+            }
+        )
+    manifest = {
+        "n_shards": n_shards,
+        "key_col": key_col,
+        "salt": salt,
+        "shard_col": shard_col,
+        "total_rows": int(sum(s["rows"] for s in shards)),
+        "shards": shards,
+    }
+    # underscore prefix: Spark/Hadoop file indexes skip _-prefixed
+    # files, so re-reading the shard directory as parquet stays clean
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest

@@ -192,3 +192,19 @@ def stratified_sample(
             cond = cond & (F.col(col) == F.lit(val))
         frac = F.when(cond, F.lit(float(fraction))).otherwise(frac)
     return df.filter(uniform < frac)
+
+
+def assign_shard(key: Column | str, n_shards: int, salt: int = 0) -> Column:
+    """Deterministic shard id in [0, n_shards): ``floor(U(key) * n)`` over
+    the SQL-reproducible affine uniform. Row-local codegen — no shuffle,
+    stable under any partitioning, and a training job can recompute the
+    same assignment from the key alone (no stored mapping to ship).
+    SQL twin: ``sql_assign_shard``."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    return F.floor(uniform_affine(key, salt) * n_shards).cast("int")
+
+
+def sql_assign_shard(key_sql: str, n_shards: int, salt: int = 0) -> str:
+    """DuckDB twin of :func:`assign_shard`."""
+    return f"CAST(floor({sql_uniform_affine(key_sql, salt)} * {n_shards}) AS INT)"

@@ -129,8 +129,9 @@ _TAIL_ORDER = (
     # training-mix assembly (oracle-backed)
     "corpus_split_assignment",
     "corpus_mixture_sample",
-    # embedding aggregation (oracle-backed)
+    # embedding aggregation + quantization audit (oracle-backed)
     "embedding_label_centroids",
+    "embedding_int8_quant",
     # rolling / inter-arrival event analytics (oracle-backed)
     "events_rolling_user_value",
     "events_interarrival_profile",
@@ -156,6 +157,8 @@ _TAIL_ORDER = (
     "events_value_zscore",
     # corpus-LM quality gate (oracle-backed)
     "bigram_novelty_profile",
+    # training-shard export audit (oracle-backed)
+    "shard_assignment_profile",
     # rows-only (engine-hash-specific; brute-force-checked in pytest)
     "approx_distinct_profile",
     "minhash_near_dup",

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from dynamic_etl_spark.ops import pii as PII
 from dynamic_etl_spark.ops.decontam import contamination_profile
-from dynamic_etl_spark.ops.sample import sql_uniform_affine
+from dynamic_etl_spark.ops.sample import sql_assign_shard, sql_uniform_affine
 from dynamic_etl_spark.ops.text import winnow_fingerprints
 from dynamic_etl_spark.registry.core import Query, QueryRegistry, t
 from dynamic_etl_spark.registry.llm import _SQL_TOKENS  # shared tokenizer twin
@@ -372,6 +372,45 @@ WHERE mix_rank <= q
 """
 
 
+
+
+# ==========================================================================
+# Shard assignment: the query surface of io.sinks.write_training_shards —
+# per-shard row counts + id-range + checksum, oracle-exact (integer
+# arithmetic over the SQL-twinned affine uniform). A training loader can
+# audit a shard export against this profile without re-reading the data.
+# ==========================================================================
+
+def shard_assignment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dynamic_etl_spark.ops.sample import assign_shard
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        docs.withColumn("shard", assign_shard("doc_id", 16, salt=13))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("doc_id").alias("doc_id_sum"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+SHARD_ORACLE = f"""
+SELECT shard, count(*) AS n_docs,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+       CAST(sum(doc_id) AS BIGINT) AS doc_id_sum,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT doc_id, n_chars, {sql_assign_shard("doc_id", 16, 13)} AS shard
+  FROM documents
+)
+GROUP BY shard
+"""
+
+
 QUERIES: QueryRegistry = {
     "benchmark_decontamination": Query(
         benchmark_decontamination,
@@ -407,5 +446,10 @@ QUERIES: QueryRegistry = {
         corpus_mixture_sample,
         MIXTURE_ORACLE,
         "exact per-source mixture quotas via deterministic pseudo-random rank",
+    ),
+    "shard_assignment_profile": Query(
+        shard_assignment_profile,
+        SHARD_ORACLE,
+        "training-shard audit: per-shard rows/range/checksums of the manifest recipe",
     ),
 }

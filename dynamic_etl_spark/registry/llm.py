@@ -611,6 +611,37 @@ GROUP BY label, i - 1
 """
 
 
+
+
+def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return ANN.int8_quant_profile(emb, "vec_id", "embedding")
+
+
+# mirror ops/ann.int8_quant_profile op-for-op: every double op (divide,
+# round-half-away-from-zero, multiply, subtract) is the identical IEEE
+# sequence; aggregates are integer sums and maxes only (order-free).
+INT8_QUANT_ORACLE = """
+WITH ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, v, max(abs(v)) OVER (PARTITION BY vec_id) / 127.0 AS s FROM ex
+),
+q AS (
+  SELECT vec_id, v, s,
+         CASE WHEN s > 0 THEN CAST(round(v / s) AS INT) ELSE 0 END AS qi
+  FROM scaled
+)
+SELECT vec_id, count(*) AS n_dims,
+       CAST(sum(qi) AS BIGINT) AS q_sum,
+       CAST(sum(abs(qi)) AS BIGINT) AS q_l1,
+       CAST(sum(CASE WHEN abs(qi) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated,
+       round(max(abs(v - qi * s)), 6) AS max_abs_err
+FROM q GROUP BY vec_id
+"""
+
+
 QUERIES: QueryRegistry = {
     "text_stats_profile": Query(
         text_stats_profile, TEXT_STATS_ORACLE,
@@ -675,6 +706,10 @@ QUERIES: QueryRegistry = {
     "multimodal_feature_extract": Query(
         multimodal_feature_extract, MULTIMODAL_ORACLE,
         "binary media column -> Arrow mapInPandas feature extraction (stub decoder)",
+    ),
+    "embedding_int8_quant": Query(
+        embedding_int8_quant, INT8_QUANT_ORACLE,
+        "per-vector absmax int8 quantization audit (integer checksums + max error)",
     ),
     "embedding_label_centroids": Query(
         embedding_label_centroids, CENTROIDS_ORACLE,

@@ -209,3 +209,24 @@ def test_label_centroids_hand_example_and_partition_invariance(spark):
     # registry query: same result regardless of input partitioning
     a = embedding_label_centroids(spark, "/root/testdata/sf0.001").collect()
     assert len(a) == 640  # (distinct labels) x (embedding dims) cells
+
+
+def test_int8_quant_profile_hand_computed(spark):
+    from dynamic_etl_spark.ops.ann import int8_quant_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),   # scale 1/127; q = 127,-64,32,0
+            (2, [0.0, 0.0]),               # zero vector -> all q 0, err 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in int8_quant_profile(df, "vec_id", "embedding").collect()}
+    r1 = rows[1]
+    # q = round(v / (1.0/127)) = [127, -63.5 -> -64 (half away from zero), 31.75 -> 32, 0]
+    assert (r1.n_dims, r1.q_sum, r1.q_l1, r1.n_saturated) == (4, 95, 223, 1)
+    s = 1.0 / 127.0
+    expected_err = max(abs(-0.5 - (-64) * s), abs(0.25 - 32 * s))
+    assert abs(r1.max_abs_err - round(expected_err, 6)) < 1e-12
+    r2 = rows[2]
+    assert (r2.n_dims, r2.q_sum, r2.q_l1, r2.n_saturated, r2.max_abs_err) == (2, 0, 0, 0, 0.0)

@@ -165,3 +165,44 @@ def test_per_key_quota_sample_exact_counts_and_determinism(spark):
         uniform=uniform_affine("doc", salt=3), tiebreak=["doc"],
     )
     assert {r["doc"] for r in out.collect()} == {r["doc"] for r in out2.collect()}
+
+
+def test_write_training_shards_manifest_and_determinism(spark, tmp_path):
+    """Shard export: rows land in shard=K dirs per the affine-uniform
+    recipe, the manifest accounts for every row/byte, and the assignment
+    is identical at any input partitioning (a loader recomputing shards
+    from keys must agree with the files on disk)."""
+    import json
+    import os
+
+    from dynamic_etl_spark.io.sinks import write_training_shards
+    from dynamic_etl_spark.ops.sample import assign_shard
+
+    df = spark.range(0, 1000).selectExpr("id AS doc_id", "id * 2 AS payload")
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(df, path, n_shards=8, key_col="doc_id", salt=13)
+
+    assert manifest["total_rows"] == 1000
+    assert len(manifest["shards"]) == 8
+    assert sum(s["rows"] for s in manifest["shards"]) == 1000
+    on_disk = json.load(open(os.path.join(path, "_manifest.json")))
+    assert on_disk == manifest
+    for s in manifest["shards"]:
+        if s["rows"]:
+            assert s["files"] >= 1 and s["bytes"] > 0
+
+    # round-trip: partition dirs reconstruct the shard column
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    expected = {
+        (r.doc_id, r.shard)
+        for r in df.withColumn("shard", assign_shard("doc_id", 8, 13)).collect()
+    }
+    assert {(r.doc_id, r.shard) for r in back.select("doc_id", "shard").collect()} == expected
+
+    # partitioning-independence: a 7-way repartition must not move a row
+    path2 = str(tmp_path / "shards2")
+    m2 = write_training_shards(
+        df.repartition(7), path2, n_shards=8, key_col="doc_id", salt=13
+    )
+    assert [s["rows"] for s in m2["shards"]] == [s["rows"] for s in manifest["shards"]]
