@@ -33,27 +33,21 @@ _WINDOW_ORDER = (
     "flagship_star_join",
     "scan_projection_filter",
     "pricing_summary",
-    "high_water_mark",
     "distinct_profile",
-    "numeric_profile",
     "duplicate_detection",
     "null_count_profile",
     "rollup_totals",
     "top_part_types",
     "fallback_key_resolution",
-    "nation_key_set_ops",
-    "freshness_watermark",
     "drop_unresolved_keys",
     "salted_skew_join",
     # windows / dedup
     "surrogate_key_assignment",
     "customer_order_sequence",
-    "latest_order_per_customer",
     "dedup_keep_last_line",
     # cleaning
     "clean_store_feed",
     "clean_product_feed",
-    "clean_distributor_feed",
     "alias_header_resolution",
     "tiered_discount_pricing",
     "coercion_failure_profile",
@@ -61,23 +55,31 @@ _WINDOW_ORDER = (
     "date_dimension_build",
     "date_key_lookup",
     "date_gap_fill_incremental",
-    # merge / SCD
+    # merge / SCD (r4 rotation: SCD-2 history merge gets the hard signal)
     "change_detection_classification",
     "scd1_merge_orders",
+    "scd2_merge_customers",
     "mini_dim_upsert",
     "snowflake_extraction",
-    "insert_only_merge",
     # validation
     "validation_report",
-    # events
+    # events (r4 rotation: as-of + range joins get the hard signal)
     "events_tumbling_window",
     "events_sessionization",
-    "events_json_extract",
-    # LLM-data-pipeline layer (driver-brief first-class components)
+    "events_asof_last_purchase",
+    "events_range_interval_join",
+    # LLM-data-pipeline layer (driver-brief first-class components;
+    # r4 rotation: quality gates / fingerprints / PII / decontamination
+    # / line-dedup get the hard signal)
     "text_stats_profile",
     "language_id_profile",
     "exact_dedup_fingerprint",
     "ngram_jaccard_similarity",
+    "gopher_repetition_gates",
+    "winnowing_fingerprint",
+    "pii_detect_redact",
+    "benchmark_decontamination",
+    "line_dedup_profile",
     "near_dup_components",
     "dedup_survivors",
     "corpus_stratified_sample",
@@ -93,6 +95,17 @@ _WINDOW_ORDER = (
 #: Positions 51+: oracle-backed near-duplicates of windowed operators
 #: first (still locally hash-checked), then the rows-only queries.
 _TAIL_ORDER = (
+    # r4 rotation: driver-confirmed green in CORRECTNESS_r03 — swapped out
+    # of the window to hand the hard signal to never-driver-checked
+    # families; the local harness still hash-checks them every run.
+    "high_water_mark",             # A1, green r03
+    "numeric_profile",             # A6, green r03
+    "nation_key_set_ops",          # set-ops, green r03
+    "freshness_watermark",         # A3, green r03
+    "latest_order_per_customer",   # W3, green r03
+    "clean_distributor_feed",      # F31 twin, green r03
+    "insert_only_merge",           # U4, green r03
+    "events_json_extract",         # events twin, green r03
     "point_and_flag_filter",       # P-coverage subsumed by scan_projection_filter
     "customers_with_orders",       # J6 semi twin of the windowed J7 anti (P11)
     "customers_without_orders",    # J7 anti; 0-row result — weak driver signal,
@@ -108,24 +121,12 @@ _TAIL_ORDER = (
     "generator_stores",
     "generator_products",
     "generator_distributors",
-    # corpus curation (oracle-backed; new families — hash-checked locally,
-    # window slots already hold one rep per driver-visible family)
-    "benchmark_decontamination",
-    "pii_detect_redact",
-    "winnowing_fingerprint",
-    # beyond-reference join strategies (oracle-backed)
-    "events_asof_last_purchase",
-    "events_range_interval_join",
     # document-quality layer (oracle-backed)
-    "gopher_repetition_gates",
     "tfidf_top_terms",
     "events_funnel_conversion",
-    # line-level dedup, quota capping, percentile profiles (oracle-backed)
-    "line_dedup_profile",
+    # quota capping, percentile profiles (oracle-backed)
     "source_quota_cap",
     "events_value_percentiles",
-    # SCD Type-2 history-preserving merge (oracle-backed)
-    "scd2_merge_customers",
     # training-mix assembly (oracle-backed)
     "corpus_split_assignment",
     "corpus_mixture_sample",
