@@ -186,3 +186,46 @@ def test_pipeline_failure_names_step():
     pipe = Pipeline("p", [Step("ok", lambda c: 1), Step("bad", boom, depends_on=("ok",))])
     with pytest.raises(RuntimeError, match="failed at step 'bad'"):
         pipe.run()
+
+
+def test_pipeline_retry_recovers_flaky_step():
+    """A step with retries>0 succeeds once a transient failure clears
+    (reference DAG default_args: retries=1 — dags/retail_daily_pipeline.py:5-10)."""
+    calls = {"n": 0}
+
+    def flaky(ctx):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("transient")
+        return "ok"
+
+    pipe = Pipeline("p", [Step("flaky", flaky, retries=2)])
+    result = pipe.run()
+    assert result.outputs["flaky"] == "ok"
+    assert calls["n"] == 3
+
+
+def test_pipeline_retry_exhaustion_fails_with_attempt_count():
+    calls = {"n": 0}
+
+    def poison(ctx):
+        calls["n"] += 1
+        raise ValueError("always")
+
+    pipe = Pipeline("p", [Step("poison", poison, retries=2)])
+    with pytest.raises(RuntimeError, match="failed at step 'poison' after 3 attempt"):
+        pipe.run()
+    assert calls["n"] == 3
+
+
+def test_pipeline_default_is_fail_fast():
+    calls = {"n": 0}
+
+    def boom(ctx):
+        calls["n"] += 1
+        raise ValueError("deterministic")
+
+    pipe = Pipeline("p", [Step("boom", boom)])
+    with pytest.raises(RuntimeError, match="after 1 attempt"):
+        pipe.run()
+    assert calls["n"] == 1
