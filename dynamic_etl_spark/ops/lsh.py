@@ -141,6 +141,49 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_banded_rows(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows of a banded MinHash signature — the
+    codegen hot path shared by ``minhash_near_dup_pairs`` and exposed for
+    plan/fan-out inspection (tests/test_scale_stress.py).
+
+    Shingles EXPLODE to rows and each signature slot is a codegen'd
+    ``min(affine(h))`` aggregate with map-side partial aggregation — one
+    shuffle of (doc, num_hashes mins), no interpreted array lambdas, and
+    parallelism follows the data, not the input file count. Band hashes
+    are 64-bit (xxhash64 over the band's slots), so buckets never
+    saturate with corpus size — unlike fixed-width bit bands, collisions
+    stay governed by the S-curve alone.
+    """
+    exploded = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("__s")
+    ).select(F.col(id_col), F.pmod(F.xxhash64("__s"), F.lit(_MINHASH_P)).alias("__h"))
+
+    def slot(i: int) -> Column:
+        a_i, b_i = _affine_params(i)
+        return F.min(
+            F.pmod(F.lit(a_i) * F.col("__h") + F.lit(b_i), F.lit(_MINHASH_P))
+        ).alias(f"__mh{i}")
+
+    sig_cols = exploded.groupBy(id_col).agg(*[slot(i) for i in range(num_hashes)])
+    rows = num_hashes // bands
+    bands_arr = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col(f"__mh{b * rows + j}") for j in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    return sig_cols.select(
+        F.col(id_col), F.posexplode(bands_arr).alias("band_idx", "band_hash")
+    )
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame,
     id_col: str,
@@ -190,27 +233,7 @@ def minhash_near_dup_pairs(
     # shingling + signatures dwarf a raw-row shuffle; no-op on well-split
     # inputs (see session.ensure_fanout_parallelism — measured 3.5x here)
     docs = ensure_fanout_parallelism(docs)
-    exploded = docs.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("__s")
-    ).select(F.col(id_col), F.pmod(F.xxhash64("__s"), F.lit(_MINHASH_P)).alias("__h"))
-
-    def slot(i: int) -> Column:
-        a_i, b_i = _affine_params(i)
-        return F.min(
-            F.pmod(F.lit(a_i) * F.col("__h") + F.lit(b_i), F.lit(_MINHASH_P))
-        ).alias(f"__mh{i}")
-
-    sig_cols = exploded.groupBy(id_col).agg(*[slot(i) for i in range(num_hashes)])
-    rows = num_hashes // bands
-    bands_arr = F.array(
-        *[
-            F.xxhash64(F.lit(b), *[F.col(f"__mh{b * rows + j}") for j in range(rows)])
-            for b in range(bands)
-        ]
-    )
-    banded = sig_cols.select(
-        F.col(id_col), F.posexplode(bands_arr).alias("band_idx", "band_hash")
-    )
+    banded = minhash_banded_rows(docs, id_col, text_col, num_hashes, bands, shingle_k)
     pairs = (
         banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
         .join(

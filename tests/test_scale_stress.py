@@ -1,0 +1,180 @@
+"""Scale-stress for the dedup/ANN tier (VERDICT r3 #3).
+
+The sf0.1 fixtures hold 500 documents / 2,000 vectors in one partition —
+enough to hash-check semantics, far too small to exercise the banded-LSH
+shuffle shapes under real fan-out. These tests synthesize seeded
+million-row corpora IN-SESSION (pure codegen expressions off
+``spark.range`` — no files, reproducible at any parallelism, same
+xxhash64-uniform discipline as generate.py) and assert the three claims
+SCALE.md makes about this tier:
+
+1. exact results at scale — every planted near-dup pair is found, zero
+   false positives survive verification;
+2. candidate volume stays near-linear in corpus size (the banded-LSH
+   guarantee; a quadratic candidate explosion doubles the ratio);
+3. the work fans out — the signature/banding stages spread across the
+   shuffle partitioning instead of collapsing to one task — and total
+   wall time stays inside a bound that a single-task collapse or an
+   O(n^2) join would blow through (bounds are ~4x the measured local[8]
+   times, so they flag order-of-magnitude regressions, not jitter).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamic_etl_spark.ops.ann import cosine_near_dup_pairs, srp_banded_rows
+from dynamic_etl_spark.ops.graph import connected_components
+from dynamic_etl_spark.ops.lsh import minhash_banded_rows, minhash_near_dup_pairs
+
+DOCS_N = 1_000_000
+VECS_N = 100_000
+DUP_EVERY = 500  # ids with id % DUP_EVERY in {0,1} form an identical-text pair
+VEC_DUP_EVERY = 100
+
+
+@pytest.fixture(scope="module", autouse=True)
+def wide_shuffle(spark):
+    """Run this module at 64 shuffle partitions (the driver brief's
+    fan-out floor); restore the suite's setting afterwards."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _docs(spark, n: int):
+    """n documents of 10 hash-derived words over a 50k vocabulary, split
+    across 64 partitions. Ids k*DUP_EVERY and k*DUP_EVERY+1 share a text
+    seed -> exactly n/DUP_EVERY planted identical pairs (Jaccard 1.0);
+    all other texts are hash-random and share no shingles in practice."""
+    seed = F.when(
+        (F.col("id") % DUP_EVERY) < 2, F.col("id") - F.col("id") % 2
+    ).otherwise(F.col("id"))
+    toks = [
+        F.concat(F.lit("w"), F.pmod(F.xxhash64(seed, F.lit(p)), F.lit(50_000)).cast("string"))
+        for p in range(10)
+    ]
+    return (
+        spark.range(n)
+        .repartition(64)
+        .select(F.col("id").alias("doc_id"), F.concat_ws(" ", *toks).alias("text"))
+    )
+
+
+def _vecs(spark, n: int, dim: int = 16):
+    """n hash-random 16-dim embeddings; ids k*VEC_DUP_EVERY and +1 share a
+    seed -> n/VEC_DUP_EVERY planted identical pairs (cosine 1.0)."""
+    seed = F.when(
+        (F.col("id") % VEC_DUP_EVERY) < 2, F.col("id") - F.col("id") % 2
+    ).otherwise(F.col("id"))
+    comps = [
+        (F.pmod(F.xxhash64(seed, F.lit(j)), F.lit(2001)) - 1000) / 1000.0 for j in range(dim)
+    ]
+    return spark.range(n).repartition(64).select(F.col("id").alias("vec_id"), F.array(*comps).alias("emb"))
+
+
+def _planted_pair_violations(df, id_a: str, id_b: str, every: int):
+    """Rows that are NOT a planted (k*every, k*every+1) pair."""
+    return df.filter(
+        (F.col(id_a) % every != 0) | (F.col(id_b) != F.col(id_a) + 1)
+    ).count()
+
+
+def test_minhash_near_dup_million_docs(spark):
+    """1M docs through the full MinHash pipeline: exact recall of all
+    2,000 planted pairs, near-linear candidates, bounded wall time."""
+    start = time.perf_counter()
+    # threshold=0.0 keeps every LSH candidate in the output, so one run
+    # yields BOTH the candidate volume and (filtered >= 0.5) the verified set
+    out = minhash_near_dup_pairs(
+        _docs(spark, DOCS_N), "doc_id", "text", threshold=0.0
+    ).persist()
+    candidates = out.count()
+    elapsed = time.perf_counter() - start
+
+    true_pairs = out.filter(F.col("jaccard_sim") >= 0.5)
+    assert true_pairs.count() == DOCS_N // DUP_EVERY  # 2,000 — total recall
+    assert _planted_pair_violations(true_pairs, "id_a", "id_b", DUP_EVERY) == 0
+    # banded candidates track the duplicate set, not corpus^2 (measured
+    # ~2,155 for 1M docs: 2,000 planted + ~8% band-collision noise)
+    assert candidates < 3 * (DOCS_N // DUP_EVERY)
+    out.unpersist()
+    assert elapsed < 120, f"1M-doc minhash took {elapsed:.0f}s (measured ~25s)"
+
+    # near-linearity across a 2x scale-up: quadratic candidate growth
+    # would push the ratio toward 4
+    half = minhash_near_dup_pairs(
+        _docs(spark, DOCS_N // 2), "doc_id", "text", threshold=0.0
+    ).count()
+    assert candidates <= 3 * half, f"candidates {candidates} vs {half} at half scale"
+
+
+def test_minhash_banding_fans_out(spark):
+    """The signature/banding stage must spread over the shuffle
+    partitioning — a collapse to one task serializes the whole corpus
+    through one core (the failure SCALE.md guards against). AQE
+    rightly coalesces the 64 shuffle partitions by BYTES (observed: 9
+    partitions for 200k docs, the full 64 for the 1M-row stages above),
+    so the invariant is "at least every core busy", byte-scaled upward —
+    not a fixed partition count."""
+    cores = spark.sparkContext.defaultParallelism
+    banded = minhash_banded_rows(_docs(spark, 200_000), "doc_id", "text")
+    spread = banded.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert spread >= cores, f"banded signature stage ran in only {spread} partitions"
+
+
+def test_cosine_near_dup_hundred_k_vectors(spark):
+    """100k embeddings through SRP-banded near-dup: exact recall of all
+    1,000 planted pairs at wide bands (32-bit band hashes keep buckets
+    unsaturated at this corpus size), bounded wall time."""
+    start = time.perf_counter()
+    pairs = cosine_near_dup_pairs(
+        _vecs(spark, VECS_N), "vec_id", "emb", threshold=0.99, bits=64, bands=2
+    ).persist()
+    n = pairs.count()
+    elapsed = time.perf_counter() - start
+
+    assert n == VECS_N // VEC_DUP_EVERY  # 1,000
+    assert _planted_pair_violations(pairs, "id_a", "id_b", VEC_DUP_EVERY) == 0
+    pairs.unpersist()
+    assert elapsed < 40, f"100k-vector near-dup took {elapsed:.0f}s (measured ~4s)"
+
+    half = cosine_near_dup_pairs(
+        _vecs(spark, VECS_N // 2), "vec_id", "emb", threshold=0.99, bits=64, bands=2
+    ).count()
+    assert n <= 3 * half
+
+
+def test_srp_banding_fans_out(spark):
+    cores = spark.sparkContext.defaultParallelism
+    banded = srp_banded_rows(_vecs(spark, 50_000), "vec_id", "emb", bits=64, bands=2)
+    spread = banded.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert spread >= cores, f"SRP signature stage ran in only {spread} partitions"
+
+
+def test_connected_components_million_vertices(spark):
+    """1M vertices in 250k chain components of 4: exact min-labels, all
+    vertices present, bounded wall time (pointer jumping converges in
+    O(log diameter) rounds; a broken convergence check would spin to
+    max_iter and blow the bound)."""
+    start = time.perf_counter()
+    edges = (
+        spark.range(DOCS_N)
+        .repartition(64)
+        .filter(F.col("id") % 4 != 3)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    )
+    cc = connected_components(edges).persist()
+    assert cc.count() == DOCS_N
+    assert cc.select("component").distinct().count() == DOCS_N // 4
+    bad = cc.filter(F.col("component") != F.col("v") - F.pmod(F.col("v"), F.lit(4))).count()
+    assert bad == 0
+    spread = cc.select(F.spark_partition_id().alias("p")).distinct().count()
+    cc.unpersist()
+    elapsed = time.perf_counter() - start
+    assert spread >= 32, f"component labels ran in only {spread} partitions"
+    assert elapsed < 120, f"1M-vertex components took {elapsed:.0f}s (measured ~18s)"
