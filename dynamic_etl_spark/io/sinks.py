@@ -251,3 +251,30 @@ def write_training_shards(
     with open(os.path.join(path, "_manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     return manifest
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int = 10_000,
+    options: dict[str, str] | None = None,
+) -> None:
+    """S9's database arm — the reference batches INSERTs 10k at a time
+    inside one transaction per batch (load_fact_sales_dw.py:376-387);
+    Spark's JDBC sink does exactly that per partition (``batchsize``
+    rows per executeBatch), with executor-side parallel connections
+    instead of the reference's single cursor. ``mode="overwrite"``
+    truncates-or-recreates first — for the staging-table protocol pair
+    it with a MERGE on the database side or use io/versioned for
+    file-backed tables."""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .options(**(options or {}))
+        .mode(mode)
+        .save()
+    )

@@ -117,3 +117,61 @@ def list_dir_diagnostics(directory: str, limit: int = 10) -> str:
     except OSError as exc:
         return f"(listing failed: {exc})"
     return f"Directory contains (first {limit}): {names}"
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    predicates: tuple[str, ...] = (),
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    fetch_size: int = 10_000,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """S1 external-DB source — the reference reads Oracle row-at-a-time
+    through a cursor (scripts/extract_sales_daily.py:39-53, one process,
+    one connection); Spark's JDBC source is the distributed form of the
+    same extract, and this wrapper pins the two decisions that matter:
+
+    - **parallelism**: a bare JDBC read is ONE task holding one
+      connection — fine for a mini-dim, a serialization point for a fact
+      table. Pass either ``predicates`` (one partition per WHERE clause,
+      e.g. per day — the reference's daily-extract shape) or
+      ``partition_column`` + bounds for stride partitioning. The two are
+      mutually exclusive by Spark's API.
+    - **pushdown**: filters/column pruning on the returned DataFrame
+      compile into the remote SQL (PushedFilters in the scan), so
+      ``read_jdbc(...).filter(...)`` ships predicates to the database —
+      don't pre-build filtered views per extract.
+
+    ``table`` may be a table name or a ``(SELECT ...) alias`` subquery.
+    Tested against the Derby embedded driver bundled with Spark
+    (tests/test_io.py); any JDBC-4 driver jar on the classpath works the
+    same way (url swap only).
+    """
+    if predicates and partition_column:
+        raise ValueError("pass predicates OR partition_column, not both")
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("fetchsize", str(fetch_size))
+        .options(**(options or {}))
+    )
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None or num_partitions is None:
+            raise ValueError(
+                "partition_column needs lower_bound, upper_bound and num_partitions"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    if predicates:
+        return reader.jdbc(url, table, predicates=list(predicates))
+    return reader.load()
