@@ -164,6 +164,19 @@ def test_ivf_ann_recall_and_candidate_bound(spark):
     n_queries = queries.count()
     assert len(got) <= n_queries * 5
 
+    # a prebuilt index is reusable across searches with identical results
+    # (no k-means refit per call — VERDICT r3 nit)
+    idx = ANN.build_ivf_index(emb, "vec_id", "embedding", n_cells=8)
+    try:
+        for _ in range(2):
+            again = ANN.ivf_topk(
+                emb, queries, "vec_id", "embedding", k=5, n_probe=3, index=idx
+            )
+            got_again = {(r["query_id"], r["neighbor_id"]) for r in again.collect()}
+            assert got_again == got
+    finally:
+        idx.assigned.unpersist()
+
 
 def test_lsh_ann_recall_vs_bruteforce(spark):
     emb = load_table(spark, SF_SMALL, "embeddings").cache()
