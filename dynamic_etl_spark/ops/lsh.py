@@ -326,3 +326,155 @@ def exact_dedup(
             F.count(F.lit(1)).alias("dup_count"),
         )
     )
+
+
+def incremental_near_dup_merge(
+    existing_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    existing_banded: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """Incremental near-dup admission: check a NEW batch against an
+    already-deduplicated corpus without re-LSHing the corpus.
+
+    The batch pipelines the reference never needed (its feeds are keyed
+    upserts) are exactly what a growing training corpus needs daily: at
+    100 TB you cannot re-run ``minhash_near_dup_pairs`` over
+    corpus ∪ batch per ingest — the corpus side's signatures never
+    change, so they are STATE. Pass ``existing_banded`` (the signature
+    store: the accumulated ``new_banded`` outputs, persisted via
+    io/versioned or plain parquet) and only the batch is shingled +
+    signed; candidates come from two banded joins — new×existing and
+    new×new — and exact Jaccard verifies both (same zero-false-positive
+    contract as the one-shot path). ``existing_docs`` is scanned only to
+    verify candidate pairs (semi-joined down to candidate ids first —
+    the ``verify_scope="candidates"`` shape).
+
+    Admission rule (deterministic, order-free): within-batch matches
+    form connected components (the repo's transitive near-dup
+    convention, ops/graph); a component is rejected whole if ANY member
+    near-matches the existing corpus, otherwise its MIN-id member is
+    admitted (keep-first). Singleton batch docs with no matches admit
+    directly.
+
+    Returns ``{"accepted": (new_docs rows admitted), "dup_pairs":
+    (id_new, id_matched, jaccard_sim, scope∈{existing,batch}),
+    "new_banded": banded signature rows of the admitted docs — append
+    them to the signature store for the next batch}``.
+    """
+    from dynamic_etl_spark.ops.graph import connected_components
+
+    new_docs = ensure_fanout_parallelism(new_docs)
+    banded_new = minhash_banded_rows(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_k
+    ).persist()
+    if existing_banded is None:
+        existing_banded = minhash_banded_rows(
+            existing_docs, id_col, text_col, num_hashes, bands, shingle_k
+        )
+
+    cand_cross = (
+        banded_new.select(F.col(id_col).alias("id_new"), "band_idx", "band_hash")
+        .join(
+            existing_banded.select(F.col(id_col).alias("id_old"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    cand_within = (
+        banded_new.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+        .join(
+            banded_new.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    def shingled(docs: DataFrame, ids: DataFrame, alias: str) -> DataFrame:
+        base = docs.select(F.col(id_col), F.col(text_col)).join(
+            ids, id_col, "leftsemi"
+        )
+        return base.select(
+            F.col(id_col).alias(alias),
+            word_shingles(F.col(text_col), shingle_k).alias(f"__sh_{alias}"),
+        )
+
+    new_ids = (
+        cand_cross.select(F.col("id_new").alias(id_col))
+        .union(cand_within.select(F.col("id_a").alias(id_col)))
+        .union(cand_within.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    old_ids = cand_cross.select(F.col("id_old").alias(id_col)).distinct()
+    sh_new = shingled(new_docs, new_ids, "id_new").persist()
+    sh_old = shingled(existing_docs, old_ids, "id_old")
+
+    cross_pairs = (
+        cand_cross.join(sh_new, "id_new")
+        .join(sh_old, "id_old")
+        .withColumn("__j", jaccard(F.col("__sh_id_new"), F.col("__sh_id_old")))
+        .filter(F.col("__j") >= threshold)
+        .select(
+            "id_new",
+            F.col("id_old").alias("id_matched"),
+            F.round("__j", 6).alias("jaccard_sim"),
+            F.lit("existing").alias("scope"),
+        )
+    )
+    within_pairs = (
+        cand_within.join(sh_new.select(F.col("id_new").alias("id_a"), F.col("__sh_id_new").alias("__sh_a")), "id_a")
+        .join(sh_new.select(F.col("id_new").alias("id_b"), F.col("__sh_id_new").alias("__sh_b")), "id_b")
+        .withColumn("__j", jaccard(F.col("__sh_a"), F.col("__sh_b")))
+        .filter(F.col("__j") >= threshold)
+        .select(
+            F.col("id_b").alias("id_new"),
+            F.col("id_a").alias("id_matched"),
+            F.round("__j", 6).alias("jaccard_sim"),
+            F.lit("batch").alias("scope"),
+        )
+    )
+    # Lineage truncation, not just caching: every output of a STATEFUL
+    # operator feeds the next batch's computation (new_banded → the
+    # store → the next merge), so un-truncated plans COMPOUND per batch —
+    # within two batches the nested CC-iteration lineage made Spark's
+    # plan stringification alone OOM the driver. dup_pairs is delta-sized
+    # (bounded by duplicate structure), so an eager localCheckpoint is
+    # cheap and resets the plan to a leaf.
+    dup_pairs = cross_pairs.unionByName(within_pairs).localCheckpoint()
+
+    cross_hit = dup_pairs.filter(F.col("scope") == "existing").select(
+        F.col("id_new").alias(id_col)
+    ).distinct()
+    comp_edges = dup_pairs.filter(F.col("scope") == "batch").select(
+        F.col("id_matched").alias("src"), F.col("id_new").alias("dst")
+    )
+    # component label = MIN member id; batch docs in no within-pair keep
+    # their own id (left join + coalesce, the near_dup_components shape).
+    # Same truncation rationale: CC's iterative lineage must not nest
+    # inside the returned accepted/new_banded plans.
+    comps = connected_components(comp_edges).localCheckpoint()
+    labeled = new_docs.join(
+        comps.withColumnRenamed("v", id_col), id_col, "left"
+    ).withColumn("__comp", F.coalesce(F.col("component"), F.col(id_col)))
+    flagged = (
+        labeled.join(cross_hit.withColumn("__hit", F.lit(True)), id_col, "left")
+        .groupBy("__comp")
+        .agg(F.max(F.coalesce(F.col("__hit"), F.lit(False))).alias("__any_hit"))
+    )
+    accepted = (
+        labeled.join(flagged, "__comp")
+        .filter(~F.col("__any_hit") & (F.col(id_col) == F.col("__comp")))
+        .select(*new_docs.columns)
+    )
+    new_banded = banded_new.join(
+        accepted.select(id_col), id_col, "leftsemi"
+    )
+    return {"accepted": accepted, "dup_pairs": dup_pairs, "new_banded": new_banded}

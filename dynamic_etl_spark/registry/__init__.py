@@ -163,6 +163,7 @@ _TAIL_ORDER = (
     # rows-only (engine-hash-specific; brute-force-checked in pytest)
     "approx_distinct_profile",
     "minhash_near_dup",
+    "incremental_near_dup",
     "simhash_near_dup",
     "embedding_ann_lsh",
     "embedding_ann_ivf",

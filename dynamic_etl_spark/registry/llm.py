@@ -387,6 +387,45 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.minhash_near_dup_pairs(feed, "doc_id", "text", threshold=0.5)
 
 
+def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental admission (ops/lsh.incremental_near_dup_merge): the
+    even-id documents are the deduplicated corpus, the odd-id documents
+    plus planted near-copies of both sides arrive as a batch. Returns one
+    row per batch doc: admitted flag + matched scope. Rows-only (xxhash
+    signatures); semantics brute-force-checked in
+    tests/test_incremental_dedup.py."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    fresh = docs.filter(F.col("doc_id") % 2 == 1)
+    copies_of_corpus = corpus.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    copies_in_batch = fresh.filter(F.col("doc_id") % 9 == 1).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" coda")).alias("text"),
+    )
+    batch = fresh.unionByName(copies_of_corpus).unionByName(copies_in_batch)
+    out = L.incremental_near_dup_merge(corpus, batch, "doc_id", "text", threshold=0.5)
+    admitted = out["accepted"].select("doc_id", F.lit(True).alias("admitted"))
+    matched = out["dup_pairs"].groupBy(F.col("id_new").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max(F.col("scope")).alias("match_scope"),
+    )
+    return (
+        batch.select("doc_id")
+        .join(admitted, "doc_id", "left")
+        .join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("admitted"), F.lit(False)).alias("admitted"),
+            F.coalesce(F.col("n_matches"), F.lit(0)).alias("n_matches"),
+            F.coalesce(F.col("match_scope"), F.lit("none")).alias("match_scope"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def simhash_hamming_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64 interpreted bit-vote aggregates per row: force full parallelism
     docs = ensure_fanout_parallelism(t(spark, sf_dir, "documents"))
@@ -678,6 +717,11 @@ QUERIES: QueryRegistry = {
     "minhash_near_dup": Query(
         minhash_near_dup, None,
         "banded MinHash-LSH near-dup pairs (rows-only; brute-force-checked in pytest)",
+    ),
+    "incremental_near_dup": Query(
+        incremental_near_dup, None,
+        "stateful batch admission against a signature store (rows-only; "
+        "brute-force-checked in tests/test_incremental_dedup.py)",
     ),
     "simhash_near_dup": Query(
         simhash_hamming_profile, None,

@@ -1,0 +1,165 @@
+"""Incremental near-dup admission (ops/lsh.incremental_near_dup_merge):
+explicit component semantics + brute-force equivalence across batches."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamic_etl_spark.ops import lsh as L
+
+K = 3
+THRESHOLD = 0.5
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _shingles(text: str) -> frozenset[str]:
+    """Python twin of word_shingles (k=3, whitespace tokens, lowercase)."""
+    toks = text.lower().split()
+    if len(toks) <= K:
+        return frozenset([" ".join(toks)])
+    return frozenset(" ".join(toks[i : i + K]) for i in range(len(toks) - K + 1))
+
+
+def _jac(a: frozenset, b: frozenset) -> float:
+    return len(a & b) / len(a | b) if a | b else 0.0
+
+
+def _brute_admit(existing: dict[int, str], batch: dict[int, str]):
+    """Reference implementation of the documented admission rule."""
+    sh = {i: _shingles(t) for i, t in {**existing, **batch}.items()}
+    cross_hit = {
+        n for n in batch if any(_jac(sh[n], sh[e]) >= THRESHOLD for e in existing)
+    }
+    # within-batch connected components over >= threshold pairs
+    parent = {n: n for n in batch}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in combinations(sorted(batch), 2):
+        if _jac(sh[a], sh[b]) >= THRESHOLD:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, set[int]] = {}
+    for n in batch:
+        comps.setdefault(find(n), set()).add(n)
+    accepted = set()
+    for root, members in comps.items():
+        if not members & cross_hit:
+            accepted.add(min(members))
+    return accepted
+
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+def _sentence(seed: int, n: int = 10) -> str:
+    return " ".join(f"w{(seed * 31 + p * 7) % 1000}" for p in range(n))
+
+
+def test_incremental_admission_semantics(spark):
+    existing = {1: "the quick brown fox jumps over the lazy dog tonight"}
+    batch = {
+        10: "the quick brown fox jumps over the lazy dog today",  # near E1 -> reject
+        11: WORDS + " one",  # pair with 12 -> component min admits
+        12: WORDS + " two",
+        13: _sentence(13),  # unique -> admit
+        14: _sentence(99) + " x",  # pair with 15 ...
+        15: _sentence(99) + " y",  # ... but 15 alone also isn't near existing
+    }
+    out = L.incremental_near_dup_merge(
+        _df(spark, list(existing.items())),
+        _df(spark, list(batch.items())),
+        "doc_id",
+        "text",
+        threshold=THRESHOLD,
+    )
+    accepted = {r["doc_id"] for r in out["accepted"].collect()}
+    assert accepted == _brute_admit(existing, batch) == {11, 13, 14}
+
+    pairs = {(r["id_new"], r["id_matched"], r["scope"]) for r in out["dup_pairs"].collect()}
+    assert (10, 1, "existing") in pairs
+    assert (12, 11, "batch") in pairs
+    assert (15, 14, "batch") in pairs
+
+    # the signature-store delta covers exactly the admitted docs
+    banded_ids = {r["doc_id"] for r in out["new_banded"].select("doc_id").distinct().collect()}
+    assert banded_ids == accepted
+
+
+def test_component_rejected_whole_when_any_member_hits_existing(spark):
+    """A within-batch component with one member near the corpus is
+    rejected entirely (transitive near-dup convention)."""
+    existing = {1: _sentence(7)}
+    batch = {
+        20: _sentence(7) + " z",  # near existing
+        21: _sentence(7) + " q",  # near 20 AND near existing
+    }
+    out = L.incremental_near_dup_merge(
+        _df(spark, list(existing.items())), _df(spark, list(batch.items())),
+        "doc_id", "text", threshold=THRESHOLD,
+    )
+    assert out["accepted"].count() == 0
+    assert _brute_admit(existing, batch) == set()
+
+
+def test_incremental_matches_bruteforce_and_state_reuse(spark):
+    """Two sequential high-similarity batches: Spark admission equals the
+    brute-force rule, and feeding the accumulated new_banded back as
+    existing_banded gives identical results to recomputing signatures."""
+    # corpus: 40 uniques; batch1 plants copies of corpus docs and an
+    # internal pair; batch2 plants copies of corpus, batch1-ADMITTED and
+    # batch1-REJECTED docs (the latter must still admit: rejected docs
+    # never entered the store)
+    existing = {i: _sentence(i) for i in range(40)}
+    batch1 = {
+        100: _sentence(3) + " extra",   # near existing 3
+        101: _sentence(60),             # unique
+        102: _sentence(61) + " a",      # pair with 103
+        103: _sentence(61) + " b",
+        104: _sentence(62),             # unique
+    }
+    out1 = L.incremental_near_dup_merge(
+        _df(spark, list(existing.items())), _df(spark, list(batch1.items())),
+        "doc_id", "text", threshold=THRESHOLD,
+    )
+    acc1 = {r["doc_id"] for r in out1["accepted"].collect()}
+    assert acc1 == _brute_admit(existing, batch1) == {101, 102, 104}
+
+    existing2 = {**existing, **{i: batch1[i] for i in acc1}}
+    batch2 = {
+        200: _sentence(61) + " a c",    # near admitted 102
+        201: _sentence(3) + " extra q", # near rejected 100 — 100 is NOT in
+                                        # the store; only near-existing-3
+                                        # similarity counts (it is near)
+        202: _sentence(70),             # unique
+        203: _sentence(62) + " k",      # near admitted 104
+    }
+    expect2 = _brute_admit(existing2, batch2)
+
+    # path A: recompute corpus signatures from docs
+    outA = L.incremental_near_dup_merge(
+        _df(spark, list(existing2.items())), _df(spark, list(batch2.items())),
+        "doc_id", "text", threshold=THRESHOLD,
+    )
+    # path B: signature store = original corpus banded + batch1's delta
+    store = L.minhash_banded_rows(
+        _df(spark, list(existing.items())), "doc_id", "text"
+    ).unionByName(out1["new_banded"])
+    outB = L.incremental_near_dup_merge(
+        _df(spark, list(existing2.items())), _df(spark, list(batch2.items())),
+        "doc_id", "text", threshold=THRESHOLD, existing_banded=store,
+    )
+    accA = {r["doc_id"] for r in outA["accepted"].collect()}
+    accB = {r["doc_id"] for r in outB["accepted"].collect()}
+    assert accA == accB == expect2 == {202}
