@@ -184,3 +184,42 @@ def fuzzy_blocked_match(
             F.col("__dist").alias(f"{out_prefix}distance"),
         )
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """SCD-2 point-in-time lookup: each fact row joins the dimension
+    VERSION whose ``[valid_from, valid_to)`` interval contains the fact
+    timestamp — the read-side companion of ``scd2_merge`` (the reference
+    only ever joins current-state dims, e.g. the star lookups in
+    scripts2/load_fact_sales_dw.py; historically-correct attribution
+    needs the version that was open when the fact happened).
+
+    Half-open intervals ensure a fact on a version boundary matches
+    exactly the NEWER version (the SCD-2 close/open convention:
+    ``valid_to`` of the closed row equals ``valid_from`` of its
+    successor). With ``how="left"``, facts predating every version of
+    their key survive with null dim columns — unmatched-fact accounting
+    stays visible instead of silently dropping rows.
+
+    Scale: this is an EQUI-join on the key with the interval predicate
+    riding along — one shuffle on the natural key, each fact meeting
+    only its own key's few versions. Never express this as a range-only
+    join (that degenerates to a per-interval broadcast or cross
+    product); version count per key is bounded by dim churn, so skew
+    follows the fact key distribution alone.
+    """
+    cond = (
+        (facts[fact_key] == dim[dim_key])
+        & (facts[ts_col] >= dim[valid_from])
+        & (facts[ts_col] < dim[valid_to])
+    )
+    return facts.join(dim, cond, how)

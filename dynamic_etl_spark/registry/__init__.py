@@ -127,6 +127,8 @@ _TAIL_ORDER = (
     # quota capping, percentile profiles (oracle-backed)
     "source_quota_cap",
     "events_value_percentiles",
+    # SCD-2 read side: point-in-time attribution (oracle-backed)
+    "scd2_point_in_time_lookup",
     # training-mix assembly (oracle-backed)
     "corpus_split_assignment",
     "corpus_mixture_sample",

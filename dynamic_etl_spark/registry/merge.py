@@ -381,6 +381,73 @@ FROM nation WHERE n_nationkey < 5
 """
 
 
+def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-side SCD-2: every order attributed to the customer-dim
+    VERSION open at its order date (ops/joins.point_in_time_join).
+    Two-version fixture: v1 (acctbal-50) valid 1992→1996 for keys with
+    c_custkey % 13 != 5 — the %13=5 keys have NO early version, so their
+    pre-1996 orders left-join to nulls; v2 (current) valid 1996→2100 for
+    all keys. Orders dated exactly 1996-01-01 must land on v2
+    (half-open-interval boundary semantics)."""
+    from dynamic_etl_spark.ops.joins import point_in_time_join
+
+    cust = t(spark, sf_dir, "customer")
+
+    def ts(s: str):
+        return F.lit(s).cast("timestamp_ntz")
+
+    v1 = cust.filter(F.col("c_custkey") % 13 != 5).select(
+        F.col("c_custkey").alias("dim_key"),
+        F.col("c_custkey").alias("cust_sk"),
+        (F.col("c_acctbal") - 50.0).alias("acctbal_v"),
+        ts("1992-01-01 00:00:00").alias("valid_from"),
+        ts("1996-01-01 00:00:00").alias("valid_to"),
+    )
+    v2 = cust.select(
+        F.col("c_custkey").alias("dim_key"),
+        (F.col("c_custkey") + 5_000_000).alias("cust_sk"),
+        F.col("c_acctbal").alias("acctbal_v"),
+        ts("1996-01-01 00:00:00").alias("valid_from"),
+        ts("2100-01-01 00:00:00").alias("valid_to"),
+    )
+    facts = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").alias("order_ts")
+    )
+    joined = point_in_time_join(
+        facts, v1.unionByName(v2), "o_custkey", "dim_key", "order_ts"
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        "order_ts",
+        "cust_sk",
+        F.col("acctbal_v").alias("acctbal_at_order"),
+    ).orderBy("o_orderkey")
+
+
+SCD2_PIT_ORACLE = """
+WITH dim AS (
+  SELECT c_custkey AS dim_key, c_custkey AS cust_sk,
+         c_acctbal - 50.0 AS acctbal_v,
+         TIMESTAMP '1992-01-01' AS valid_from,
+         TIMESTAMP '1996-01-01' AS valid_to
+  FROM customer WHERE c_custkey % 13 <> 5
+  UNION ALL
+  SELECT c_custkey, c_custkey + 5000000, c_acctbal,
+         TIMESTAMP '1996-01-01', TIMESTAMP '2100-01-01'
+  FROM customer
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate AS order_ts,
+       d.cust_sk, d.acctbal_v AS acctbal_at_order
+FROM orders o
+LEFT JOIN dim d
+  ON o.o_custkey = d.dim_key
+ AND o.o_orderdate >= d.valid_from
+ AND o.o_orderdate < d.valid_to
+ORDER BY o_orderkey
+"""
+
+
 QUERIES: QueryRegistry = {
     "change_detection_classification": Query(
         change_detection_classification,
@@ -404,5 +471,10 @@ QUERIES: QueryRegistry = {
     ),
     "insert_only_merge": Query(
         insert_only_merge, INSERT_ONLY_ORACLE, "U4 idempotent insert-only MERGE"
+    ),
+    "scd2_point_in_time_lookup": Query(
+        scd2_point_in_time_lookup, SCD2_PIT_ORACLE,
+        "SCD-2 read side: facts attributed to the dim version open at "
+        "fact time (half-open intervals, left-join null accounting)",
     ),
 }
