@@ -107,3 +107,56 @@ def duplicate_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("dup_count"))
         .filter(F.col("dup_count") > 1)
     )
+
+
+def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
+    """Shuffle-key skew diagnostics: one row summarizing how unevenly the
+    rows of ``df`` distribute over ``key`` — the number every partition
+    strategy decision starts from (SCALE.md: "skewed keys hurt"; a
+    skew_ratio of 50 on a join key means AQE skew-split or salting, near
+    1 means plain hash partitioning is fine).
+
+    Columns: ``n_rows``/``n_keys`` (null keys count as a key, the way a
+    shuffle treats them), ``max_rows_per_key``/``min_rows_per_key``,
+    ``avg_rows_per_key`` (IEEE quotient of two exact ints — bit-identical
+    on any engine), ``skew_ratio`` = max/avg computed as the exact
+    integer product max*n_keys divided by n_rows (one IEEE division, no
+    compounding), and ``top_key`` — the lexicographically smallest key
+    (string form — the profile schema is key-type-agnostic) among those
+    attaining the max: deterministic under ties where ``max_by`` is not.
+
+    Scale: per-key counts are one partial-agg shuffle; everything else is
+    ONE aggregation over the |keys|-row counts frame — the top key rides
+    as a ``min(struct(-count, key))`` so no second pass, no join, no
+    driver collect, no sort of the full key space.
+    """
+    counts = df.groupBy(F.col(key).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return counts.agg(
+        F.sum("__c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__c").alias("max_rows_per_key"),
+        F.min("__c").alias("min_rows_per_key"),
+        # null keys count toward the distribution but never win top_key
+        # (SQL MIN-over-varchar semantics — the oracle twin skips nulls)
+        F.min(
+            F.when(
+                F.col("__k").isNotNull(),
+                F.struct(
+                    (-F.col("__c")).alias("nc"), F.col("__k").cast("string").alias("k")
+                ),
+            )
+        ).alias("__top"),
+    ).select(
+        "n_rows",
+        "n_keys",
+        "max_rows_per_key",
+        "min_rows_per_key",
+        (F.col("n_rows").cast("double") / F.col("n_keys")).alias("avg_rows_per_key"),
+        (
+            (F.col("max_rows_per_key") * F.col("n_keys")).cast("double")
+            / F.col("n_rows")
+        ).alias("skew_ratio"),
+        F.col("__top.k").alias("top_key"),
+    )

@@ -140,6 +140,8 @@ _TAIL_ORDER = (
     "events_interarrival_profile",
     # robust-statistics DQ gate (oracle-backed)
     "value_outlier_gate",
+    # shuffle-key skew diagnostics (oracle-backed)
+    "events_key_skew_profile",
     # long->wide pivot and its melt inverse (oracle-backed)
     "events_type_pivot",
     "events_type_unpivot",

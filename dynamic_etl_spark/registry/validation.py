@@ -176,6 +176,36 @@ GROUP BY e.event_type
 """
 
 
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics over events.user_id
+    (ops/agg.key_skew_profile): the pre-flight number for choosing
+    between plain hash partitioning, salting, and AQE skew-split."""
+    from dynamic_etl_spark.ops.agg import key_skew_profile
+
+    return key_skew_profile(t(spark, sf_dir, "events"), "user_id")
+
+
+KEY_SKEW_ORACLE = """
+WITH counts AS (
+  SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+         MAX(c) AS max_rows_per_key, MIN(c) AS min_rows_per_key
+  FROM counts
+),
+top AS (
+  SELECT MIN(CAST(k AS VARCHAR)) AS top_key
+  FROM counts WHERE c = (SELECT MAX(c) FROM counts)
+)
+SELECT n_rows, n_keys, max_rows_per_key, min_rows_per_key,
+       CAST(n_rows AS DOUBLE) / n_keys AS avg_rows_per_key,
+       CAST(max_rows_per_key * n_keys AS DOUBLE) / n_rows AS skew_ratio,
+       top_key
+FROM s, top
+"""
+
+
 QUERIES: QueryRegistry = {
     "validation_report": Query(
         validation_report, VALIDATION_ORACLE,
@@ -184,5 +214,10 @@ QUERIES: QueryRegistry = {
     "value_outlier_gate": Query(
         value_outlier_gate, OUTLIER_ORACLE,
         "IQR/Tukey-fence outlier counts per group (robust numeric profile)",
+    ),
+    "events_key_skew_profile": Query(
+        events_key_skew_profile, KEY_SKEW_ORACLE,
+        "shuffle-key skew diagnostics: rows/keys, max/min/avg per key, "
+        "skew ratio, deterministic top key",
     ),
 }

@@ -368,3 +368,33 @@ def test_fuzzy_blocked_match_resolves_typos(spark):
     assert out["Prand#25"] == ("Brand#25", 1)
     assert out["Brand#11"] == ("Brand#11", 0)
     assert "Zzzzz#99" not in out  # no in-block candidate within distance
+
+
+def test_key_skew_profile_ties_and_nulls(spark):
+    """top_key is deterministic under max ties (lexicographic min of the
+    string form) and a null key counts as a key, like a shuffle treats it."""
+    from dynamic_etl_spark.ops.agg import key_skew_profile
+
+    rows = [(k,) for k in [10, 10, 10, 9, 9, 9, 2, None]]
+    df = spark.createDataFrame(rows, "k long")
+    out = key_skew_profile(df, "k").collect()[0]
+    assert out["n_rows"] == 8
+    assert out["n_keys"] == 4  # 10, 9, 2, null
+    assert out["max_rows_per_key"] == 3
+    assert out["min_rows_per_key"] == 1
+    # 10 and 9 tie at 3 rows; "10" < "9" lexicographically
+    assert out["top_key"] == "10"
+    assert out["avg_rows_per_key"] == 2.0
+    assert out["skew_ratio"] == 1.5
+
+
+def test_key_skew_profile_null_group_never_wins_top_key(spark):
+    """Even when the null-key group ties for (or holds) the max, top_key
+    is the smallest NON-NULL key — SQL MIN semantics, oracle-mirrorable."""
+    from dynamic_etl_spark.ops.agg import key_skew_profile
+
+    rows = [(k,) for k in [None, None, None, 7, 7, 7, 3]]
+    out = key_skew_profile(spark.createDataFrame(rows, "k long"), "k").collect()[0]
+    assert out["n_keys"] == 3
+    assert out["max_rows_per_key"] == 3
+    assert out["top_key"] == "7"
