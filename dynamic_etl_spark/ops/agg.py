@@ -160,3 +160,57 @@ def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
         ).alias("skew_ratio"),
         F.col("__top.k").alias("top_key"),
     )
+
+
+def build_agg_state(df: DataFrame, keys: Sequence[str], value: str) -> DataFrame:
+    """Mergeable per-key aggregate STATE: (n, exact-decimal sum, min, max)
+    of ``value`` per key group — the commutative-monoid form that lets a
+    100 TB rollup be MAINTAINED instead of recomputed: aggregate each
+    incremental batch alone (map-side partials, delta-sized shuffle),
+    then fold the delta into the stored state with
+    :func:`merge_agg_state`. History is never rescanned.
+
+    The sum stays a ``decimal(25,6)`` IN the state (not a double): exact
+    and order-free, so any merge tree — per-batch, per-partition, or
+    re-sharded — yields bit-identical state, and merge-then-finalize
+    equals aggregate-over-everything exactly (the registry query's
+    oracle PROVES this: Spark runs the two-phase maintenance, DuckDB the
+    one-shot aggregate, and the hashes must match). ``value`` must obey
+    the repo's ≤4dp-exact rule (SCALE.md parity traps)."""
+    return df.groupBy(*keys).agg(
+        F.count(value).alias("state_n"),
+        F.sum(F.col(value).cast(MEASURE_DECIMAL)).alias("state_sum"),
+        F.min(value).alias("state_min"),
+        F.max(value).alias("state_max"),
+    )
+
+
+def merge_agg_state(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a delta state into the stored state: union + one re-aggregate
+    over the per-key monoid columns. Both inputs are |keys|-sized, so
+    this shuffle is dimension-scale regardless of fact history size."""
+    return (
+        state.unionByName(delta)
+        .groupBy(*[c for c in state.columns if not c.startswith("state_")])
+        .agg(
+            F.sum("state_n").alias("state_n"),
+            F.sum("state_sum").cast(MEASURE_DECIMAL).alias("state_sum"),
+            F.min("state_min").alias("state_min"),
+            F.max("state_max").alias("state_max"),
+        )
+    )
+
+
+def finalize_agg_state(state: DataFrame) -> DataFrame:
+    """Query-boundary projection of the state: exact sums surface as
+    double (repo convention), avg as one IEEE division of the exact sum
+    by the exact count."""
+    keys = [c for c in state.columns if not c.startswith("state_")]
+    return state.select(
+        *keys,
+        F.col("state_n").alias("n_rows"),
+        as_double(F.col("state_sum")).alias("sum_value"),
+        (as_double(F.col("state_sum")) / F.col("state_n")).alias("avg_value"),
+        F.col("state_min").alias("min_value"),
+        F.col("state_max").alias("max_value"),
+    )

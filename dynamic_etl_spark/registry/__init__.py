@@ -142,6 +142,8 @@ _TAIL_ORDER = (
     "value_outlier_gate",
     # shuffle-key skew diagnostics (oracle-backed)
     "events_key_skew_profile",
+    # mergeable aggregation state: merge tree == one-shot (oracle-backed)
+    "incremental_rollup_maintenance",
     # long->wide pivot and its melt inverse (oracle-backed)
     "events_type_pivot",
     "events_type_unpivot",

@@ -392,6 +392,48 @@ GROUP BY ROLLUP (o_orderstatus)
 """
 
 
+def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained rollup (ops/agg.build/merge/finalize_agg_state): orders
+    arrive in three date slices aggregated INDEPENDENTLY, the per-slice
+    states fold together, and the finalized result must hash-equal the
+    oracle's one-shot aggregate over everything — the merge tree is
+    provably lossless because the state sum is an exact decimal monoid.
+    At 100 TB this is the difference between rescanning history per day
+    and shuffling a dimension-sized state."""
+    orders = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    s1 = A.build_agg_state(
+        orders.filter(d < F.lit("1995-01-01").cast("timestamp_ntz")),
+        ["o_orderpriority"], "o_totalprice",
+    )
+    s2 = A.build_agg_state(
+        orders.filter(
+            (d >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (d < F.lit("1997-01-01").cast("timestamp_ntz"))
+        ),
+        ["o_orderpriority"], "o_totalprice",
+    )
+    s3 = A.build_agg_state(
+        orders.filter(d >= F.lit("1997-01-01").cast("timestamp_ntz")),
+        ["o_orderpriority"], "o_totalprice",
+    )
+    merged = A.merge_agg_state(A.merge_agg_state(s1, s2), s3)
+    return A.finalize_agg_state(merged).orderBy("o_orderpriority")
+
+
+INCREMENTAL_ROLLUP_ORACLE = f"""
+SELECT o_orderpriority,
+       COUNT(o_totalprice) AS n_rows,
+       {sql_dsum('o_totalprice')} AS sum_value,
+       {sql_davg('o_totalprice')} AS avg_value,
+       MIN(o_totalprice) AS min_value,
+       MAX(o_totalprice) AS max_value
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # A10/W4 — distinct extraction + sort-by-aggregate top-N (deterministic
 # tie-break) (reference: scripts/fact_sales_daily.py:258-261)
@@ -674,6 +716,11 @@ QUERIES: QueryRegistry = {
     "duplicate_detection": Query(duplicate_detection, DUP_ORACLE, "A7/D3 GROUP BY HAVING dup detection"),
     "null_count_profile": Query(null_count_profile, NULL_COUNT_ORACLE, "A8 one-pass null counts"),
     "rollup_totals": Query(rollup_totals, ROLLUP_ORACLE, "A9 rollup with grand total"),
+    "incremental_rollup_maintenance": Query(
+        incremental_rollup_maintenance, INCREMENTAL_ROLLUP_ORACLE,
+        "mergeable agg state: three independent slices folded together "
+        "must hash-equal the one-shot aggregate",
+    ),
     "top_part_types": Query(top_part_types, TOP_TYPES_ORACLE, "A10/W4 top-N by aggregate"),
     "customers_with_orders": Query(customers_with_orders, SEMI_ORACLE, "J7 semi join"),
     "customers_without_orders": Query(customers_without_orders, ANTI_ORACLE, "J6 anti join"),
