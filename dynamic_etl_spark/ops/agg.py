@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Decimal(25,6) holds any double-ish measure in the corpus with exact
@@ -213,4 +213,66 @@ def finalize_agg_state(state: DataFrame) -> DataFrame:
         (as_double(F.col("state_sum")) / F.col("state_n")).alias("avg_value"),
         F.col("state_min").alias("min_value"),
         F.col("state_max").alias("max_value"),
+    )
+
+
+def category_drift_profile(
+    base: DataFrame, current: DataFrame, col: str
+) -> DataFrame:
+    """Distribution drift between two snapshots of a categorical column
+    (train-vs-serve, yesterday-vs-today): per category, the base/current
+    counts and rates, the rate delta, and the Pearson chi-square term
+    ``(observed - expected)^2 / expected`` with expected = base rate x
+    current total. Categories absent from one side surface with count 0
+    (full-outer union, the drift you most need to see); the chi-square
+    term is NULL where the base rate is 0 (no expectation to test).
+
+    Parity discipline: everything derives from exact integer counts by
+    single IEEE operations (mul/div/sub are bit-identical across
+    engines); the only rounding is the final 10dp on the chi-square term
+    (repo re-round rule) — no libm (log/exp) anywhere, unlike PSI/KL
+    formulations, which are engine-specific at the bit level.
+
+    Scale: one partial-agg shuffle per side over |categories| groups,
+    then a categories-sized outer join — fact rows are scanned once each.
+    """
+    a = base.groupBy(F.col(col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n_base")
+    )
+    b = current.groupBy(F.col(col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n_current")
+    )
+    joined = (
+        a.join(b, "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_current", F.lit(0)).alias("n_current"),
+        )
+    )
+    # unpartitioned window over the CATEGORY-sized frame (bounded by the
+    # column's cardinality, not the fact tables — the adjudicated
+    # bounded-window pattern, same as the mini-dim upserts)
+    w = Window.partitionBy()
+    tot_a = F.sum("n_base").over(w)
+    tot_b = F.sum("n_current").over(w)
+    rate_a = F.col("n_base").cast("double") / tot_a
+    rate_b = F.col("n_current").cast("double") / tot_b
+    expected = rate_a * tot_b.cast("double")
+    return joined.select(
+        "category",
+        "n_base",
+        "n_current",
+        rate_a.alias("rate_base"),
+        rate_b.alias("rate_current"),
+        (rate_b - rate_a).alias("rate_delta"),
+        F.when(
+            F.col("n_base") > 0,
+            F.round(
+                (F.col("n_current").cast("double") - expected)
+                * (F.col("n_current").cast("double") - expected)
+                / expected,
+                10,
+            ),
+        ).alias("chi2_term"),
     )

@@ -206,6 +206,66 @@ FROM s, top
 """
 
 
+def events_type_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-period distribution drift of event_type
+    (ops/agg.category_drift_profile): base = first two weeks of January,
+    current = the rest of the month. A synthetic shift makes the drift
+    non-trivial: 'click' events in the current window with value < 1
+    are relabeled 'tap' — a category absent from base (chi2 NULL)."""
+    from dynamic_etl_spark.ops.agg import category_drift_profile
+
+    ev = t(spark, sf_dir, "events")
+    split = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    base = ev.filter(F.col("ts") < split)
+    current = ev.filter(F.col("ts") >= split).withColumn(
+        "event_type",
+        F.when(
+            (F.col("event_type") == "click") & (F.col("value") < 1.0), "tap"
+        ).otherwise(F.col("event_type")),
+    )
+    return category_drift_profile(base, current, "event_type").orderBy("category")
+
+
+DRIFT_ORACLE = """
+WITH cur AS (
+  SELECT CASE WHEN event_type = 'click' AND value < 1.0 THEN 'tap'
+              ELSE event_type END AS event_type
+  FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+),
+a AS (
+  SELECT event_type AS category, COUNT(*) AS n_base
+  FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY event_type
+),
+b AS (
+  SELECT event_type AS category, COUNT(*) AS n_current FROM cur GROUP BY event_type
+),
+j AS (
+  SELECT COALESCE(a.category, b.category) AS category,
+         COALESCE(n_base, 0) AS n_base,
+         COALESCE(n_current, 0) AS n_current
+  FROM a FULL OUTER JOIN b ON a.category = b.category
+),
+w AS (
+  SELECT category, n_base, n_current,
+         CAST(SUM(n_base) OVER () AS BIGINT) AS tot_a,
+         CAST(SUM(n_current) OVER () AS BIGINT) AS tot_b
+  FROM j
+)
+SELECT category, n_base, n_current,
+       CAST(n_base AS DOUBLE) / tot_a AS rate_base,
+       CAST(n_current AS DOUBLE) / tot_b AS rate_current,
+       CAST(n_current AS DOUBLE) / tot_b - CAST(n_base AS DOUBLE) / tot_a
+         AS rate_delta,
+       CASE WHEN n_base > 0 THEN round(
+         (CAST(n_current AS DOUBLE) - CAST(n_base AS DOUBLE) / tot_a * CAST(tot_b AS DOUBLE))
+         * (CAST(n_current AS DOUBLE) - CAST(n_base AS DOUBLE) / tot_a * CAST(tot_b AS DOUBLE))
+         / (CAST(n_base AS DOUBLE) / tot_a * CAST(tot_b AS DOUBLE)), 10)
+       END AS chi2_term
+FROM w
+ORDER BY category
+"""
+
+
 QUERIES: QueryRegistry = {
     "validation_report": Query(
         validation_report, VALIDATION_ORACLE,
@@ -219,5 +279,10 @@ QUERIES: QueryRegistry = {
         events_key_skew_profile, KEY_SKEW_ORACLE,
         "shuffle-key skew diagnostics: rows/keys, max/min/avg per key, "
         "skew ratio, deterministic top key",
+    ),
+    "events_type_drift_profile": Query(
+        events_type_drift_profile, DRIFT_ORACLE,
+        "snapshot distribution drift: per-category rates, deltas, "
+        "chi-square terms from exact counts (no libm)",
     ),
 }
