@@ -161,6 +161,7 @@ _TAIL_ORDER = (
     # windowed distinct count + binned histogram (oracle-backed)
     "events_rolling_distinct_users",
     "events_value_histogram",
+    "events_equidepth_deciles",
     # feature scaling: min-max + z-score (oracle-backed)
     "events_minmax_scaled",
     "events_value_zscore",

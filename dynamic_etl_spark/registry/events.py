@@ -580,6 +580,43 @@ GROUP BY 1, 2, 3
 """
 
 
+def events_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram: ntile(10) over (value, event_id) — the
+    total-order tie-break makes bucket membership deterministic at any
+    parallelism (a bare ORDER BY value splits equal values across the
+    decile boundary in partition order). Complements the fixed-width
+    events_value_histogram: equi-depth adapts bucket edges to the
+    distribution, the fixed grid does not.
+
+    Scale note: ntile is a single-total-order window — the global sort is
+    inherent to exact equi-depth. At 100 TB use pct_approx sketch
+    boundaries instead; this exact form is the validator-scale tool and
+    the oracle for the sketch."""
+    ev = t(spark, sf_dir, "events").select("event_id", "value")
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo_value"),
+            F.max("value").alias("hi_value"),
+        )
+        .orderBy("decile")
+    )
+
+
+EQUIDEPTH_ORACLE = """
+SELECT decile, count(*) AS n, min(value) AS lo_value, max(value) AS hi_value
+FROM (
+  SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS decile
+  FROM events
+)
+GROUP BY decile
+ORDER BY decile
+"""
+
+
 # --------------------------------------------------------------------------
 # Inter-arrival profile: per-user gap statistics from a total-ordered lag
 # (ties broken by event_id per the repo window rule).
@@ -854,6 +891,11 @@ QUERIES: QueryRegistry = {
         events_value_histogram,
         HISTOGRAM_ORACLE,
         "fixed-width binned histogram from identical floor arithmetic",
+    ),
+    "events_equidepth_deciles": Query(
+        events_equidepth_deciles,
+        EQUIDEPTH_ORACLE,
+        "equi-depth ntile(10) histogram, total-order tie-break",
     ),
     "events_minmax_scaled": Query(
         events_minmax_scaled,
