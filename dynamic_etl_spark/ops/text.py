@@ -155,3 +155,40 @@ def winnow_fingerprints(df, *, id_col: str = "doc_id", text_col: str = "text",
             F.md5(F.concat_ws(",", F.col("__fps"))).alias("fp_digest"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the context-window
+    preprocessing step between cleaning and sequence packing: a training
+    pipeline needs bounded-length samples, and ``stride < chunk_tokens``
+    keeps ``chunk_tokens - stride`` tokens of overlap so no boundary
+    context is lost. Emits (id, chunk_idx, chunk_text, n_chunk_tokens);
+    windows start at every ``stride`` tokens while any token remains, so
+    the tail chunk may be short; zero-token documents emit no chunks.
+
+    Scale: chunking is row-local fan-out (explode of a per-doc start
+    list) — no shuffle at all; downstream packing/dedup shuffles see
+    chunk-sized rows. The slice/concat run per emitted chunk, not per
+    start x token (the explode happens before the heavy expressions).
+    """
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = (
+        docs.filter(F.size(toks) > 0)
+        .select(F.col(id_col), toks.alias("__toks"), F.posexplode(starts).alias("__i", "__start"))
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("__i").cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+    )

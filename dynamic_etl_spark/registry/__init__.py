@@ -165,6 +165,8 @@ _TAIL_ORDER = (
     # feature scaling: min-max + z-score (oracle-backed)
     "events_minmax_scaled",
     "events_value_zscore",
+    # context-window chunking (oracle-backed)
+    "document_chunking",
     # corpus-LM quality gate (oracle-backed)
     "bigram_novelty_profile",
     # training-shard export audit (oracle-backed)

@@ -681,6 +681,32 @@ FROM q GROUP BY vec_id
 """
 
 
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunks (ops/text.chunk_documents):
+    32-token windows, stride 24 (8-token overlap) over the documents
+    corpus — the bounded-length sample prep between cleaning and
+    sequence packing."""
+    return TX.chunk_documents(
+        t(spark, sf_dir, "documents"), "doc_id", "text", chunk_tokens=32, stride=24
+    ).orderBy("doc_id", "chunk_idx")
+
+
+CHUNKING_ORACLE = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(start // 24 AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, start + 1, start + 32)) AS BIGINT) AS n_chunk_tokens
+FROM tk, unnest(generate_series(0, len(toks) - 1, 24)) AS u(start)
+WHERE len(toks) > 0
+ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES: QueryRegistry = {
     "text_stats_profile": Query(
         text_stats_profile, TEXT_STATS_ORACLE,
@@ -713,6 +739,11 @@ QUERIES: QueryRegistry = {
     "sequence_packing": Query(
         sequence_packing, SEQUENCE_PACKING_ORACLE,
         "512-token concat-and-chunk packing via distributed two-level prefix sum",
+    ),
+    "document_chunking": Query(
+        document_chunking, CHUNKING_ORACLE,
+        "overlapping context-window chunks: 32-token windows, stride 24, "
+        "row-local fan-out (no shuffle)",
     ),
     "minhash_near_dup": Query(
         minhash_near_dup, None,
