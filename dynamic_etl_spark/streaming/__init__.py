@@ -5,5 +5,8 @@ from dynamic_etl_spark.streaming.incremental import (  # noqa: F401
     run_available_now,
     windowed_aggregate,
 )
-from dynamic_etl_spark.streaming.sink import run_streaming_merge  # noqa: F401
+from dynamic_etl_spark.streaming.sink import (  # noqa: F401
+    run_streaming_dedup,
+    run_streaming_merge,
+)
 from dynamic_etl_spark.streaming.stateful import running_user_stats  # noqa: F401

@@ -134,3 +134,109 @@ def run_streaming_merge(
             f"query is still running — raise timeout_sec or stop() it"
         )
     return query
+
+
+def run_streaming_dedup(
+    stream_df: DataFrame,
+    corpus_root: str,
+    store_root: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    timeout_sec: int = 240,
+) -> StreamingQuery:
+    """Continuously admit a document stream into a deduplicated corpus:
+    each micro-batch runs ``ops/lsh.incremental_near_dup_merge`` against
+    the versioned corpus + MinHash signature store and commits both
+    deltas as new table versions (io/versioned) — the streaming form of
+    the daily-ingest pipeline in tests/test_corpus_ingestion.py.
+
+    Crash consistency across TWO tables: the corpus version commits
+    first, the store second, and every batch starts by SELF-HEALING the
+    store — corpus docs missing from the store (the corpus-committed/
+    store-crashed window) get their signatures recomputed and appended.
+    Combined with checkpoint redelivery this makes the sink idempotent:
+    a replayed batch finds its docs already in the healed store and
+    rejects them all, so the corpus never holds a doc twice. The heal
+    probe is an id-only anti-join (normally empty) — cheap relative to
+    the admission joins.
+
+    Bootstraps an absent corpus from the first batch (admission against
+    an empty corpus still deduplicates WITHIN the batch). Drains with
+    ``Trigger.AvailableNow`` and blocks, per the repo batch-cadence
+    convention.
+    """
+    from dynamic_etl_spark.io.versioned import (
+        latest_version,
+        read_versioned,
+        write_versioned,
+    )
+    from dynamic_etl_spark.ops.lsh import incremental_near_dup_merge, minhash_banded_rows
+
+    spark = stream_df.sparkSession
+
+    def _sigs(docs: DataFrame) -> DataFrame:
+        return minhash_banded_rows(
+            docs, id_col, text_col, num_hashes, bands, shingle_k
+        )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.select(id_col, text_col)
+        if batch_df.isEmpty():
+            return
+        if latest_version(corpus_root) is None:
+            empty = spark.createDataFrame([], batch_df.schema)
+            out = incremental_near_dup_merge(
+                empty, batch_df, id_col, text_col,
+                threshold=threshold, num_hashes=num_hashes,
+                bands=bands, shingle_k=shingle_k,
+                existing_banded=_sigs(empty),
+            )
+            write_versioned(out["accepted"], corpus_root)
+            write_versioned(out["new_banded"], store_root)
+            return
+
+        corpus = read_versioned(spark, corpus_root)
+        store = read_versioned(spark, store_root)
+        unhealed = corpus.join(
+            store.select(id_col).distinct(), id_col, "left_anti"
+        )
+        if not unhealed.isEmpty():
+            store = store.unionByName(_sigs(unhealed))
+            write_versioned(
+                store, store_root,
+                base_version=latest_version(store_root), expected_base=True,
+            )
+        out = incremental_near_dup_merge(
+            corpus, batch_df, id_col, text_col,
+            threshold=threshold, num_hashes=num_hashes,
+            bands=bands, shingle_k=shingle_k, existing_banded=store,
+        )
+        if out["accepted"].isEmpty():
+            return
+        write_versioned(
+            corpus.unionByName(out["accepted"]), corpus_root,
+            base_version=latest_version(corpus_root), expected_base=True,
+        )
+        write_versioned(
+            store.unionByName(out["new_banded"]), store_root,
+            base_version=latest_version(store_root), expected_base=True,
+        )
+
+    query = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_sec):
+        raise TimeoutError(
+            f"streaming dedup did not drain within {timeout_sec}s; the "
+            f"query is still running — raise timeout_sec or stop() it"
+        )
+    return query

@@ -372,3 +372,71 @@ def test_streaming_merge_sink_dedups_batch_on_natural_key(spark, scratch):
             natural_key=["nk"], surrogate_col="sk", tolerance_cols=["v"],
         )
     assert spark.read.parquet(table2).count() == 1  # table untouched
+
+
+def test_streaming_dedup_sink_admits_and_heals(spark, scratch):
+    """run_streaming_dedup: bootstrap from batch 1 (within-batch dedup),
+    batch 2 rejected against the store, corpus versions advance, and a
+    corpus-committed/store-crashed window self-heals on the next drain."""
+    from dynamic_etl_spark.io.versioned import (
+        latest_version,
+        read_versioned,
+        write_versioned,
+    )
+    from dynamic_etl_spark.streaming import file_stream, run_streaming_dedup
+
+    corpus_root = str(scratch / "corpus")
+    store_root = str(scratch / "sigstore")
+    feed = scratch / "docfeed"
+    feed.mkdir()
+
+    def sentence(seed, extra=""):
+        return " ".join(f"w{(seed * 31 + p * 7) % 997}" for p in range(10)) + extra
+
+    b1 = spark.createDataFrame(
+        [(1, sentence(1)), (2, sentence(2)), (3, sentence(1, " x"))],  # 3 ~ 1
+        ["doc_id", "text"],
+    )
+    b1.coalesce(1).write.parquet(str(feed / "b1.parquet"))
+    run_streaming_dedup(
+        file_stream(spark, str(feed / "*.parquet"), b1.schema),
+        corpus_root, store_root, str(scratch / "ckpt_dedup"),
+        id_col="doc_id", text_col="text",
+    )
+    assert latest_version(corpus_root) == 0
+    assert {r["doc_id"] for r in read_versioned(spark, corpus_root).collect()} == {1, 2}
+
+    # batch 2: a copy of an admitted doc + a genuinely new one
+    b2 = spark.createDataFrame(
+        [(10, sentence(2, " y")), (11, sentence(99))], ["doc_id", "text"]
+    )
+    b2.coalesce(1).write.parquet(str(feed / "b2.parquet"))
+    run_streaming_dedup(
+        file_stream(spark, str(feed / "*.parquet"), b1.schema),
+        corpus_root, store_root, str(scratch / "ckpt_dedup"),
+        id_col="doc_id", text_col="text",
+    )
+    corpus = {r["doc_id"] for r in read_versioned(spark, corpus_root).collect()}
+    assert corpus == {1, 2, 11}
+    assert latest_version(corpus_root) == 1
+
+    # crash window: corpus advances without its signatures (doc 50)
+    extra = spark.createDataFrame([(50, sentence(50))], ["doc_id", "text"])
+    write_versioned(
+        read_versioned(spark, corpus_root).unionByName(extra), corpus_root
+    )
+    # next drain heals the store, so a copy of doc 50 is REJECTED
+    b3 = spark.createDataFrame([(60, sentence(50, " z"))], ["doc_id", "text"])
+    b3.coalesce(1).write.parquet(str(feed / "b3.parquet"))
+    run_streaming_dedup(
+        file_stream(spark, str(feed / "*.parquet"), b1.schema),
+        corpus_root, store_root, str(scratch / "ckpt_dedup"),
+        id_col="doc_id", text_col="text",
+    )
+    corpus = {r["doc_id"] for r in read_versioned(spark, corpus_root).collect()}
+    assert corpus == {1, 2, 11, 50}  # 60 rejected against the healed store
+    store_ids = {
+        r["doc_id"]
+        for r in read_versioned(spark, store_root).select("doc_id").distinct().collect()
+    }
+    assert store_ids == {1, 2, 11, 50}
