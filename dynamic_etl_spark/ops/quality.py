@@ -387,3 +387,61 @@ def bigram_perplexity_profile(df: DataFrame, *, id_col: str = "doc_id",
             ).alias("perplexity"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information — WITHOUT libm:
+    log is monotone, so ranking by the PMI *ratio*
+    ``p(xy) / (p(x) p(y)) = (n_xy * N_uni²) / (N_bi * n_x * n_y)``
+    ranks identically to PMI itself, and the ratio is ONE IEEE division
+    of two exact integer products — bit-identical across engines while
+    the products stay under 2^53 (true far past this corpus; at larger
+    scale route the products through decimal first). ``min_count``
+    suppresses the low-frequency pairs PMI notoriously over-ranks.
+
+    Emits the ``top_k`` pairs by (ratio DESC, w1, w2) — a deterministic
+    total order. Scale: unigram and bigram counts are explode +
+    partial-agg shuffles; the two count joins shuffle on the token key;
+    the two corpus totals are bounded driver scalars (high-water-mark
+    convention); top-k is a sort-limit (TakeOrdered), never a window.
+    """
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n")).persist()
+    n_uni = toks.agg(F.count(F.lit(1)).alias("v")).collect()[0]["v"]
+
+    grams = _gram_rows(df, [2], id_col, text_col).filter(
+        F.col("__gram").contains(" ")  # guard: 1-token docs emit no bigram
+    )
+    bi = grams.groupBy("__gram").agg(F.count(F.lit(1)).alias("n_xy"))
+    n_bi = grams.agg(F.count(F.lit(1)).alias("v")).collect()[0]["v"]
+
+    pairs = bi.select(
+        F.split_part(F.col("__gram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("__gram"), F.lit(" "), F.lit(2)).alias("w2"),
+        "n_xy",
+    ).filter(F.col("n_xy") >= min_count)
+    out = (
+        pairs.join(uni.select(F.col("w").alias("w1"), F.col("n").alias("n_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n").alias("n_y")), "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            "n_x",
+            "n_y",
+            (
+                (F.col("n_xy") * F.lit(n_uni) * F.lit(n_uni)).cast("double")
+                / (F.lit(n_bi) * F.col("n_x") * F.col("n_y")).cast("double")
+            ).alias("pmi_ratio"),
+        )
+        .orderBy(F.col("pmi_ratio").desc(), "w1", "w2")
+        .limit(top_k)
+    )
+    return out

@@ -9,7 +9,7 @@ corpus stays inside whole-stage codegen with zero serialization cost.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -191,4 +191,40 @@ def chunk_documents(
         F.col("__i").cast("long").alias("chunk_idx"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
+    )
+
+
+def vocab_build(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 2,
+    max_vocab: int = 10_000,
+) -> DataFrame:
+    """Corpus vocabulary: the ``max_vocab`` most frequent tokens with
+    ``count >= min_count``, assigned dense ids 1..K by (count DESC,
+    token ASC) — the deterministic total order makes the id assignment
+    reproducible at any parallelism (a bare count-ordered row_number
+    splits ties by partition order). Emits (token, n, vocab_id).
+
+    Scale: token counts are one explode + partial-agg shuffle; the top-K
+    selection is a sort-LIMIT (Spark's TakeOrderedAndProject: each
+    partition keeps its own top ``max_vocab``, one bounded merge — the
+    WindowGroupLimit rank-pushdown does NOT fire on unpartitioned
+    windows, measured, so a row_number-then-filter would sort the whole
+    token space). Only the max_vocab-row survivor set goes through the
+    single-partition numbering window — the adjudicated bounded-window
+    pattern.
+    """
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(max_vocab)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return counts.select(
+        "token", "n", F.row_number().over(w).cast("long").alias("vocab_id")
     )

@@ -165,8 +165,10 @@ _TAIL_ORDER = (
     # feature scaling: min-max + z-score (oracle-backed)
     "events_minmax_scaled",
     "events_value_zscore",
-    # context-window chunking (oracle-backed)
+    # context-window chunking + vocabulary + collocations (oracle-backed)
     "document_chunking",
+    "vocabulary_build",
+    "pmi_collocations_top",
     # corpus-LM quality gate (oracle-backed)
     "bigram_novelty_profile",
     # training-shard export audit (oracle-backed)

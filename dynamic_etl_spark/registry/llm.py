@@ -681,6 +681,31 @@ FROM q GROUP BY vec_id
 """
 
 
+def vocabulary_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-id vocabulary over the corpus (ops/text.vocab_build):
+    min_count 5, top 500 — ids assigned by (count DESC, token ASC) so
+    the mapping is reproducible at any parallelism; top-K runs as a
+    distributed TakeOrdered, with only the K survivors numbered."""
+    return TX.vocab_build(
+        t(spark, sf_dir, "documents"), "doc_id", "text", min_count=5, max_vocab=500
+    ).orderBy("vocab_id")
+
+
+VOCAB_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest({_SQL_TOKENS}) AS token FROM documents
+),
+c AS (
+  SELECT token, count(*) AS n FROM tok GROUP BY token HAVING count(*) >= 5
+)
+SELECT token, n,
+       CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS vocab_id
+FROM c
+QUALIFY vocab_id <= 500
+ORDER BY vocab_id
+"""
+
+
 def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping context-window chunks (ops/text.chunk_documents):
     32-token windows, stride 24 (8-token overlap) over the documents
@@ -744,6 +769,11 @@ QUERIES: QueryRegistry = {
         document_chunking, CHUNKING_ORACLE,
         "overlapping context-window chunks: 32-token windows, stride 24, "
         "row-local fan-out (no shuffle)",
+    ),
+    "vocabulary_build": Query(
+        vocabulary_build, VOCAB_ORACLE,
+        "dense-id corpus vocabulary: total-order id assignment with "
+        "WindowGroupLimit rank pushdown",
     ),
     "minhash_near_dup": Query(
         minhash_near_dup, None,

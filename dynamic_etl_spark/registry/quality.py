@@ -162,6 +162,43 @@ def bigram_perplexity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.bigram_perplexity_profile(docs)
 
 
+def pmi_collocations_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI collocations (ops/quality.pmi_collocations): ranked by
+    the libm-free PMI ratio — exact integer products, one IEEE division."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return Q.pmi_collocations(docs, min_count=5, top_k=20)
+
+
+PMI_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+),
+tok AS (SELECT unnest(toks) AS w FROM base),
+uni AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+nu AS (SELECT count(*) AS v FROM tok),
+g2 AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM base WHERE len(toks) >= 2
+),
+nb AS (SELECT count(*) AS v FROM g2),
+bi AS (SELECT gram, count(*) AS n_xy FROM g2 GROUP BY gram HAVING count(*) >= 5),
+pairs AS (
+  SELECT split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2, n_xy
+  FROM bi
+)
+SELECT p.w1, p.w2, p.n_xy, ux.n AS n_x, uy.n AS n_y,
+       CAST(p.n_xy * nu.v * nu.v AS DOUBLE)
+         / CAST(nb.v * ux.n * uy.n AS DOUBLE) AS pmi_ratio
+FROM pairs p
+JOIN uni ux ON p.w1 = ux.w
+JOIN uni uy ON p.w2 = uy.w
+CROSS JOIN nu CROSS JOIN nb
+ORDER BY pmi_ratio DESC, w1, w2
+LIMIT 20
+"""
+
+
 QUERIES: QueryRegistry = {
     "gopher_repetition_gates": Query(
         gopher_repetition_gates,
@@ -183,5 +220,11 @@ QUERIES: QueryRegistry = {
         None,
         "add-k bigram perplexity vs self-trained corpus model "
         "(rows-only: libm log2 is engine-specific; numpy brute-force pytest)",
+    ),
+    "pmi_collocations_top": Query(
+        pmi_collocations_top,
+        PMI_ORACLE,
+        "top-20 PMI collocations via the libm-free ratio (log is "
+        "monotone, so ratio rank == PMI rank)",
     ),
 }
