@@ -228,3 +228,43 @@ def vocab_build(
     return counts.select(
         "token", "n", F.row_number().over(w).cast("long").alias("vocab_id")
     )
+
+
+#: Common named HTML entities worth decoding in web corpora; numeric
+#: entities are dropped (decoding them needs chr(), out of codegen reach).
+_HTML_ENTITIES = (
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+)
+
+
+def strip_markup(c: Column) -> Column:
+    """Web-corpus markup cleaning, all codegen: HTML tags -> space (a
+    space, not empty — ``</p>word`` must not fuse words), named entities
+    decoded, numeric entities dropped, whitespace collapsed + trimmed.
+    Patterns are regex-dialect-neutral (no lookaround), so the DuckDB
+    oracle twin uses the SAME expressions. Entity decode runs AFTER tag
+    removal: ``&lt;b&gt;`` decodes to literal ``<b>`` text and must NOT
+    then be re-stripped as a tag."""
+    out = F.regexp_replace(c, r"<[^>]*>", " ")
+    for entity, repl in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(entity), F.lit(repl))
+    out = F.regexp_replace(out, r"&#[0-9]+;", "")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def markup_profile(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, clean_text, n_tags, had_markup) — the strip plus what was
+    removed, for cleaning-rate monitoring."""
+    c = F.col(text_col)
+    n_tags = F.regexp_count(c, F.lit(r"<[^>]*>"))
+    return docs.select(
+        F.col(id_col),
+        strip_markup(c).alias("clean_text"),
+        n_tags.cast("long").alias("n_tags"),
+        (n_tags > 0).alias("had_markup"),
+    )

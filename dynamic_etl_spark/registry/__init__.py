@@ -165,10 +165,12 @@ _TAIL_ORDER = (
     # feature scaling: min-max + z-score (oracle-backed)
     "events_minmax_scaled",
     "events_value_zscore",
-    # context-window chunking + vocabulary + collocations (oracle-backed)
+    # context-window chunking + vocabulary + collocations + markup strip
+    # (oracle-backed)
     "document_chunking",
     "vocabulary_build",
     "pmi_collocations_top",
+    "markup_strip_clean",
     # corpus-LM quality gate (oracle-backed)
     "bigram_novelty_profile",
     # training-shard export audit (oracle-backed)
