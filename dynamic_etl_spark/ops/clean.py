@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -381,3 +381,35 @@ def validity_filter(df: DataFrame, not_null: Sequence[str], not_sentinel: Mappin
     for c, sentinel in not_sentinel.items():
         cond = cond & (F.col(c) != sentinel)
     return df.filter(cond)
+
+
+def fill_forward(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Last-observation-carried-forward imputation: within each key
+    group, a null in a ``value_cols`` column takes the most recent
+    non-null value in ``order_cols`` order (leading nulls stay null —
+    there is nothing to carry). The standard gap repair for sensor/feed
+    data where absence means "unchanged", complementing the flag/default
+    normalizers above (which repair DIRTY values, not missing ones).
+
+    ``order_cols`` must be a TOTAL order within each key (repo window
+    rule — append a unique id to break timestamp ties), otherwise the
+    carried value is partition-order-dependent.
+
+    Scale: one keyed window per row, running-frame ``last(ignorenulls)``
+    — a single shuffle on the key, no self-joins, no sort beyond the
+    per-key window sort.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in value_cols:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out

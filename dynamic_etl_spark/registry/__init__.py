@@ -162,6 +162,8 @@ _TAIL_ORDER = (
     "events_rolling_distinct_users",
     "events_value_histogram",
     "events_equidepth_deciles",
+    # LOCF gap repair (oracle-backed)
+    "events_fill_forward",
     # feature scaling: min-max + z-score (oracle-backed)
     "events_minmax_scaled",
     "events_value_zscore",

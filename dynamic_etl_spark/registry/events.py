@@ -580,6 +580,42 @@ GROUP BY 1, 2, 3
 """
 
 
+def events_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF gap repair (ops/clean.fill_forward): every 7th event's value
+    is knocked out, then carried forward per user in (ts, event_id)
+    total order; leading nulls (a user's first events knocked out) stay
+    null and are visible via was_null + a still-null filled value."""
+    from dynamic_etl_spark.ops.clean import fill_forward
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    dirty = ev.withColumn(
+        "value", F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value"))
+    ).withColumn("was_null", F.col("event_id") % 7 == 0)
+    return (
+        fill_forward(dirty, ["user_id"], ["ts", "event_id"], ["value"])
+        .select("event_id", "user_id", "ts", "value", "was_null")
+        .orderBy("event_id")
+    )
+
+
+FILL_FORWARD_ORACLE = """
+WITH dirty AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value,
+         event_id % 7 = 0 AS was_null
+  FROM events
+)
+SELECT event_id, user_id, ts,
+       last_value(value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value,
+       was_null
+FROM dirty
+ORDER BY event_id
+"""
+
+
 def events_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth histogram: ntile(10) over (value, event_id) — the
     total-order tie-break makes bucket membership deterministic at any
@@ -896,6 +932,11 @@ QUERIES: QueryRegistry = {
         events_equidepth_deciles,
         EQUIDEPTH_ORACLE,
         "equi-depth ntile(10) histogram, total-order tie-break",
+    ),
+    "events_fill_forward": Query(
+        events_fill_forward,
+        FILL_FORWARD_ORACLE,
+        "LOCF imputation per user in total order; leading nulls preserved",
     ),
     "events_minmax_scaled": Query(
         events_minmax_scaled,
