@@ -162,8 +162,9 @@ _TAIL_ORDER = (
     "events_rolling_distinct_users",
     "events_value_histogram",
     "events_equidepth_deciles",
-    # LOCF gap repair (oracle-backed)
+    # LOCF gap repair + linear regridding (oracle-backed)
     "events_fill_forward",
+    "events_hourly_resample",
     # feature scaling: min-max + z-score (oracle-backed)
     "events_minmax_scaled",
     "events_value_zscore",

@@ -580,6 +580,66 @@ GROUP BY 1, 2, 3
 """
 
 
+def events_hourly_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly regridding with linear interpolation
+    (ops/timeseries.resample_linear): irregular event values resampled
+    to the top-of-hour grid between each user's first and last event.
+    Exact integer micros end-to-end; the interpolation is three IEEE
+    ops — hash-checkable without rounding."""
+    from dynamic_etl_spark.ops.timeseries import resample_linear
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return resample_linear(
+        ev, ["user_id"], "ts", "value", step_seconds=3600, tiebreak_col="event_id"
+    ).orderBy("user_id", "grid_ts")
+
+
+RESAMPLE_ORACLE = """
+WITH obs AS (
+  SELECT user_id, epoch_us(ts) AS us, value AS v, 0 AS is_grid,
+         event_id AS tb
+  FROM events
+),
+span AS (
+  SELECT user_id, min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, g AS us, CAST(NULL AS DOUBLE) AS v, 1 AS is_grid,
+         CAST(NULL AS BIGINT) AS tb
+  FROM span,
+       unnest(generate_series(
+         CAST(-floor(-lo / 3600000000.0) * 3600000000 AS BIGINT), hi,
+         3600000000)) AS u(g)
+),
+unioned AS (SELECT * FROM obs UNION ALL SELECT * FROM grid),
+win AS (
+  SELECT user_id, us, is_grid,
+         last_value(CASE WHEN is_grid = 0 THEN us END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, is_grid, tb
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pus,
+         last_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, is_grid, tb
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         first_value(CASE WHEN is_grid = 0 THEN us END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, is_grid, tb
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nus,
+         first_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, is_grid, tb
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+  FROM unioned
+)
+SELECT user_id, make_timestamp(us) AS grid_ts,
+       CASE WHEN pus IS NOT NULL AND pus = us THEN pv
+            WHEN pus IS NOT NULL AND nus IS NOT NULL THEN
+              pv + (nv - pv) * (CAST(us - pus AS DOUBLE) / CAST(nus - pus AS DOUBLE))
+       END AS value
+FROM win
+WHERE is_grid = 1
+ORDER BY user_id, grid_ts
+"""
+
+
 def events_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOCF gap repair (ops/clean.fill_forward): every 7th event's value
     is knocked out, then carried forward per user in (ts, event_id)
@@ -937,6 +997,12 @@ QUERIES: QueryRegistry = {
         events_fill_forward,
         FILL_FORWARD_ORACLE,
         "LOCF imputation per user in total order; leading nulls preserved",
+    ),
+    "events_hourly_resample": Query(
+        events_hourly_resample,
+        RESAMPLE_ORACLE,
+        "hourly regridding with linear interpolation, exact-micros "
+        "arithmetic, no as-of/range join",
     ),
     "events_minmax_scaled": Query(
         events_minmax_scaled,
