@@ -384,6 +384,10 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" extra trailing words appended")).alias("text"),
     )
     feed = docs.select("doc_id", "text").unionByName(resent)
+    # scope A/B re-measured r4 under the steady-state bench: "corpus"
+    # and "candidates" are now within noise warm (1.9s vs 2.0s at
+    # sf0.1) — the r3 3.7x gap was a cold-compile artifact — so the
+    # default (fewer stages, no persist) stays.
     return L.minhash_near_dup_pairs(feed, "doc_id", "text", threshold=0.5)
 
 
