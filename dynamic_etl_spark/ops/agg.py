@@ -276,3 +276,40 @@ def category_drift_profile(
             ),
         ).alias("chi2_term"),
     )
+
+
+def build_distinct_sketch_state(
+    df: DataFrame, keys: Sequence[str], value: str, lg_k: int = 12
+) -> DataFrame:
+    """Mergeable DISTINCT-count state: a Datasketches HLL sketch per key
+    group — the approximate sibling of :func:`build_agg_state` for the
+    one aggregate a (count, sum, min, max) monoid cannot maintain.
+    Exact per-batch distincts do not merge (|A ∪ B| != |A| + |B|);
+    sketches do, so a 100 TB distinct-users rollup is maintained batch
+    by batch with O(2^lg_k)-byte state per key and never a history
+    rescan. Standard error ~1.04/sqrt(2^lg_k) (~1.6% at the default).
+    Sketch bytes are engine-specific: rows-only territory, tolerance
+    pytest instead of a DuckDB oracle."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(value), F.lit(lg_k)).alias("state_sketch")
+    )
+
+
+def merge_distinct_sketch_state(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a delta sketch state into the stored state: union + one
+    re-aggregate of sketch unions. Key-count-sized shuffle."""
+    keys = [c for c in state.columns if c != "state_sketch"]
+    return (
+        state.unionByName(delta)
+        .groupBy(*keys)
+        .agg(F.hll_union_agg(F.col("state_sketch")).alias("state_sketch"))
+    )
+
+
+def finalize_distinct_sketch_state(state: DataFrame) -> DataFrame:
+    """Estimate per key: (keys..., approx_distinct)."""
+    keys = [c for c in state.columns if c != "state_sketch"]
+    return state.select(
+        *keys,
+        F.hll_sketch_estimate(F.col("state_sketch")).alias("approx_distinct"),
+    )

@@ -187,6 +187,8 @@ _TAIL_ORDER = (
     "embedding_ann_ivf",
     # rows-only (libm log2 is engine-specific; numpy-checked in pytest)
     "bigram_perplexity_profile",
+    # rows-only (HLL sketch bytes are engine-specific; tolerance pytest)
+    "distinct_sketch_maintenance",
 )
 
 

@@ -917,6 +917,34 @@ GROUP BY event_type
 """
 
 
+def distinct_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained approximate distinct-users per event type
+    (ops/agg.build/merge/finalize_distinct_sketch_state): three date
+    slices sketched independently, states folded, estimates emitted.
+    Rows-only — sketch bytes are engine-specific; the tolerance pytest
+    (test_ops_units) checks estimates against exact distincts."""
+    from dynamic_etl_spark.ops.agg import (
+        build_distinct_sketch_state,
+        finalize_distinct_sketch_state,
+        merge_distinct_sketch_state,
+    )
+
+    ev = t(spark, sf_dir, "events").select("event_type", "user_id", "ts")
+    cut1 = F.lit("2024-01-11 00:00:00").cast("timestamp_ntz")
+    cut2 = F.lit("2024-01-21 00:00:00").cast("timestamp_ntz")
+    s1 = build_distinct_sketch_state(
+        ev.filter(F.col("ts") < cut1), ["event_type"], "user_id"
+    )
+    s2 = build_distinct_sketch_state(
+        ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)), ["event_type"], "user_id"
+    )
+    s3 = build_distinct_sketch_state(
+        ev.filter(F.col("ts") >= cut2), ["event_type"], "user_id"
+    )
+    merged = merge_distinct_sketch_state(merge_distinct_sketch_state(s1, s2), s3)
+    return finalize_distinct_sketch_state(merged).orderBy("event_type")
+
+
 QUERIES: QueryRegistry = {
     "events_tumbling_window": Query(
         events_tumbling_window, TUMBLING_ORACLE, "1-hour tumbling window counts/sums"
@@ -1003,6 +1031,12 @@ QUERIES: QueryRegistry = {
         RESAMPLE_ORACLE,
         "hourly regridding with linear interpolation, exact-micros "
         "arithmetic, no as-of/range join",
+    ),
+    "distinct_sketch_maintenance": Query(
+        distinct_sketch_maintenance,
+        None,
+        "maintained HLL distinct state: slices sketched independently "
+        "and folded (rows-only; tolerance pytest)",
     ),
     "events_minmax_scaled": Query(
         events_minmax_scaled,

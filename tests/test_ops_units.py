@@ -398,3 +398,88 @@ def test_key_skew_profile_null_group_never_wins_top_key(spark):
     assert out["n_keys"] == 3
     assert out["max_rows_per_key"] == 3
     assert out["top_key"] == "7"
+
+
+def test_distinct_sketch_state_merge_tolerance(spark):
+    """Maintained HLL distinct state: slice-and-merge estimates land
+    within the sketch's error bound of the exact distinct counts."""
+    from dynamic_etl_spark.catalog import load_table
+    from dynamic_etl_spark.ops.agg import (
+        build_distinct_sketch_state,
+        finalize_distinct_sketch_state,
+        merge_distinct_sketch_state,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").select("event_type", "user_id")
+    half1 = ev.filter(F.col("user_id") % 2 == 0)
+    half2 = ev.filter(F.col("user_id") % 2 == 1)
+    merged = merge_distinct_sketch_state(
+        build_distinct_sketch_state(half1, ["event_type"], "user_id"),
+        build_distinct_sketch_state(half2, ["event_type"], "user_id"),
+    )
+    est = {
+        r["event_type"]: r["approx_distinct"]
+        for r in finalize_distinct_sketch_state(merged).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(2, 0.05 * n), (k, est[k], n)
+
+
+def test_resample_linear_hand_example(spark):
+    """Grid on an observation takes the exact value; interior points
+    interpolate; leading-edge points (before the first obs) are null;
+    equal-ts observations resolve by the tiebreak (last one carries)."""
+    from dynamic_etl_spark.ops.timeseries import resample_linear
+
+    rows = [
+        (1, "2024-01-01 00:30:00", 10.0, 1),
+        (1, "2024-01-01 02:00:00", 40.0, 2),   # exact grid hit
+        (1, "2024-01-01 02:00:00", 44.0, 3),   # tie: higher id wins carry
+        (1, "2024-01-01 03:30:00", 80.0, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, ts string, v double, id int"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {
+        str(r["grid_ts"]): r["v"]
+        for r in resample_linear(df, ["k"], "ts", "v", 3600, tiebreak_col="id").collect()
+    }
+    # grid: 01:00, 02:00, 03:00 (span 00:30..03:30)
+    assert out["2024-01-01 01:00:00"] == 10.0 + (40.0 - 10.0) * (30 / 90)
+    assert out["2024-01-01 02:00:00"] == 44.0  # exact hit, tiebreak carries id=3
+    assert out["2024-01-01 03:00:00"] == 44.0 + (80.0 - 44.0) * (60 / 90)
+
+    # leading edge: first obs at 00:30 means a 00:00 grid point would be
+    # null — shift the span to force one
+    rows2 = [(1, "2024-01-01 00:30:00", 10.0, 1), (1, "2024-01-01 01:30:00", 20.0, 2)]
+    df2 = spark.createDataFrame(
+        rows2, "k int, ts string, v double, id int"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out2 = resample_linear(df2, ["k"], "ts", "v", 3600, tiebreak_col="id").collect()
+    assert len(out2) == 1 and out2[0]["v"] == 10.0 + 10.0 * (30 / 60)
+
+
+def test_chunk_documents_edges(spark):
+    from dynamic_etl_spark.ops.text import chunk_documents
+
+    rows = [
+        (1, "a b c d e f g"),  # 7 tokens
+        (2, "x y"),            # shorter than one chunk
+        (3, "   "),            # zero tokens -> no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=3, stride=2)
+    got = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"]) for r in out.collect()}
+    assert got[(1, 0)] == ("a b c", 3)
+    assert got[(1, 1)] == ("c d e", 3)
+    assert got[(1, 2)] == ("e f g", 3)
+    assert got[(1, 3)] == ("g", 1)  # short tail kept
+    assert got[(2, 0)] == ("x y", 2)
+    assert all(k[0] != 3 for k in got)
