@@ -159,12 +159,25 @@ def read_versioned(
     )
 
 
-def vacuum(root: str, keep_versions: int = 2) -> list[str]:
+def vacuum(
+    root: str, keep_versions: int = 2, min_orphan_age_s: float = 24 * 3600
+) -> list[str]:
     """Drop data directories no committed-and-retained version references:
     snapshots older than the ``keep_versions`` newest, plus orphans from
     crashed writers. Returns the removed directory names. Readers pinned
     to a vacuumed version lose it — size ``keep_versions`` to the longest
-    running read."""
+    running read.
+
+    A NEVER-committed directory is indistinguishable from an in-flight
+    writer that has finished its data write but not yet linked its commit
+    record — deleting it would let that writer commit a version pointing
+    at nothing (review r4). Such dirs are only swept once older than
+    ``min_orphan_age_s`` (mtime-based; default one day — far beyond any
+    write-to-commit gap, the same retention idea real table formats
+    use). Directories referenced by a PRUNED commit are past their
+    commit, so they delete regardless of age."""
+    import time
+
     cdir = os.path.join(root, _COMMITS)
     vdir = os.path.join(root, _VERSIONS)
     if not os.path.isdir(cdir) or not os.path.isdir(vdir):
@@ -174,11 +187,22 @@ def vacuum(root: str, keep_versions: int = 2) -> list[str]:
     )
     keep = set(committed[-keep_versions:]) if keep_versions > 0 else set()
     live_dirs = {_commit_record(root, v)["dir"] for v in keep}
+    pruned_dirs = {_commit_record(root, v)["dir"] for v in committed if v not in keep}
+    now = time.time()
     removed = []
     for name in sorted(os.listdir(vdir)):
-        if name not in live_dirs:
-            shutil.rmtree(os.path.join(vdir, name), ignore_errors=True)
-            removed.append(name)
+        if name in live_dirs:
+            continue
+        full = os.path.join(vdir, name)
+        if name not in pruned_dirs:
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue
+            if age < min_orphan_age_s:
+                continue
+        shutil.rmtree(full, ignore_errors=True)
+        removed.append(name)
     for v in committed:
         if v not in keep:
             os.unlink(os.path.join(cdir, f"{v:08d}.json"))

@@ -158,7 +158,12 @@ def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
             (F.col("max_rows_per_key") * F.col("n_keys")).cast("double")
             / F.col("n_rows")
         ).alias("skew_ratio"),
-        F.col("__top.k").alias("top_key"),
+        # __top ranks only non-null keys; if the best of them falls short
+        # of the global max, the null group holds it alone -> NULL (the
+        # oracle's MIN-over-varchar of max-attaining keys is NULL then too)
+        F.when(
+            -F.col("__top.nc") == F.col("max_rows_per_key"), F.col("__top.k")
+        ).alias("top_key"),
     )
 
 

@@ -370,9 +370,14 @@ def incremental_near_dup_merge(
     from dynamic_etl_spark.ops.graph import connected_components
 
     new_docs = ensure_fanout_parallelism(new_docs)
+    # localCheckpoint, not persist, for every shared intermediate in this
+    # STATEFUL op: persist() pins the plan in the CacheManager until an
+    # explicit unpersist — per-batch callers (the streaming dedup sink)
+    # would leak two cache entries per micro-batch. Checkpointed RDDs are
+    # released by the ContextCleaner once unreferenced (review r4).
     banded_new = minhash_banded_rows(
         new_docs, id_col, text_col, num_hashes, bands, shingle_k
-    ).persist()
+    ).localCheckpoint()
     if existing_banded is None:
         existing_banded = minhash_banded_rows(
             existing_docs, id_col, text_col, num_hashes, bands, shingle_k
@@ -414,7 +419,7 @@ def incremental_near_dup_merge(
         .distinct()
     )
     old_ids = cand_cross.select(F.col("id_old").alias(id_col)).distinct()
-    sh_new = shingled(new_docs, new_ids, "id_new").persist()
+    sh_new = shingled(new_docs, new_ids, "id_new").localCheckpoint()
     sh_old = shingled(existing_docs, old_ids, "id_old")
 
     cross_pairs = (

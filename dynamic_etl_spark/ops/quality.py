@@ -413,7 +413,10 @@ def pmi_collocations(
     convention); top-k is a sort-limit (TakeOrdered), never a window.
     """
     toks = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n")).persist()
+    # localCheckpoint (not persist): shared by both join sides, released
+    # by the ContextCleaner when unreferenced — persist would leak a
+    # cache entry per invocation (review r4)
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
     n_uni = toks.agg(F.count(F.lit(1)).alias("v")).collect()[0]["v"]
 
     grams = _gram_rows(df, [2], id_col, text_col).filter(

@@ -232,8 +232,10 @@ def vocab_build(
 
 #: Common named HTML entities worth decoding in web corpora; numeric
 #: entities are dropped (decoding them needs chr(), out of codegen reach).
+#: ``&amp;`` decodes LAST: it escapes a literal ampersand, so decoding it
+#: first would double-decode — ``&amp;lt;`` must yield the visible text
+#: ``&lt;``, not ``<`` (review r4 finding).
 _HTML_ENTITIES = (
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
@@ -247,13 +249,17 @@ def strip_markup(c: Column) -> Column:
     space, not empty — ``</p>word`` must not fuse words), named entities
     decoded, numeric entities dropped, whitespace collapsed + trimmed.
     Patterns are regex-dialect-neutral (no lookaround), so the DuckDB
-    oracle twin uses the SAME expressions. Entity decode runs AFTER tag
-    removal: ``&lt;b&gt;`` decodes to literal ``<b>`` text and must NOT
-    then be re-stripped as a tag."""
+    oracle twin uses the SAME expressions. Ordering is load-bearing
+    twice over: entity decode runs AFTER tag removal (``&lt;b&gt;``
+    decodes to literal ``<b>`` text and must NOT then be re-stripped as
+    a tag), and ``&amp;`` decodes after EVERY other entity rule — it
+    escapes a literal ampersand, so decoding it earlier double-decodes
+    (``&amp;lt;`` must yield the visible text ``&lt;``, not ``<``)."""
     out = F.regexp_replace(c, r"<[^>]*>", " ")
     for entity, repl in _HTML_ENTITIES:
         out = F.replace(out, F.lit(entity), F.lit(repl))
     out = F.regexp_replace(out, r"&#[0-9]+;", "")
+    out = F.replace(out, F.lit("&amp;"), F.lit("&"))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
 
 

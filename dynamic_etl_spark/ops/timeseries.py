@@ -45,6 +45,10 @@ def resample_linear(
     order (ts, is_grid) within it — deterministic at any parallelism.
     """
     keys = list(key_cols)
+    # a null value is NO observation: it must neither anchor an exact
+    # hit nor supply an interpolation endpoint (a half-null anchor would
+    # pair one observation's timestamp with another's value)
+    df = df.filter(F.col(value_col).isNotNull())
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     step_us = int(step_seconds) * 1_000_000
     # observations with EQUAL timestamps need a total order (repo window
@@ -62,14 +66,17 @@ def resample_linear(
     span = df.groupBy(*keys).agg(
         F.min(us).alias("__lo"), F.max(us).alias("__hi")
     )
+    # a span narrower than one step holds no grid point: sequence(start >
+    # stop) THROWS in Spark (DuckDB's generate_series returns empty), so
+    # emit an explicit empty array for those keys — explode drops them
+    start = (-F.floor(-F.col("__lo") / step_us) * step_us).cast("long")
     grid = span.select(
         *keys,
         F.explode(
-            F.sequence(
-                (-F.floor(-F.col("__lo") / step_us) * step_us).cast("long"),
-                F.col("__hi"),
-                F.lit(step_us),
-            )
+            F.when(
+                start <= F.col("__hi"),
+                F.sequence(start, F.col("__hi"), F.lit(step_us)),
+            ).otherwise(F.array().cast("array<long>"))
         ).alias("__us"),
         F.lit(None).cast(df.schema[value_col].dataType).alias("__v"),
         F.lit(1).alias("__is_grid"),

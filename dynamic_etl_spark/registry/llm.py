@@ -723,13 +723,17 @@ WITH marked AS (
   FROM documents
 ),
 stripped AS (
+  -- same load-bearing order as ops/text.strip_markup: tags, named
+  -- entities, numeric entities, and &amp; LAST (double-decode guard)
   SELECT doc_id, text,
-         regexp_replace(
-           replace(replace(replace(replace(replace(replace(
-             regexp_replace(text, '<[^>]*>', ' ', 'g'),
-             '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-             '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
-           '&#[0-9]+;', '', 'g') AS decoded
+         replace(
+           regexp_replace(
+             replace(replace(replace(replace(replace(
+               regexp_replace(text, '<[^>]*>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+             '&#[0-9]+;', '', 'g'),
+           '&amp;', '&') AS decoded
   FROM marked
 )
 SELECT doc_id,

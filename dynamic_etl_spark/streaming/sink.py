@@ -186,7 +186,17 @@ def run_streaming_dedup(
         )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.select(id_col, text_col)
+        from dynamic_etl_spark.ops.text import tokens
+
+        # zero-token docs can never collide (no shingles -> no signature
+        # rows), so admitting them would break BOTH invariants this sink
+        # maintains: every corpus doc has store signatures (the heal
+        # probe would find them "unhealed" forever) and replayed batches
+        # re-reject their docs (an unsignatured doc re-admits, duplicating
+        # ids). A text-dedup corpus has no use for empty text: drop them.
+        batch_df = batch_df.select(id_col, text_col).filter(
+            F.size(tokens(F.col(text_col))) > 0
+        )
         if batch_df.isEmpty():
             return
         if latest_version(corpus_root) is None:
@@ -202,7 +212,14 @@ def run_streaming_dedup(
             return
 
         corpus = read_versioned(spark, corpus_root)
-        store = read_versioned(spark, store_root)
+        # a crash between the bootstrap's two commits leaves a corpus
+        # with NO store at all — the widest corpus-committed/
+        # store-crashed window; start the heal from an empty store
+        # instead of failing the stream on read (review r4)
+        if latest_version(store_root) is None:
+            store = spark.createDataFrame([], _sigs(corpus.limit(0)).schema)
+        else:
+            store = read_versioned(spark, store_root)
         unhealed = corpus.join(
             store.select(id_col).distinct(), id_col, "left_anti"
         )

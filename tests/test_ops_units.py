@@ -389,8 +389,10 @@ def test_key_skew_profile_ties_and_nulls(spark):
 
 
 def test_key_skew_profile_null_group_never_wins_top_key(spark):
-    """Even when the null-key group ties for (or holds) the max, top_key
-    is the smallest NON-NULL key — SQL MIN semantics, oracle-mirrorable."""
+    """When the null-key group TIES for the max, top_key is the smallest
+    non-null key (SQL MIN skips nulls); when the null group holds the max
+    ALONE, top_key is NULL — exactly what the oracle's MIN-over-varchar of
+    max-attaining keys yields (review r4 finding)."""
     from dynamic_etl_spark.ops.agg import key_skew_profile
 
     rows = [(k,) for k in [None, None, None, 7, 7, 7, 3]]
@@ -398,6 +400,11 @@ def test_key_skew_profile_null_group_never_wins_top_key(spark):
     assert out["n_keys"] == 3
     assert out["max_rows_per_key"] == 3
     assert out["top_key"] == "7"
+
+    rows = [(k,) for k in [None, None, None, None, 7, 7, 7, 3]]
+    out = key_skew_profile(spark.createDataFrame(rows, "k long"), "k").collect()[0]
+    assert out["max_rows_per_key"] == 4
+    assert out["top_key"] is None
 
 
 def test_distinct_sketch_state_merge_tolerance(spark):
@@ -483,3 +490,45 @@ def test_chunk_documents_edges(spark):
     assert got[(1, 3)] == ("g", 1)  # short tail kept
     assert got[(2, 0)] == ("x y", 2)
     assert all(k[0] != 3 for k in got)
+
+
+def test_strip_markup_escaped_entities_not_double_decoded(spark):
+    """'&amp;lt;' is the VISIBLE text '&lt;' — decoding &amp; first would
+    double-decode it to '<' (review r4 finding); decoded '&lt;' must also
+    not be re-stripped as a tag."""
+    from dynamic_etl_spark.ops.text import strip_markup
+
+    rows = [
+        (1, "a &amp;lt;b&amp;gt; c"),
+        (2, "x &lt;i&gt; y"),
+        (3, "<p>t &amp; u &#169; v</p>"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r["id"]: r["c"] for r in df.select("id", strip_markup(F.col("text")).alias("c")).collect()}
+    assert got[1] == "a &lt;b&gt; c"
+    assert got[2] == "x <i> y"
+    assert got[3] == "t & u v"
+
+
+def test_resample_linear_span_without_grid_point_and_null_values(spark):
+    """(review r4) A key whose span contains no grid point yields zero
+    rows (not a sequence-bounds crash), and null-valued observations are
+    ignored entirely — they neither anchor exact hits nor interpolate."""
+    from dynamic_etl_spark.ops.timeseries import resample_linear
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 5.0, 1),
+        (1, "2024-01-01 00:20:00", 7.0, 2),  # span 10..20 min: no hour mark
+        (2, "2024-01-01 00:30:00", 10.0, 3),
+        (2, "2024-01-01 01:00:00", None, 4),  # null obs at the grid point
+        (2, "2024-01-01 01:30:00", 30.0, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, ts string, v double, id int"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = resample_linear(df, ["k"], "ts", "v", 3600, tiebreak_col="id").collect()
+    got = {(r["k"], str(r["grid_ts"])): r["v"] for r in out}
+    assert all(k != 1 for k, _ in got)  # key 1: no grid point, no crash
+    # key 2's 01:00 point interpolates across the null obs: 10 -> 30
+    assert got[(2, "2024-01-01 01:00:00")] == 10.0 + 20.0 * (30 / 60)
+    assert len(got) == 1

@@ -440,3 +440,54 @@ def test_streaming_dedup_sink_admits_and_heals(spark, scratch):
         for r in read_versioned(spark, store_root).select("doc_id").distinct().collect()
     }
     assert store_ids == {1, 2, 11, 50}
+
+
+def test_streaming_dedup_bootstrap_crash_and_empty_docs(spark, scratch):
+    """(review r4) A crash between the bootstrap's corpus commit and the
+    first store commit must not wedge the stream: the next drain heals
+    from an empty store. Zero-token docs are dropped, never admitted."""
+    from dynamic_etl_spark.io.versioned import (
+        latest_version,
+        read_versioned,
+        write_versioned,
+    )
+    from dynamic_etl_spark.streaming import file_stream, run_streaming_dedup
+
+    corpus_root = str(scratch / "corpus_bc")
+    store_root = str(scratch / "sigstore_bc")
+    feed = scratch / "docfeed_bc"
+    feed.mkdir()
+
+    def sentence(seed, extra=""):
+        return " ".join(f"w{(seed * 31 + p * 7) % 997}" for p in range(10)) + extra
+
+    # simulate: bootstrap batch committed the corpus, crashed before the
+    # store commit (store_root does not even exist)
+    seeded = spark.createDataFrame(
+        [(1, sentence(1)), (2, sentence(2))], ["doc_id", "text"]
+    )
+    write_versioned(seeded, corpus_root)
+
+    b1 = spark.createDataFrame(
+        [
+            (10, sentence(1, " x")),  # near corpus doc 1 -> must be rejected
+            (11, sentence(77)),       # fresh -> admitted
+            (12, "   "),              # zero tokens -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    b1.coalesce(1).write.parquet(str(feed / "b1.parquet"))
+    run_streaming_dedup(
+        file_stream(spark, str(feed / "*.parquet"), b1.schema),
+        corpus_root, store_root, str(scratch / "ckpt_bc"),
+        id_col="doc_id", text_col="text",
+    )
+    corpus = {r["doc_id"] for r in read_versioned(spark, corpus_root).collect()}
+    assert corpus == {1, 2, 11}
+    # the heal rebuilt signatures for the pre-crash corpus docs too
+    store_ids = {
+        r["doc_id"]
+        for r in read_versioned(spark, store_root).select("doc_id").distinct().collect()
+    }
+    assert store_ids == {1, 2, 11}
+    assert latest_version(store_root) == 1  # heal commit, then batch commit

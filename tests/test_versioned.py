@@ -97,7 +97,12 @@ def test_versioned_reader_never_sees_uncommitted(spark, tmp_path):
     assert latest_version(root) == 0
     assert read_versioned(spark, root).count() == 10
 
-    removed = vacuum(root, keep_versions=2)
+    # a FRESH uncommitted dir is indistinguishable from an in-flight
+    # writer: default vacuum must leave it alone (age guard, review r4)
+    assert vacuum(root, keep_versions=2) == []
+    assert os.path.isdir(orphan)
+    # past the orphan-age window it is a crashed writer's leftover
+    removed = vacuum(root, keep_versions=2, min_orphan_age_s=0)
     assert removed == ["v-deadbeef"]
     assert read_versioned(spark, root).count() == 10
 
