@@ -162,9 +162,11 @@ _TAIL_ORDER = (
     "events_rolling_distinct_users",
     "events_value_histogram",
     "events_equidepth_deciles",
-    # LOCF gap repair + linear regridding (oracle-backed)
+    # LOCF gap repair + linear regridding + Markov transitions
+    # (oracle-backed)
     "events_fill_forward",
     "events_hourly_resample",
+    "events_transition_matrix",
     # feature scaling: min-max + z-score (oracle-backed)
     "events_minmax_scaled",
     "events_value_zscore",

@@ -917,6 +917,55 @@ GROUP BY event_type
 """
 
 
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: lag in (ts, event_id) total order pairs consecutive
+    events, counts aggregate per (prev, next), and the row-normalized
+    probability is one IEEE division of exact integer counts (the
+    per-prev total rides a keyed window over the type-cardinality²
+    counts frame — bounded). The behavioral-sequence profile funnels
+    and sessionization don't give."""
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select("prev_type", F.col("event_type").alias("next_type"))
+    )
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    tot = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double") / F.sum("n_transitions").over(tot)
+        ).alias("p_transition"),
+    ).orderBy("prev_type", "next_type")
+
+
+TRANSITION_ORACLE = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, next_type, count(*) AS n_transitions
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / SUM(n_transitions) OVER (PARTITION BY prev_type) AS p_transition
+FROM c
+ORDER BY prev_type, next_type
+"""
+
+
 def distinct_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintained approximate distinct-users per event type
     (ops/agg.build/merge/finalize_distinct_sketch_state): three date
@@ -1031,6 +1080,12 @@ QUERIES: QueryRegistry = {
         RESAMPLE_ORACLE,
         "hourly regridding with linear interpolation, exact-micros "
         "arithmetic, no as-of/range join",
+    ),
+    "events_transition_matrix": Query(
+        events_transition_matrix,
+        TRANSITION_ORACLE,
+        "first-order Markov transitions over per-user sequences, "
+        "row-normalized from exact counts",
     ),
     "distinct_sketch_maintenance": Query(
         distinct_sketch_maintenance,

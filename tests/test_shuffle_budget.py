@@ -25,6 +25,16 @@ from tests.conftest import SF_SMALL
 
 REGISTRY = all_queries()
 
+
+@pytest.fixture(scope="module", autouse=True)
+def clear_cache(spark):
+    """Budgets are recorded against UNCACHED plans: the CacheManager
+    substitutes InMemoryRelation into any semantically-equal sub-plan, so
+    a prior test module's .cache() (e.g. test_generate's dims) would
+    change these counts run-order-dependently."""
+    spark.catalog.clearCache()
+    yield
+
 #: Upper bounds recorded round 4. A new query MUST add its entry (the
 #: completeness test below fails otherwise) — record the measured count,
 #: don't guess.
@@ -128,6 +138,7 @@ SHUFFLE_BUDGET = {
     "events_equidepth_deciles": 1,
     "events_fill_forward": 2,
     "events_hourly_resample": 3,
+    "events_transition_matrix": 4,
     "events_minmax_scaled": 2,
     "events_value_zscore": 2,
     "document_chunking": 1,
