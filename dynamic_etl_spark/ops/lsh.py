@@ -370,14 +370,18 @@ def incremental_near_dup_merge(
     from dynamic_etl_spark.ops.graph import connected_components
 
     new_docs = ensure_fanout_parallelism(new_docs)
-    # localCheckpoint, not persist, for every shared intermediate in this
-    # STATEFUL op: persist() pins the plan in the CacheManager until an
-    # explicit unpersist — per-batch callers (the streaming dedup sink)
-    # would leak two cache entries per micro-batch. Checkpointed RDDs are
-    # released by the ContextCleaner once unreferenced (review r4).
+    # No persist/checkpoint on the BATCH-sized intermediates (banded_new,
+    # sh_new): a persist leaks per call (CacheManager pins plans until an
+    # explicit unpersist the lazy outputs forbid — review r4), an eager
+    # checkpoint costs standalone materialization jobs (measured +25-70%
+    # here), and recomputing a batch-sized signature/shingle pass inside
+    # each consumer is the cheapest of the three — the expensive side of
+    # every join is the CORPUS, which is never recomputed (the signature
+    # STORE is the state). Only the two delta-sized, lineage-critical
+    # frames below (dup_pairs, comps) checkpoint.
     banded_new = minhash_banded_rows(
         new_docs, id_col, text_col, num_hashes, bands, shingle_k
-    ).localCheckpoint()
+    )
     if existing_banded is None:
         existing_banded = minhash_banded_rows(
             existing_docs, id_col, text_col, num_hashes, bands, shingle_k
@@ -419,7 +423,7 @@ def incremental_near_dup_merge(
         .distinct()
     )
     old_ids = cand_cross.select(F.col("id_old").alias(id_col)).distinct()
-    sh_new = shingled(new_docs, new_ids, "id_new").localCheckpoint()
+    sh_new = shingled(new_docs, new_ids, "id_new")
     sh_old = shingled(existing_docs, old_ids, "id_old")
 
     cross_pairs = (
