@@ -208,3 +208,42 @@ def assign_shard(key: Column | str, n_shards: int, salt: int = 0) -> Column:
 def sql_assign_shard(key_sql: str, n_shards: int, salt: int = 0) -> str:
     """DuckDB twin of :func:`assign_shard`."""
     return f"CAST(floor({sql_uniform_affine(key_sql, salt)} * {n_shards}) AS INT)"
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    group_cols: Sequence[str] = (),
+    salt: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group — the
+    Efraimidis-Spirakis A-ES scheme (Inf. Process. Lett. 97(5), 2006):
+    every row draws u = hash-uniform(id) and ranks by ``u^(1/w)``; the
+    top-k ranks are a weighted sample without replacement, exactly
+    (inclusion follows sequential weighted draws). The standard tool for
+    quality-weighted corpus subsampling where high-weight docs should be
+    LIKELY, not guaranteed, and no doc can repeat.
+
+    One pass, no iteration: the rank is row-local codegen off the
+    xxhash64 uniform (deterministic per (id, salt) at any parallelism —
+    vary ``salt`` for fresh draws), and the per-group top-k runs as a
+    rank window with a LITERAL k, compiling to the WindowGroupLimit
+    pushdown (each partition pre-prunes to k before the shuffle — the
+    quota-cap plan shape). Rows with weight <= 0 or null never sample.
+    pow() is libm (engine-specific at the bit level), so this is
+    rows-only territory: distribution + determinism are pytest-checked,
+    not DuckDB-hashed.
+    """
+    groups = list(group_cols)
+    u = uniform_hash(id_col, salt=salt)
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    w = Window.partitionBy(*groups).orderBy(F.desc("__aes_key"), F.col(id_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__aes_key", key)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__aes_key", "__rk")
+    )

@@ -191,6 +191,8 @@ _TAIL_ORDER = (
     "bigram_perplexity_profile",
     # rows-only (HLL sketch bytes are engine-specific; tolerance pytest)
     "distinct_sketch_maintenance",
+    # rows-only (A-ES rank key uses libm pow; distribution pytest)
+    "corpus_weighted_sample",
 )
 
 

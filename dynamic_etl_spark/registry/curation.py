@@ -411,6 +411,21 @@ GROUP BY shard
 """
 
 
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted subsample, 20 docs per language, via A-ES
+    weighted sampling without replacement
+    (ops/sample.weighted_sample_without_replacement) — weight is the
+    doc's character count, so long docs are LIKELY but never guaranteed
+    and never repeated. Rows-only (pow is libm); distribution and
+    determinism are pytest-checked in tests/test_sample_pack.py."""
+    from dynamic_etl_spark.ops.sample import weighted_sample_without_replacement
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample_without_replacement(
+        docs, "doc_id", "n_chars", k=20, group_cols=("lang",), salt=7
+    ).orderBy("lang", "doc_id")
+
+
 QUERIES: QueryRegistry = {
     "benchmark_decontamination": Query(
         benchmark_decontamination,
@@ -451,5 +466,11 @@ QUERIES: QueryRegistry = {
         shard_assignment_profile,
         SHARD_ORACLE,
         "training-shard audit: per-shard rows/range/checksums of the manifest recipe",
+    ),
+    "corpus_weighted_sample": Query(
+        corpus_weighted_sample,
+        None,
+        "A-ES weighted sampling without replacement, k per language "
+        "(rows-only: pow is libm; distribution pytest-checked)",
     ),
 }

@@ -206,3 +206,49 @@ def test_write_training_shards_manifest_and_determinism(spark, tmp_path):
         df.repartition(7), path2, n_shards=8, key_col="doc_id", salt=13
     )
     assert [s["rows"] for s in m2["shards"]] == [s["rows"] for s in manifest["shards"]]
+
+
+def test_weighted_sample_without_replacement_aes(spark):
+    """A-ES: per-group k respected, no duplicates, deterministic per
+    salt, non-positive weights excluded, and inclusion frequencies track
+    weights (500 independent single-draw groups: an item with 60% of the
+    group weight must win far more often than a 10% item)."""
+    from dynamic_etl_spark.ops.sample import weighted_sample_without_replacement
+
+    # 500 groups ("trials"), each with items a..e of weights 6,1,1,1,1
+    items = [("a", 6.0), ("b", 1.0), ("c", 1.0), ("d", 1.0), ("e", 1.0)]
+    rows = [
+        (g * 10 + i, g, name, w)
+        for g in range(500)
+        for i, (name, w) in enumerate(items)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp int, name string, w double")
+    out = weighted_sample_without_replacement(
+        df, "id", "w", k=1, group_cols=("grp",), salt=3
+    )
+    picks = out.groupBy("name").count().collect()
+    freq = {r["name"]: r["count"] for r in picks}
+    assert sum(freq.values()) == 500  # exactly one per group
+    # expected: a wins 60% of trials (±5 sigma of binomial noise)
+    assert 240 <= freq.get("a", 0) <= 360, freq
+    for other in "bcde":
+        assert freq.get(other, 0) < 110, freq
+
+    # determinism per salt; different salt -> different draw
+    again = weighted_sample_without_replacement(
+        df, "id", "w", k=1, group_cols=("grp",), salt=3
+    )
+    assert {r["id"] for r in out.collect()} == {r["id"] for r in again.collect()}
+    other_salt = weighted_sample_without_replacement(
+        df, "id", "w", k=1, group_cols=("grp",), salt=4
+    )
+    assert {r["id"] for r in out.collect()} != {r["id"] for r in other_salt.collect()}
+
+    # k > group size yields the whole group, once each; zero/negative
+    # weights never appear
+    small = spark.createDataFrame(
+        [(1, "x", 2.0), (2, "x", 1.0), (3, "x", 0.0), (4, "x", -1.0)],
+        "id long, grp string, w double",
+    )
+    got = weighted_sample_without_replacement(small, "id", "w", k=10).collect()
+    assert sorted(r["id"] for r in got) == [1, 2]

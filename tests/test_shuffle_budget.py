@@ -155,6 +155,7 @@ SHUFFLE_BUDGET = {
     "embedding_ann_ivf": 3,
     "bigram_perplexity_profile": 13,
     "distinct_sketch_maintenance": 4,
+    "corpus_weighted_sample": 2,
 }
 
 
