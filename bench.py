@@ -59,6 +59,12 @@ HEADLINE = (
     "scd2_merge_customers",
     "fuzzy_brand_match",
     "events_retention_cohorts",
+    # round 4: stateful dedup admission, maintained rollup, chunking,
+    # PIT attribution
+    "incremental_near_dup",
+    "incremental_rollup_maintenance",
+    "document_chunking",
+    "scd2_point_in_time_lookup",
 )
 
 
@@ -92,16 +98,20 @@ def main() -> None:
     # plan pays per-plan codegen + Arrow setup that dominates small queries
     # (~1.8x noise at sf0.1, enough to manufacture fake regressions). Run
     # each query cold once (kept as a secondary field), then report the
-    # timed second run as the headline number.
+    # MINIMUM of two warm runs — min is the noise-robust statistic on a
+    # shared host (observed: identical code measuring 2.6s and 9.1s for
+    # one query across full-bench invocations under neighbor noise).
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+
+    def run_once(name: str) -> float:
+        start = time.perf_counter()
+        registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - start, 4)
+
     for name in names:
-        start = time.perf_counter()
-        registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        cold[name] = round(time.perf_counter() - start, 4)
-        start = time.perf_counter()
-        registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 4)
+        cold[name] = run_once(name)
+        timings[name] = min(run_once(name), run_once(name))
 
     total = round(sum(timings.values()), 4)
     print(
