@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dynamic_etl_spark.ops.text import normalize_for_fingerprint, tokens
 from dynamic_etl_spark.session import ensure_fanout_parallelism
@@ -41,6 +42,12 @@ def word_gram_seq(c: Column, k: int) -> Column:
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
 
+
+#: Driver union-find fast path for within-batch components: above this
+#: many candidate pairs, fall back to distributed connected components.
+#: Pairs track duplicate structure (not corpus size), so the bound is a
+#: memory guard, not an expected limit.
+_SMALL_CC_THRESHOLD = 200_000
 
 #: Mersenne prime 2^31-1: the affine field for the MinHash family. Values
 #: fit in 31 bits, so a*h+b stays within a long under ANSI arithmetic.
@@ -465,11 +472,47 @@ def incremental_near_dup_merge(
     comp_edges = dup_pairs.filter(F.col("scope") == "batch").select(
         F.col("id_matched").alias("src"), F.col("id_new").alias("dst")
     )
-    # component label = MIN member id; batch docs in no within-pair keep
+    # Component label = MIN member id; batch docs in no within-pair keep
     # their own id (left join + coalesce, the near_dup_components shape).
-    # Same truncation rationale: CC's iterative lineage must not nest
-    # inside the returned accepted/new_banded plans.
-    comps = connected_components(comp_edges).localCheckpoint()
+    # HYBRID execution: the pair set tracks duplicate structure (the
+    # banded-LSH guarantee), so it is usually mini-dim-sized — a driver
+    # union-find over the already-materialized (checkpointed) pairs
+    # replaces ~10 tiny iterative Spark jobs (measured ~2x on the whole
+    # op at sf0.1). Past ``small_cc_threshold`` pairs it falls back to
+    # the distributed pointer-jumping CC, whose iterative lineage is
+    # checkpoint-truncated as before.
+    id_type = new_docs.schema[id_col].dataType
+    edge_rows = comp_edges.limit(_SMALL_CC_THRESHOLD + 1).collect()
+    if len(edge_rows) == 0:
+        comps = new_docs.sparkSession.createDataFrame(
+            [], T.StructType([
+                T.StructField("v", id_type), T.StructField("component", id_type),
+            ])
+        )
+    elif len(edge_rows) <= _SMALL_CC_THRESHOLD:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edge_rows:
+            a, b = r["src"], r["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comps = new_docs.sparkSession.createDataFrame(
+            [(v, find(v)) for v in parent],
+            T.StructType([
+                T.StructField("v", id_type), T.StructField("component", id_type),
+            ]),
+        )
+    else:
+        comps = connected_components(comp_edges).localCheckpoint()
     labeled = new_docs.join(
         comps.withColumnRenamed("v", id_col), id_col, "left"
     ).withColumn("__comp", F.coalesce(F.col("component"), F.col(id_col)))

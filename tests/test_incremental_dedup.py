@@ -163,3 +163,22 @@ def test_incremental_matches_bruteforce_and_state_reuse(spark):
     accA = {r["doc_id"] for r in outA["accepted"].collect()}
     accB = {r["doc_id"] for r in outB["accepted"].collect()}
     assert accA == accB == expect2 == {202}
+
+
+def test_incremental_distributed_cc_fallback_matches_driver_path(spark, monkeypatch):
+    """Past the pair threshold the within-batch components run as
+    distributed pointer-jumping CC; both paths must admit identically."""
+    existing = {1: _sentence(7)}
+    batch = {
+        20: _sentence(40) + " a",
+        21: _sentence(40) + " b",   # component {20,21} -> admit 20
+        22: _sentence(7) + " z",    # near existing -> reject
+        23: _sentence(50),          # unique -> admit
+    }
+    e_df, b_df = _df(spark, list(existing.items())), _df(spark, list(batch.items()))
+    fast = L.incremental_near_dup_merge(e_df, b_df, "doc_id", "text", threshold=THRESHOLD)
+    monkeypatch.setattr(L, "_SMALL_CC_THRESHOLD", 0)
+    slow = L.incremental_near_dup_merge(e_df, b_df, "doc_id", "text", threshold=THRESHOLD)
+    fast_ids = {r["doc_id"] for r in fast["accepted"].collect()}
+    slow_ids = {r["doc_id"] for r in slow["accepted"].collect()}
+    assert fast_ids == slow_ids == _brute_admit(existing, batch) == {20, 23}
