@@ -278,3 +278,35 @@ def write_jdbc(
         .mode(mode)
         .save()
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int,
+    path: str | None = None,
+    sort_cols: tuple[str, ...] | None = None,
+) -> None:
+    """Persist a table BUCKETED by its join/aggregation key: rows are
+    hash-partitioned into ``n_buckets`` files per write-partition and
+    the layout is recorded in the catalog, so a join or aggregation on
+    the bucket key needs NO shuffle at read time — the co-location was
+    paid once at write. This is the table-design half of SCALE.md's
+    "pre-partition the big joins": at 100 TB, re-shuffling a fact table
+    per query dwarfs every other cost; bucket both sides of a recurring
+    fact-dim or fact-fact join identically (same cols, same count) and
+    the exchange disappears from every downstream plan
+    (tests/test_bucketing.py proves the plan shape).
+
+    ``sort_cols`` additionally sorts within buckets (merge-join-ready
+    files). ``path`` makes it an external table (data outlives a DROP).
+    Bucketing only helps keys you join/group on REPEATEDLY — it fixes
+    the partitioning at write time, the opposite trade of letting AQE
+    pick per query."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table_name)
