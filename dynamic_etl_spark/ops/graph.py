@@ -108,4 +108,11 @@ def connected_components(
             "with pointer jumping this needs a component diameter beyond "
             f"~2^{max_iter}; raise max_iter"
         )
-    return labels.select("v", F.col("l").alias("component"))
+    # return a checkpointed LEAF and release the loop's cache: the final
+    # per-round persist would otherwise stay pinned in the CacheManager
+    # forever (per-batch callers like the streaming dedup sink would leak
+    # one entry per invocation — review r4 pass 2); the extra checkpoint
+    # re-reads cached/checkpointed partitions, not the iteration
+    out = labels.select("v", F.col("l").alias("component")).localCheckpoint()
+    labels.unpersist()
+    return out

@@ -482,14 +482,18 @@ def incremental_near_dup_merge(
     # the distributed pointer-jumping CC, whose iterative lineage is
     # checkpoint-truncated as before.
     id_type = new_docs.schema[id_col].dataType
-    edge_rows = comp_edges.limit(_SMALL_CC_THRESHOLD + 1).collect()
-    if len(edge_rows) == 0:
+    # count first (trivial on the checkpointed pairs), collect only when
+    # the driver path is actually taken — a mass-duplicate batch headed
+    # for the distributed fallback never ships pairs to the driver
+    n_within = comp_edges.count()
+    if n_within == 0:
         comps = new_docs.sparkSession.createDataFrame(
             [], T.StructType([
                 T.StructField("v", id_type), T.StructField("component", id_type),
             ])
         )
-    elif len(edge_rows) <= _SMALL_CC_THRESHOLD:
+    elif n_within <= _SMALL_CC_THRESHOLD:
+        edge_rows = comp_edges.collect()
         parent: dict = {}
 
         def find(x):
@@ -512,7 +516,8 @@ def incremental_near_dup_merge(
             ]),
         )
     else:
-        comps = connected_components(comp_edges).localCheckpoint()
+        # connected_components returns a checkpointed leaf (cache released)
+        comps = connected_components(comp_edges)
     labeled = new_docs.join(
         comps.withColumnRenamed("v", id_col), id_col, "left"
     ).withColumn("__comp", F.coalesce(F.col("component"), F.col(id_col)))

@@ -228,22 +228,27 @@ def weighted_sample_without_replacement(
 
     One pass, no iteration: the rank is row-local codegen off the
     xxhash64 uniform (deterministic per (id, salt) at any parallelism —
-    vary ``salt`` for fresh draws), and the per-group top-k runs as a
-    rank window with a LITERAL k, compiling to the WindowGroupLimit
-    pushdown (each partition pre-prunes to k before the shuffle — the
-    quota-cap plan shape). Rows with weight <= 0 or null never sample.
-    pow() is libm (engine-specific at the bit level), so this is
-    rows-only territory: distribution + determinism are pytest-checked,
-    not DuckDB-hashed.
+    vary ``salt`` for fresh draws). With groups, the top-k reuses
+    :func:`per_key_top_n` (the WindowGroupLimit quota-cap shape — each
+    partition pre-prunes to k per key before the shuffle); WITHOUT
+    groups that pushdown does not fire on the unpartitioned window (the
+    repo's measured vocab_build lesson), so the global case runs as a
+    distributed sort-LIMIT (TakeOrdered) instead. Rows with weight
+    <= 0, null, or NaN never sample (NaN compares GREATER than any
+    number in Spark — unfiltered it would win every draw). pow() is
+    libm (engine-specific at the bit level), so this is rows-only
+    territory: distribution + determinism are pytest-checked, not
+    DuckDB-hashed.
     """
     groups = list(group_cols)
+    wcol = F.col(weight_col).cast("double")
     u = uniform_hash(id_col, salt=salt)
-    key = F.pow(u, F.lit(1.0) / F.col(weight_col))
-    w = Window.partitionBy(*groups).orderBy(F.desc("__aes_key"), F.col(id_col))
-    return (
-        df.filter(F.col(weight_col) > 0)
-        .withColumn("__aes_key", key)
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__aes_key", "__rk")
+    eligible = df.filter((wcol > 0) & ~F.isnan(wcol)).withColumn(
+        "__aes_key", F.pow(u, F.lit(1.0) / wcol)
     )
+    order = [F.desc("__aes_key"), F.col(id_col)]
+    if groups:
+        return per_key_top_n(eligible, keys=groups, order_by=order, n=k).drop(
+            "__aes_key"
+        )
+    return eligible.orderBy(*order).limit(k).drop("__aes_key")

@@ -247,8 +247,13 @@ def test_weighted_sample_without_replacement_aes(spark):
     # k > group size yields the whole group, once each; zero/negative
     # weights never appear
     small = spark.createDataFrame(
-        [(1, "x", 2.0), (2, "x", 1.0), (3, "x", 0.0), (4, "x", -1.0)],
+        [(1, "x", 2.0), (2, "x", 1.0), (3, "x", 0.0), (4, "x", -1.0),
+         (5, "x", float("nan"))],
         "id long, grp string, w double",
     )
     got = weighted_sample_without_replacement(small, "id", "w", k=10).collect()
+    # NaN compares greater than any number in Spark: unfiltered, the
+    # NaN-weight row would WIN every draw (review r4 pass 2)
     assert sorted(r["id"] for r in got) == [1, 2]
+    top1 = weighted_sample_without_replacement(small, "id", "w", k=1).collect()
+    assert len(top1) == 1 and top1[0]["id"] in (1, 2)

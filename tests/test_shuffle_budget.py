@@ -10,10 +10,10 @@ the plans as reviewed in round 4 (local[8], sf0.001, AQE-initial plan,
 which is deterministic per Spark version): going under is an
 improvement, going over fails loudly and demands a plan review.
 
-Iterative/eager queries (connected components, incremental dedup)
-report the UNROLLED lineage of their checkpointed/persisted loops, so
-their numbers look large; they are still deterministic at this fixture
-and still guard against growth.
+Eager queries (incremental dedup) include the jobs their checkpointed
+stages already ran plus the lazy tail, so their numbers look larger
+than one execution's shuffles; they are still deterministic at this
+fixture and still guard against growth.
 """
 
 from __future__ import annotations
@@ -26,20 +26,35 @@ from tests.conftest import SF_SMALL
 REGISTRY = all_queries()
 
 
-@pytest.fixture(scope="module", autouse=True)
+@pytest.fixture(autouse=True)
 def clear_cache(spark):
     """Budgets are recorded against UNCACHED plans: the CacheManager
     substitutes InMemoryRelation into any semantically-equal sub-plan, so
-    a prior test module's .cache() (e.g. test_generate's dims) would
-    change these counts run-order-dependently."""
+    a prior test's cache residue — another module's .cache()d dims OR an
+    eager query earlier in THIS module — would change counts
+    run-order-dependently. Function-scoped so every measurement starts
+    clean (review r4 pass 2)."""
     spark.catalog.clearCache()
     yield
+
+
+def _shuffles(plan: str) -> int:
+    """Count SHUFFLE exchanges only: hash/range/single-partition.
+    A bare ``plan.count("Exchange")`` also counts BroadcastExchange and
+    ReusedExchange, which can mask a broadcast-join degradation — the
+    exact regression this harness exists to catch (review r4 pass 2)."""
+    return (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange SinglePartition")
+        + plan.count("Exchange RoundRobinPartitioning")
+    )
 
 #: Upper bounds recorded round 4. A new query MUST add its entry (the
 #: completeness test below fails otherwise) — record the measured count,
 #: don't guess.
 SHUFFLE_BUDGET = {
-    "flagship_star_join": 6,
+    "flagship_star_join": 0,
     "scan_projection_filter": 0,
     "pricing_summary": 1,
     "distinct_profile": 2,
@@ -47,59 +62,59 @@ SHUFFLE_BUDGET = {
     "null_count_profile": 1,
     "rollup_totals": 1,
     "top_part_types": 1,
-    "fallback_key_resolution": 5,
-    "drop_unresolved_keys": 1,
-    "salted_skew_join": 1,
+    "fallback_key_resolution": 2,
+    "drop_unresolved_keys": 0,
+    "salted_skew_join": 0,
     "surrogate_key_assignment": 1,
     "customer_order_sequence": 1,
     "dedup_keep_last_line": 1,
-    "clean_store_feed": 2,
-    "clean_product_feed": 4,
+    "clean_store_feed": 1,
+    "clean_product_feed": 2,
     "alias_header_resolution": 0,
     "tiered_discount_pricing": 0,
     "coercion_failure_profile": 1,
-    "date_dimension_build": 1,
-    "date_key_lookup": 3,
-    "date_gap_fill_incremental": 1,
-    "change_detection_classification": 1,
+    "date_dimension_build": 0,
+    "date_key_lookup": 1,
+    "date_gap_fill_incremental": 0,
+    "change_detection_classification": 0,
     "scd1_merge_orders": 5,
-    "scd2_merge_customers": 5,
-    "mini_dim_upsert": 6,
-    "snowflake_extraction": 7,
+    "scd2_merge_customers": 3,
+    "mini_dim_upsert": 5,
+    "snowflake_extraction": 5,
     "validation_report": 0,
     "events_tumbling_window": 1,
     "events_sessionization": 1,
     "events_asof_last_purchase": 1,
-    "events_range_interval_join": 1,
+    "events_range_interval_join": 0,
     "text_stats_profile": 0,
     "language_id_profile": 0,
     "exact_dedup_fingerprint": 1,
-    "ngram_jaccard_similarity": 3,
-    "gopher_repetition_gates": 6,
+    "ngram_jaccard_similarity": 2,
+    "gopher_repetition_gates": 4,
     "winnowing_fingerprint": 2,
     "pii_detect_redact": 0,
-    "benchmark_decontamination": 5,
-    "line_dedup_profile": 8,
-    "near_dup_components": 704,
-    "dedup_survivors": 705,
+    "benchmark_decontamination": 3,
+    "line_dedup_profile": 6,
+    "near_dup_components": 1,
+    "dedup_survivors": 1,
     "corpus_stratified_sample": 0,
-    "sequence_packing": 2,
-    "embedding_near_dup": 5,
-    "embedding_topk_bruteforce": 3,
+    "sequence_packing": 1,
+    "embedding_near_dup": 2,
+    "embedding_topk_bruteforce": 2,
     "embedding_topk_vectorized": 1,
     "multimodal_feature_extract": 1,
-    "generator_fact_day": 10,
+    "generator_fact_day": 5,
     "high_water_mark": 1,
     "numeric_profile": 1,
-    "nation_key_set_ops": 5,
-    "freshness_watermark": 3,
+    "nation_key_set_ops": 4,
+    "freshness_watermark": 2,
     "latest_order_per_customer": 1,
-    "clean_distributor_feed": 2,
-    "insert_only_merge": 2,
+    "clean_distributor_feed": 1,
+    "insert_only_merge": 0,
     "events_json_extract": 0,
     "point_and_flag_filter": 0,
-    "customers_with_orders": 1,
-    "customers_without_orders": 1,
+    "customers_with_orders": 0,
+    "customers_without_orders": 0,
     "events_sliding_window": 1,
     "events_rate_profile": 2,
     "cube_order_totals": 1,
@@ -107,53 +122,53 @@ SHUFFLE_BUDGET = {
     "dedup_keep_last_line_agg": 1,
     "duplicate_group_members": 1,
     "natural_key_concat": 0,
-    "date_backfill_initial": 1,
+    "date_backfill_initial": 0,
     "generator_stores": 0,
     "generator_products": 0,
     "generator_distributors": 0,
-    "tfidf_top_terms": 5,
+    "tfidf_top_terms": 4,
     "events_funnel_conversion": 2,
     "source_quota_cap": 1,
     "events_value_percentiles": 1,
-    "scd2_point_in_time_lookup": 2,
+    "scd2_point_in_time_lookup": 1,
     "corpus_split_assignment": 0,
     "corpus_mixture_sample": 1,
     "embedding_label_centroids": 1,
     "embedding_int8_quant": 1,
     "events_rolling_user_value": 1,
     "events_interarrival_profile": 1,
-    "value_outlier_gate": 3,
+    "value_outlier_gate": 2,
     "events_key_skew_profile": 2,
     "incremental_rollup_maintenance": 4,
     "events_type_drift_profile": 3,
     "events_type_pivot": 2,
     "events_type_unpivot": 2,
     "events_retention_cohorts": 2,
-    "fuzzy_brand_match": 3,
+    "fuzzy_brand_match": 2,
     "orders_above_customer_avg": 1,
     "order_price_distribution_ranks": 1,
-    "nation_segment_listagg": 2,
+    "nation_segment_listagg": 1,
     "events_rolling_distinct_users": 1,
     "events_value_histogram": 1,
     "events_equidepth_deciles": 1,
     "events_fill_forward": 2,
     "events_hourly_resample": 3,
     "events_transition_matrix": 4,
-    "events_minmax_scaled": 2,
-    "events_value_zscore": 2,
+    "events_minmax_scaled": 1,
+    "events_value_zscore": 1,
     "document_chunking": 1,
     "vocabulary_build": 1,
-    "pmi_collocations_top": 4,
+    "pmi_collocations_top": 2,
     "markup_strip_clean": 1,
-    "bigram_novelty_profile": 6,
+    "bigram_novelty_profile": 4,
     "shard_assignment_profile": 1,
     "approx_distinct_profile": 1,
-    "minhash_near_dup": 9,
-    "incremental_near_dup": 12,
-    "simhash_near_dup": 3,
-    "embedding_ann_lsh": 5,
-    "embedding_ann_ivf": 3,
-    "bigram_perplexity_profile": 13,
+    "minhash_near_dup": 6,
+    "incremental_near_dup": 13,
+    "simhash_near_dup": 2,
+    "embedding_ann_lsh": 2,
+    "embedding_ann_ivf": 1,
+    "bigram_perplexity_profile": 9,
     "distinct_sketch_maintenance": 4,
     "corpus_weighted_sample": 2,
 }
@@ -171,8 +186,8 @@ def test_shuffle_budget(spark, name):
     plan = (
         REGISTRY[name].fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
     )
-    n = plan.count("Exchange")
+    n = _shuffles(plan)
     assert n <= SHUFFLE_BUDGET[name], (
-        f"{name}: {n} Exchanges, budget {SHUFFLE_BUDGET[name]} — a new "
-        f"shuffle appeared; review the plan before raising the budget"
+        f"{name}: {n} shuffle exchanges, budget {SHUFFLE_BUDGET[name]} — a "
+        f"new shuffle appeared; review the plan before raising the budget"
     )
