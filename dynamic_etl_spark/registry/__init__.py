@@ -176,6 +176,7 @@ _TAIL_ORDER = (
     "vocabulary_build",
     "pmi_collocations_top",
     "markup_strip_clean",
+    "quality_rank_calibration",
     # corpus-LM quality gate (oracle-backed)
     "bigram_novelty_profile",
     # training-shard export audit (oracle-backed)

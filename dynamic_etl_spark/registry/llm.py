@@ -9,7 +9,7 @@ tests/test_llm.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dynamic_etl_spark.ops import ann as ANN
@@ -690,6 +690,32 @@ FROM q GROUP BY vec_id
 """
 
 
+def quality_rank_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile-rank calibration of a quality signal:
+    raw scores are not comparable across languages (length/stopword
+    priors differ), so mixture policies threshold on the WITHIN-language
+    percent_rank instead. percent_rank = (rank-1)/(n-1) is an exact
+    integer ratio in one IEEE division — hash-checkable; the window
+    total-orders on (score, doc_id) per the repo tie rule."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.percent_rank().over(w).alias("lang_pct_rank"),
+    ).orderBy("doc_id")
+
+
+CALIBRATION_ORACLE = """
+SELECT doc_id, lang, n_chars,
+       percent_rank() OVER (
+         PARTITION BY lang ORDER BY n_chars, doc_id) AS lang_pct_rank
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def markup_strip_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-corpus markup cleaning (ops/text.strip_markup): documents are
     wrapped in synthetic HTML by id-modulo (tags + named entity + numeric
@@ -833,6 +859,10 @@ QUERIES: QueryRegistry = {
         document_chunking, CHUNKING_ORACLE,
         "overlapping context-window chunks: 32-token windows, stride 24, "
         "row-local fan-out (no shuffle)",
+    ),
+    "quality_rank_calibration": Query(
+        quality_rank_calibration, CALIBRATION_ORACLE,
+        "within-language percentile-rank calibration of a quality signal",
     ),
     "markup_strip_clean": Query(
         markup_strip_clean, MARKUP_ORACLE,

@@ -160,6 +160,7 @@ SHUFFLE_BUDGET = {
     "vocabulary_build": 1,
     "pmi_collocations_top": 2,
     "markup_strip_clean": 1,
+    "quality_rank_calibration": 2,
     "bigram_novelty_profile": 4,
     "shard_assignment_profile": 1,
     "approx_distinct_profile": 1,
