@@ -177,6 +177,7 @@ _TAIL_ORDER = (
     "pmi_collocations_top",
     "markup_strip_clean",
     "quality_rank_calibration",
+    "source_concentration_profile",
     # corpus-LM quality gate (oracle-backed)
     "bigram_novelty_profile",
     # training-shard export audit (oracle-backed)

@@ -12,7 +12,7 @@ registry/cleaning.py's store/product feeds).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dynamic_etl_spark.ops import pii as PII
@@ -411,6 +411,47 @@ GROUP BY shard
 """
 
 
+def source_concentration_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-style source-domination diagnostic: sources ranked by doc
+    count with each one's share and the cumulative share — the number a
+    mixture policy reads before capping (how much of the corpus do the
+    top-k sources own?). Exact integer counts; shares are single IEEE
+    divisions; the rank window total-orders on (count DESC, source) and
+    runs over the SOURCE cardinality (bounded, the adjudicated
+    mini-dim-window pattern)."""
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("source"))
+    cum = Window.orderBy(F.col("n_docs").desc(), F.col("source")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = Window.partitionBy()
+    return counts.select(
+        "source",
+        "n_docs",
+        F.row_number().over(w).cast("long").alias("rank"),
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(total)).alias("share"),
+        (
+            F.sum("n_docs").over(cum).cast("double") / F.sum("n_docs").over(total)
+        ).alias("cum_share"),
+    ).orderBy("rank")
+
+
+CONCENTRATION_ORACLE = """
+WITH c AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+)
+SELECT source, n_docs,
+       CAST(row_number() OVER (ORDER BY n_docs DESC, source) AS BIGINT) AS rank,
+       CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS share,
+       CAST(SUM(n_docs) OVER (ORDER BY n_docs DESC, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / SUM(n_docs) OVER () AS cum_share
+FROM c
+ORDER BY rank
+"""
+
+
 def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted subsample, 20 docs per language, via A-ES
     weighted sampling without replacement
@@ -466,6 +507,10 @@ QUERIES: QueryRegistry = {
         shard_assignment_profile,
         SHARD_ORACLE,
         "training-shard audit: per-shard rows/range/checksums of the manifest recipe",
+    ),
+    "source_concentration_profile": Query(
+        source_concentration_profile, CONCENTRATION_ORACLE,
+        "Lorenz-style source domination: ranked shares + cumulative share",
     ),
     "corpus_weighted_sample": Query(
         corpus_weighted_sample,

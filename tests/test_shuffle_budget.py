@@ -161,6 +161,7 @@ SHUFFLE_BUDGET = {
     "pmi_collocations_top": 2,
     "markup_strip_clean": 1,
     "quality_rank_calibration": 2,
+    "source_concentration_profile": 2,
     "bigram_novelty_profile": 4,
     "shard_assignment_profile": 1,
     "approx_distinct_profile": 1,
