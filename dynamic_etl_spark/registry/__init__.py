@@ -156,6 +156,7 @@ _TAIL_ORDER = (
     # correlated-aggregate filter + distribution ranks (oracle-backed)
     "orders_above_customer_avg",
     "order_price_distribution_ranks",
+    "customer_rfm_segmentation",
     # string aggregation (oracle-backed)
     "nation_segment_listagg",
     # windowed distinct count + binned histogram (oracle-backed)

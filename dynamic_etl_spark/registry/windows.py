@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from dynamic_etl_spark.ops import agg as A
 from dynamic_etl_spark.ops import dedup as D
 from dynamic_etl_spark.ops.keys import assign_surrogate_keys
-from dynamic_etl_spark.registry.core import Query, QueryRegistry, t
+from dynamic_etl_spark.registry.core import Query, QueryRegistry, sql_dsum, t
 
 
 # --------------------------------------------------------------------------
@@ -255,6 +255,71 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
 """
 
 
+def customer_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer recency (days from last order to a
+    FIXED anchor — the repo determinism rule bans current_date),
+    frequency (order count) and monetary (exact-decimal spend), each
+    quintiled with a total-ordered ntile and concatenated into the
+    classic 3-digit segment. Quintile windows are unpartitioned — the
+    exact-equi-depth global sort (same caveat as
+    events_equidepth_deciles: the validator-scale tool; sketch the
+    boundaries at 100 TB)."""
+    orders = t(spark, sf_dir, "orders")
+    anchor = F.lit("1998-12-31 00:00:00").cast("timestamp_ntz")
+    base = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order_ts"),
+        F.count(F.lit(1)).alias("n_orders"),
+        A.dsum("o_totalprice", "total_spend"),
+    )
+    rfm = base.withColumn(
+        "recency_days", F.datediff(anchor, F.col("last_order_ts")).cast("long")
+    )
+    # lower recency = better = higher bucket: ascending ntile on the
+    # NEGATED ordering, ties broken by custkey (total order)
+    r_w = Window.orderBy(F.col("recency_days").desc(), F.col("o_custkey"))
+    f_w = Window.orderBy(F.col("n_orders"), F.col("o_custkey"))
+    m_w = Window.orderBy(F.col("total_spend"), F.col("o_custkey"))
+    return rfm.select(
+        "o_custkey",
+        "recency_days",
+        "n_orders",
+        "total_spend",
+        F.ntile(5).over(r_w).cast("long").alias("r_bucket"),
+        F.ntile(5).over(f_w).cast("long").alias("f_bucket"),
+        F.ntile(5).over(m_w).cast("long").alias("m_bucket"),
+    ).withColumn(
+        "segment",
+        F.concat_ws("", F.col("r_bucket"), F.col("f_bucket"), F.col("m_bucket")),
+    ).orderBy("o_custkey")
+
+
+RFM_ORACLE = f"""
+WITH base AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order_ts,
+         COUNT(*) AS n_orders,
+         {sql_dsum('o_totalprice')} AS total_spend
+  FROM orders GROUP BY o_custkey
+),
+rfm AS (
+  SELECT o_custkey, last_order_ts, n_orders, total_spend,
+         CAST(datediff('day', last_order_ts, TIMESTAMP '1998-12-31') AS BIGINT)
+           AS recency_days
+  FROM base
+)
+SELECT o_custkey, recency_days, n_orders, total_spend,
+       CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS BIGINT) AS r_bucket,
+       CAST(ntile(5) OVER (ORDER BY n_orders, o_custkey) AS BIGINT) AS f_bucket,
+       CAST(ntile(5) OVER (ORDER BY total_spend, o_custkey) AS BIGINT) AS m_bucket,
+       CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS VARCHAR)
+         || CAST(ntile(5) OVER (ORDER BY n_orders, o_custkey) AS VARCHAR)
+         || CAST(ntile(5) OVER (ORDER BY total_spend, o_custkey) AS VARCHAR)
+         AS segment
+FROM rfm
+ORDER BY o_custkey
+"""
+
+
 QUERIES: QueryRegistry = {
     "surrogate_key_assignment": Query(surrogate_key_assignment, SURROGATE_ORACLE, "W5 row_number + high-water-mark offset"),
     "customer_order_sequence": Query(customer_order_sequence, SEQUENCE_ORACLE, "rank/lag/lead/running-total windows"),
@@ -270,5 +335,9 @@ QUERIES: QueryRegistry = {
     "order_price_distribution_ranks": Query(
         order_price_distribution_ranks, DISTRIBUTION_RANKS_ORACLE,
         "ntile/percent_rank/cume_dist under a total order",
+    ),
+    "customer_rfm_segmentation": Query(
+        customer_rfm_segmentation, RFM_ORACLE,
+        "RFM quintile segmentation with fixed anchor and total-ordered ntiles",
     ),
 }

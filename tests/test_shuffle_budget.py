@@ -147,6 +147,7 @@ SHUFFLE_BUDGET = {
     "fuzzy_brand_match": 2,
     "orders_above_customer_avg": 1,
     "order_price_distribution_ranks": 1,
+    "customer_rfm_segmentation": 2,
     "nation_segment_listagg": 1,
     "events_rolling_distinct_users": 1,
     "events_value_histogram": 1,
