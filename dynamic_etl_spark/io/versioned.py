@@ -76,6 +76,7 @@ def write_versioned(
     partition_by: tuple[str, ...] = (),
     base_version: int | None = None,
     expected_base: bool = False,
+    metadata: dict | None = None,
 ) -> int:
     """Write ``df`` as the next snapshot of the table at ``root`` and
     atomically commit it. Returns the committed version number.
@@ -87,6 +88,13 @@ def write_versioned(
     it. Without it, writers serialize on the CAS (retrying at the next
     number) and last-committer-wins, which is only safe for blind
     overwrites that derive from nothing.
+
+    ``metadata`` (JSON-serializable) rides in the commit record —
+    readable via :func:`latest_metadata`. The idempotent-sink pattern
+    (Delta's txn appId/version): record the source batch id with each
+    commit and skip batches at-or-below the recorded id on replay, so a
+    NON-idempotent state fold (e.g. a running aggregate) survives
+    checkpoint redelivery applied exactly once.
     """
     os.makedirs(os.path.join(root, _VERSIONS), exist_ok=True)
     os.makedirs(os.path.join(root, _COMMITS), exist_ok=True)
@@ -117,6 +125,7 @@ def write_versioned(
                 "fmt": fmt,
                 "options": options or {},
                 "partition_by": list(partition_by),
+                "metadata": metadata or {},
             }
             # atomic + exclusive publish: the record is fully written to a
             # temp name first, then hard-linked to its final name — link(2)
@@ -157,6 +166,15 @@ def read_versioned(
         .options(**rec["options"])
         .load(os.path.join(root, _VERSIONS, rec["dir"]))
     )
+
+
+def latest_metadata(root: str) -> dict:
+    """Metadata dict of the newest committed version ({} for none/empty,
+    and for records written before metadata existed)."""
+    v = latest_version(root)
+    if v is None:
+        return {}
+    return _commit_record(root, v).get("metadata", {})
 
 
 def vacuum(

@@ -257,3 +257,81 @@ def run_streaming_dedup(
             f"query is still running — raise timeout_sec or stop() it"
         )
     return query
+
+
+def run_streaming_rollup(
+    stream_df: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    *,
+    keys: Sequence[str],
+    value: str,
+    timeout_sec: int = 120,
+) -> StreamingQuery:
+    """Continuously MAINTAIN a per-key aggregate from a stream: each
+    micro-batch aggregates alone (ops/agg.build_agg_state — delta-sized
+    shuffle) and folds into the versioned state table
+    (merge_agg_state), so the rollup is always current without ever
+    rescanning history — the streaming form of
+    incremental_rollup_maintenance.
+
+    A state FOLD is not idempotent (re-applying a delta double-counts),
+    so exactly-once does not come free from foreachBatch redelivery the
+    way the dedup sink's store-rejection gave it. This sink uses the
+    transactional-sink pattern (Delta txn appId/version): every commit
+    records the folded ``batch_id`` in the version metadata, and a
+    replayed batch at-or-below the recorded id is SKIPPED — the
+    batch-id check and the state commit are one atomic record, so a
+    crash between fold and commit replays cleanly (the fold's version
+    was never committed) and a crash after commit skips cleanly.
+
+    Read the current rollup any time with
+    ``finalize_agg_state(read_versioned(spark, state_root))``.
+
+    Pair ONE checkpoint with ONE state table for the stream's lifetime
+    (the appId half of the Delta txn pattern): a fresh checkpoint
+    renumbers batches from 0, so its deliveries are treated as replays
+    and skipped until ids pass the recorded high-water. Rebuilding
+    state means a fresh state_root AND a fresh checkpoint together.
+    """
+    from dynamic_etl_spark.io.versioned import (
+        latest_metadata,
+        latest_version,
+        read_versioned,
+        write_versioned,
+    )
+    from dynamic_etl_spark.ops.agg import build_agg_state, merge_agg_state
+
+    spark = stream_df.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        current = latest_version(state_root)
+        if current is not None:
+            applied = latest_metadata(state_root).get("batch_id", -1)
+            if batch_id <= applied:
+                return  # checkpoint redelivery of an already-folded batch
+        delta = build_agg_state(batch_df, list(keys), value)
+        if current is None:
+            write_versioned(delta, state_root, metadata={"batch_id": batch_id})
+            return
+        merged = merge_agg_state(read_versioned(spark, state_root), delta)
+        write_versioned(
+            merged, state_root,
+            base_version=current, expected_base=True,
+            metadata={"batch_id": batch_id},
+        )
+
+    query = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_sec):
+        raise TimeoutError(
+            f"streaming rollup did not drain within {timeout_sec}s; the "
+            f"query is still running — raise timeout_sec or stop() it"
+        )
+    return query

@@ -491,3 +491,61 @@ def test_streaming_dedup_bootstrap_crash_and_empty_docs(spark, scratch):
     }
     assert store_ids == {1, 2, 11}
     assert latest_version(store_root) == 1  # heal commit, then batch commit
+
+
+def test_streaming_rollup_exactly_once_fold(spark, scratch):
+    """run_streaming_rollup: the maintained state equals the one-shot
+    aggregate over everything, survives a second drain (no pending
+    batches -> no fold), and a REPLAYED batch id is skipped (the
+    transactional batch-id metadata makes the non-idempotent fold
+    exactly-once)."""
+    from dynamic_etl_spark.io.versioned import latest_metadata, read_versioned
+    from dynamic_etl_spark.ops.agg import finalize_agg_state
+    from dynamic_etl_spark.streaming import file_stream, run_streaming_rollup
+
+    state_root = str(scratch / "rollup_state")
+    feed = scratch / "rollup_feed"
+    feed.mkdir()
+    ckpt = str(scratch / "ckpt_rollup")
+
+    b1 = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 5.0)], ["k", "v"]
+    )
+    b1.coalesce(1).write.parquet(str(feed / "b1.parquet"))
+    run_streaming_rollup(
+        file_stream(spark, str(feed / "*.parquet"), b1.schema),
+        state_root, ckpt, keys=["k"], value="v",
+    )
+    b2 = spark.createDataFrame([("a", 30.0), ("c", 7.0)], ["k", "v"])
+    b2.coalesce(1).write.parquet(str(feed / "b2.parquet"))
+    run_streaming_rollup(
+        file_stream(spark, str(feed / "*.parquet"), b1.schema),
+        state_root, ckpt, keys=["k"], value="v",
+    )
+
+    def snapshot():
+        return {
+            r["k"]: (r["n_rows"], r["sum_value"], r["min_value"], r["max_value"])
+            for r in finalize_agg_state(read_versioned(spark, state_root)).collect()
+        }
+
+    expect = {"a": (3, 60.0, 10.0, 30.0), "b": (1, 5.0, 5.0, 5.0), "c": (1, 7.0, 7.0, 7.0)}
+    assert snapshot() == expect
+    last_batch = latest_metadata(state_root)["batch_id"]
+
+    # drain again with nothing pending: state untouched
+    run_streaming_rollup(
+        file_stream(spark, str(feed / "*.parquet"), b1.schema),
+        state_root, ckpt, keys=["k"], value="v",
+    )
+    assert snapshot() == expect
+
+    # simulate checkpoint redelivery: a FRESH checkpoint re-delivers every
+    # file as earlier batch ids — all at-or-below the recorded id, so the
+    # fold must be skipped, not double-counted
+    run_streaming_rollup(
+        file_stream(spark, str(feed / "*.parquet"), b1.schema),
+        state_root, str(scratch / "ckpt_rollup_replay"), keys=["k"], value="v",
+    )
+    assert snapshot() == expect
+    assert latest_metadata(state_root)["batch_id"] == last_batch
