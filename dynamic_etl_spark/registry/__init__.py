@@ -168,6 +168,7 @@ _TAIL_ORDER = (
     "events_fill_forward",
     "events_hourly_resample",
     "events_transition_matrix",
+    "events_hourly_heatmap",
     # feature scaling: min-max + z-score (oracle-backed)
     "events_minmax_scaled",
     "events_value_zscore",

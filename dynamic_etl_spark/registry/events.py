@@ -966,6 +966,37 @@ ORDER BY prev_type, next_type
 """
 
 
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x event-type load heatmap: counts plus each cell's
+    share of its hour (exact ints, one IEEE division via a keyed window
+    over the 24 x |types| cells — bounded). The capacity-planning view of
+    the event stream: which hours peak, and what they're made of."""
+    ev = t(spark, sf_dir, "events").select("ts", "event_type")
+    cells = ev.groupBy(
+        F.hour("ts").cast("long").alias("hour_of_day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    hw = Window.partitionBy("hour_of_day")
+    return cells.select(
+        "hour_of_day",
+        "event_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(hw)).alias("share_of_hour"),
+    ).orderBy("hour_of_day", "event_type")
+
+
+HEATMAP_ORACLE = """
+WITH cells AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day, event_type, count(*) AS n
+  FROM events GROUP BY hour(ts), event_type
+)
+SELECT hour_of_day, event_type, n,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY hour_of_day)
+         AS share_of_hour
+FROM cells
+ORDER BY hour_of_day, event_type
+"""
+
+
 def distinct_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintained approximate distinct-users per event type
     (ops/agg.build/merge/finalize_distinct_sketch_state): three date
@@ -1080,6 +1111,11 @@ QUERIES: QueryRegistry = {
         RESAMPLE_ORACLE,
         "hourly regridding with linear interpolation, exact-micros "
         "arithmetic, no as-of/range join",
+    ),
+    "events_hourly_heatmap": Query(
+        events_hourly_heatmap,
+        HEATMAP_ORACLE,
+        "hour-of-day x event-type load heatmap with per-hour shares",
     ),
     "events_transition_matrix": Query(
         events_transition_matrix,
