@@ -155,7 +155,7 @@ SHUFFLE_BUDGET = {
     "events_fill_forward": 2,
     "events_hourly_resample": 3,
     "events_transition_matrix": 4,
-    "events_hourly_heatmap": 2,
+    "events_hourly_heatmap": 3,
     "events_minmax_scaled": 1,
     "events_value_zscore": 1,
     "document_chunking": 1,
