@@ -485,3 +485,139 @@ def int8_quant_profile(
             ).alias("max_abs_err"),
         )
     )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    seed: int = 42,
+    index: IvfIndex | None = None,
+    block_rows: int = 1024,
+    max_cell_rows: int = 200_000,
+) -> DataFrame:
+    """SemDeDup candidate generation (Abbas et al. 2023, arXiv:2303.09540):
+    k-means clusters the embedding space, and pairwise cosine runs ONLY
+    within a cluster — the curation method for removing *semantic*
+    duplicates (paraphrases, templated rewrites) that no lexical tier
+    (MinHash / SimHash / n-gram Jaccard, ops/lsh.py) can see and that the
+    SRP-LSH tier (cosine_near_dup_pairs) only catches near sim→1. The
+    reference has no semantic operator at all (its dedup ends at
+    drop_duplicates, scripts2/load_dim_product_dw.py:387-392).
+
+    Output (id_a, id_b, cosine_sim) with id_a < id_b, each within-cell
+    pair at cosine >= threshold exactly once. Cross-cluster duplicates
+    are missed BY DESIGN — that is SemDeDup's recall trade-off; raise
+    ``n_cells`` for speed, lower it for recall.
+
+    Scale shape: one k-means fit (MLlib, samples the corpus), one
+    transform pass, ONE shuffle on the cell id into applyInPandas, then
+    per-cell blockwise BLAS: rows sort by id, normalize once, and each
+    ``block_rows`` slab computes slab @ V.T so peak memory is
+    O(block_rows * cell_size), never cell_size² — a 1M-row cell at
+    block 1024 holds a 1024x1M float64 slab (~8 GB executor budget),
+    the cell_size² similarity matrix is never materialized. The cluster
+    must fit one executor's memory as vectors (SemDeDup's own
+    constraint: the paper caps cluster sizes); size ``n_cells`` so
+    corpus/n_cells vectors fit, and the op raises past
+    ``max_cell_rows`` rather than silently OOMing (set by the 8 GB slab
+    bound: 200k rows x 768 dims x 8 B ≈ 1.2 GB of vectors).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if index is None:
+        index = build_ivf_index(corpus, id_col, vec_col, n_cells, seed, persist=False)
+    assigned = index.assigned  # (neighbor_id, __cv, __cell)
+    id_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type, False),
+            T.StructField("id_b", id_type, False),
+            T.StructField("cosine_sim", T.DoubleType(), False),
+        ]
+    )
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []}).astype(
+                {"id_a": pdf["neighbor_id"].dtype, "id_b": pdf["neighbor_id"].dtype,
+                 "cosine_sim": "float64"}
+            )
+        if n > max_cell_rows:
+            raise ValueError(
+                f"semantic_dedup cell holds {n} rows > {max_cell_rows}; "
+                f"raise n_cells so clusters fit executor memory"
+            )
+        pdf = pdf.sort_values("neighbor_id", kind="mergesort")
+        ids = pdf["neighbor_id"].to_numpy()
+        V = np.asarray(pdf["__cv"].to_list(), dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        # zero vectors have no direction: they never reach any threshold
+        V = V / np.where(norms == 0.0, 1.0, norms)[:, None]
+        a_parts, b_parts, s_parts = [], [], []
+        for lo in range(0, n - 1, block_rows):
+            hi = min(lo + block_rows, n)
+            sims = V[lo:hi] @ V.T  # (hi-lo, n) slab — never n x n
+            # strict upper triangle in GLOBAL index == id order (sorted)
+            ii, jj = np.nonzero(sims >= threshold)
+            keep = jj > ii + lo
+            a_parts.append(ids[ii[keep] + lo])
+            b_parts.append(ids[jj[keep]])
+            s_parts.append(sims[ii[keep], jj[keep]])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(a_parts) if a_parts else ids[:0],
+                "id_b": np.concatenate(b_parts) if b_parts else ids[:0],
+                "cosine_sim": np.round(
+                    np.concatenate(s_parts) if s_parts else np.empty(0), 6
+                ),
+            }
+        )
+
+    return assigned.groupBy("__cell").applyInPandas(cell_pairs, out_schema)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    seed: int = 42,
+    index: IvfIndex | None = None,
+) -> DataFrame:
+    """Full SemDeDup pass: within-cluster cosine pairs at >= threshold
+    (semantic_dedup_pairs) chained into connected components
+    (ops/graph.py), keep-MIN-id per component — the same
+    survivor convention as the lexical dedup tiers (registry
+    dedup_survivors), so semantic and lexical dedup compose.
+
+    Output: one row per corpus id — (id, component, is_survivor).
+    Deterministic given the seeded k-means assignment (pairs, components
+    and survivors are all min/threshold algebra — no randomness beyond
+    the clustering itself).
+    """
+    from dynamic_etl_spark.ops.graph import connected_components
+
+    if index is None:
+        index = build_ivf_index(corpus, id_col, vec_col, n_cells, seed, persist=False)
+    pairs = semantic_dedup_pairs(
+        corpus, id_col, vec_col, threshold, n_cells, seed, index=index
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    ids = index.assigned.select(F.col("neighbor_id").alias(id_col))
+    return (
+        ids.join(comp.select(F.col("v").alias(id_col), "component"), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+            (F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col)).alias(
+                "is_survivor"
+            ),
+        )
+    )

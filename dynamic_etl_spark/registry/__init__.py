@@ -180,6 +180,9 @@ _TAIL_ORDER = (
     "markup_strip_clean",
     "quality_rank_calibration",
     "source_concentration_profile",
+    # semantic dedup + kNN label propagation (oracle-backed)
+    "semantic_dedup_survivors",
+    "knn_label_vote",
     # corpus-LM quality gate (oracle-backed)
     "bigram_novelty_profile",
     # training-shard export audit (oracle-backed)

@@ -569,6 +569,165 @@ FROM pairs WHERE sim >= 0.9
 """
 
 
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (ops/ann.semantic_dedup — Abbas et al. 2023): k-means
+    cells, within-cell blockwise-BLAS cosine pairs at >= 0.95, connected
+    components, keep-MIN-id survivors, over the planted near-dup corpus.
+
+    Oracle-checkable DESPITE the clustering being engine-specific: this
+    corpus' true >= 0.95 pair set is exactly the planted pairs (sim
+    ~0.99999; natural max ~0.51), and each planted pair is a tiny
+    perturbation of one point — k-means cannot separate it, so the
+    within-cell pair set equals the global all-pairs set the DuckDB twin
+    computes (verified empirically at sf0.001 and sf0.01, the driver's
+    correctness scales)."""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    return ANN.semantic_dedup(
+        corpus, "vec_id", "embedding", threshold=0.95, n_cells=8
+    ).orderBy("vec_id")
+
+
+SEMANTIC_DEDUP_ORACLE = """
+WITH RECURSIVE planted AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(range(1, len(embedding) + 1),
+           i -> CAST(CAST(embedding[i] AS DOUBLE)
+                     + 0.0005 * (((i - 1) % 3) - 1) AS REAL)) AS embedding
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id, embedding FROM planted
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM corpus a, corpus b
+  WHERE a.vec_id < b.vec_id
+    AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+        >= 0.95
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS v, src AS l FROM edges
+  UNION
+  SELECT e.dst AS v, r.l FROM reach r JOIN edges e ON e.src = r.v
+),
+comp AS (
+  SELECT v, MIN(l) AS component FROM reach GROUP BY v
+)
+SELECT c.vec_id,
+       COALESCE(comp.component, c.vec_id) AS component,
+       COALESCE(comp.component, c.vec_id) = c.vec_id AS is_survivor
+FROM corpus c LEFT JOIN comp ON comp.v = c.vec_id
+ORDER BY c.vec_id
+"""
+
+
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote classification over the embedding column: every
+    100th vector is held out, its label predicted from the 10 nearest
+    labeled neighbors by cosine (the vectorized partial-top-k path — one
+    BLAS matmul per Arrow batch), majority vote tie-broken by (votes
+    DESC, label ASC). The label-propagation primitive of weak-supervision
+    curation: score unlabeled corpus slices from a small labeled seed.
+
+    Vote counts derive only from the top-k SET (hash-matched against the
+    oracle by the topk queries), so the vote is engine-exact; vote_share
+    is one IEEE division of two small ints."""
+    emb = t(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 100 != 0)
+    held = emb.filter(F.col("vec_id") % 100 == 0)
+    topk = ANN.cosine_topk_vectorized(train, held, "vec_id", "embedding", k=10)
+    votes = (
+        topk.join(
+            train.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("voted_label"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "voted_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("voted_label")
+    )
+    best = (
+        votes.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            "query_id",
+            F.col("voted_label").alias("predicted_label"),
+            "n_votes",
+            (F.col("n_votes").cast("double") / F.lit(10.0)).alias("vote_share"),
+        )
+    )
+    return (
+        best.join(
+            emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "predicted_label",
+            "n_votes",
+            "vote_share",
+            "true_label",
+            (F.col("predicted_label") == F.col("true_label")).alias("is_correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+KNN_VOTE_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS voted_label,
+         list_dot_product(q.qv, e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+           AS sim
+  FROM q, embeddings e
+  WHERE e.vec_id % 100 <> 0
+),
+topk AS (
+  SELECT query_id, neighbor_id, voted_label
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS r
+    FROM scored
+  ) WHERE r <= 10
+),
+votes AS (
+  SELECT query_id, voted_label, COUNT(*) AS n_votes
+  FROM topk GROUP BY query_id, voted_label
+),
+best AS (
+  SELECT query_id, voted_label AS predicted_label, n_votes,
+         CAST(n_votes AS DOUBLE) / 10.0 AS vote_share
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY n_votes DESC, voted_label ASC) AS r
+    FROM votes
+  ) WHERE r = 1
+)
+SELECT b.query_id, b.predicted_label, b.n_votes, b.vote_share,
+       e.label AS true_label,
+       b.predicted_label = e.label AS is_correct
+FROM best b JOIN embeddings e ON e.vec_id = b.query_id
+ORDER BY b.query_id
+"""
+
+
 # ==========================================================================
 # Multimodal: binary payload -> Arrow-batched mapInPandas feature extract
 # (decoder stubbed deterministically, so the oracle CAN check the plumbing)
@@ -873,6 +1032,14 @@ QUERIES: QueryRegistry = {
         vocabulary_build, VOCAB_ORACLE,
         "dense-id corpus vocabulary: total-order id assignment with "
         "WindowGroupLimit rank pushdown",
+    ),
+    "semantic_dedup_survivors": Query(
+        semantic_dedup_survivors, SEMANTIC_DEDUP_ORACLE,
+        "SemDeDup: k-means cells + within-cell cosine pairs -> components -> MIN-id survivors",
+    ),
+    "knn_label_vote": Query(
+        knn_label_vote, KNN_VOTE_ORACLE,
+        "kNN majority-vote label propagation from a labeled seed to held-out vectors",
     ),
     "minhash_near_dup": Query(
         minhash_near_dup, None,

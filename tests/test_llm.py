@@ -243,3 +243,95 @@ def test_int8_quant_profile_hand_computed(spark):
     assert abs(r1.max_abs_err - round(expected_err, 6)) < 1e-12
     r2 = rows[2]
     assert (r2.n_dims, r2.q_sum, r2.q_l1, r2.n_saturated, r2.max_abs_err) == (2, 0, 0, 0, 0.0)
+
+
+@pytest.fixture(scope="module")
+def emb_with_planted_dups(spark):
+    """Embeddings plus planted near-identical twins (every 25th vector,
+    id + 500000, tiny index-keyed perturbation): cosine(base, twin)
+    ~0.99999 while the corpus' natural max pairwise cosine ~0.51, so
+    threshold 0.95 isolates exactly the planted pairs."""
+    emb = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (x.cast("double") + F.lit(0.0005) * ((i % 3) - 1)),
+        ).cast("array<float>").alias("embedding"),
+    )
+    return emb.unionByName(planted).cache()
+
+
+def _planted_ids(emb_with_planted_dups):
+    return {
+        r["vec_id"]
+        for r in emb_with_planted_dups.filter(F.col("vec_id") >= 500000).collect()
+    }
+
+
+def test_semantic_dedup_pairs_find_exactly_planted(spark, emb_with_planted_dups):
+    """Within-cell BLAS pairs == planted set: zero false positives (no
+    natural pair reaches 0.95) and full recall (a near-identical twin
+    cannot land in a different k-means cell than its base)."""
+    pairs = ANN.semantic_dedup_pairs(
+        emb_with_planted_dups, "vec_id", "embedding", threshold=0.95, n_cells=8
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    expect = {(pid - 500000, pid) for pid in _planted_ids(emb_with_planted_dups)}
+    assert expect, "fixture must plant pairs"
+    assert found == expect
+    assert all(r["cosine_sim"] >= 0.999 for r in pairs)
+
+
+def test_semantic_dedup_pairs_blockwise_invariant(spark, emb_with_planted_dups):
+    """The slabbed matmul (block_rows < cell size forces the multi-block
+    path, including the final partial slab) finds the same pair set as
+    the single-block run — the global-index triangle bookkeeping is
+    exercised, not just the trivial one-slab case."""
+    one = {
+        (r["id_a"], r["id_b"])
+        for r in ANN.semantic_dedup_pairs(
+            emb_with_planted_dups, "vec_id", "embedding", threshold=0.95, n_cells=4
+        ).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in ANN.semantic_dedup_pairs(
+            emb_with_planted_dups, "vec_id", "embedding",
+            threshold=0.95, n_cells=4, block_rows=7,
+        ).collect()
+    }
+    assert blocked == one
+
+
+def test_semantic_dedup_survivors_convention(spark, emb_with_planted_dups):
+    """Full pass: every planted twin is absorbed into its base (MIN-id
+    survivor convention), every other vector survives as its own
+    component, and the output covers the corpus exactly once."""
+    out = ANN.semantic_dedup(
+        emb_with_planted_dups, "vec_id", "embedding", threshold=0.95, n_cells=8
+    ).collect()
+    planted = _planted_ids(emb_with_planted_dups)
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == emb_with_planted_dups.count()
+    for vid, r in by_id.items():
+        if vid in planted:
+            assert r["component"] == vid - 500000
+            assert not r["is_survivor"]
+        else:
+            assert r["component"] == vid
+            assert r["is_survivor"]
+
+
+def test_semantic_dedup_oversized_cell_raises(spark, emb_with_planted_dups):
+    """The memory guard refuses a cell larger than max_cell_rows instead
+    of silently attempting an O(cell^2) pass that would OOM at scale."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    pairs = ANN.semantic_dedup_pairs(
+        emb_with_planted_dups, "vec_id", "embedding",
+        threshold=0.95, n_cells=2, max_cell_rows=10,
+    )
+    with pytest.raises((PythonException, Py4JJavaError), match="raise n_cells"):
+        pairs.count()

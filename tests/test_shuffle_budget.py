@@ -164,6 +164,10 @@ SHUFFLE_BUDGET = {
     "markup_strip_clean": 1,
     "quality_rank_calibration": 2,
     "source_concentration_profile": 2,
+    # eager: k-means + pair generation + CC ran at build; the lazy tail is
+    # the survivor join over the checkpointed labels + the boundary sort
+    "semantic_dedup_survivors": 1,
+    "knn_label_vote": 4,
     "bigram_novelty_profile": 4,
     "shard_assignment_profile": 1,
     "approx_distinct_profile": 1,
