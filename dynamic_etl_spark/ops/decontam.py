@@ -61,3 +61,127 @@ def contamination_profile(corpus: DataFrame, benchmark: DataFrame, *,
         ).alias("contamination_ratio"),
         (F.col("n_shared_grams") >= min_shared).cast("int").alias("is_contaminated"),
     )
+
+
+def _signed64(v: int) -> int:
+    return v if v < (1 << 63) else v - (1 << 64)
+
+
+def bloom_words(
+    grams: DataFrame, m_bits: int = 1 << 20, k_hashes: int = 5
+) -> list[int]:
+    """Driver-side bloom bit array (``m_bits / 64`` longs) over the gram
+    column ``g``: position ``i`` of gram g is ``pmod(xxhash64(i, g), m)``.
+    The build is one distributed pass (explode k positions, groupBy word
+    index, bit_or) and collects only the ~``m/64``-word array — a
+    bounded, parameter-sized artifact (1<<20 bits = 16 KB), not
+    data-scaled; this is the broadcast build side, the same collect class
+    as a mini-dim."""
+    n_words = m_bits // 64
+    pos = grams.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.lit(i), F.col("g")), F.lit(m_bits))
+                    for i in range(k_hashes)
+                ]
+            )
+        ).alias("p")
+    )
+    # variable-amount shifts aren't literal-friendly in the DataFrame API:
+    # the per-bit mask comes from a 64-long literal lookup array instead
+    masks = F.array(*[F.lit(_signed64(1 << b)) for b in range(64)])
+    rows = (
+        pos.select(
+            F.floor(F.col("p") / 64).cast("int").alias("w"),
+            F.element_at(masks, F.pmod(F.col("p"), 64).cast("int") + 1).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in rows:
+        words[r["w"]] = r["bits"]
+    return words
+
+
+def _bloom_hit(g, words_col, m_bits: int, k_hashes: int):
+    """All-k-bits-set membership test as a pure codegen expression.
+    Variable-amount bit shifts aren't literal-friendly in the DataFrame
+    API, so the per-bit mask comes from a 64-long literal lookup array."""
+    masks = F.array(*[F.lit(_signed64(1 << b)) for b in range(64)])
+    test = F.lit(True)
+    for i in range(k_hashes):
+        p = F.pmod(F.xxhash64(F.lit(i), g), F.lit(m_bits))
+        w = F.floor(p / 64).cast("int")
+        b = F.pmod(p, 64).cast("int")
+        bit = F.element_at(words_col, w + 1).bitwiseAND(F.element_at(masks, b + 1))
+        test = test & (bit != 0)
+    return test
+
+
+def contamination_profile_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_shared: int = 5,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """contamination_profile's scale path for a benchmark too large to
+    broadcast as exact strings (a full eval SUITE, or corpus-vs-corpus
+    decontamination): broadcast a BLOOM FILTER of the benchmark grams
+    (16 KB at the default 1<<20 bits vs megabytes of strings), prefilter
+    corpus grams map-side — no shuffle touches the corpus — and
+    exact-verify only the bloom survivors with a semi join against the
+    true gram set. Bloom false positives make the prefilter conservative
+    (a candidate that isn't real), never the reverse, and the verify
+    removes them — the output EQUALS contamination_profile's exactly
+    (pinned by pytest), the plan just moves ~(1 - fp_rate) of the gram
+    volume out of the join.
+
+    Scale shape: one pass to build the bloom (collects m/64 longs), one
+    map-side filtered pass over corpus grams, a semi join that only the
+    candidate slice enters (shuffle on gram ONLY for candidates — at a
+    sane fp rate that's ~the true-hit volume), plus a second corpus scan
+    for the per-doc totals. Two corpus SCANS, zero corpus SHUFFLES —
+    the alternative once the benchmark outgrows a string broadcast is a
+    gram-keyed shuffle join moving the ENTIRE corpus gram volume, which
+    is the 1000x-at-scale cost this path exists to avoid.
+    """
+    bench = benchmark_gram_set(benchmark, text_col, k)
+    words = bloom_words(bench, m_bits, k_hashes)
+    spark = corpus.sparkSession
+    bloom_row = F.broadcast(
+        spark.createDataFrame([(words,)], "__bloom: array<bigint>")
+    )
+    grams = corpus.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("g")
+    )
+    flagged = grams.join(bloom_row).withColumn(
+        "__cand", _bloom_hit(F.col("g"), F.col("__bloom"), m_bits, k_hashes)
+    )
+    cand = flagged.filter(F.col("__cand")).select(id_col, "g")
+    hits = cand.join(bench, "g", "left_semi")
+    totals = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    return (
+        totals.join(shared, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            F.coalesce(F.col("n_shared_grams"), F.lit(0)).alias("n_shared_grams"),
+            F.round(
+                F.coalesce(F.col("n_shared_grams"), F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                6,
+            ).alias("contamination_ratio"),
+            (F.coalesce(F.col("n_shared_grams"), F.lit(0)) >= min_shared)
+            .cast("int")
+            .alias("is_contaminated"),
+        )
+    )

@@ -183,6 +183,9 @@ _TAIL_ORDER = (
     # semantic dedup + kNN label propagation (oracle-backed)
     "semantic_dedup_survivors",
     "knn_label_vote",
+    # decontamination scale path: bloom prefilter + exact verify, equals
+    # the windowed exact query (oracle-backed twin)
+    "benchmark_decontamination_bloom",
     # corpus-LM quality gate (oracle-backed)
     "bigram_novelty_profile",
     # training-shard export audit (oracle-backed)

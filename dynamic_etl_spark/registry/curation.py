@@ -16,7 +16,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dynamic_etl_spark.ops import pii as PII
-from dynamic_etl_spark.ops.decontam import contamination_profile
+from dynamic_etl_spark.ops.decontam import (
+    contamination_profile,
+    contamination_profile_bloom,
+)
 from dynamic_etl_spark.ops.sample import sql_assign_shard, sql_uniform_affine
 from dynamic_etl_spark.ops.text import winnow_fingerprints
 from dynamic_etl_spark.registry.core import Query, QueryRegistry, t
@@ -31,7 +34,9 @@ from dynamic_etl_spark.session import ensure_fanout_parallelism
 # flag fires on a known subset and the oracle can rebuild the same corpus)
 # ==========================================================================
 
-def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _planted_decontam_inputs(spark: SparkSession, sf_dir: str):
+    """(corpus-with-planted-leaks, benchmark) shared by the exact and
+    bloom-prefiltered decontamination queries."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 41 == 0)
     frag = bench.select(
@@ -54,9 +59,22 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "text")
     )
-    return contamination_profile(
-        ensure_fanout_parallelism(planted), bench, k=5, min_shared=5
-    )
+    return ensure_fanout_parallelism(planted), bench
+
+
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, bench = _planted_decontam_inputs(spark, sf_dir)
+    return contamination_profile(corpus, bench, k=5, min_shared=5)
+
+
+def benchmark_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bloom-prefiltered scale path over the SAME planted fixture:
+    broadcast a 16 KB bloom of the benchmark grams, prefilter corpus
+    grams map-side, exact-verify only bloom survivors
+    (ops/decontam.contamination_profile_bloom). Output equals the exact
+    path — it shares DECONTAMINATION_ORACLE verbatim."""
+    corpus, bench = _planted_decontam_inputs(spark, sf_dir)
+    return contamination_profile_bloom(corpus, bench, k=5, min_shared=5)
 
 
 _SQL_GRAMS_5 = """list_distinct(list_transform(
@@ -468,6 +486,11 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: QueryRegistry = {
+    "benchmark_decontamination_bloom": Query(
+        benchmark_decontamination_bloom,
+        DECONTAMINATION_ORACLE,
+        "decontamination scale path: broadcast bloom prefilter + exact verify of survivors",
+    ),
     "benchmark_decontamination": Query(
         benchmark_decontamination,
         DECONTAMINATION_ORACLE,

@@ -267,3 +267,47 @@ def test_line_ops_edge_cases_blank_lines_and_empty_docs(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         per_key_top_n(clash, keys=["doc_id"], order_by=[F.col("text")], n=1, rank_col="rk")
+
+
+def test_bloom_path_equals_exact_contamination(spark):
+    """contamination_profile_bloom == contamination_profile row-for-row on
+    the documents corpus with planted leaks: bloom false positives are
+    removed by the exact verify, and false negatives are impossible by
+    construction — so the profiles must be IDENTICAL, not merely close."""
+    from dynamic_etl_spark.ops.decontam import contamination_profile_bloom
+    from dynamic_etl_spark.registry.curation import _planted_decontam_inputs
+
+    corpus, bench = _planted_decontam_inputs(spark, SF_SMALL)
+    exact = {
+        r["doc_id"]: (r["n_grams"], r["n_shared_grams"], r["is_contaminated"])
+        for r in contamination_profile(corpus, bench, k=5, min_shared=5).collect()
+    }
+    bloom = {
+        r["doc_id"]: (r["n_grams"], r["n_shared_grams"], r["is_contaminated"])
+        for r in contamination_profile_bloom(
+            corpus, bench, k=5, min_shared=5
+        ).collect()
+    }
+    assert bloom == exact
+
+
+def test_bloom_prefilter_under_tiny_filter_still_exact(spark):
+    """A deliberately undersized bloom (256 bits for hundreds of grams —
+    high fp rate) floods the verify stage with false candidates but the
+    output stays exact: the correctness of the two-phase design cannot
+    depend on the fp rate, only its COST can."""
+    from dynamic_etl_spark.ops.decontam import contamination_profile_bloom
+    from dynamic_etl_spark.registry.curation import _planted_decontam_inputs
+
+    corpus, bench = _planted_decontam_inputs(spark, SF_SMALL)
+    exact = {
+        r["doc_id"]: (r["n_grams"], r["n_shared_grams"])
+        for r in contamination_profile(corpus, bench, k=5, min_shared=5).collect()
+    }
+    tiny = {
+        r["doc_id"]: (r["n_grams"], r["n_shared_grams"])
+        for r in contamination_profile_bloom(
+            corpus, bench, k=5, min_shared=5, m_bits=256, k_hashes=2
+        ).collect()
+    }
+    assert tiny == exact

@@ -94,6 +94,10 @@ SHUFFLE_BUDGET = {
     "winnowing_fingerprint": 2,
     "pii_detect_redact": 0,
     "benchmark_decontamination": 3,
+    # bloom path: +2 over exact (candidate semi-join on gram + second
+    # per-doc agg) in exchange for corpus-shuffle-free prefiltering when
+    # the benchmark can't broadcast as strings
+    "benchmark_decontamination_bloom": 5,
     "line_dedup_profile": 6,
     "near_dup_components": 1,
     "dedup_survivors": 1,
