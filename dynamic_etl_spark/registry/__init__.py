@@ -190,6 +190,9 @@ _TAIL_ORDER = (
     "bigram_novelty_profile",
     # training-shard export audit (oracle-backed)
     "shard_assignment_profile",
+    # rows-only (iterative per-round argmax; reference-BPE-checked in
+    # pytest)
+    "bpe_merge_training",
     # rows-only (engine-hash-specific; brute-force-checked in pytest)
     "approx_distinct_profile",
     "minhash_near_dup",

@@ -629,6 +629,19 @@ ORDER BY c.vec_id
 """
 
 
+def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (ops/bpe.train_bpe, Sennrich et
+    al. 2016): 16 merge rounds over the documents word-frequency table.
+    Rows-only: training is iterative with per-round argmax — not
+    SQL-expressible — but bit-deterministic at any parallelism (total-
+    ordered argmax), and pinned against a pure-Python reference BPE in
+    tests/test_llm.py."""
+    from dynamic_etl_spark.ops.bpe import train_bpe
+
+    docs = ensure_fanout_parallelism(t(spark, sf_dir, "documents").select("text"))
+    return train_bpe(docs, "text", n_merges=16, min_count=2).orderBy("rank")
+
+
 def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN majority-vote classification over the embedding column: every
     100th vector is held out, its label predicted from the 10 nearest
@@ -1040,6 +1053,11 @@ QUERIES: QueryRegistry = {
     "knn_label_vote": Query(
         knn_label_vote, KNN_VOTE_ORACLE,
         "kNN majority-vote label propagation from a labeled seed to held-out vectors",
+    ),
+    "bpe_merge_training": Query(
+        bpe_merge_training, None,
+        "distributed BPE tokenizer training: 16 merges on the word-frequency table "
+        "(rows-only; reference-BPE-checked in pytest)",
     ),
     "minhash_near_dup": Query(
         minhash_near_dup, None,

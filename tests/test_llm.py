@@ -335,3 +335,84 @@ def test_semantic_dedup_oversized_cell_raises(spark, emb_with_planted_dups):
     )
     with pytest.raises((PythonException, Py4JJavaError), match="raise n_cells"):
         pairs.count()
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training (ops/bpe.py) vs a pure-Python reference
+# --------------------------------------------------------------------------
+
+def _ref_bpe(word_freqs, n_merges, min_count, eow="</w>"):
+    """Reference BPE trainer (Sennrich et al. 2016 get_stats/merge loop,
+    reimplemented independently of the Spark op apart from the shared
+    merge_word apply semantics)."""
+    from collections import Counter
+
+    from dynamic_etl_spark.ops.bpe import merge_word
+
+    vocab = {tuple(list(w) + [eow]): f for w, f in word_freqs.items()}
+    merges = []
+    for rank in range(n_merges):
+        stats = Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] += f
+        if not stats:
+            break
+        (l, r), c = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_count:
+            break
+        merges.append((rank, l, r, l + r, c))
+        vocab = {tuple(merge_word(list(k), l, r)): v for k, v in vocab.items()}
+    return merges
+
+
+def test_bpe_training_matches_reference(spark):
+    from collections import Counter
+
+    from dynamic_etl_spark.ops.bpe import train_bpe
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest new low",
+        "the newest widest lowest the the",
+    ]
+    corpus = spark.createDataFrame([(t,) for t in texts], "text string")
+    freqs = Counter(w for t in texts for w in t.split())
+    expect = _ref_bpe(freqs, n_merges=12, min_count=2)
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in train_bpe(corpus, "text", n_merges=12, min_count=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expect
+    assert len(got) >= 5  # the fixture must actually train several merges
+
+
+def test_bpe_training_partition_invariant(spark):
+    from dynamic_etl_spark.ops.bpe import train_bpe
+
+    texts = [("aaab aaab aab ab b",), ("aaab aab aab ab aaabaaab",)]
+    one = spark.createDataFrame(texts, "text string").coalesce(1)
+    many = spark.createDataFrame(texts, "text string").repartition(7)
+    m1 = [tuple(r) for r in train_bpe(one, n_merges=6).orderBy("rank").collect()]
+    m7 = [tuple(r) for r in train_bpe(many, n_merges=6).orderBy("rank").collect()]
+    # the SAME corpus at different parallelism: bit-identical merge table
+    assert m1 == m7
+    assert len(m1) >= 4
+
+
+def test_bpe_early_stop_and_segment_roundtrip(spark):
+    from dynamic_etl_spark.ops.bpe import bpe_segment, train_bpe
+
+    corpus = spark.createDataFrame([("ab ab cd",)], "text string")
+    merges = train_bpe(corpus, n_merges=50, min_count=2).collect()
+    # only pairs with weighted count >= 2 can merge; training must stop
+    # early rather than loop 50 rounds
+    assert 0 < len(merges) < 50
+    ranks = {(r["left"], r["right"]): r["rank"] for r in merges}
+    seg = bpe_segment("ab", ranks)
+    # segmentation applies learned merges and always terminates
+    assert "".join(seg) == "ab</w>"
+    assert len(seg) <= 3

@@ -174,6 +174,10 @@ SHUFFLE_BUDGET = {
     "knn_label_vote": 4,
     "bigram_novelty_profile": 4,
     "shard_assignment_profile": 1,
+    # eager: BPE training ran at fn() time (one corpus shuffle + one pair
+    # shuffle per round); the returned merge table is a driver-local
+    # frame whose only exchange is the rank sort
+    "bpe_merge_training": 1,
     "approx_distinct_profile": 1,
     "minhash_near_dup": 6,
     "incremental_near_dup": 13,
