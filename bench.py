@@ -65,6 +65,12 @@ HEADLINE = (
     "incremental_rollup_maintenance",
     "document_chunking",
     "scd2_point_in_time_lookup",
+    # round 4 continuation: semantic dedup, bloom decontamination path,
+    # kNN label vote get tracked numbers (BPE stays out — its ~16 rounds
+    # of fixed scheduling overhead would drown the other signals)
+    "semantic_dedup_survivors",
+    "benchmark_decontamination_bloom",
+    "knn_label_vote",
 )
 
 

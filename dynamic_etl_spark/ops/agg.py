@@ -318,3 +318,85 @@ def finalize_distinct_sketch_state(state: DataFrame) -> DataFrame:
         *keys,
         F.hll_sketch_estimate(F.col("state_sketch")).alias("approx_distinct"),
     )
+
+
+def _mg_compress(counters: DataFrame, keys: Sequence[str], k: int) -> DataFrame:
+    """Misra-Gries compression: subtract the (k+1)-th largest counter
+    value per key group from every counter and drop the non-positive —
+    at most ``k`` strictly-positive counters survive. The offset is the
+    (k+1)-th value of the count MULTISET, so it is tie-permutation-
+    robust: any total order over equal counts picks the same offset,
+    which is what makes the whole summary engine-exact."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc("state_cnt"), F.asc("state_item")
+    )
+    wk = Window.partitionBy(*keys)
+    # the offset rides a SECOND window over the same partitioning — one
+    # exchange serves both, no self-join (the keyed-window analogue of
+    # the broadcast-back pattern)
+    ranked = counters.withColumn("__rn", F.row_number().over(w))
+    off = F.coalesce(
+        F.max(F.when(F.col("__rn") == k + 1, F.col("state_cnt"))).over(wk),
+        F.lit(0),
+    )
+    return (
+        ranked.select(
+            *keys,
+            "state_item",
+            (F.col("state_cnt") - off).alias("state_cnt"),
+        )
+        .filter(F.col("state_cnt") > 0)
+    )
+
+
+def build_heavy_hitter_state(
+    df: DataFrame, keys: Sequence[str], item: str, k: int = 8
+) -> DataFrame:
+    """Mergeable HEAVY-HITTER state: a Misra-Gries summary of at most
+    ``k`` (item, counter) rows per key group — the frequent-items
+    sibling of :func:`build_agg_state` (exact monoid) and
+    :func:`build_distinct_sketch_state` (HLL). Exact per-batch top items
+    do not merge (a globally-frequent item can be locally unremarkable
+    in every batch); MG summaries do (Agarwal et al., "Mergeable
+    Summaries", PODS'12): counters for matching items ADD, then one
+    compression re-bounds the summary to ``k`` rows.
+
+    Counters are LOWER bounds on true frequency; the classic guarantee
+    survives any merge tree: an item with true count > N/(k+1) (N =
+    total rows ingested for that key) is always present. Deterministic
+    at any parallelism — build is an exact groupBy count, compression's
+    offset is tie-robust (see :func:`_mg_compress`) — so unlike the HLL
+    sketch this state IS oracle-checkable.
+
+    100 TB shape: build shuffles once on (keys, item) with map-side
+    partials; state thereafter is O(|keys| * k) rows, and every merge
+    moves only summaries, never history."""
+    counts = df.groupBy(*keys, F.col(item).alias("state_item")).agg(
+        F.count(F.lit(1)).alias("state_cnt")
+    )
+    return _mg_compress(counts, keys, k)
+
+
+def merge_heavy_hitter_state(
+    state: DataFrame, delta: DataFrame, k: int = 8
+) -> DataFrame:
+    """Fold a delta summary into the stored summary: union, add counters
+    for matching items, re-compress to ``k`` rows. Summary-sized
+    shuffle."""
+    keys = [c for c in state.columns if c not in ("state_item", "state_cnt")]
+    summed = (
+        state.unionByName(delta)
+        .groupBy(*keys, "state_item")
+        .agg(F.sum("state_cnt").alias("state_cnt"))
+    )
+    return _mg_compress(summed, keys, k)
+
+
+def finalize_heavy_hitter_state(state: DataFrame, item_alias: str = "item") -> DataFrame:
+    """Query-boundary projection: (keys..., item, count_lower_bound)."""
+    keys = [c for c in state.columns if c not in ("state_item", "state_cnt")]
+    return state.select(
+        *keys,
+        F.col("state_item").alias(item_alias),
+        F.col("state_cnt").alias("count_lower_bound"),
+    )

@@ -144,6 +144,8 @@ _TAIL_ORDER = (
     "events_key_skew_profile",
     # mergeable aggregation state: merge tree == one-shot (oracle-backed)
     "incremental_rollup_maintenance",
+    # mergeable Misra-Gries heavy-hitter summaries (oracle-backed)
+    "heavy_hitter_maintenance",
     # snapshot distribution drift (oracle-backed)
     "events_type_drift_profile",
     # long->wide pivot and its melt inverse (oracle-backed)

@@ -1025,6 +1025,97 @@ def distinct_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_distinct_sketch_state(merged).orderBy("event_type")
 
 
+def heavy_hitter_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained per-event-type heavy hitters (ops/agg.build/merge/
+    finalize_heavy_hitter_state — Misra-Gries mergeable summaries,
+    PODS'12): three date slices summarized independently, summaries
+    folded, k=8 counters emitted per type. Unlike the HLL sketch twin
+    (distinct_sketch_maintenance) this IS oracle-checkable: counts are
+    exact integers and the compression offset is tie-robust, so DuckDB
+    replays the identical build/merge tree."""
+    from dynamic_etl_spark.ops.agg import (
+        build_heavy_hitter_state,
+        finalize_heavy_hitter_state,
+        merge_heavy_hitter_state,
+    )
+
+    ev = t(spark, sf_dir, "events").select("event_type", "user_id", "ts")
+    cut1 = F.lit("2024-01-11 00:00:00").cast("timestamp_ntz")
+    cut2 = F.lit("2024-01-21 00:00:00").cast("timestamp_ntz")
+    s1 = build_heavy_hitter_state(
+        ev.filter(F.col("ts") < cut1), ["event_type"], "user_id", k=8
+    )
+    s2 = build_heavy_hitter_state(
+        ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
+        ["event_type"], "user_id", k=8,
+    )
+    s3 = build_heavy_hitter_state(
+        ev.filter(F.col("ts") >= cut2), ["event_type"], "user_id", k=8
+    )
+    merged = merge_heavy_hitter_state(merge_heavy_hitter_state(s1, s2, k=8), s3, k=8)
+    return finalize_heavy_hitter_state(merged, item_alias="user_id").orderBy(
+        "event_type", F.desc("count_lower_bound"), "user_id"
+    )
+
+
+def _mg_sql(src: str, out: str, k: int = 8) -> str:
+    """One Misra-Gries compression round as a CTE pair (ranked + output):
+    subtract the (k+1)-th largest counter per key, drop non-positive."""
+    return f"""{out}_r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type
+             ORDER BY state_cnt DESC, state_item) AS rn
+  FROM {src}
+),
+{out} AS (
+  SELECT event_type, state_item, state_cnt - off AS state_cnt
+  FROM (
+    SELECT *, COALESCE(MAX(CASE WHEN rn = {k + 1} THEN state_cnt END)
+                 OVER (PARTITION BY event_type), 0) AS off
+    FROM {out}_r
+  )
+  WHERE state_cnt - off > 0
+)"""
+
+
+HEAVY_HITTER_ORACLE = f"""
+WITH s1 AS (
+  SELECT event_type, user_id AS state_item, count(*) AS state_cnt
+  FROM events WHERE ts < TIMESTAMP '2024-01-11 00:00:00'
+  GROUP BY event_type, user_id
+),
+{_mg_sql('s1', 'c1')},
+s2 AS (
+  SELECT event_type, user_id AS state_item, count(*) AS state_cnt
+  FROM events WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
+             AND ts < TIMESTAMP '2024-01-21 00:00:00'
+  GROUP BY event_type, user_id
+),
+{_mg_sql('s2', 'c2')},
+s3 AS (
+  SELECT event_type, user_id AS state_item, count(*) AS state_cnt
+  FROM events WHERE ts >= TIMESTAMP '2024-01-21 00:00:00'
+  GROUP BY event_type, user_id
+),
+{_mg_sql('s3', 'c3')},
+m12 AS (
+  SELECT event_type, state_item, SUM(state_cnt) AS state_cnt
+  FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+  GROUP BY event_type, state_item
+),
+{_mg_sql('m12', 'cm12')},
+m123 AS (
+  SELECT event_type, state_item, SUM(state_cnt) AS state_cnt
+  FROM (SELECT * FROM cm12 UNION ALL SELECT * FROM c3)
+  GROUP BY event_type, state_item
+),
+{_mg_sql('m123', 'cm123')}
+SELECT event_type, state_item AS user_id, state_cnt AS count_lower_bound
+FROM cm123
+ORDER BY event_type, count_lower_bound DESC, user_id
+"""
+
+
 QUERIES: QueryRegistry = {
     "events_tumbling_window": Query(
         events_tumbling_window, TUMBLING_ORACLE, "1-hour tumbling window counts/sums"
@@ -1122,6 +1213,11 @@ QUERIES: QueryRegistry = {
         TRANSITION_ORACLE,
         "first-order Markov transitions over per-user sequences, "
         "row-normalized from exact counts",
+    ),
+    "heavy_hitter_maintenance": Query(
+        heavy_hitter_maintenance,
+        HEAVY_HITTER_ORACLE,
+        "maintained Misra-Gries heavy hitters: mergeable k=8 summaries over date slices",
     ),
     "distinct_sketch_maintenance": Query(
         distinct_sketch_maintenance,

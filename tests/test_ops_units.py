@@ -532,3 +532,66 @@ def test_resample_linear_span_without_grid_point_and_null_values(spark):
     # key 2's 01:00 point interpolates across the null obs: 10 -> 30
     assert got[(2, "2024-01-01 01:00:00")] == 10.0 + 20.0 * (30 / 60)
     assert len(got) == 1
+
+
+def test_heavy_hitter_state_guarantees(spark):
+    """Misra-Gries mergeable summaries (ops/agg): counters never
+    overestimate, every item with true count > N/(k+1) survives any
+    merge tree, and the summary never exceeds k rows per key."""
+    from collections import Counter
+
+    from dynamic_etl_spark.ops.agg import (
+        build_heavy_hitter_state,
+        finalize_heavy_hitter_state,
+        merge_heavy_hitter_state,
+    )
+
+    # skewed stream: item 0 dominates, 1 and 2 frequent, long uniform tail
+    rows = []
+    for i in range(600):
+        g = "a" if i % 2 == 0 else "b"
+        if i % 3 == 0:
+            item = 0
+        elif i % 5 == 0:
+            item = 1
+        elif i % 7 == 0:
+            item = 2
+        else:
+            item = 100 + (i % 37)
+        rows.append((g, item, i))
+    df = spark.createDataFrame(rows, "grp string, item long, seq long")
+    k = 4
+
+    truth = {g: Counter() for g in ("a", "b")}
+    for g, item, _ in rows:
+        truth[g][item] += 1
+
+    # three arbitrary slices -> build + fold (the maintenance shape)
+    parts = [
+        df.filter(F.col("seq") % 3 == r).select("grp", "item") for r in range(3)
+    ]
+    states = [build_heavy_hitter_state(p, ["grp"], "item", k=k) for p in parts]
+    merged = merge_heavy_hitter_state(
+        merge_heavy_hitter_state(states[0], states[1], k=k), states[2], k=k
+    )
+    out = finalize_heavy_hitter_state(merged).collect()
+
+    per_key = Counter(r["grp"] for r in out)
+    assert all(c <= k for c in per_key.values())
+    for r in out:
+        assert r["count_lower_bound"] <= truth[r["grp"]][r["item"]]
+    for g, cnt in truth.items():
+        n = sum(cnt.values())
+        got_items = {r["item"] for r in out if r["grp"] == g}
+        for item, c in cnt.items():
+            if c > n / (k + 1):
+                assert item in got_items, (g, item, c, n)
+
+    # one-shot build == fold of slices is NOT required by MG (summaries
+    # lose different information), but both must satisfy the guarantee;
+    # the registry oracle separately pins the fold bit-for-bit.
+    one_shot = finalize_heavy_hitter_state(
+        build_heavy_hitter_state(df, ["grp"], "item", k=k)
+    ).collect()
+    for r in one_shot:
+        assert r["count_lower_bound"] <= truth[r["grp"]][r["item"]]

@@ -144,6 +144,10 @@ SHUFFLE_BUDGET = {
     "value_outlier_gate": 2,
     "events_key_skew_profile": 2,
     "incremental_rollup_maintenance": 4,
+    # 3 slice builds + 2 merges, each one groupBy + one keyed window
+    # over the SAME partitioning (offset is a second window function,
+    # not a self-join); AQE reuses the rest
+    "heavy_hitter_maintenance": 7,
     "events_type_drift_profile": 3,
     "events_type_pivot": 2,
     "events_type_unpivot": 2,
