@@ -223,3 +223,65 @@ def point_in_time_join(
         & (facts[ts_col] < dim[valid_to])
     )
     return facts.join(dim, cond, how)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Keyed diff of two table snapshots: one row per key present in
+    EITHER side with ``change_type`` ∈ {ADDED, REMOVED, CHANGED,
+    UNCHANGED} and ``changed_cols`` — the comma-joined names of the
+    columns that differ (empty unless CHANGED).
+
+    The audit primitive ``change_detection`` (J8, write-path) doesn't
+    cover: that one classifies an INCOMING feed for merging (left join,
+    no REMOVED); this one compares two complete versions — consecutive
+    io/versioned snapshots, yesterday-vs-today extracts, pre-vs-post
+    backfill — and attributes the change per column. Column comparison
+    is null-safe equality (both-null = equal, the J8 convention).
+
+    Scale shape: one full-outer shuffle join on the key; per-column
+    comparison is codegen CASE/concat_ws (concat_ws skips the NULLs of
+    unchanged columns on both engines, which is what makes the
+    attribution string oracle-exact).
+    """
+    keys = list(keys)
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *keys,
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias("__o_present"),
+    )
+    n = new.select(
+        *keys,
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias("__n_present"),
+    )
+    j = o.join(n, keys, "full_outer")
+    changed_cols = F.concat_ws(
+        ",",
+        *[
+            F.when(
+                ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c)
+            )
+            for c in compare_cols
+        ],
+    )
+    return j.select(
+        *keys,
+        F.when(F.col("__o_present").isNull(), F.lit("ADDED"))
+        .when(F.col("__n_present").isNull(), F.lit("REMOVED"))
+        .when(changed_cols != "", F.lit("CHANGED"))
+        .otherwise(F.lit("UNCHANGED"))
+        .alias("change_type"),
+        F.when(
+            F.col("__o_present").isNotNull() & F.col("__n_present").isNotNull(),
+            changed_cols,
+        )
+        .otherwise(F.lit(""))
+        .alias("changed_cols"),
+    )

@@ -129,6 +129,9 @@ _TAIL_ORDER = (
     "events_value_percentiles",
     # SCD-2 read side: point-in-time attribution (oracle-backed)
     "scd2_point_in_time_lookup",
+    # version-to-version table diff with per-column attribution
+    # (oracle-backed)
+    "orders_snapshot_diff",
     # training-mix assembly (oracle-backed)
     "corpus_split_assignment",
     "corpus_mixture_sample",

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dynamic_etl_spark.ops.joins import change_detection
+from dynamic_etl_spark.ops.joins import change_detection, snapshot_diff
 from dynamic_etl_spark.ops.merge import (
     merge_insert_only,
     scd1_merge,
@@ -448,7 +448,89 @@ ORDER BY o_orderkey
 """
 
 
+
+
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed diff of two table versions (ops/joins.snapshot_diff): the
+    read-side audit of the io/versioned commit chain. The "new" snapshot
+    derives from orders with the repo's key-modulo dirty-fixture
+    convention so DuckDB rebuilds both sides: every 31st key dropped
+    (REMOVED), every 31st re-added under key+10000000 (ADDED), every 7th
+    residue-3 price shifted (CHANGED: o_totalprice), every 13th
+    residue-5 status flipped (CHANGED: o_orderstatus; overlapping keys
+    attribute BOTH columns)."""
+    k = F.col("o_orderkey")
+    old = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    surviving = old.filter(k % 31 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(k % 13 == 5, F.lit("X")).otherwise(F.col("o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.when(
+            k % 7 == 3, F.col("o_totalprice") + F.lit(1.5).cast("decimal(12,2)")
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    added = old.filter(k % 31 == 0).select(
+        (k + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    new = surviving.unionByName(added)
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_custkey", "o_orderstatus", "o_totalprice"]
+    ).orderBy("o_orderkey")
+
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+),
+new AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 13 = 5 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 3
+              THEN o_totalprice + CAST(1.5 AS DECIMAL(12,2))
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 31 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 31 = 0
+),
+j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_orderkey IS NOT NULL AS in_old,
+         n.o_orderkey IS NOT NULL AS in_new,
+         concat_ws(',',
+           CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                THEN 'o_custkey' END,
+           CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                THEN 'o_orderstatus' END,
+           CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                THEN 'o_totalprice' END) AS cc
+  FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+)
+SELECT o_orderkey,
+       CASE WHEN NOT in_old THEN 'ADDED'
+            WHEN NOT in_new THEN 'REMOVED'
+            WHEN cc <> '' THEN 'CHANGED'
+            ELSE 'UNCHANGED' END AS change_type,
+       CASE WHEN in_old AND in_new THEN cc ELSE '' END AS changed_cols
+FROM j
+ORDER BY o_orderkey
+"""
+
 QUERIES: QueryRegistry = {
+    "orders_snapshot_diff": Query(
+        orders_snapshot_diff, SNAPSHOT_DIFF_ORACLE,
+        "full-outer snapshot diff: ADDED/REMOVED/CHANGED/UNCHANGED with per-column attribution",
+    ),
     "change_detection_classification": Query(
         change_detection_classification,
         CHANGE_DETECTION_ORACLE,

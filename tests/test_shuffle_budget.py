@@ -135,6 +135,8 @@ SHUFFLE_BUDGET = {
     "source_quota_cap": 1,
     "events_value_percentiles": 1,
     "scd2_point_in_time_lookup": 1,
+    # full-outer on the key (both sides) + boundary sort
+    "orders_snapshot_diff": 3,
     "corpus_split_assignment": 0,
     "corpus_mixture_sample": 1,
     "embedding_label_centroids": 1,

@@ -150,3 +150,44 @@ def test_versioned_concurrent_reader_sees_only_complete_versions(spark, tmp_path
     assert seen, "reader never completed a poll"
     bad = [c for c in seen if c not in valid]
     assert not bad, f"reader observed partial snapshots: {bad}"
+
+
+def test_snapshot_diff_between_versions(spark, tmp_path):
+    """ops/joins.snapshot_diff over two io/versioned commits: the
+    read-side audit of the commit chain classifies every key and
+    attributes changed columns by name."""
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_spark.ops.joins import snapshot_diff
+
+    root = str(tmp_path / "t")
+    v1 = spark.range(6).select(
+        F.col("id"), (F.col("id") * 10).alias("val"), F.lit("a").alias("tag")
+    )
+    write_versioned(v1, root)
+    # id 0 removed; id 3 val changed; id 4 val AND tag changed; id 6 added
+    v2 = spark.range(1, 7).select(
+        F.col("id"),
+        F.when(F.col("id") == 3, 999)
+        .when(F.col("id") == 4, 888)
+        .otherwise(F.col("id") * 10)
+        .alias("val"),
+        F.when(F.col("id") == 4, "z").otherwise("a").alias("tag"),
+    )
+    write_versioned(v2, root)
+
+    out = {
+        r["id"]: (r["change_type"], r["changed_cols"])
+        for r in snapshot_diff(
+            read_versioned(spark, root, version=0),
+            read_versioned(spark, root, version=1),
+            ["id"],
+        ).collect()
+    }
+    assert out[0] == ("REMOVED", "")
+    assert out[1] == ("UNCHANGED", "")
+    assert out[2] == ("UNCHANGED", "")
+    assert out[3] == ("CHANGED", "val")
+    assert out[4] == ("CHANGED", "val,tag")
+    assert out[6] == ("ADDED", "")
+    assert len(out) == 7
