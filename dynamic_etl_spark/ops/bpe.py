@@ -134,12 +134,14 @@ def train_bpe(
 
             def apply_merge(batches, _l=left, _r=right):
                 for pdf in batches:
+                    # .to_numpy(): never rely on pandas index alignment
+                    # between a fresh list column and the batch Series
                     yield pd.DataFrame(
                         {
                             "symbols": [
                                 merge_word(list(s), _l, _r) for s in pdf["symbols"]
                             ],
-                            "freq": pdf["freq"],
+                            "freq": pdf["freq"].to_numpy(),
                         }
                     )
 

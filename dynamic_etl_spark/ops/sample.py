@@ -252,3 +252,66 @@ def weighted_sample_without_replacement(
             "__aes_key"
         )
     return eligible.orderBy(*order).limit(k).drop("__aes_key")
+
+
+def build_reservoir_state(
+    df: DataFrame, keys: Sequence[str], item: str, n: int, salt: int = 0
+) -> DataFrame:
+    """Mergeable per-key uniform RESERVOIR: the ``n`` rows with the
+    smallest deterministic priority per key group, priority =
+    ``uniform_affine(item)`` with the item id as tie-break (``item``
+    must uniquely identify a row, e.g. an event id). The fourth
+    mergeable summary next to the exact monoid (build_agg_state), HLL
+    (distinct sketch), and Misra-Gries (heavy hitters): a bounded
+    uniform sample per key, maintained batch-by-batch without history
+    rescans.
+
+    Because the priority is a pure function of the item id, keeping the
+    bottom-n order statistics is MERGE-INVARIANT: any merge tree over
+    any slicing — and the one-shot build over everything — select the
+    identical sample (bottom-n of a union == bottom-n of the per-slice
+    bottom-n's). The registry oracle proves exactly that: Spark folds
+    three date slices, DuckDB ranks one-shot, hashes must match.
+
+    State: (keys..., state_item, state_pri), ≤ n rows per key.
+    100 TB shape: one shuffle on the keys with a per-key sort; merges
+    move only ≤ 2n rows per key.
+    """
+    pri = uniform_affine(F.col(item), salt)
+    base = df.select(
+        *keys, F.col(item).alias("state_item"), pri.alias("state_pri")
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.asc("state_pri"), F.asc("state_item")
+    )
+    return (
+        base.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def merge_reservoir_state(state: DataFrame, delta: DataFrame, n: int) -> DataFrame:
+    """Fold a delta reservoir into the stored reservoir: union and keep
+    the bottom-n priorities per key again. Summary-sized shuffle."""
+    keys = [c for c in state.columns if c not in ("state_item", "state_pri")]
+    w = Window.partitionBy(*keys).orderBy(
+        F.asc("state_pri"), F.asc("state_item")
+    )
+    return (
+        state.unionByName(delta)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def finalize_reservoir_state(state: DataFrame, item_alias: str = "item") -> DataFrame:
+    """Query-boundary projection: (keys..., item, priority rounded 10dp
+    per the repo fraction-bound rule)."""
+    keys = [c for c in state.columns if c not in ("state_item", "state_pri")]
+    return state.select(
+        *keys,
+        F.col("state_item").alias(item_alias),
+        F.round(F.col("state_pri"), 10).alias("priority"),
+    )

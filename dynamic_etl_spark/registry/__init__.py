@@ -149,6 +149,9 @@ _TAIL_ORDER = (
     "incremental_rollup_maintenance",
     # mergeable Misra-Gries heavy-hitter summaries (oracle-backed)
     "heavy_hitter_maintenance",
+    # mergeable per-key uniform reservoir: merge tree == one-shot
+    # (oracle-backed)
+    "reservoir_sample_maintenance",
     # snapshot distribution drift (oracle-backed)
     "events_type_drift_profile",
     # long->wide pivot and its melt inverse (oracle-backed)

@@ -1058,6 +1058,57 @@ def heavy_hitter_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def reservoir_sample_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained per-event-type uniform reservoir (ops/sample.build/
+    merge/finalize_reservoir_state): three date slices sampled
+    independently, reservoirs folded, n=5 rows per type emitted. The
+    deterministic priority makes bottom-n selection merge-invariant, so
+    the DuckDB twin ranks ONE-SHOT over all events — hash equality IS
+    the proof that the maintained reservoir loses nothing."""
+    from dynamic_etl_spark.ops.sample import (
+        build_reservoir_state,
+        finalize_reservoir_state,
+        merge_reservoir_state,
+    )
+
+    ev = t(spark, sf_dir, "events").select("event_type", "event_id", "ts")
+    cut1 = F.lit("2024-01-11 00:00:00").cast("timestamp_ntz")
+    cut2 = F.lit("2024-01-21 00:00:00").cast("timestamp_ntz")
+    s1 = build_reservoir_state(
+        ev.filter(F.col("ts") < cut1), ["event_type"], "event_id", n=5
+    )
+    s2 = build_reservoir_state(
+        ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
+        ["event_type"], "event_id", n=5,
+    )
+    s3 = build_reservoir_state(
+        ev.filter(F.col("ts") >= cut2), ["event_type"], "event_id", n=5
+    )
+    merged = merge_reservoir_state(merge_reservoir_state(s1, s2, n=5), s3, n=5)
+    return finalize_reservoir_state(merged, item_alias="event_id").orderBy(
+        "event_type", "priority", "event_id"
+    )
+
+
+from dynamic_etl_spark.ops.sample import sql_uniform_affine as _sql_u
+
+RESERVOIR_ORACLE = f"""
+WITH pri AS (
+  SELECT event_type, event_id,
+         {_sql_u('event_id')} AS state_pri
+  FROM events
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY state_pri, event_id) AS rn
+  FROM pri
+)
+SELECT event_type, event_id, round(state_pri, 10) AS priority
+FROM ranked WHERE rn <= 5
+ORDER BY event_type, priority, event_id
+"""
+
+
 def _mg_sql(src: str, out: str, k: int = 8) -> str:
     """One Misra-Gries compression round as a CTE pair (ranked + output):
     subtract the (k+1)-th largest counter per key, drop non-positive."""
@@ -1218,6 +1269,11 @@ QUERIES: QueryRegistry = {
         heavy_hitter_maintenance,
         HEAVY_HITTER_ORACLE,
         "maintained Misra-Gries heavy hitters: mergeable k=8 summaries over date slices",
+    ),
+    "reservoir_sample_maintenance": Query(
+        reservoir_sample_maintenance,
+        RESERVOIR_ORACLE,
+        "maintained per-key uniform reservoir: merge-invariant bottom-n priorities",
     ),
     "distinct_sketch_maintenance": Query(
         distinct_sketch_maintenance,

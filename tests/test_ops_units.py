@@ -595,3 +595,41 @@ def test_heavy_hitter_state_guarantees(spark):
     ).collect()
     for r in one_shot:
         assert r["count_lower_bound"] <= truth[r["grp"]][r["item"]]
+
+
+def test_reservoir_state_merge_invariant(spark):
+    """Per-key uniform reservoir: any slicing folds to the SAME sample as
+    the one-shot build (bottom-n of a deterministic priority), and the
+    summary never exceeds n rows per key."""
+    from collections import Counter
+
+    from dynamic_etl_spark.ops.sample import (
+        build_reservoir_state,
+        finalize_reservoir_state,
+        merge_reservoir_state,
+    )
+
+    df = spark.range(500).select(
+        (F.col("id") % 3).cast("string").alias("grp"), F.col("id").alias("rid")
+    )
+    n = 7
+    one_shot = finalize_reservoir_state(
+        build_reservoir_state(df, ["grp"], "rid", n=n)
+    )
+    # two different slicings, both folded pairwise
+    for mod, parts in ((2, 2), (5, 5)):
+        states = [
+            build_reservoir_state(
+                df.filter(F.col("rid") % mod == r), ["grp"], "rid", n=n
+            )
+            for r in range(parts)
+        ]
+        acc = states[0]
+        for s in states[1:]:
+            acc = merge_reservoir_state(acc, s, n=n)
+        folded = finalize_reservoir_state(acc)
+        a = {(r["grp"], r["item"]) for r in folded.collect()}
+        b = {(r["grp"], r["item"]) for r in one_shot.collect()}
+        assert a == b
+    per_key = Counter(r["grp"] for r in one_shot.collect())
+    assert all(c == n for c in per_key.values())

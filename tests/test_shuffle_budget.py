@@ -150,6 +150,9 @@ SHUFFLE_BUDGET = {
     # over the SAME partitioning (offset is a second window function,
     # not a self-join); AQE reuses the rest
     "heavy_hitter_maintenance": 7,
+    # 3 slice builds (keyed window each) + fold + boundary sort; AQE
+    # reuses the rest
+    "reservoir_sample_maintenance": 4,
     "events_type_drift_profile": 3,
     "events_type_pivot": 2,
     "events_type_unpivot": 2,
