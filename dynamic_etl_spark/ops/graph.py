@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def connected_components(
@@ -115,4 +116,189 @@ def connected_components(
     # re-reads cached/checkpointed partitions, not the iteration
     out = labels.select("v", F.col("l").alias("component")).localCheckpoint()
     labels.unpersist()
+    return out
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    checkpoint_every: int = 5,
+    tol_check_every: int = 1,
+    small_graph_threshold: int = 2000,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list — the influence /
+    centrality companion to :func:`connected_components` (cluster
+    structure). Data-curation uses: rank web domains by link authority
+    before per-source quota caps, rank near-dup cluster members by
+    reference structure, find hub users in interaction graphs.
+
+    Per iteration (the classic power-iteration re-expression):
+
+        contrib(v) = sum over in-edges (u, v) of rank(u) * w(u,v) / W(u)
+        rank(v)   <- (1 - d)/N + d * (contrib(v) + dangling/N)
+
+    where ``W(u)`` is u's total out-weight and ``dangling`` is the rank
+    mass parked on vertices with no out-edges (redistributed uniformly —
+    ranks always sum to 1). Stops when the L1 delta drops below ``tol``
+    or at ``max_iter``.
+
+    Scale shape: each round is one join of the rank vector to the edge
+    list on ``src`` (the rank side is vertex-sized; the edge side never
+    re-shuffles once AQE plans the join) and one ``dst`` aggregation —
+    both partial-combined. Ranks persist per round, the previous round
+    unpersists as soon as the next lands, and lineage truncates via
+    localCheckpoint every ``checkpoint_every`` rounds (the iterative-op
+    rule). Driver-side values: three scalar aggregates per round
+    (dangling mass, L1 delta via one join — vertex-sized, never edges).
+
+    Double arithmetic: rank sums are IEEE reductions whose order varies
+    with partitioning, so results are deterministic only to float
+    tolerance — rows-only territory (numpy-checked in pytest), same
+    class as the perplexity profile.
+
+    Graphs at or under ``small_graph_threshold`` vertices AND edges run
+    the identical recurrence as one dense numpy loop on the driver (the
+    small-CC union-find hybrid pattern): ~2 cluster jobs x max_iter of
+    scheduling overhead collapses to milliseconds, and both paths are
+    pinned against each other in pytest. Dense cost is n² doubles —
+    the default 2000 caps it at 32 MB.
+    """
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        (F.col(weight) if weight else F.lit(1.0)).cast("double").alias("w"),
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w")).persist()
+
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .persist()
+    )
+    n = verts.count()
+    if n == 0:
+        e.unpersist()
+        verts.unpersist()
+        schema = f"v {edges.schema[src].dataType.simpleString()}, rank double"
+        return edges.sparkSession.createDataFrame([], schema)
+
+    out_w = e.groupBy("src").agg(F.sum("w").alias("__out_w"))
+    # normalized transition weight per edge: w / W(src)
+    trans = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("__out_w")).alias("p"))
+        .persist()
+    )
+    trans.count()
+    e.unpersist()
+
+    # HYBRID execution (the small-CC union-find pattern, ops/lsh.py): a
+    # small graph's power iteration is pure scheduling overhead as ~2
+    # cluster jobs x max_iter — run it as one numpy loop on the driver
+    # instead (identical recurrence; both paths are float-tolerance
+    # territory and pytest pins them against each other). The threshold
+    # bounds what the driver collects: normalized edges + the vertex set.
+    m = trans.count()
+    if max(n, m) <= small_graph_threshold:
+        import numpy as np
+
+        vrows = [r["v"] for r in verts.collect()]
+        idx = {v: i for i, v in enumerate(vrows)}
+        P = np.zeros((n, n))
+        for r in trans.collect():
+            P[idx[r["src"]], idx[r["dst"]]] = r["p"]
+        has_out = P.sum(axis=1) > 0
+        rank = np.full(n, 1.0 / n)
+        base_v = (1.0 - damping) / n
+        for it in range(max_iter):
+            dangling = rank[~has_out].sum()
+            nxt = base_v + damping * (rank @ P + dangling / n)
+            delta = np.abs(nxt - rank).sum()
+            rank = nxt
+            if delta < tol:
+                break
+        verts.unpersist()
+        trans.unpersist()
+        out_schema = T.StructType(
+            [
+                T.StructField("v", edges.schema[src].dataType),
+                T.StructField("rank", T.DoubleType()),
+            ]
+        )
+        return edges.sparkSession.createDataFrame(
+            [(v, float(rank[idx[v]])) for v in vrows], out_schema
+        )
+
+    # dangling flag rides IN the vertex frame: the per-round dangling
+    # mass is then one filtered aggregate on the cached rank vector, not
+    # an anti-join per iteration
+    flagged = (
+        verts.join(
+            trans.select(F.col("src").alias("v")).distinct().withColumn(
+                "__has_out", F.lit(True)
+            ),
+            "v",
+            "left",
+        )
+        .select("v", F.coalesce(F.col("__has_out"), F.lit(False)).alias("__has_out"))
+        .persist()
+    )
+    flagged.count()
+    verts.unpersist()
+
+    ranks = flagged.select("v", "__has_out", F.lit(1.0 / n).alias("rank")).persist()
+    base = (1.0 - damping) / n
+    for it in range(max_iter):
+        dangling = (
+            ranks.filter(~F.col("__has_out")).agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        contrib = (
+            ranks.join(trans, ranks["v"] == trans["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("__c"))
+        )
+        nxt = (
+            flagged.join(contrib.withColumnRenamed("dst", "v"), "v", "left")
+            .select(
+                "v",
+                "__has_out",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("__c"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint()
+        else:
+            nxt = nxt.persist()
+        # the L1-delta convergence probe is a full extra job per round on
+        # a small graph; ``tol_check_every`` amortizes it when the caller
+        # has a hard max_iter anyway (the iteration itself still runs via
+        # the dangling-mass collect, which materializes nxt)
+        if (it + 1) % tol_check_every == 0 or it == max_iter - 1:
+            delta = (
+                ranks.select("v", F.col("rank").alias("__prev"))
+                .join(nxt, "v")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("__prev"))))
+                .collect()[0][0]
+            )
+        else:
+            delta = None
+        ranks.unpersist()
+        ranks = nxt
+        if delta is not None and delta < tol:
+            break
+    out = ranks.select("v", "rank").localCheckpoint()
+    ranks.unpersist()
+    flagged.unpersist()
+    trans.unpersist()
     return out

@@ -201,6 +201,8 @@ _TAIL_ORDER = (
     # rows-only (iterative per-round argmax; reference-BPE-checked in
     # pytest)
     "bpe_merge_training",
+    # rows-only (IEEE rank sums; numpy power-iteration-checked in pytest)
+    "events_type_pagerank",
     # rows-only (engine-hash-specific; brute-force-checked in pytest)
     "approx_distinct_profile",
     "minhash_near_dup",

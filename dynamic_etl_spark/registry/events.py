@@ -1058,6 +1058,35 @@ def heavy_hitter_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary importance of event types (ops/graph.pagerank): the
+    user-journey transition graph — consecutive events per user, the
+    same total-ordered lag as events_transition_matrix — weighted by
+    transition count, power-iterated to the damped stationary
+    distribution. The graph-centrality read of the event stream: which
+    states do journeys keep returning to. Rows-only (IEEE rank sums are
+    partition-order-sensitive at the ulp; numpy-checked in
+    tests/test_graph.py), rounded to 6dp at the boundary."""
+    from dynamic_etl_spark.ops.graph import pagerank
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("__next", F.lead("event_type").over(w))
+        .filter(F.col("__next").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src"), F.col("__next").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    ranks = pagerank(
+        pairs, "src", "dst", weight="w", max_iter=12, tol=1e-9, tol_check_every=4
+    )
+    return ranks.select(
+        F.col("v").alias("event_type"), F.round("rank", 6).alias("rank")
+    ).orderBy(F.desc("rank"), "event_type")
+
+
 def reservoir_sample_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintained per-event-type uniform reservoir (ops/sample.build/
     merge/finalize_reservoir_state): three date slices sampled
@@ -1274,6 +1303,11 @@ QUERIES: QueryRegistry = {
         reservoir_sample_maintenance,
         RESERVOIR_ORACLE,
         "maintained per-key uniform reservoir: merge-invariant bottom-n priorities",
+    ),
+    "events_type_pagerank": Query(
+        events_type_pagerank, None,
+        "damped stationary distribution of the event-type transition graph "
+        "(rows-only; numpy-checked in pytest)",
     ),
     "distinct_sketch_maintenance": Query(
         distinct_sketch_maintenance,

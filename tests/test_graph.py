@@ -74,3 +74,97 @@ def test_empty_and_self_loop_edges(spark):
         for r in connected_components(loops, "src", "dst").collect()
     }
     assert got == {5: 5, 6: 5}
+
+
+def _numpy_pagerank(edges, n, damping=0.85, iters=60):
+    """Dense power-iteration reference with uniform dangling
+    redistribution (the same convention as ops/graph.pagerank)."""
+    import numpy as np
+
+    W = np.zeros((n, n))
+    for s, d, w in edges:
+        W[s, d] += w
+    out_w = W.sum(axis=1)
+    P = np.divide(W, out_w[:, None], out=np.zeros_like(W), where=out_w[:, None] > 0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[out_w == 0].sum()
+        r = (1 - damping) / n + damping * (r @ P + dangling / n)
+    return r
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    from dynamic_etl_spark.ops.graph import pagerank
+
+    # 60-node graph with hubs, a cycle, and dangling vertices
+    n = 60
+    edges = []
+    for i in range(n):
+        if i % 7 == 0 and i > 0:
+            continue  # every 7th vertex is dangling (no out-edges)
+        edges.append((i, (i + 1) % n, 1.0))
+        edges.append((i, (i * 13) % n, 2.0))
+        edges.append((i, 0, 0.5))  # vertex 0 is a hub
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {
+        r["v"]: r["rank"]
+        for r in pagerank(
+            df, "src", "dst", weight="w", max_iter=60, tol=1e-12,
+            small_graph_threshold=0,  # force the DISTRIBUTED loop
+        ).collect()
+    }
+    ref = _numpy_pagerank(edges, n, iters=60)
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # rank mass conserved
+    for v in range(n):
+        assert abs(got[v] - ref[v]) < 1e-6, (v, got[v], ref[v])
+    # the deliberate hub must outrank the median vertex
+    import statistics
+
+    assert got[0] > statistics.median(got.values()) * 2
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    from dynamic_etl_spark.ops.graph import pagerank
+
+    n = 10
+    df = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    got = [
+        r["rank"]
+        for r in pagerank(df, max_iter=30, small_graph_threshold=0).collect()
+    ]
+    assert len(got) == n
+    for r in got:
+        assert abs(r - 1.0 / n) < 1e-9  # perfect symmetry -> uniform ranks
+
+
+def test_pagerank_empty_edges(spark):
+    from dynamic_etl_spark.ops.graph import pagerank
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(df).count() == 0
+
+
+def test_pagerank_driver_path_matches_distributed(spark):
+    """The small-graph driver shortcut runs the identical recurrence:
+    both paths agree to float tolerance on the same graph."""
+    from dynamic_etl_spark.ops.graph import pagerank
+
+    edges = [(i, (i * 3 + 1) % 40, float(1 + i % 3)) for i in range(40)] + [
+        (i, (i + 1) % 40, 1.0) for i in range(0, 40, 2)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    fast = {
+        r["v"]: r["rank"]
+        for r in pagerank(df, weight="w", max_iter=40, tol=1e-12).collect()
+    }
+    dist = {
+        r["v"]: r["rank"]
+        for r in pagerank(
+            df, weight="w", max_iter=40, tol=1e-12, small_graph_threshold=0
+        ).collect()
+    }
+    assert fast.keys() == dist.keys()
+    for v in fast:
+        assert abs(fast[v] - dist[v]) < 1e-9

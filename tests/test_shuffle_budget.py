@@ -153,6 +153,9 @@ SHUFFLE_BUDGET = {
     # 3 slice builds (keyed window each) + fold + boundary sort; AQE
     # reuses the rest
     "reservoir_sample_maintenance": 4,
+    # eager: edge build + power iteration ran at fn() time (or on the
+    # driver via the small-graph path); lazy tail is the rank sort
+    "events_type_pagerank": 1,
     "events_type_drift_profile": 3,
     "events_type_pivot": 2,
     "events_type_unpivot": 2,
