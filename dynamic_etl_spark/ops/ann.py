@@ -590,6 +590,8 @@ def semantic_dedup(
     n_cells: int = 16,
     seed: int = 42,
     index: IvfIndex | None = None,
+    block_rows: int = 1024,
+    max_cell_rows: int = 200_000,
 ) -> DataFrame:
     """Full SemDeDup pass: within-cluster cosine pairs at >= threshold
     (semantic_dedup_pairs) chained into connected components
@@ -607,7 +609,8 @@ def semantic_dedup(
     if index is None:
         index = build_ivf_index(corpus, id_col, vec_col, n_cells, seed, persist=False)
     pairs = semantic_dedup_pairs(
-        corpus, id_col, vec_col, threshold, n_cells, seed, index=index
+        corpus, id_col, vec_col, threshold, n_cells, seed,
+        index=index, block_rows=block_rows, max_cell_rows=max_cell_rows,
     )
     comp = connected_components(pairs, "id_a", "id_b")
     ids = index.assigned.select(F.col("neighbor_id").alias(id_col))

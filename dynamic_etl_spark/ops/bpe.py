@@ -174,17 +174,12 @@ def bpe_segment(word: str, merge_ranks: dict, eow: str = "</w>") -> list:
     symbols = list(word) + [eow]
     while len(symbols) > 1:
         ranked = [
-            (merge_ranks[(a, b)], i)
-            for i, (a, b) in enumerate(zip(symbols, symbols[1:]))
+            (merge_ranks[(a, b)], a, b)
+            for a, b in zip(symbols, symbols[1:])
             if (a, b) in merge_ranks
         ]
         if not ranked:
             break
-        best_rank = min(r for r, _ in ranked)
-        a, b = None, None
-        for (l, r), rk in merge_ranks.items():
-            if rk == best_rank:
-                a, b = l, r
-                break
+        _, a, b = min(ranked)
         symbols = merge_word(symbols, a, b)
     return symbols

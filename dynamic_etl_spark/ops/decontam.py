@@ -77,6 +77,8 @@ def bloom_words(
     bounded, parameter-sized artifact (1<<20 bits = 16 KB), not
     data-scaled; this is the broadcast build side, the same collect class
     as a mini-dim."""
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
     n_words = m_bits // 64
     pos = grams.select(
         F.explode(

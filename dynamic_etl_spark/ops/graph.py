@@ -168,16 +168,27 @@ def pagerank(
     pinned against each other in pytest. Dense cost is n² doubles —
     the default 2000 caps it at 32 MB.
     """
-    e = edges.select(
+    e0 = edges.select(
         F.col(src).alias("src"),
         F.col(dst).alias("dst"),
         (F.col(weight) if weight else F.lit(1.0)).cast("double").alias("w"),
     ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w")).persist()
+    # zero/negative-weight edges carry no rank mass: drop them BEFORE the
+    # out-weight division (ANSI mode makes w/0 a DIVIDE_BY_ZERO crash,
+    # not a null), which also makes a vertex with ONLY zero-weight
+    # out-edges dangling — the numpy reference's np.divide(where=)
+    # convention. The vertex set still comes from the UNFILTERED edges so
+    # such vertices stay in the graph (as dangling), not silently vanish.
+    e = (
+        e0.filter(F.col("w") > 0)
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .persist()
+    )
 
     verts = (
-        e.select(F.col("src").alias("v"))
-        .union(e.select(F.col("dst").alias("v")))
+        e0.select(F.col("src").alias("v"))
+        .union(e0.select(F.col("dst").alias("v")))
         .distinct()
         .persist()
     )
@@ -208,7 +219,10 @@ def pagerank(
     if max(n, m) <= small_graph_threshold:
         import numpy as np
 
-        vrows = [r["v"] for r in verts.collect()]
+        # sorted: collect order of a .distinct() is shuffle-dependent and
+        # would permute the IEEE accumulation order of rank @ P — sorting
+        # makes the driver path bit-stable at any parallelism
+        vrows = sorted(r["v"] for r in verts.collect())
         idx = {v: i for i, v in enumerate(vrows)}
         P = np.zeros((n, n))
         for r in trans.collect():
@@ -254,11 +268,19 @@ def pagerank(
 
     ranks = flagged.select("v", "__has_out", F.lit(1.0 / n).alias("rank")).persist()
     base = (1.0 - damping) / n
+    # a round's frame is unpersisted only AFTER its child is materialized
+    # by an action (the dangling collect or the delta probe) — releasing
+    # earlier would make skipped-probe rounds recompute the whole join
+    # chain back to the last checkpoint inside the next collect
+    prev: DataFrame | None = None
     for it in range(max_iter):
         dangling = (
             ranks.filter(~F.col("__has_out")).agg(F.sum("rank")).collect()[0][0]
             or 0.0
         )
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         contrib = (
             ranks.join(trans, ranks["v"] == trans["src"])
             .groupBy("dst")
@@ -291,13 +313,17 @@ def pagerank(
                 .agg(F.sum(F.abs(F.col("rank") - F.col("__prev"))))
                 .collect()[0][0]
             )
+            # the probe materialized nxt: the parent can release now
+            ranks.unpersist()
         else:
             delta = None
-        ranks.unpersist()
+            prev = ranks  # still backs the lazy nxt — release next round
         ranks = nxt
         if delta is not None and delta < tol:
             break
     out = ranks.select("v", "rank").localCheckpoint()
+    if prev is not None:
+        prev.unpersist()
     ranks.unpersist()
     flagged.unpersist()
     trans.unpersist()

@@ -250,16 +250,33 @@ def snapshot_diff(
     """
     keys = list(keys)
     if compare_cols is None:
-        compare_cols = [c for c in new.columns if c not in keys]
+        # UNION of both sides' non-key columns: versioned tables evolve
+        # (io/versioned supports mid-stream column adds), so a column
+        # present on only one side must still participate — the absent
+        # side contributes typed nulls, and a value appearing (or a
+        # dropped column's value vanishing) correctly reads CHANGED
+        # under null-safe comparison rather than crashing / passing
+        # silently
+        compare_cols = [c for c in new.columns if c not in keys] + [
+            c for c in old.columns if c not in keys and c not in new.columns
+        ]
+
+    def _side(df: DataFrame, other: DataFrame, prefix: str) -> list:
+        cols = []
+        for c in compare_cols:
+            if c in df.columns:
+                cols.append(F.col(c).alias(f"{prefix}{c}"))
+            else:
+                cols.append(
+                    F.lit(None).cast(other.schema[c].dataType).alias(f"{prefix}{c}")
+                )
+        return cols
+
     o = old.select(
-        *keys,
-        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
-        F.lit(True).alias("__o_present"),
+        *keys, *_side(old, new, "__o_"), F.lit(True).alias("__o_present")
     )
     n = new.select(
-        *keys,
-        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
-        F.lit(True).alias("__n_present"),
+        *keys, *_side(new, old, "__n_"), F.lit(True).alias("__n_present")
     )
     j = o.join(n, keys, "full_outer")
     changed_cols = F.concat_ws(

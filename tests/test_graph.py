@@ -168,3 +168,31 @@ def test_pagerank_driver_path_matches_distributed(spark):
     assert fast.keys() == dist.keys()
     for v in fast:
         assert abs(fast[v] - dist[v]) < 1e-9
+
+
+def test_pagerank_zero_weight_edges_are_dangling(spark):
+    """Zero-weight out-edges carry no mass: the vertex counts as
+    dangling (matching the numpy reference's divide-where convention)
+    instead of crashing on ANSI DIVIDE_BY_ZERO, and stays in the
+    vertex set."""
+    from dynamic_etl_spark.ops.graph import pagerank
+
+    edges = [(1, 2, 1.0), (2, 1, 1.0), (3, 1, 0.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {
+        r["v"]: r["rank"]
+        for r in pagerank(df, weight="w", max_iter=40, tol=1e-12).collect()
+    }
+    ref = _numpy_pagerank([(s - 1, d - 1, w) for s, d, w in edges], 3, iters=40)
+    assert set(got) == {1, 2, 3}
+    for v in (1, 2, 3):
+        assert abs(got[v] - ref[v - 1]) < 1e-9
+    # distributed path agrees on the same graph
+    dist = {
+        r["v"]: r["rank"]
+        for r in pagerank(
+            df, weight="w", max_iter=40, tol=1e-12, small_graph_threshold=0
+        ).collect()
+    }
+    for v in (1, 2, 3):
+        assert abs(dist[v] - got[v]) < 1e-9

@@ -66,23 +66,28 @@ def test_topk_broadcasts_queries_not_corpus(spark):
     assert "BroadcastNestedLoopJoin BuildRight" in plan
 
 
+#: The CLAUDE.md cross-join rule's full whitelist: the deliberate
+#: brute-force-ANN broadcast NLJ plus documented 1-row broadcast anchors.
+#: Everything else must plan with neither CartesianProduct NOR
+#: BroadcastNestedLoopJoin (a condition-less broadcast join evades the
+#: CartesianProduct grep — review r4 continuation).
+_CROSS_JOIN_WHITELIST = (
+    "embedding_topk_bruteforce",        # deliberate broadcast NLJ (small queries)
+    "embedding_topk_vectorized",        # mapInPandas path
+    "freshness_watermark",              # 1x1 crossJoin of two scalar aggs
+    "simhash_near_dup",                 # 1-row broadcast anchor
+    "benchmark_decontamination_bloom",  # 1-row bloom-words broadcast anchor
+    "bigram_perplexity_profile",        # 1-row vocab-size broadcast anchor
+)
+
+
 @pytest.mark.parametrize(
-    "name",
-    sorted(
-        n
-        for n in REGISTRY
-        if n
-        not in (
-            "embedding_topk_bruteforce",  # deliberate broadcast NLJ (small queries)
-            "embedding_topk_vectorized",  # mapInPandas path
-            "freshness_watermark",        # 1x1 crossJoin of two scalar aggs
-            "simhash_near_dup",           # 1-row broadcast anchor
-        )
-    ),
+    "name", sorted(n for n in REGISTRY if n not in _CROSS_JOIN_WHITELIST)
 )
 def test_no_cartesian_anywhere(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
 
 
 def test_line_dedup_counts_partial_aggregate_and_quota_rank_pushdown(spark):

@@ -191,3 +191,33 @@ def test_snapshot_diff_between_versions(spark, tmp_path):
     assert out[4] == ("CHANGED", "val,tag")
     assert out[6] == ("ADDED", "")
     assert len(out) == 7
+
+
+def test_snapshot_diff_schema_evolution(spark, tmp_path):
+    """A column added in the new version (or dropped from it) still
+    diffs: the absent side contributes typed nulls, so appearing values
+    read CHANGED and the call does not crash (io/versioned supports
+    mid-stream column adds)."""
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_spark.ops.joins import snapshot_diff
+
+    old = spark.range(3).select(F.col("id"), (F.col("id") * 10).alias("val"))
+    new = spark.range(3).select(
+        F.col("id"),
+        (F.col("id") * 10).alias("val"),
+        F.when(F.col("id") == 1, "x").alias("tag"),  # added column, null for id 0/2
+    )
+    out = {
+        r["id"]: (r["change_type"], r["changed_cols"])
+        for r in snapshot_diff(old, new, ["id"]).collect()
+    }
+    assert out[1] == ("CHANGED", "tag")     # value appeared
+    assert out[0] == ("UNCHANGED", "")      # null == null (both-null convention)
+    # dropped column: diff the other direction
+    out2 = {
+        r["id"]: (r["change_type"], r["changed_cols"])
+        for r in snapshot_diff(new, old, ["id"]).collect()
+    }
+    assert out2[1] == ("CHANGED", "tag")    # value vanished
+    assert out2[2] == ("UNCHANGED", "")
