@@ -71,6 +71,10 @@ HEADLINE = (
     "semantic_dedup_survivors",
     "benchmark_decontamination_bloom",
     "knn_label_vote",
+    "heavy_hitter_maintenance",
+    "reservoir_sample_maintenance",
+    "orders_snapshot_diff",
+    "events_type_pagerank",
 )
 
 

@@ -145,6 +145,8 @@ _TAIL_ORDER = (
     "value_outlier_gate",
     # shuffle-key skew diagnostics (oracle-backed)
     "events_key_skew_profile",
+    # Z-order layout: Morton-tile locality audit (oracle-backed)
+    "events_zorder_tiles",
     # mergeable aggregation state: merge tree == one-shot (oracle-backed)
     "incremental_rollup_maintenance",
     # mergeable Misra-Gries heavy-hitter summaries (oracle-backed)

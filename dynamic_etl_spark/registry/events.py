@@ -1058,6 +1058,63 @@ def heavy_hitter_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_zorder_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit (ops/layout): events map onto a 2-D
+    (hour-of-day x value) grid, bits interleave into a Morton key, and
+    the key's top byte tiles the space. Per tile: row count plus the
+    hour/value spans — the numbers that show why a Morton-clustered
+    write prunes 2-D box predicates (each tile is a bounded rectangle,
+    not a full-table stripe). Pure integer bit algebra — bit-exact in
+    DuckDB with the same shift/mask operators (sql_zorder_key)."""
+    from dynamic_etl_spark.ops.layout import normalize_to_grid, zorder_key
+
+    ev = t(spark, sf_dir, "events").select(
+        F.hour("ts").cast("long").alias("hod"),
+        F.floor("value").cast("long").alias("val"),
+    )
+    gx = normalize_to_grid(F.col("hod"), 0, 23, 16)
+    gy = normalize_to_grid(F.col("val"), 0, 500, 16)
+    z = zorder_key([gx, gy], 16)
+    return (
+        ev.withColumn("tile", F.shiftright(z, 24))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("hod").alias("hod_min"),
+            F.max("hod").alias("hod_max"),
+            F.min("val").alias("val_min"),
+            F.max("val").alias("val_max"),
+        )
+        .orderBy("tile")
+    )
+
+
+def _zorder_tiles_oracle() -> str:
+    from dynamic_etl_spark.ops.layout import sql_zorder_key
+
+    gx = "CAST(floor((least(greatest(hod, 0), 23) * 65535) / 23) AS BIGINT)"
+    gy = "CAST(floor((least(greatest(val, 0), 500) * 65535) / 500) AS BIGINT)"
+    return f"""
+WITH g AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS hod,
+         CAST(floor(value) AS BIGINT) AS val
+  FROM events
+),
+keyed AS (
+  SELECT hod, val, ({sql_zorder_key([gx, gy], 16)}) >> 24 AS tile FROM g
+)
+SELECT tile, count(*) AS n_events,
+       min(hod) AS hod_min, max(hod) AS hod_max,
+       min(val) AS val_min, max(val) AS val_max
+FROM keyed
+GROUP BY tile
+ORDER BY tile
+"""
+
+
+ZORDER_TILES_ORACLE = _zorder_tiles_oracle()
+
+
 def events_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stationary importance of event types (ops/graph.pagerank): the
     user-journey transition graph — consecutive events per user, the
@@ -1303,6 +1360,11 @@ QUERIES: QueryRegistry = {
         reservoir_sample_maintenance,
         RESERVOIR_ORACLE,
         "maintained per-key uniform reservoir: merge-invariant bottom-n priorities",
+    ),
+    "events_zorder_tiles": Query(
+        events_zorder_tiles,
+        ZORDER_TILES_ORACLE,
+        "Morton-tile locality audit of the (hour x value) grid — bit-exact Z keys",
     ),
     "events_type_pagerank": Query(
         events_type_pagerank, None,

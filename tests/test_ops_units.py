@@ -633,3 +633,44 @@ def test_reservoir_state_merge_invariant(spark):
         assert a == b
     per_key = Counter(r["grp"] for r in one_shot.collect())
     assert all(c == n for c in per_key.values())
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    """Morton key == the textbook bit interleave, and sorting by it
+    yields the quadrant order (0,0),(1,0),(0,1),(1,1) on a 2x2 grid."""
+    from dynamic_etl_spark.ops.layout import zorder_key
+
+    def ref_z(xs, bits=8):
+        out = 0
+        for b in range(bits):
+            for i, v in enumerate(xs):
+                out |= ((v >> b) & 1) << (b * len(xs) + i)
+        return out
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_key([F.col("x"), F.col("y")], bits=8).alias("z")
+        ).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == ref_z([x, y]), (x, y)
+    quad = sorted([(0, 0), (1, 0), (0, 1), (1, 1)], key=lambda p: got[p])
+    assert quad == [(0, 0), (1, 0), (0, 1), (1, 1)]
+
+
+def test_normalize_to_grid_bounds_and_clamp(spark):
+    from dynamic_etl_spark.ops.layout import normalize_to_grid
+
+    df = spark.createDataFrame([(-5,), (0,), (50,), (100,), (140,)], "v long")
+    got = [
+        r["g"]
+        for r in df.select(
+            normalize_to_grid(F.col("v"), 0, 100, 8).alias("g")
+        ).collect()
+    ]
+    assert got[0] == 0 and got[1] == 0          # clamped low edge
+    assert got[3] == 255 and got[4] == 255      # clamped high edge
+    assert got[2] == (50 * 255) // 100          # exact integer quotient

@@ -79,3 +79,63 @@ def test_bucketed_join_has_no_shuffle(spark):
     assert joined.count() == lines.count()
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lines")
+
+
+def test_zorder_write_prunes_second_dimension(spark, tmp_path):
+    """The point of Morton layout: a table linearly sorted by x gives a
+    y-band predicate NO file pruning (every file spans all y), while the
+    z-ordered write bounds BOTH dimensions per file — verified from the
+    actual parquet footers, not the plan."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_spark.ops.layout import write_zordered, zorder_key
+
+    n_side = 200
+    df = (
+        spark.range(n_side * n_side)
+        .select(
+            (F.col("id") % n_side).alias("x"),
+            (F.col("id") / n_side).cast("long").alias("y"),
+        )
+    )
+    linear_dir = str(tmp_path / "linear")
+    z_dir = str(tmp_path / "zorder")
+    (
+        df.repartitionByRange(32, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(linear_dir)
+    )
+    # x/y are already grid coordinates in [0, 256): 8 bits each suffice
+    write_zordered(df, z_dir, zorder_key([F.col("x"), F.col("y")], bits=8), n_files=32)
+
+    def files_overlapping_y_band(d, lo, hi):
+        hit, total = 0, 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            y_min = min(
+                md.row_group(g).column(names["y"]).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            y_max = max(
+                md.row_group(g).column(names["y"]).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            total += 1
+            if y_max >= lo and y_min <= hi:
+                hit += 1
+        return hit, total
+
+    lin_hit, lin_total = files_overlapping_y_band(linear_dir, 50, 60)
+    z_hit, z_total = files_overlapping_y_band(z_dir, 50, 60)
+    # linear-by-x: every file spans essentially all y -> no pruning
+    assert lin_hit == lin_total
+    # z-order: the y-band maps to a bounded strip of Morton tiles
+    assert z_hit <= z_total // 2, (z_hit, z_total)
+    # and the layout loses no rows
+    assert spark.read.parquet(z_dir).count() == n_side * n_side

@@ -145,6 +145,8 @@ SHUFFLE_BUDGET = {
     "events_interarrival_profile": 1,
     "value_outlier_gate": 2,
     "events_key_skew_profile": 2,
+    # tile groupBy + boundary sort
+    "events_zorder_tiles": 2,
     "incremental_rollup_maintenance": 4,
     # 3 slice builds + 2 merges, each one groupBy + one keyed window
     # over the SAME partitioning (offset is a second window function,
