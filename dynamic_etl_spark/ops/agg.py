@@ -400,3 +400,100 @@ def finalize_heavy_hitter_state(state: DataFrame, item_alias: str = "item") -> D
         F.col("state_item").alias(item_alias),
         F.col("state_cnt").alias("count_lower_bound"),
     )
+
+
+def build_quantile_hist_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 100,
+) -> DataFrame:
+    """Mergeable QUANTILE state: a fixed-grid count histogram per key —
+    the maintained-percentile member of the summary suite (monoid / HLL
+    / Misra-Gries / reservoir). Exact per-key quantiles need the sorted
+    history; integer bin counts merge by plain addition, so a 100 TB
+    latency/price P99 is maintained batch-by-batch at O(n_bins) state
+    per key with a fixed ±bin_width error bound.
+
+    Bins: ``floor((v - lo) / width)`` with underflow at -1 and overflow
+    at ``n_bins`` (both kept — mass is never silently dropped). All
+    counts are exact integers and the bin map is one IEEE
+    subtract/divide/floor identical on both engines, so unlike a
+    t-digest this state IS oracle-checkable.
+    """
+    width = (hi - lo) / n_bins
+    b = F.floor((F.col(value) - F.lit(lo)) / F.lit(width))
+    bin_col = (
+        F.when(F.col(value) < lo, F.lit(-1))
+        .when(F.col(value) >= hi, F.lit(n_bins))
+        .otherwise(F.least(b, F.lit(n_bins - 1)))
+        .cast("long")
+    )
+    return df.groupBy(*keys, bin_col.alias("state_bin")).agg(
+        F.count(F.lit(1)).alias("state_n")
+    )
+
+
+def merge_quantile_hist_state(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold histogram states: union + per-bin integer sum. Bin-count-
+    sized shuffle; lossless by construction."""
+    keys = [c for c in state.columns if c not in ("state_bin", "state_n")]
+    return (
+        state.unionByName(delta)
+        .groupBy(*keys, "state_bin")
+        .agg(F.sum("state_n").alias("state_n"))
+    )
+
+
+def finalize_quantile_hist_state(
+    state: DataFrame,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Quantile estimates from the merged histogram: for each q, the
+    first bin whose cumulative count reaches ``ceil(q * total)``,
+    linearly interpolated inside the bin. Underflow/overflow bins clamp
+    to ``lo``/``hi``. One keyed sort window shared by every q; output
+    (keys..., q, quantile_est) rounded 6dp."""
+    keys = [c for c in state.columns if c not in ("state_bin", "state_n")]
+    width = (hi - lo) / n_bins
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("state_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wk = Window.partitionBy(*keys)
+    cum = (
+        state.select(
+            *keys,
+            "state_bin",
+            "state_n",
+            F.sum("state_n").over(w).alias("__cum"),
+            F.sum("state_n").over(wk).alias("__tot"),
+        )
+        .withColumn("__prev", F.col("__cum") - F.col("state_n"))
+        # every q rides the SAME windowed pass via a literal-array
+        # explode — no per-q branch recomputing the sort, no union
+        .withColumn("q", F.explode(F.array(*[F.lit(float(q)) for q in qs])))
+    )
+    t = F.greatest(F.ceil(F.col("q") * F.col("__tot")), F.lit(1))
+    est = (
+        F.when(F.col("state_bin") == -1, F.lit(lo))
+        .when(F.col("state_bin") == n_bins, F.lit(hi))
+        .otherwise(
+            F.lit(lo)
+            + F.col("state_bin") * F.lit(width)
+            + (t - F.col("__prev")).cast("double")
+            / F.col("state_n").cast("double")
+            * F.lit(width)
+        )
+    )
+    return cum.filter((F.col("__cum") >= t) & (F.col("__prev") < t)).select(
+        *keys,
+        "q",
+        F.round(est, 6).alias("quantile_est"),
+    )

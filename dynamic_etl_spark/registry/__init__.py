@@ -154,6 +154,9 @@ _TAIL_ORDER = (
     # mergeable per-key uniform reservoir: merge tree == one-shot
     # (oracle-backed)
     "reservoir_sample_maintenance",
+    # mergeable quantile histograms: maintained P50/P90/P99
+    # (oracle-backed)
+    "quantile_hist_maintenance",
     # snapshot distribution drift (oracle-backed)
     "events_type_drift_profile",
     # long->wide pivot and its melt inverse (oracle-backed)

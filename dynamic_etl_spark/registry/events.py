@@ -1058,6 +1058,76 @@ def heavy_hitter_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantile_hist_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained per-event-type P50/P90/P99 (ops/agg.build/merge/
+    finalize_quantile_hist_state): three date slices histogrammed
+    independently on the [0, 500)x100-bin grid, integer bin counts
+    folded, quantiles interpolated from the merged histogram. Bin counts
+    are exact integers and the bin map / interpolation are identical
+    IEEE chains, so the DuckDB twin bins ONE-SHOT — hash equality proves
+    the maintained histogram lossless (the reservoir/rollup pattern)."""
+    from dynamic_etl_spark.ops.agg import (
+        build_quantile_hist_state,
+        finalize_quantile_hist_state,
+        merge_quantile_hist_state,
+    )
+
+    ev = t(spark, sf_dir, "events").select("event_type", "value", "ts")
+    cut1 = F.lit("2024-01-11 00:00:00").cast("timestamp_ntz")
+    cut2 = F.lit("2024-01-21 00:00:00").cast("timestamp_ntz")
+    lo, hi, nb = 0.0, 500.0, 100
+    s1 = build_quantile_hist_state(
+        ev.filter(F.col("ts") < cut1), ["event_type"], "value", lo, hi, nb
+    )
+    s2 = build_quantile_hist_state(
+        ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
+        ["event_type"], "value", lo, hi, nb,
+    )
+    s3 = build_quantile_hist_state(
+        ev.filter(F.col("ts") >= cut2), ["event_type"], "value", lo, hi, nb
+    )
+    merged = merge_quantile_hist_state(merge_quantile_hist_state(s1, s2), s3)
+    return finalize_quantile_hist_state(
+        merged, lo, hi, nb, qs=(0.5, 0.9, 0.99)
+    ).orderBy("event_type", "q")
+
+
+QUANTILE_HIST_ORACLE = """
+WITH hist AS (
+  SELECT event_type,
+         CAST(CASE WHEN value < 0 THEN -1
+                   WHEN value >= 500 THEN 100
+                   ELSE least(CAST(floor((value - 0) / 5.0) AS BIGINT), 99)
+              END AS BIGINT) AS state_bin,
+         count(*) AS state_n
+  FROM events
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT *,
+         SUM(state_n) OVER (PARTITION BY event_type ORDER BY state_bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(state_n) OVER (PARTITION BY event_type) AS tot
+  FROM hist
+),
+c2 AS (SELECT *, cum - state_n AS prev FROM cum),
+tq AS (
+  SELECT c2.*, q, greatest(CAST(ceil(q * tot) AS BIGINT), 1) AS t
+  FROM c2 CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                             (CAST(0.99 AS DOUBLE))) AS qs(q)
+)
+SELECT event_type, q,
+       round(CASE WHEN state_bin = -1 THEN 0.0
+                  WHEN state_bin = 100 THEN 500.0
+                  ELSE 0.0 + state_bin * 5.0
+                       + CAST(t - prev AS DOUBLE) / CAST(state_n AS DOUBLE) * 5.0
+             END, 6) AS quantile_est
+FROM tq
+WHERE cum >= t AND prev < t
+ORDER BY event_type, q
+"""
+
+
 def events_zorder_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout audit (ops/layout): events map onto a 2-D
     (hour-of-day x value) grid, bits interleave into a Morton key, and
@@ -1360,6 +1430,11 @@ QUERIES: QueryRegistry = {
         reservoir_sample_maintenance,
         RESERVOIR_ORACLE,
         "maintained per-key uniform reservoir: merge-invariant bottom-n priorities",
+    ),
+    "quantile_hist_maintenance": Query(
+        quantile_hist_maintenance,
+        QUANTILE_HIST_ORACLE,
+        "maintained P50/P90/P99 from mergeable integer histograms over date slices",
     ),
     "events_zorder_tiles": Query(
         events_zorder_tiles,

@@ -674,3 +674,56 @@ def test_normalize_to_grid_bounds_and_clamp(spark):
     assert got[0] == 0 and got[1] == 0          # clamped low edge
     assert got[3] == 255 and got[4] == 255      # clamped high edge
     assert got[2] == (50 * 255) // 100          # exact integer quotient
+
+
+def test_quantile_hist_state_error_bound_and_merge(spark):
+    """Histogram-quantile state: any slicing folds to the identical
+    merged histogram (integer sums), and every estimate sits within one
+    bin width of the exact interpolated percentile."""
+    from dynamic_etl_spark.ops.agg import (
+        build_quantile_hist_state,
+        finalize_quantile_hist_state,
+        merge_quantile_hist_state,
+        pct_exact,
+    )
+
+    lo, hi, nb = 0.0, 100.0, 50
+    width = (hi - lo) / nb
+    df = spark.range(2000).select(
+        (F.col("id") % 2).cast("string").alias("grp"),
+        # deterministic skewed values in [0, 100), plus out-of-range rows
+        F.when(F.col("id") % 97 == 0, F.lit(250.0))
+        .otherwise((F.pow(F.col("id") % 100, 2) / 99.0))
+        .alias("value"),
+    )
+    one_shot = build_quantile_hist_state(df, ["grp"], "value", lo, hi, nb)
+    parts = [
+        build_quantile_hist_state(
+            df.filter(F.col("id") % 3 == r), ["grp"], "value", lo, hi, nb
+        )
+        for r in range(3)
+    ]
+    folded = merge_quantile_hist_state(
+        merge_quantile_hist_state(parts[0], parts[1]), parts[2]
+    )
+    a = {(r["grp"], r["state_bin"]): r["state_n"] for r in folded.collect()}
+    b = {(r["grp"], r["state_bin"]): r["state_n"] for r in one_shot.collect()}
+    assert a == b  # histograms merge losslessly
+
+    got = {
+        (r["grp"], r["q"]): r["quantile_est"]
+        for r in finalize_quantile_hist_state(
+            folded, lo, hi, nb, qs=(0.5, 0.9)
+        ).collect()
+    }
+    exact = {
+        (r["grp"], q): r[f"p{int(q*100)}"]
+        for r in df.groupBy("grp")
+        .agg(
+            pct_exact("value", 0.5, "p50"), pct_exact("value", 0.9, "p90")
+        )
+        .collect()
+        for q in (0.5, 0.9)
+    }
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= width, (k, est, exact[k])

@@ -155,6 +155,8 @@ SHUFFLE_BUDGET = {
     # 3 slice builds (keyed window each) + fold + boundary sort; AQE
     # reuses the rest
     "reservoir_sample_maintenance": 4,
+    # 3 slice binnings + fold + one shared finalize window + sort
+    "quantile_hist_maintenance": 5,
     # eager: edge build + power iteration ran at fn() time (or on the
     # driver via the small-graph path); lazy tail is the rank sort
     "events_type_pagerank": 1,
