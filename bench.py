@@ -75,6 +75,8 @@ HEADLINE = (
     "reservoir_sample_maintenance",
     "orders_snapshot_diff",
     "events_type_pagerank",
+    "quantile_hist_maintenance",
+    "events_zorder_tiles",
 )
 
 
