@@ -294,13 +294,51 @@ def run_streaming_rollup(
     and skipped until ids pass the recorded high-water. Rebuilding
     state means a fresh state_root AND a fresh checkpoint together.
     """
+    from dynamic_etl_spark.ops.agg import build_agg_state, merge_agg_state
+
+    return run_streaming_summary(
+        stream_df,
+        state_root,
+        checkpoint_dir,
+        build=lambda batch: build_agg_state(batch, list(keys), value),
+        merge=merge_agg_state,
+        timeout_sec=timeout_sec,
+    )
+
+
+def run_streaming_summary(
+    stream_df: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    *,
+    build,
+    merge,
+    timeout_sec: int = 120,
+) -> StreamingQuery:
+    """Generalized :func:`run_streaming_rollup`: continuously maintain
+    ANY mergeable summary from a stream. ``build(batch_df) -> state_df``
+    summarizes one micro-batch alone; ``merge(state_df, delta_df) ->
+    state_df`` folds it into the stored state. Plugs the whole summary
+    suite into the same exactly-once versioned-commit protocol —
+
+        build=lambda b: build_quantile_hist_state(b, keys, v, lo, hi, nb)
+        build=lambda b: build_heavy_hitter_state(b, keys, item, k)
+        build=lambda b: build_reservoir_state(b, keys, item, n)
+        build=lambda b: build_distinct_sketch_state(b, keys, v)
+
+    — so maintained percentiles, heavy hitters, reservoirs, and distinct
+    sketches all get streaming currency without history rescans.
+
+    Exactly-once semantics are identical to run_streaming_rollup (the
+    Delta txn batch-id pattern; see its docstring for the crash cases
+    and the one-checkpoint-one-state-table rule).
+    """
     from dynamic_etl_spark.io.versioned import (
         latest_metadata,
         latest_version,
         read_versioned,
         write_versioned,
     )
-    from dynamic_etl_spark.ops.agg import build_agg_state, merge_agg_state
 
     spark = stream_df.sparkSession
 
@@ -312,11 +350,11 @@ def run_streaming_rollup(
             applied = latest_metadata(state_root).get("batch_id", -1)
             if batch_id <= applied:
                 return  # checkpoint redelivery of an already-folded batch
-        delta = build_agg_state(batch_df, list(keys), value)
+        delta = build(batch_df)
         if current is None:
             write_versioned(delta, state_root, metadata={"batch_id": batch_id})
             return
-        merged = merge_agg_state(read_versioned(spark, state_root), delta)
+        merged = merge(read_versioned(spark, state_root), delta)
         write_versioned(
             merged, state_root,
             base_version=current, expected_base=True,
@@ -331,7 +369,7 @@ def run_streaming_rollup(
     )
     if not query.awaitTermination(timeout_sec):
         raise TimeoutError(
-            f"streaming rollup did not drain within {timeout_sec}s; the "
+            f"streaming summary did not drain within {timeout_sec}s; the "
             f"query is still running — raise timeout_sec or stop() it"
         )
     return query

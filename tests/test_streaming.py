@@ -549,3 +549,69 @@ def test_streaming_rollup_exactly_once_fold(spark, scratch):
     )
     assert snapshot() == expect
     assert latest_metadata(state_root)["batch_id"] == last_batch
+
+
+def test_streaming_summary_maintains_quantile_histogram(spark, scratch):
+    """run_streaming_summary with the histogram-quantile builders: the
+    maintained state equals the one-shot histogram over everything
+    (merging is lossless for integer bins), a second drain is a no-op,
+    and a replayed batch id is skipped — the same exactly-once contract
+    as the rollup sink, now for ANY mergeable summary."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_spark.io.versioned import latest_metadata, read_versioned
+    from dynamic_etl_spark.ops.agg import (
+        build_quantile_hist_state,
+        merge_quantile_hist_state,
+    )
+    from dynamic_etl_spark.streaming import file_stream, run_streaming_summary
+
+    src = os.path.join(scratch, "src")
+    state = os.path.join(scratch, "state")
+    ckpt = os.path.join(scratch, "ckpt")
+    os.makedirs(src)
+    lo, hi, nb = 0.0, 100.0, 20
+    all_rows = []
+    for part in range(3):
+        rows = [(str(part), float((i * 7 + part * 13) % 100)) for i in range(50)]
+        all_rows += rows
+        spark.createDataFrame(rows, "grp string, value double").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        run_streaming_summary(
+            file_stream(spark, src, "grp string, value double", fmt="parquet"),
+            state,
+            ckpt,
+            build=lambda b: build_quantile_hist_state(b, ["grp"], "value", lo, hi, nb),
+            merge=merge_quantile_hist_state,
+        )
+
+    one_shot = {
+        (r["grp"], r["state_bin"]): r["state_n"]
+        for r in build_quantile_hist_state(
+            spark.createDataFrame(all_rows, "grp string, value double"),
+            ["grp"], "value", lo, hi, nb,
+        ).collect()
+    }
+    maintained = {
+        (r["grp"], r["state_bin"]): r["state_n"]
+        for r in read_versioned(spark, state).collect()
+    }
+    assert maintained == one_shot
+
+    # drained checkpoint: re-running with no new files folds nothing
+    before = latest_metadata(state).get("batch_id")
+    run_streaming_summary(
+        file_stream(spark, src, "grp string, value double", fmt="parquet"),
+        state,
+        ckpt,
+        build=lambda b: build_quantile_hist_state(b, ["grp"], "value", lo, hi, nb),
+        merge=merge_quantile_hist_state,
+    )
+    assert latest_metadata(state).get("batch_id") == before
+    assert {
+        (r["grp"], r["state_bin"]): r["state_n"]
+        for r in read_versioned(spark, state).collect()
+    } == one_shot
