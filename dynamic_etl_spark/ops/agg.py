@@ -320,21 +320,55 @@ def finalize_distinct_sketch_state(state: DataFrame) -> DataFrame:
     )
 
 
-def _mg_compress(counters: DataFrame, keys: Sequence[str], k: int) -> DataFrame:
+def _mg_compress(
+    counters: DataFrame,
+    keys: Sequence[str],
+    k: int,
+    two_phase: bool = False,
+    n_salts: int = 32,
+) -> DataFrame:
     """Misra-Gries compression: subtract the (k+1)-th largest counter
     value per key group from every counter and drop the non-positive —
     at most ``k`` strictly-positive counters survive. The offset is the
     (k+1)-th value of the count MULTISET, so it is tie-permutation-
     robust: any total order over equal counts picks the same offset,
-    which is what makes the whole summary engine-exact."""
-    w = Window.partitionBy(*keys).orderBy(
-        F.desc("state_cnt"), F.asc("state_item")
-    )
+    which is what makes the whole summary engine-exact.
+
+    ``two_phase=True`` is the skew-safe shape for UNBOUNDED inputs
+    (bit-identical to the one-window form, so the oracles are
+    untouched): a hot key with millions of distinct items must never be
+    sorted in one task, so phase 1 ranks within ``(keys, salt)`` groups
+    — salt is a Spark-side hash of the item, invisible to the result —
+    and keeps each group's top-(k+1). That candidate union provably
+    contains (a) the global top-(k+1) rows under the same total order,
+    hence the offset, and (b) every survivor: cnt > offset implies
+    global rank <= k, and in-group rank <= global rank. Phase 2 then
+    runs the original keyed window over a frame bounded at
+    (k+1)*n_salts rows per key. Both windows use the identical
+    (cnt DESC, item ASC) total order, so the first k+1 global ranks
+    agree with the unsalted ranking exactly. Build compressions (raw
+    distinct-item counts, unbounded per key) opt in; merge
+    compressions run over unions of already-k-bounded summaries, where
+    the extra exchange would buy nothing."""
+    order = [F.desc("state_cnt"), F.asc("state_item")]
+    cand = counters
+    if two_phase:
+        wg = Window.partitionBy(*keys, "__salt").orderBy(*order)
+        cand = (
+            counters.withColumn(
+                "__salt",
+                F.pmod(F.xxhash64(F.col("state_item").cast("string")), F.lit(n_salts)),
+            )
+            .withColumn("__gr", F.row_number().over(wg))
+            .filter(F.col("__gr") <= k + 1)
+            .drop("__salt", "__gr")
+        )
+    w = Window.partitionBy(*keys).orderBy(*order)
     wk = Window.partitionBy(*keys)
     # the offset rides a SECOND window over the same partitioning — one
     # exchange serves both, no self-join (the keyed-window analogue of
     # the broadcast-back pattern)
-    ranked = counters.withColumn("__rn", F.row_number().over(w))
+    ranked = cand.withColumn("__rn", F.row_number().over(w))
     off = F.coalesce(
         F.max(F.when(F.col("__rn") == k + 1, F.col("state_cnt"))).over(wk),
         F.lit(0),
@@ -369,12 +403,15 @@ def build_heavy_hitter_state(
     sketch this state IS oracle-checkable.
 
     100 TB shape: build shuffles once on (keys, item) with map-side
-    partials; state thereafter is O(|keys| * k) rows, and every merge
-    moves only summaries, never history."""
+    partials; the initial compression is the salted two-phase form (see
+    :func:`_mg_compress`), so a hot key's million-item distinct set is
+    ranked in 32 bounded salt groups, never one task; state thereafter
+    is O(|keys| * k) rows, and every merge moves only summaries, never
+    history."""
     counts = df.groupBy(*keys, F.col(item).alias("state_item")).agg(
         F.count(F.lit(1)).alias("state_cnt")
     )
-    return _mg_compress(counts, keys, k)
+    return _mg_compress(counts, keys, k, two_phase=True)
 
 
 def merge_heavy_hitter_state(
@@ -418,11 +455,16 @@ def build_quantile_hist_state(
     per key with a fixed ±bin_width error bound.
 
     Bins: ``floor((v - lo) / width)`` with underflow at -1 and overflow
-    at ``n_bins`` (both kept — mass is never silently dropped). All
-    counts are exact integers and the bin map is one IEEE
-    subtract/divide/floor identical on both engines, so unlike a
-    t-digest this state IS oracle-checkable.
+    at ``n_bins`` (both kept — mass is never silently dropped). NULL
+    values are filtered out explicitly: letting them fall through the
+    when-chain would mint a NULL state_bin whose window placement
+    diverges between engines (Spark windows sort NULLS FIRST, DuckDB
+    NULLS LAST — see SCALE.md parity traps). All counts are exact
+    integers and the bin map is one IEEE subtract/divide/floor identical
+    on both engines, so unlike a t-digest this state IS
+    oracle-checkable.
     """
+    df = df.filter(F.col(value).isNotNull())
     width = (hi - lo) / n_bins
     b = F.floor((F.col(value) - F.lit(lo)) / F.lit(width))
     bin_col = (

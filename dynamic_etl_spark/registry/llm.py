@@ -653,10 +653,14 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     Vote counts derive only from the top-k SET (hash-matched against the
     oracle by the topk queries), so the vote is engine-exact; vote_share
     is one IEEE division of two small ints."""
+    # K binds the topk call AND the vote_share divisor; the oracle's
+    # matching literal 10.0 in KNN_VOTE_ORACLE (r <= 10 / 10.0) must be
+    # kept in lockstep if K ever changes.
+    K = 10
     emb = t(spark, sf_dir, "embeddings")
     train = emb.filter(F.col("vec_id") % 100 != 0)
     held = emb.filter(F.col("vec_id") % 100 == 0)
-    topk = ANN.cosine_topk_vectorized(train, held, "vec_id", "embedding", k=10)
+    topk = ANN.cosine_topk_vectorized(train, held, "vec_id", "embedding", k=K)
     votes = (
         topk.join(
             train.select(
@@ -678,7 +682,7 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("voted_label").alias("predicted_label"),
             "n_votes",
-            (F.col("n_votes").cast("double") / F.lit(10.0)).alias("vote_share"),
+            (F.col("n_votes").cast("double") / F.lit(float(K))).alias("vote_share"),
         )
     )
     return (

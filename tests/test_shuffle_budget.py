@@ -148,10 +148,13 @@ SHUFFLE_BUDGET = {
     # tile groupBy + boundary sort
     "events_zorder_tiles": 2,
     "incremental_rollup_maintenance": 4,
-    # 3 slice builds + 2 merges, each one groupBy + one keyed window
-    # over the SAME partitioning (offset is a second window function,
-    # not a self-join); AQE reuses the rest
-    "heavy_hitter_maintenance": 7,
+    # 3 slice builds + 2 merges; each build is one groupBy + the
+    # two-phase skew-safe compression (one salted-group window + one
+    # bounded keyed window — the extra exchange per build is the r5
+    # deliberate fix that keeps a hot key's distinct-item sort out of a
+    # single task); merges stay single-window over k-bounded summaries;
+    # AQE reuses the rest
+    "heavy_hitter_maintenance": 10,
     # 3 slice builds (keyed window each) + fold + boundary sort; AQE
     # reuses the rest
     "reservoir_sample_maintenance": 4,
