@@ -27,8 +27,94 @@ from dynamic_etl_spark.registry.core import Query, QueryRegistry
 #: LSH/ANN paths, brute-force-checked in tests/test_llm.py) go last.
 DRIVER_WINDOW = 50
 
-#: Positions 1-50: every entry has (or is about to get) a DuckDB oracle.
+#: Positions 1-50 — the r5 rotation. Every operator family earned a
+#: driver-green representative across r1–r4 (68 queries carry the hard
+#: hash signal), so this round hands the window to the 48 oracle-backed
+#: queries the driver has NEVER hash-confirmed (added since r3), plus
+#: the two r4-green queries whose results CHANGE this round
+#: (validation_report gains the cross-column conditional rule;
+#: multimodal_feature_extract gains the real BMP/WAV strict decode).
+#: Four never-confirmed twins stay in the tail to make room — their
+#: family representative is already driver-green or in-window
+#: (dedup_keep_last_line_agg = D1 twin, events_hourly_heatmap = resample
+#: twin, generator_products/distributors = generator_fact_day siblings).
 _WINDOW_ORDER = (
+    # SCD-2 read side + snapshot diff (merge family)
+    "scd2_point_in_time_lookup",
+    "orders_snapshot_diff",
+    # mergeable maintained-summary suite (monoid / MG / reservoir /
+    # quantile-histogram)
+    "incremental_rollup_maintenance",
+    "heavy_hitter_maintenance",
+    "reservoir_sample_maintenance",
+    "quantile_hist_maintenance",
+    # physical layout
+    "events_zorder_tiles",
+    # semantic dedup + label propagation + scale-path decontamination
+    "semantic_dedup_survivors",
+    "knn_label_vote",
+    "benchmark_decontamination_bloom",
+    # embedding aggregation / quantization audit
+    "embedding_label_centroids",
+    "embedding_int8_quant",
+    # training-mix assembly + shard export
+    "corpus_split_assignment",
+    "corpus_mixture_sample",
+    "shard_assignment_profile",
+    "source_quota_cap",
+    # document-quality layer
+    "tfidf_top_terms",
+    "bigram_novelty_profile",
+    "document_chunking",
+    "vocabulary_build",
+    "pmi_collocations_top",
+    "markup_strip_clean",
+    "quality_rank_calibration",
+    "source_concentration_profile",
+    # robust-stats DQ gates + skew diagnostics
+    "value_outlier_gate",
+    "events_key_skew_profile",
+    # event analytics: funnel / retention / drift / percentiles
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "events_type_drift_profile",
+    "events_value_percentiles",
+    # long<->wide reshaping
+    "events_type_pivot",
+    "events_type_unpivot",
+    # rolling / inter-arrival / windowed-distinct
+    "events_rolling_user_value",
+    "events_interarrival_profile",
+    "events_rolling_distinct_users",
+    # histograms + deciles
+    "events_value_histogram",
+    "events_equidepth_deciles",
+    # LOCF / resample / transitions
+    "events_fill_forward",
+    "events_hourly_resample",
+    "events_transition_matrix",
+    # feature scaling
+    "events_minmax_scaled",
+    "events_value_zscore",
+    # correlated aggregates / distribution ranks / RFM / listagg
+    "orders_above_customer_avg",
+    "order_price_distribution_ranks",
+    "customer_rfm_segmentation",
+    "nation_segment_listagg",
+    # blocked edit-distance lookup
+    "fuzzy_brand_match",
+    # dim generator (fact generator already driver-green r04)
+    "generator_stores",
+    # changed this round: cross-column conditional rule (planted
+    # violation) / real BMP+WAV strict decode
+    "validation_report",
+    "multimodal_feature_extract",
+)
+
+#: The r1–r4 window, rotated out: every entry below was driver-green in
+#: CORRECTNESS_r01–r04; the local pytest parity harness still
+#: hash-checks each against the same oracle every run.
+_R5_ROTATED_OUT = (
     # relational scans / joins / aggregates
     "flagship_star_join",
     "scan_projection_filter",
@@ -61,8 +147,6 @@ _WINDOW_ORDER = (
     "scd2_merge_customers",
     "mini_dim_upsert",
     "snowflake_extraction",
-    # validation
-    "validation_report",
     # events (r4 rotation: as-of + range joins get the hard signal)
     "events_tumbling_window",
     "events_sessionization",
@@ -87,13 +171,14 @@ _WINDOW_ORDER = (
     "embedding_near_dup",
     "embedding_topk_bruteforce",
     "embedding_topk_vectorized",
-    "multimodal_feature_extract",
     # generators
     "generator_fact_day",
 )
 
-#: Positions 51+: oracle-backed near-duplicates of windowed operators
-#: first (still locally hash-checked), then the rows-only queries.
+#: Positions 51+: previously driver-confirmed queries rotated out in
+#: earlier rounds, oracle-backed twins of windowed/confirmed
+#: operators (all still locally hash-checked every run by
+#: tests/test_oracle_parity.py), then the rows-only queries.
 _TAIL_ORDER = (
     # r4 rotation: driver-confirmed green in CORRECTNESS_r03 — swapped out
     # of the window to hand the hard signal to never-driver-checked
@@ -118,91 +203,43 @@ _TAIL_ORDER = (
     "duplicate_group_members",     # D3 sibling of duplicate_detection (A7)
     "natural_key_concat",          # F9 concat also exercised in the clean feeds
     "date_backfill_initial",       # U5 twin of date_gap_fill_incremental
-    "generator_stores",
     "generator_products",
     "generator_distributors",
     # document-quality layer (oracle-backed)
-    "tfidf_top_terms",
-    "events_funnel_conversion",
     # quota capping, percentile profiles (oracle-backed)
-    "source_quota_cap",
-    "events_value_percentiles",
     # SCD-2 read side: point-in-time attribution (oracle-backed)
-    "scd2_point_in_time_lookup",
     # version-to-version table diff with per-column attribution
     # (oracle-backed)
-    "orders_snapshot_diff",
     # training-mix assembly (oracle-backed)
-    "corpus_split_assignment",
-    "corpus_mixture_sample",
     # embedding aggregation + quantization audit (oracle-backed)
-    "embedding_label_centroids",
-    "embedding_int8_quant",
     # rolling / inter-arrival event analytics (oracle-backed)
-    "events_rolling_user_value",
-    "events_interarrival_profile",
     # robust-statistics DQ gate (oracle-backed)
-    "value_outlier_gate",
     # shuffle-key skew diagnostics (oracle-backed)
-    "events_key_skew_profile",
     # Z-order layout: Morton-tile locality audit (oracle-backed)
-    "events_zorder_tiles",
     # mergeable aggregation state: merge tree == one-shot (oracle-backed)
-    "incremental_rollup_maintenance",
     # mergeable Misra-Gries heavy-hitter summaries (oracle-backed)
-    "heavy_hitter_maintenance",
     # mergeable per-key uniform reservoir: merge tree == one-shot
     # (oracle-backed)
-    "reservoir_sample_maintenance",
     # mergeable quantile histograms: maintained P50/P90/P99
     # (oracle-backed)
-    "quantile_hist_maintenance",
     # snapshot distribution drift (oracle-backed)
-    "events_type_drift_profile",
     # long->wide pivot and its melt inverse (oracle-backed)
-    "events_type_pivot",
-    "events_type_unpivot",
     # retention cohort triangle (oracle-backed)
-    "events_retention_cohorts",
     # blocked edit-distance lookup (oracle-backed)
-    "fuzzy_brand_match",
     # correlated-aggregate filter + distribution ranks (oracle-backed)
-    "orders_above_customer_avg",
-    "order_price_distribution_ranks",
-    "customer_rfm_segmentation",
     # string aggregation (oracle-backed)
-    "nation_segment_listagg",
     # windowed distinct count + binned histogram (oracle-backed)
-    "events_rolling_distinct_users",
-    "events_value_histogram",
-    "events_equidepth_deciles",
     # LOCF gap repair + linear regridding + Markov transitions
     # (oracle-backed)
-    "events_fill_forward",
-    "events_hourly_resample",
-    "events_transition_matrix",
     "events_hourly_heatmap",
     # feature scaling: min-max + z-score (oracle-backed)
-    "events_minmax_scaled",
-    "events_value_zscore",
     # context-window chunking + vocabulary + collocations + markup strip
     # (oracle-backed)
-    "document_chunking",
-    "vocabulary_build",
-    "pmi_collocations_top",
-    "markup_strip_clean",
-    "quality_rank_calibration",
-    "source_concentration_profile",
     # semantic dedup + kNN label propagation (oracle-backed)
-    "semantic_dedup_survivors",
-    "knn_label_vote",
     # decontamination scale path: bloom prefilter + exact verify, equals
     # the windowed exact query (oracle-backed twin)
-    "benchmark_decontamination_bloom",
     # corpus-LM quality gate (oracle-backed)
-    "bigram_novelty_profile",
     # training-shard export audit (oracle-backed)
-    "shard_assignment_profile",
     # rows-only (iterative per-round argmax; reference-BPE-checked in
     # pytest)
     "bpe_merge_training",
@@ -258,7 +295,7 @@ def all_queries() -> QueryRegistry:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")
         pooled.update(module.QUERIES)
 
-    order = (*_WINDOW_ORDER, *_TAIL_ORDER)
+    order = (*_WINDOW_ORDER, *_R5_ROTATED_OUT, *_TAIL_ORDER)
     if len(_WINDOW_ORDER) != DRIVER_WINDOW:
         raise ValueError(
             f"driver window holds {DRIVER_WINDOW} queries, order lists {len(_WINDOW_ORDER)}"

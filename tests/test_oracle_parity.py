@@ -32,22 +32,31 @@ def test_rows_only_query_runs(spark, name):
     assert len(df.columns) > 0
 
 
-def test_driver_window_holds_the_llm_layer():
+def test_driver_window_holds_the_r5_rotation():
     """The driver hash-checks only the first DRIVER_WINDOW registered
-    queries; the LLM similarity layer (driver-brief first-class) and the
-    fact generator must sit inside it (VERDICT r2 next-steps #1/#3)."""
-    from dynamic_etl_spark.registry import DRIVER_WINDOW
+    queries. The r5 window hands the hard signal to the oracle-backed
+    queries never driver-confirmed in r1–r4 (VERDICT r4 next-steps #1)
+    plus the two r4-green queries whose results change in r5; everything
+    rotated out stays hash-checked by this local harness."""
+    from dynamic_etl_spark.registry import DRIVER_WINDOW, _R5_ROTATED_OUT
 
     window = list(REGISTRY)[:DRIVER_WINDOW]
     for name in (
-        "ngram_jaccard_similarity",
-        "embedding_near_dup",
-        "embedding_topk_bruteforce",
-        "embedding_topk_vectorized",
+        # representatives of the never-confirmed families
+        "scd2_point_in_time_lookup",
+        "heavy_hitter_maintenance",
+        "semantic_dedup_survivors",
+        "events_zorder_tiles",
+        "benchmark_decontamination_bloom",
+        # changed in r5: cross-column rule / real BMP+WAV decode
+        "validation_report",
         "multimodal_feature_extract",
-        "generator_fact_day",
     ):
         assert name in window, f"{name} fell outside the driver correctness window"
+    # nothing already driver-confirmed wastes a slot (except the two
+    # changed queries, which need re-confirmation)
+    stale = set(window) & set(_R5_ROTATED_OUT)
+    assert not stale, f"already-confirmed queries occupy window slots: {sorted(stale)}"
 
 
 def test_driver_window_is_fully_oracle_backed():
