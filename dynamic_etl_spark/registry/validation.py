@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dynamic_etl_spark.registry.core import Query, QueryRegistry, t
-from dynamic_etl_spark.validate import ValidationSpec, validate
+from dynamic_etl_spark.validate import CrossColumnRule, ValidationSpec, validate
 
 
 def _dirty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -33,6 +33,16 @@ def _dirty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(k % 2 == 0, F.lit("Y"))
         .otherwise(F.lit("N"))
         .alias("status_flag"),
+        # conditional-domain pair (reference oracledb.sql:11-20): chains
+        # must carry a chain_name, independents must not. Planted
+        # violations: k%7==0 is a chain WITHOUT a name, k%7==3 an
+        # independent WITH one.
+        F.when(k % 7 < 3, F.lit("Y")).otherwise(F.lit("N")).alias("is_chain"),
+        F.when(k % 7 == 0, F.lit(None))
+        .when(k % 7 < 3, F.concat(F.lit("Chain-"), (k % 5).cast("string")))
+        .when(k % 7 == 3, F.lit("Rogue"))
+        .otherwise(F.lit(None))
+        .alias("chain_name"),
         F.col("o_orderdate"),
     )
 
@@ -50,6 +60,20 @@ def validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag_columns=("status_flag",),
         pk_column="order_key",
         freshness=("o_orderdate", F.lit(fresh_val)),
+        cross_column=(
+            CrossColumnRule(
+                "chain_name_required",
+                when=F.col("is_chain") == "Y",
+                then=F.col("chain_name").isNotNull(),
+                columns=("is_chain", "chain_name"),
+            ),
+            CrossColumnRule(
+                "chain_name_forbidden",
+                when=F.col("is_chain") == "N",
+                then=F.col("chain_name").isNull(),
+                columns=("is_chain", "chain_name"),
+            ),
+        ),
     )
     return validate(spark, feed, spec)
 
@@ -65,6 +89,11 @@ WITH feed AS (
          CASE WHEN o_orderkey % 11 = 0 THEN 'X'
               WHEN o_orderkey % 11 = 1 THEN NULL
               WHEN o_orderkey % 2 = 0 THEN 'Y' ELSE 'N' END AS status_flag,
+         CASE WHEN o_orderkey % 7 < 3 THEN 'Y' ELSE 'N' END AS is_chain,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              WHEN o_orderkey % 7 < 3 THEN 'Chain-' || CAST(o_orderkey % 5 AS VARCHAR)
+              WHEN o_orderkey % 7 = 3 THEN 'Rogue'
+              ELSE NULL END AS chain_name,
          o_orderdate
   FROM orders
 ),
@@ -78,6 +107,10 @@ stats AS (
                          AS DOUBLE) IS NULL THEN 1 END) AS bad_price,
          COUNT(CASE WHEN status_flag IS NULL
                      OR upper(trim(status_flag)) NOT IN ('Y', 'N') THEN 1 END) AS bad_flag,
+         COUNT(CASE WHEN is_chain = 'Y' AND NOT COALESCE(chain_name IS NOT NULL, FALSE)
+                    THEN 1 END) AS cc_required,
+         COUNT(CASE WHEN is_chain = 'N' AND NOT COALESCE(chain_name IS NULL, FALSE)
+                    THEN 1 END) AS cc_forbidden,
          COUNT(CASE WHEN o_orderdate = (SELECT MAX(o_orderdate) FROM orders) THEN 1 END)
            AS fresh
   FROM feed
@@ -99,6 +132,10 @@ UNION ALL SELECT 'numeric_parse', 'price_str',
        CASE WHEN bad_price = 0 THEN 'PASS' ELSE 'FAIL' END, bad_price, 0 FROM stats
 UNION ALL SELECT 'flag_domain', 'status_flag',
        CASE WHEN bad_flag = 0 THEN 'PASS' ELSE 'FAIL' END, bad_flag, 0 FROM stats
+UNION ALL SELECT 'cross_column', 'chain_name_required',
+       CASE WHEN cc_required = 0 THEN 'PASS' ELSE 'FAIL' END, cc_required, 0 FROM stats
+UNION ALL SELECT 'cross_column', 'chain_name_forbidden',
+       CASE WHEN cc_forbidden = 0 THEN 'PASS' ELSE 'FAIL' END, cc_forbidden, 0 FROM stats
 UNION ALL SELECT 'pk_unique', 'order_key',
        CASE WHEN dup_members = 0 THEN 'PASS' ELSE 'FAIL' END, dup_members, 0 FROM dups
 UNION ALL SELECT 'freshness', 'o_orderdate',
@@ -107,6 +144,8 @@ UNION ALL SELECT 'identifier_safe', 'order_key', 'PASS', NULL, NULL
 UNION ALL SELECT 'identifier_safe', 'cust_key', 'PASS', NULL, NULL
 UNION ALL SELECT 'identifier_safe', 'price_str', 'PASS', NULL, NULL
 UNION ALL SELECT 'identifier_safe', 'status_flag', 'PASS', NULL, NULL
+UNION ALL SELECT 'identifier_safe', 'is_chain', 'PASS', NULL, NULL
+UNION ALL SELECT 'identifier_safe', 'chain_name', 'PASS', NULL, NULL
 """
 
 

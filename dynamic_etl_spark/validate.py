@@ -39,6 +39,23 @@ def validator_numeric_clean(c: Column) -> Column:
 
 
 @dataclass(frozen=True)
+class CrossColumnRule:
+    """Conditional cross-column domain rule — the declarative twin of the
+    reference's conditional CHECK constraint (oracledb.sql:11-20:
+    ``is_chain='Y' => chain_name NOT NULL, is_chain='N' => chain_name
+    NULL``). A row violates the rule when ``when`` holds and ``then``
+    does not (a NULL ``then`` counts as a violation, matching SQL CHECK
+    semantics where the implication must evaluate TRUE)."""
+
+    name: str
+    when: Column
+    then: Column
+    #: columns the rule reads — presence-checked and fed to the V9
+    #: identifier-safety gate like every other configured column.
+    columns: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
 class ValidationSpec:
     """Declarative twin of the reference CLI arguments
     (dags/retail_daily_validation_pipeline.py:23-97)."""
@@ -50,6 +67,7 @@ class ValidationSpec:
     pk_column: str | None = None
     #: (column, literal) — freshness passes when >=1 row matches (V7).
     freshness: tuple[str, Column] | None = None
+    cross_column: tuple[CrossColumnRule, ...] = ()
     extra_identifiers: tuple[str, ...] = field(default_factory=tuple)
 
 
@@ -77,7 +95,9 @@ def validate(spark: SparkSession, df: DataFrame, spec: ValidationSpec) -> DataFr
       (validate_table.py:199-219);
     - V6 zero rows in duplicated PK groups (keep=False semantics);
     - V7 freshness: >=1 row at the expected date;
-    - V9 identifier safety for every checked column name.
+    - V9 identifier safety for every checked column name;
+    - cross-column conditional rules (reference oracledb.sql:11-20 CHECK):
+      zero rows where ``when`` holds but ``then`` fails.
     """
     present = set(df.columns)
     rows: list[tuple] = []
@@ -97,6 +117,10 @@ def validate(spark: SparkSession, df: DataFrame, spec: ValidationSpec) -> DataFr
             up = F.upper(F.trim(F.col(c)))
             bad = F.col(c).isNull() | ~up.isin("Y", "N")
             aggs.append(F.count(F.when(bad, 1)).alias(f"flag__{c}"))
+    for i, rule in enumerate(spec.cross_column):
+        if all(c in present for c in rule.columns):
+            bad = rule.when & ~F.coalesce(rule.then, F.lit(False))
+            aggs.append(F.count(F.when(bad, 1)).alias(f"cc__{i}"))
     if spec.freshness is not None and spec.freshness[0] in present:
         fcol, fval = spec.freshness
         aggs.append(F.count(F.when(F.col(fcol) == fval, 1)).alias("__fresh"))
@@ -124,6 +148,12 @@ def validate(spark: SparkSession, df: DataFrame, spec: ValidationSpec) -> DataFr
             continue
         bad = int(stats[f"flag__{c}"])
         rows.append(("flag_domain", c, _status(bad == 0), bad, 0))
+    for i, rule in enumerate(spec.cross_column):
+        if any(c not in present for c in rule.columns):
+            rows.append(("cross_column", rule.name, "FAIL", None, None))
+            continue
+        bad = int(stats[f"cc__{i}"])
+        rows.append(("cross_column", rule.name, _status(bad == 0), bad, 0))
 
     if spec.pk_column is not None and spec.pk_column in present:
         dup_members = (
@@ -151,6 +181,7 @@ def validate(spark: SparkSession, df: DataFrame, spec: ValidationSpec) -> DataFr
             + list(spec.numeric_columns)
             + list(spec.flag_columns)
             + ([spec.pk_column] if spec.pk_column else [])
+            + [c for rule in spec.cross_column for c in rule.columns]
             + list(spec.extra_identifiers)
         )
     )

@@ -42,3 +42,58 @@ def test_identifier_safety():
     assert not safe_identifier("drop;table")
     assert not safe_identifier("")
     assert not safe_identifier("x" * 129)
+
+
+def test_cross_column_conditional_rule(spark):
+    """Reference oracledb.sql:11-20: is_chain='Y' => chain_name NOT NULL,
+    is_chain='N' => chain_name NULL. Both directions, both branches, and
+    the missing-column degrade path."""
+    from dynamic_etl_spark.validate import CrossColumnRule
+
+    df = spark.createDataFrame(
+        [
+            ("Y", "MegaMart"),   # ok
+            ("Y", None),         # violates required
+            ("N", None),         # ok
+            ("N", "Rogue"),      # violates forbidden
+            (None, "Orphan"),    # NULL when-side: neither rule fires
+        ],
+        ["is_chain", "chain_name"],
+    )
+    rules = (
+        CrossColumnRule(
+            "chain_name_required",
+            when=F.col("is_chain") == "Y",
+            then=F.col("chain_name").isNotNull(),
+            columns=("is_chain", "chain_name"),
+        ),
+        CrossColumnRule(
+            "chain_name_forbidden",
+            when=F.col("is_chain") == "N",
+            then=F.col("chain_name").isNull(),
+            columns=("is_chain", "chain_name"),
+        ),
+        CrossColumnRule(
+            "needs_missing_col",
+            when=F.col("is_chain") == "Y",
+            then=F.col("nope").isNotNull(),
+            columns=("is_chain", "nope"),
+        ),
+    )
+    report = validate(spark, df, ValidationSpec(min_rows=1, cross_column=rules))
+    rows = {r["column_name"]: r for r in report.collect() if r["check_name"] == "cross_column"}
+    assert rows["chain_name_required"]["status"] == "FAIL"
+    assert rows["chain_name_required"]["observed"] == 1
+    assert rows["chain_name_forbidden"]["status"] == "FAIL"
+    assert rows["chain_name_forbidden"]["observed"] == 1
+    assert rows["needs_missing_col"]["status"] == "FAIL"
+    assert rows["needs_missing_col"]["observed"] is None
+    # rule columns feed the V9 identifier gate
+    idents = {r["column_name"] for r in report.collect() if r["check_name"] == "identifier_safe"}
+    assert {"is_chain", "chain_name", "nope"} <= idents
+    # clean feed passes
+    clean = spark.createDataFrame([("Y", "MegaMart"), ("N", None)], ["is_chain", "chain_name"])
+    ok = validate(spark, clean, ValidationSpec(min_rows=1, cross_column=rules[:2]))
+    assert all(
+        r["status"] == "PASS" for r in ok.collect() if r["check_name"] == "cross_column"
+    )
