@@ -3,16 +3,21 @@ binary columns with typed metadata).
 
 The Spark-side contract is real and tested: binary payload column + typed
 metadata struct, Arrow-batched ``mapInPandas`` feature extraction with an
-explicit output schema, and partition-preserving plumbing. The actual
-codec step is STUBBED — image/audio libraries are not in this container —
-behind ``decoder=`` hooks: the default ``header_features`` decoder is a
-deterministic byte-level feature (so the pipeline is testable end-to-end
-and oracle-checkable), and ``strict_decoder`` raises NotImplementedError
-with a clear marker for the real PIL/torchaudio integration point.
+explicit output schema, and partition-preserving plumbing. Codecs:
+
+- ``strict_decoder`` REALLY decodes the two uncompressed container
+  formats stdlib ``struct`` can parse — BMP (BITMAPINFOHEADER, 24bpp
+  uncompressed, bottom-up rows + 4-byte row padding) and WAV (RIFF
+  PCM16 mono) — and raises NotImplementedError only for genuinely
+  compressed formats (JPEG/PNG/MP3/...), which need an image/audio
+  library this container does not ship.
+- ``header_features`` is the deterministic byte-level fallback decoder
+  for opaque payloads, kept for the text-bytes plumbing path.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -46,12 +51,111 @@ def header_features(payload: bytes) -> list[float]:
     return feats
 
 
+def decode_bmp(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Decode an uncompressed 24bpp BITMAPINFOHEADER BMP with stdlib
+    struct only. Returns (width, height, pixels) with pixels in LOGICAL
+    row-major top-down (r, g, b) order — i.e. the stored bottom-up BGR
+    rows are un-flipped and channel-swapped, and per-row 4-byte padding
+    is stripped."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    (pixel_off,) = struct.unpack_from("<I", payload, 10)
+    header_size, width, height, planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if header_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24bpp BMP decodes here (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    if width <= 0 or height == 0:
+        raise ValueError("degenerate BMP dimensions")
+    bottom_up = height > 0
+    h = abs(height)
+    row_size = (3 * width + 3) & ~3
+    pixels: list[tuple[int, int, int]] = []
+    for y in range(h):
+        src_row = (h - 1 - y) if bottom_up else y
+        off = pixel_off + src_row * row_size
+        row = payload[off : off + 3 * width]
+        if len(row) < 3 * width:
+            raise ValueError("truncated BMP pixel data")
+        for x in range(width):
+            b, g, r = row[3 * x : 3 * x + 3]
+            pixels.append((r, g, b))
+    return width, h, pixels
+
+
+def decode_wav(payload: bytes) -> tuple[int, list[int]]:
+    """Decode a RIFF/WAVE PCM 16-bit mono payload with stdlib struct
+    only. Walks the chunk list (so extra chunks before 'data' are
+    legal), returns (sample_rate, samples)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, sample_rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, sample_rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM16 mono WAV decodes here (fmt={fmt}, "
+                    f"channels={channels}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    samples = list(struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2]))
+    return sample_rate, samples
+
+
+#: First feature cell tags the decoded kind so mixed-media feature rows
+#: remain self-describing.
+KIND_BMP, KIND_WAV = 1.0, 2.0
+
+
 def strict_decoder(payload: bytes) -> list[float]:
-    """The real-codec integration point. STUB: media libraries are not
-    available in this environment."""
+    """The real-codec path: sniff the container magic and REALLY decode
+    what stdlib struct can parse. BMP -> [kind, width, height, mean_r,
+    mean_g, mean_b]; WAV -> [kind, sample_rate, n_samples, mean_sample,
+    max_abs_sample, 0]. Means are exact integer sums divided once in
+    IEEE double, so a SQL oracle reproduces them bit-for-bit.
+
+    Genuinely compressed formats (JPEG/PNG/GIF/MP3/...) still raise
+    NotImplementedError: entropy-coded payloads need an image/audio
+    library this container does not ship; plug PIL/torchaudio in here.
+    """
+    if payload[:2] == b"BM":
+        w, h, px = decode_bmp(payload)
+        n = float(len(px))
+        return [
+            KIND_BMP,
+            float(w),
+            float(h),
+            sum(p[0] for p in px) / n,
+            sum(p[1] for p in px) / n,
+            sum(p[2] for p in px) / n,
+        ]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        rate, samples = decode_wav(payload)
+        n = float(len(samples))
+        return [
+            KIND_WAV,
+            float(rate),
+            n,
+            sum(samples) / n if samples else 0.0,
+            float(max((abs(s) for s in samples), default=0)),
+            0.0,
+        ]
     raise NotImplementedError(
-        "media decode requires an image/audio library not present in this "
-        "container; plug a PIL/torchaudio-backed decoder in here"
+        "compressed media decode requires an image/audio library not "
+        "present in this container; plug a PIL/torchaudio-backed decoder "
+        "in here"
     )
 
 
@@ -59,15 +163,22 @@ def extract_media_features(
     media: DataFrame,
     decoder: Callable[[bytes], list[float]] = header_features,
     batch_size_hint: int | None = None,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Arrow-batched feature extraction over a media table with columns
     (doc_id long, media binary, media_type string).
 
     mapInPandas (not a scalar UDF) so the decoder sees whole Arrow record
     batches — the shape real codecs want — and can emit a different row
-    count if a decode fails (rows are dropped, never nulled mid-schema).
-    Partitioning of the input is preserved; no shuffle is introduced.
+    count if a decode fails (``on_error='drop'`` skips undecodable rows —
+    dropped, never nulled mid-schema — which is how a mixed corpus runs
+    the strict decoder past its compressed formats; the default 'raise'
+    surfaces the failure). Partitioning of the input is preserved; no
+    shuffle is introduced.
     """
+    if on_error not in ("raise", "drop"):
+        raise ValueError(f"on_error must be 'raise' or 'drop', got {on_error!r}")
+    drop_failures = on_error == "drop"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -83,15 +194,107 @@ def extract_media_features(
                 if payload is None:
                     continue
                 raw = bytes(payload)
+                try:
+                    feats = decoder(raw)
+                except (NotImplementedError, ValueError):
+                    if drop_failures:
+                        continue
+                    raise
                 out["doc_id"].append(int(doc_id))
                 out["media_type"].append(mtype)
                 out["n_bytes"].append(len(raw))
-                out["features"].append(decoder(raw))
-            yield pd.DataFrame(out)
+                out["features"].append(feats)
+            # a fully-dropped batch must yield NOTHING: an empty pandas
+            # "features" column types as float64 ndarray, which Arrow
+            # cannot convert to list<double>
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
 
     # decode work per row dwarfs a raw-byte shuffle; no-op when the
     # source is already well-split (session.ensure_fanout_parallelism)
     return ensure_fanout_parallelism(media).mapInPandas(run, FEATURE_SCHEMA)
+
+
+#: Synthetic-media geometry: 3x2 24bpp BMP (9-byte rows pad to 12 — the
+#: padding path is exercised on every image) and 8-sample 8 kHz WAV.
+BMP_W, BMP_H = 3, 2
+WAV_RATE, WAV_N = 8000, 8
+
+
+def _bmp_rgb(doc_id: int, i: int) -> tuple[int, int, int]:
+    """Channel generating function for logical pixel index i (row-major
+    top-down). Shared by the encoder and the SQL oracle (which computes
+    the expected means analytically instead of parsing bytes)."""
+    return (
+        (doc_id + 3 * i) % 256,
+        (doc_id * 2 + 5 * i + 1) % 256,
+        (doc_id * 3 + 7 * i + 2) % 256,
+    )
+
+
+def _wav_sample(doc_id: int, i: int) -> int:
+    """Sample generating function: int16-ranged, sign-mixed."""
+    return ((doc_id * 31 + i * 17) % 2003) - 1001
+
+
+def encode_bmp(doc_id: int, w: int = BMP_W, h: int = BMP_H) -> bytes:
+    """Serialize the deterministic pixel function as a real BMP file:
+    BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up BGR rows, 4-byte row
+    padding — the wire format strict_decoder must correctly undo."""
+    row_size = (3 * w + 3) & ~3
+    data = bytearray()
+    for y in reversed(range(h)):  # stored bottom-up
+        for x in range(w):
+            r, g, b = _bmp_rgb(doc_id, y * w + x)
+            data += bytes((b, g, r))  # stored BGR
+        data += b"\x00" * (row_size - 3 * w)
+    pixel_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", pixel_off + len(data), 0, 0, pixel_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return bytes(header + info + data)
+
+
+def encode_wav(doc_id: int, rate: int = WAV_RATE, n: int = WAV_N) -> bytes:
+    """Serialize the deterministic sample function as a real RIFF/WAVE
+    PCM16 mono file."""
+    data = struct.pack(f"<{n}h", *(_wav_sample(doc_id, i) for i in range(n)))
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synthetic_media(docs: DataFrame) -> DataFrame:
+    """Fixture adapter: deterministic REAL media payloads keyed off
+    doc_id — BMP for even ids, WAV for odd — built in the same Arrow
+    mapInPandas idiom the decode path uses. Because the pixel/sample
+    generating functions are closed-form, a SQL oracle can compute the
+    decoded features analytically; hash equality then proves the whole
+    encode -> binary column -> strict decode chain."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media": [
+                        encode_bmp(d) if d % 2 == 0 else encode_wav(d) for d in ids
+                    ],
+                    "media_type": [
+                        "image/bmp" if d % 2 == 0 else "audio/wav" for d in ids
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("media", T.BinaryType(), False),
+            T.StructField("media_type", T.StringType(), False),
+        ]
+    )
+    return ensure_fanout_parallelism(docs.select("doc_id")).mapInPandas(run, schema)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:

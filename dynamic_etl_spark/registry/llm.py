@@ -20,6 +20,8 @@ from dynamic_etl_spark.ops import text as TX
 from dynamic_etl_spark.ops.multimodal import (
     documents_as_media,
     extract_media_features,
+    strict_decoder,
+    synthetic_media,
 )
 from dynamic_etl_spark.registry.core import Query, QueryRegistry, t
 from dynamic_etl_spark.session import ensure_fanout_parallelism
@@ -746,13 +748,20 @@ ORDER BY b.query_id
 
 
 # ==========================================================================
-# Multimodal: binary payload -> Arrow-batched mapInPandas feature extract
-# (decoder stubbed deterministically, so the oracle CAN check the plumbing)
+# Multimodal: binary payload -> Arrow-batched mapInPandas feature extract.
+# r5: a REAL strict decode — synthetic_media serializes genuine BMP
+# (bottom-up BGR rows, 4-byte padding) and WAV (RIFF PCM16) containers
+# from closed-form pixel/sample functions, strict_decoder re-parses the
+# bytes with stdlib struct, and the oracle computes the expected decoded
+# features ANALYTICALLY from the same generating functions — so hash
+# equality proves the full encode -> binary column -> decode chain, not
+# just the plumbing. (Compressed formats still raise; see
+# ops/multimodal.strict_decoder.)
 # ==========================================================================
 
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = documents_as_media(t(spark, sf_dir, "documents"))
-    feats = extract_media_features(media)
+    media = synthetic_media(t(spark, sf_dir, "documents"))
+    feats = extract_media_features(media, decoder=strict_decoder)
     # array cells hash differently across compare harnesses — surface the
     # feature vector as a canonical string at the query boundary (the ops
     # layer keeps the real ArrayType; tests exercise it directly)
@@ -766,15 +775,50 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Channel/sample generating functions mirror ops/multimodal._bmp_rgb /
+# _wav_sample; file sizes are the fixed 3x2-24bpp BMP (54 header + 2*12
+# padded rows = 78) and 8-sample PCM16 WAV (44 header + 16 = 60). Means
+# divide an exact integer sum once in double — bit-identical cross-engine
+# (WAV /8 is even dyadic-exact).
 MULTIMODAL_ORACLE = """
-SELECT doc_id,
-       'text/plain' AS media_type,
-       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-       array_to_string(list_transform(range(1, 9),
-         i -> CAST(CAST(round(CASE WHEN i <= length(text)
-                   THEN CAST(ord(substr(text, CAST(i AS INT), 1)) AS DOUBLE) / 255.0
-                   ELSE 0.0 END, 6) AS DOUBLE) AS VARCHAR)), ',') AS features_csv
-FROM documents
+WITH bmp AS (
+  SELECT doc_id,
+         CAST(SUM((doc_id + 3*i) % 256) AS DOUBLE) / 6 AS mean_r,
+         CAST(SUM((doc_id*2 + 5*i + 1) % 256) AS DOUBLE) / 6 AS mean_g,
+         CAST(SUM((doc_id*3 + 7*i + 2) % 256) AS DOUBLE) / 6 AS mean_b
+  FROM (SELECT doc_id, unnest(range(0, 6)) AS i
+        FROM documents WHERE doc_id % 2 = 0)
+  GROUP BY doc_id
+),
+wav AS (
+  SELECT doc_id,
+         CAST(SUM(((doc_id*31 + i*17) % 2003) - 1001) AS DOUBLE) / 8 AS mean_s,
+         CAST(MAX(ABS(((doc_id*31 + i*17) % 2003) - 1001)) AS DOUBLE) AS max_abs
+  FROM (SELECT doc_id, unnest(range(0, 8)) AS i
+        FROM documents WHERE doc_id % 2 = 1)
+  GROUP BY doc_id
+)
+SELECT doc_id, 'image/bmp' AS media_type, CAST(78 AS INT) AS n_bytes,
+       array_to_string([
+         CAST(CAST(1.0 AS DOUBLE) AS VARCHAR),
+         CAST(CAST(3.0 AS DOUBLE) AS VARCHAR),
+         CAST(CAST(2.0 AS DOUBLE) AS VARCHAR),
+         CAST(CAST(round(mean_r, 6) AS DOUBLE) AS VARCHAR),
+         CAST(CAST(round(mean_g, 6) AS DOUBLE) AS VARCHAR),
+         CAST(CAST(round(mean_b, 6) AS DOUBLE) AS VARCHAR)
+       ], ',') AS features_csv
+FROM bmp
+UNION ALL
+SELECT doc_id, 'audio/wav', CAST(60 AS INT),
+       array_to_string([
+         CAST(CAST(2.0 AS DOUBLE) AS VARCHAR),
+         CAST(CAST(8000.0 AS DOUBLE) AS VARCHAR),
+         CAST(CAST(8.0 AS DOUBLE) AS VARCHAR),
+         CAST(CAST(round(mean_s, 6) AS DOUBLE) AS VARCHAR),
+         CAST(CAST(round(max_abs, 6) AS DOUBLE) AS VARCHAR),
+         CAST(CAST(0.0 AS DOUBLE) AS VARCHAR)
+       ], ',')
+FROM wav
 """
 
 

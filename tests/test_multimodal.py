@@ -1,0 +1,129 @@
+"""Multimodal binary-column handling: the stdlib BMP/WAV strict decode
+chain (encode -> binary column -> mapInPandas decode), its failure modes,
+and the Arrow plumbing invariants."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from dynamic_etl_spark.ops.multimodal import (
+    BMP_H,
+    BMP_W,
+    KIND_BMP,
+    KIND_WAV,
+    WAV_N,
+    WAV_RATE,
+    _bmp_rgb,
+    _wav_sample,
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+    extract_media_features,
+    header_features,
+    strict_decoder,
+    synthetic_media,
+)
+
+
+def test_bmp_round_trip_unflips_rows_and_strips_padding():
+    # 3x2 -> 9-byte rows padded to 12: both the bottom-up flip and the
+    # padding strip are load-bearing for this to hold
+    for doc_id in (0, 7, 254, 99991):
+        w, h, px = decode_bmp(encode_bmp(doc_id))
+        assert (w, h) == (BMP_W, BMP_H)
+        assert px == [_bmp_rgb(doc_id, i) for i in range(BMP_W * BMP_H)]
+
+
+def test_bmp_top_down_negative_height():
+    # height < 0 means rows are stored top-down; decoder must not flip
+    payload = bytearray(encode_bmp(42))
+    # stored bottom-up rows: [row1, row0]; patch height to -2 and swap
+    # rows so the logical image is unchanged
+    struct.pack_into("<i", payload, 22, -BMP_H)
+    row_size = (3 * BMP_W + 3) & ~3
+    off = 54
+    r0 = bytes(payload[off : off + row_size])
+    r1 = bytes(payload[off + row_size : off + 2 * row_size])
+    payload[off : off + row_size] = r1
+    payload[off + row_size : off + 2 * row_size] = r0
+    _, h, px = decode_bmp(bytes(payload))
+    assert h == BMP_H
+    assert px == [_bmp_rgb(42, i) for i in range(BMP_W * BMP_H)]
+
+
+def test_wav_round_trip_and_extra_chunk():
+    for doc_id in (1, 13, 2001):
+        rate, samples = decode_wav(encode_wav(doc_id))
+        assert rate == WAV_RATE
+        assert samples == [_wav_sample(doc_id, i) for i in range(WAV_N)]
+    # an extra (odd-sized, word-padded) chunk before data must be walked over
+    wav = encode_wav(13)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOX" + b"\x00"
+    patched = bytearray(wav[:fmt_end] + extra + wav[fmt_end:])
+    struct.pack_into("<I", patched, 4, len(patched) - 8)
+    rate, samples = decode_wav(bytes(patched))
+    assert rate == WAV_RATE
+    assert samples == [_wav_sample(13, i) for i in range(WAV_N)]
+
+
+def test_strict_decoder_features_match_generating_functions():
+    f = strict_decoder(encode_bmp(10))
+    n = BMP_W * BMP_H
+    assert f[0] == KIND_BMP and f[1:3] == [float(BMP_W), float(BMP_H)]
+    assert f[3] == sum(_bmp_rgb(10, i)[0] for i in range(n)) / n
+    g = strict_decoder(encode_wav(11))
+    s = [_wav_sample(11, i) for i in range(WAV_N)]
+    assert g[0] == KIND_WAV and g[1] == float(WAV_RATE) and g[2] == float(WAV_N)
+    assert g[3] == sum(s) / len(s)
+    assert g[4] == float(max(abs(x) for x in s))
+
+
+def test_strict_decoder_raises_only_for_compressed_or_unknown():
+    with pytest.raises(NotImplementedError):
+        strict_decoder(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # JPEG SOI
+    with pytest.raises(NotImplementedError):
+        strict_decoder(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    # valid BMP container but 8bpp palette — a real gap, must say so
+    payload = bytearray(encode_bmp(1 + 1))
+    struct.pack_into("<H", payload, 28, 8)
+    with pytest.raises(NotImplementedError):
+        strict_decoder(bytes(payload))
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX not a bmp at all, nowhere near")
+
+
+def test_spark_decode_chain_matches_pure_python(spark):
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    feats = extract_media_features(synthetic_media(docs), decoder=strict_decoder)
+    got = {r["doc_id"]: r for r in feats.collect()}
+    assert len(got) == 40
+    for d in range(40):
+        raw = encode_bmp(d) if d % 2 == 0 else encode_wav(d)
+        assert got[d]["n_bytes"] == len(raw)
+        assert got[d]["features"] == strict_decoder(raw)
+        assert got[d]["media_type"] == ("image/bmp" if d % 2 == 0 else "audio/wav")
+
+
+def test_on_error_drop_skips_undecodable_rows(spark):
+    rows = [
+        (1, encode_bmp(4), "image/bmp"),
+        (2, b"\xff\xd8\xff\xe0 fake jpeg", "image/jpeg"),
+        (3, encode_wav(5), "audio/wav"),
+        (4, None, "image/bmp"),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, media binary, media_type string")
+    out = extract_media_features(media, decoder=strict_decoder, on_error="drop")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+    # default surfaces the failure instead of silently shrinking
+    with pytest.raises(Exception, match="NotImplementedError|compressed"):
+        extract_media_features(media, decoder=strict_decoder).collect()
+
+
+def test_header_features_fallback_unchanged():
+    assert header_features(bytes(range(8))) == [b / 255.0 for b in range(8)]
+    assert header_features(b"\x05") == [5 / 255.0] + [0.0] * 7
