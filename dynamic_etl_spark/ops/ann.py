@@ -213,8 +213,13 @@ def build_ivf_index(
     persist: bool = True,
 ) -> IvfIndex:
     """One MLlib k-means fit (seeded) + one transform pass assigning each
-    corpus vector to its cell. ``persist`` caches the assignment — the
-    point of reuse is that subsequent searches only scan probed cells."""
+    corpus vector to its cell. ``persist`` materializes the assignment
+    via localCheckpoint — NOT cache(): a CacheManager entry pins the plan
+    until explicit unpersist (a leak when callers build indexes per
+    batch), while a checkpoint is freed with the DataFrame and also
+    truncates the k-means-transform lineage out of every downstream
+    search plan. The point of reuse is that subsequent searches only
+    scan probed cells."""
     import numpy as np
 
     from pyspark.ml.clustering import KMeans
@@ -227,7 +232,7 @@ def build_ivf_index(
     model = km.fit(c)
     assigned = model.transform(c).select("neighbor_id", "__cv", "__cell")
     if persist:
-        assigned = assigned.persist()
+        assigned = assigned.localCheckpoint()
     centers = np.array([np.asarray(ctr) for ctr in model.clusterCenters()])
     return IvfIndex(assigned, centers)
 

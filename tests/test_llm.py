@@ -165,17 +165,23 @@ def test_ivf_ann_recall_and_candidate_bound(spark):
     assert len(got) <= n_queries * 5
 
     # a prebuilt index is reusable across searches with identical results
-    # (no k-means refit per call — VERDICT r3 nit)
+    # (no k-means refit per call — VERDICT r3 nit); the assignment is a
+    # localCheckpoint, so no CacheManager entry to unpersist
     idx = ANN.build_ivf_index(emb, "vec_id", "embedding", n_cells=8)
-    try:
-        for _ in range(2):
-            again = ANN.ivf_topk(
-                emb, queries, "vec_id", "embedding", k=5, n_probe=3, index=idx
-            )
-            got_again = {(r["query_id"], r["neighbor_id"]) for r in again.collect()}
-            assert got_again == got
-    finally:
-        idx.assigned.unpersist()
+    for _ in range(2):
+        again = ANN.ivf_topk(
+            emb, queries, "vec_id", "embedding", k=5, n_probe=3, index=idx
+        )
+        got_again = {(r["query_id"], r["neighbor_id"]) for r in again.collect()}
+        assert got_again == got
+    # and a split query set against one index unions to the same result
+    # (the registry embedding_ann_ivf shape)
+    evens = queries.filter(F.col("vec_id") % 20 == 0)
+    odds = queries.filter(F.col("vec_id") % 20 != 0)
+    a = ANN.ivf_topk(emb, evens, "vec_id", "embedding", k=5, n_probe=3, index=idx)
+    b = ANN.ivf_topk(emb, odds, "vec_id", "embedding", k=5, n_probe=3, index=idx)
+    split = {(r["query_id"], r["neighbor_id"]) for r in a.unionByName(b).collect()}
+    assert split == got
 
 
 def test_lsh_ann_recall_vs_bruteforce(spark):

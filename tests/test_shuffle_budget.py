@@ -202,7 +202,10 @@ SHUFFLE_BUDGET = {
     "incremental_near_dup": 13,
     "simhash_near_dup": 2,
     "embedding_ann_lsh": 2,
-    "embedding_ann_ivf": 1,
+    # r5: two searches share ONE prebuilt index (reuse made load-bearing);
+    # each half-search ranks its own bounded candidate set — one top-k
+    # window exchange per search, index build truncated by checkpoint
+    "embedding_ann_ivf": 2,
     "bigram_perplexity_profile": 9,
     "distinct_sketch_maintenance": 4,
     "corpus_weighted_sample": 2,
