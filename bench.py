@@ -77,6 +77,10 @@ HEADLINE = (
     "events_type_pagerank",
     "quantile_hist_maintenance",
     "events_zorder_tiles",
+    # round 5: unknown-range maintained quantiles (KLL) + strict-decode
+    # multimodal chain + corpus kNN-join get tracked numbers
+    "rank_sketch_maintenance",
+    "multimodal_feature_extract",
 )
 
 

@@ -1092,6 +1092,37 @@ def quantile_hist_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "q")
 
 
+def rank_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained per-event-type P50/P90/P99 with NO configured value
+    range (ops/kll.build/merge/finalize_kll_state — KLL compactor
+    hierarchy, Karnin-Lang-Liberty FOCS'16): the unknown-range sibling
+    of quantile_hist_maintenance, which needs lo/hi/n_bins a priori.
+    Three date slices sketched independently and folded; rank error
+    bounded by kll_rank_error_bound at any merge tree. Rows-only (the
+    sketch content is merge-tree-dependent within the bound — the HLL
+    precedent); tests/test_kll.py ground-truths the bound, merge
+    associativity, and state size against exact percentiles at
+    sf0.001 AND sf0.01."""
+    from dynamic_etl_spark.ops.kll import (
+        build_kll_state,
+        finalize_kll_state,
+        merge_kll_state,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("value"), "ts"
+    )
+    cut1 = F.lit("2024-01-11 00:00:00").cast("timestamp_ntz")
+    cut2 = F.lit("2024-01-21 00:00:00").cast("timestamp_ntz")
+    s1 = build_kll_state(ev.filter(F.col("ts") < cut1), ["event_type"], "value")
+    s2 = build_kll_state(
+        ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)), ["event_type"], "value"
+    )
+    s3 = build_kll_state(ev.filter(F.col("ts") >= cut2), ["event_type"], "value")
+    merged = merge_kll_state(merge_kll_state(s1, s2), s3)
+    return finalize_kll_state(merged, qs=(0.5, 0.9, 0.99)).orderBy("event_type", "q")
+
+
 QUANTILE_HIST_ORACLE = """
 WITH hist AS (
   SELECT event_type,
@@ -1451,6 +1482,12 @@ QUERIES: QueryRegistry = {
         None,
         "maintained HLL distinct state: slices sketched independently "
         "and folded (rows-only; tolerance pytest)",
+    ),
+    "rank_sketch_maintenance": Query(
+        rank_sketch_maintenance,
+        None,
+        "maintained unknown-range P50/P90/P99 from mergeable KLL rank "
+        "sketches over date slices (rows-only; rank-error-bound pytest)",
     ),
     "events_minmax_scaled": Query(
         events_minmax_scaled,

@@ -1,0 +1,214 @@
+"""KLL rank sketch ground truth (ops/kll.py): rank-error bound vs exact
+percentiles at sf0.001 AND sf0.01, merge-tree invariance of the bound,
+exact associativity of the fold, state-size bound, determinism, and
+streaming maintenance via run_streaming_summary."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dynamic_etl_spark.catalog import load_table
+from dynamic_etl_spark.ops.kll import (
+    DEFAULT_K,
+    _compress,
+    _fold,
+    build_kll_state,
+    finalize_kll_state,
+    kll_rank_error_bound,
+    kll_state_bound,
+    merge_kll_state,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MID = "/root/testdata/sf0.01"
+QS = (0.5, 0.9, 0.99)
+
+# Repo-local scratch (the environment forbids writes outside /root/repo).
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp", "kll")
+
+
+@pytest.fixture()
+def scratch():
+    import shutil
+
+    shutil.rmtree(_SCRATCH, ignore_errors=True)
+    os.makedirs(_SCRATCH)
+    yield _SCRATCH
+    shutil.rmtree(_SCRATCH, ignore_errors=True)
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("value"), "ts"
+    )
+
+
+def _true_ranks(pdf):
+    return {k_: np.sort(g["value"].to_numpy()) for k_, g in pdf.groupby("event_type")}
+
+
+def _worst_rank_err(rows, sorted_vals):
+    worst = 0.0
+    for r in rows:
+        vals = sorted_vals[r["event_type"]]
+        tr = np.searchsorted(vals, r["quantile_est"], side="right") / len(vals)
+        worst = max(worst, abs(tr - r["q"]))
+    return worst
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_MID])
+def test_rank_error_within_bound_one_shot_and_merged(spark, sf_dir):
+    """The verdict's done-criterion: estimate rank error vs the exact
+    distribution stays under kll_rank_error_bound for the one-shot build
+    AND for the 3-slice merge tree, at both scale factors."""
+    ev = _events(spark, sf_dir)
+    pdf = ev.select("event_type", "value").toPandas()
+    sorted_vals = _true_ranks(pdf)
+    n_max = max(len(v) for v in sorted_vals.values())
+
+    one_shot = finalize_kll_state(
+        build_kll_state(ev, ["event_type"], "value"), qs=QS
+    ).collect()
+    assert len(one_shot) == len(sorted_vals) * len(QS)
+    err = _worst_rank_err(one_shot, sorted_vals)
+    bound = kll_rank_error_bound(n_max, DEFAULT_K)
+    assert err <= bound, f"one-shot rank error {err:.5f} > bound {bound:.5f}"
+
+    cut1 = F.lit("2024-01-11 00:00:00").cast("timestamp_ntz")
+    cut2 = F.lit("2024-01-21 00:00:00").cast("timestamp_ntz")
+    s1 = build_kll_state(ev.filter(F.col("ts") < cut1), ["event_type"], "value")
+    s2 = build_kll_state(
+        ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)), ["event_type"], "value"
+    )
+    s3 = build_kll_state(ev.filter(F.col("ts") >= cut2), ["event_type"], "value")
+    merged = merge_kll_state(merge_kll_state(s1, s2), s3)
+    merged_rows = finalize_kll_state(merged, qs=QS).collect()
+    err_m = _worst_rank_err(merged_rows, sorted_vals)
+    bound_m = kll_rank_error_bound(n_max, DEFAULT_K, n_merges=2)
+    assert err_m <= bound_m, f"merged rank error {err_m:.5f} > bound {bound_m:.5f}"
+
+    # state stays sketch-sized
+    n_state = merged.groupBy("event_type").count().agg(F.max("count")).collect()[0][0]
+    assert n_state <= kll_state_bound(n_max, DEFAULT_K)
+
+
+def test_merge_tree_shapes_all_within_bound(spark):
+    """Merge-invariance in the sense a sketch can promise it: every merge
+    tree — left fold, right fold, balanced — lands inside the same
+    rank-error bound (KLL's guarantee is per-compaction, so it is
+    tree-shape-independent)."""
+    ev = _events(spark, SF_MID)
+    pdf = ev.select("event_type", "value").toPandas()
+    sorted_vals = _true_ranks(pdf)
+    n_max = max(len(v) for v in sorted_vals.values())
+
+    day = F.dayofmonth(F.col("ts"))
+    slices = [
+        build_kll_state(ev.filter(day % 4 == i), ["event_type"], "value")
+        for i in range(4)
+    ]
+    trees = {
+        "left": merge_kll_state(
+            merge_kll_state(merge_kll_state(slices[0], slices[1]), slices[2]), slices[3]
+        ),
+        "balanced": merge_kll_state(
+            merge_kll_state(slices[0], slices[1]), merge_kll_state(slices[2], slices[3])
+        ),
+        "right": merge_kll_state(
+            slices[0], merge_kll_state(slices[1], merge_kll_state(slices[2], slices[3]))
+        ),
+    }
+    bound = kll_rank_error_bound(n_max, DEFAULT_K, n_merges=3)
+    for shape, state in trees.items():
+        err = _worst_rank_err(finalize_kll_state(state, qs=QS).collect(), sorted_vals)
+        assert err <= bound, f"{shape} tree rank error {err:.5f} > bound {bound:.5f}"
+
+
+def test_fold_is_exactly_associative_on_fragments():
+    """Below the Spark layer the fold itself is content-deterministic:
+    folding the same fragment multiset in any order compresses to the
+    identical compactor hierarchy (sorting inside _compress erases
+    arrival order)."""
+    rng = np.random.RandomState(3)
+    k = 64
+    frags = []
+    for _ in range(5):
+        levels = _compress({0: rng.lognormal(2, 1, 500)}, k)
+        lv = np.concatenate(
+            [np.full(len(a), l, dtype=np.int64) for l, a in levels.items()]
+        )
+        vv = np.concatenate([a for a in levels.values()])
+        frags.append((lv, vv))
+    a = _fold(iter(frags), k)
+    b = _fold(iter(list(reversed(frags))), k)
+    assert sorted(a) == sorted(b)
+    for l in a:
+        assert np.array_equal(np.sort(a[l]), np.sort(b[l]))
+
+
+def test_exact_below_k_and_deterministic_rerun(spark):
+    """With n < k no compaction ever fires: the sketch returns the exact
+    empirical quantile. Re-running the full build twice is bit-stable
+    (crc32 coins, no RNG)."""
+    ev = _events(spark, SF_SMALL)
+    r1 = finalize_kll_state(build_kll_state(ev, ["event_type"], "value"), qs=QS)
+    r2 = finalize_kll_state(build_kll_state(ev, ["event_type"], "value"), qs=QS)
+    rows1 = sorted(map(tuple, r1.collect()))
+    rows2 = sorted(map(tuple, r2.collect()))
+    assert rows1 == rows2
+    # sf0.001 has ~200 rows per type < DEFAULT_K: estimates == exact
+    # empirical quantile (smallest value with rank >= ceil(q*n))
+    pdf = ev.select("event_type", "value").toPandas()
+    for et, g in pdf.groupby("event_type"):
+        vals = np.sort(g["value"].to_numpy())
+        for q in QS:
+            exact = vals[int(np.ceil(q * len(vals))) - 1]
+            got = [r for r in rows1 if r[0] == et and r[1] == q][0][2]
+            assert got == round(float(exact), 6)
+
+
+def test_streaming_summary_maintains_rank_sketch(spark, scratch):
+    """run_streaming_summary with the KLL builders: after three
+    micro-batches the maintained estimates sit inside the merge-tree
+    bound vs the exact percentiles of everything ingested."""
+    from dynamic_etl_spark.io.versioned import read_versioned
+    from dynamic_etl_spark.streaming import file_stream, run_streaming_summary
+
+    src = os.path.join(scratch, "src")
+    state = os.path.join(scratch, "state")
+    ckpt = os.path.join(scratch, "ckpt")
+    os.makedirs(src)
+    all_rows = []
+    k = 128
+    for part in range(3):
+        rows = [
+            (str(part % 2), float(((i * 7919 + part * 104729) % 100000)) / 7.0)
+            for i in range(2000)
+        ]
+        all_rows += rows
+        spark.createDataFrame(rows, "grp string, value double").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run_streaming_summary(
+            file_stream(spark, src, "grp string, value double", fmt="parquet"),
+            state,
+            ckpt,
+            build=lambda b: build_kll_state(b, ["grp"], "value", k=k),
+            merge=lambda s, d: merge_kll_state(s, d, k=k),
+        )
+    maintained = finalize_kll_state(read_versioned(spark, state), qs=QS).collect()
+    by_grp = {}
+    for g, v in all_rows:
+        by_grp.setdefault(g, []).append(v)
+    sorted_vals = {g: np.sort(np.array(v)) for g, v in by_grp.items()}
+    worst = 0.0
+    for r in maintained:
+        vals = sorted_vals[r["grp"]]
+        tr = np.searchsorted(vals, r["quantile_est"], side="right") / len(vals)
+        worst = max(worst, abs(tr - r["q"]))
+    bound = kll_rank_error_bound(max(len(v) for v in sorted_vals.values()), k, n_merges=2)
+    assert worst <= bound, f"maintained rank error {worst:.5f} > bound {bound:.5f}"

@@ -208,6 +208,10 @@ SHUFFLE_BUDGET = {
     "embedding_ann_ivf": 2,
     "bigram_perplexity_profile": 9,
     "distinct_sketch_maintenance": 4,
+    # 3 slice builds (one keyed fragment-fold exchange each) + 2 merges
+    # + shared finalize window + sort; mapInPandas pre-sketch shuffles
+    # nothing
+    "rank_sketch_maintenance": 8,
     "corpus_weighted_sample": 2,
 }
 
