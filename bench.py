@@ -81,6 +81,7 @@ HEADLINE = (
     # multimodal chain + corpus kNN-join get tracked numbers
     "rank_sketch_maintenance",
     "multimodal_feature_extract",
+    "embedding_knn_join",
 )
 
 

@@ -252,6 +252,9 @@ _TAIL_ORDER = (
     "simhash_near_dup",
     "embedding_ann_lsh",
     "embedding_ann_ivf",
+    # rows-only (k-means cells engine-specific; exact-equality pytest at
+    # n_probe==n_cells + 100k recall gate in test_scale_stress)
+    "embedding_knn_join",
     # rows-only (libm log2 is engine-specific; numpy-checked in pytest)
     "bigram_perplexity_profile",
     # rows-only (HLL sketch bytes are engine-specific; tolerance pytest)

@@ -527,6 +527,19 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return halves[0].unionByName(halves[1])
 
 
+def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus x corpus kNN join (ops/ann.knn_join): every vector gets
+    its 5 nearest corpus neighbors by cosine through one reusable IVF
+    index — multi-probe cell assignment is distributed (no driver
+    collect), scoring is per-cell blockwise BLAS over bucketed
+    candidates only. Rows-only: k-means cells are engine-specific;
+    ground truth is the exact-equality pytest (n_probe == n_cells must
+    reproduce brute force bit-for-bit) and the 100k-vector recall >= 0.9
+    stress gate (tests/test_scale_stress.py)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return ANN.knn_join(emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=4)
+
+
 def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings plus deterministically planted near-dups: every 50th
     vector re-enters under vec_id+1000000 with a tiny index-keyed
@@ -1155,9 +1168,16 @@ QUERIES: QueryRegistry = {
         embedding_ann_ivf, None,
         "IVF (k-means cells, nprobe) approximate top-10 (rows-only; recall-checked in pytest)",
     ),
+    "embedding_knn_join": Query(
+        embedding_knn_join, None,
+        "corpus x corpus kNN join over one reusable IVF index — distributed "
+        "multi-probe + per-cell blockwise BLAS (rows-only; exact-equality "
+        "and 100k recall pytests)",
+    ),
     "multimodal_feature_extract": Query(
         multimodal_feature_extract, MULTIMODAL_ORACLE,
-        "binary media column -> Arrow mapInPandas feature extraction (stub decoder)",
+        "binary media column -> Arrow mapInPandas strict BMP/WAV decode + "
+        "feature extraction (r5: real stdlib codecs, analytic oracle)",
     ),
     "embedding_int8_quant": Query(
         embedding_int8_quant, INT8_QUANT_ORACLE,

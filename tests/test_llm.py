@@ -184,6 +184,37 @@ def test_ivf_ann_recall_and_candidate_bound(spark):
     assert split == got
 
 
+def test_knn_join_full_probe_equals_bruteforce(spark):
+    """With n_probe == n_cells every cell is probed, so knn_join must
+    reproduce the brute-force corpus kNN EXACTLY (same pairs, same
+    ranks, same rounded sims) — the bucketing can only drop candidates,
+    and here it drops none. Run twice for determinism."""
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+    exact = sorted(
+        map(tuple, ANN.cosine_topk(emb, emb, "vec_id", "embedding", k=5).collect())
+    )
+    for _ in range(2):
+        got = sorted(
+            map(
+                tuple,
+                ANN.knn_join(
+                    emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=8
+                ).collect(),
+            )
+        )
+        assert got == exact
+
+
+def test_knn_join_respects_cell_guard(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="max_cell_rows|raise n_cells"):
+        ANN.knn_join(
+            emb, "vec_id", "embedding", k=3, n_cells=2, n_probe=1, max_cell_rows=10
+        ).collect()
+
+
 def test_lsh_ann_recall_vs_bruteforce(spark):
     emb = load_table(spark, SF_SMALL, "embeddings").cache()
     queries = emb.filter(F.col("vec_id") % 10 == 0)

@@ -178,3 +178,60 @@ def test_connected_components_million_vertices(spark):
     elapsed = time.perf_counter() - start
     assert spread >= 32, f"component labels ran in only {spread} partitions"
     assert elapsed < 120, f"1M-vertex components took {elapsed:.0f}s (measured ~18s)"
+
+
+def test_knn_join_hundred_k_recall_and_linearity(spark):
+    """Corpus x corpus kNN join at 100k vectors (VERDICT r4 #3): recall
+    >= 0.9 vs brute force on a 200-query sample, candidate volume
+    near-linear when n_cells scales with the corpus (constant
+    n*n_probe/n_cells candidates per row), bounded wall time."""
+    import numpy as np
+
+    from dynamic_etl_spark.ops.ann import build_ivf_index, cosine_topk, knn_join
+
+    k = 10
+    corpus = _vecs(spark, VECS_N)
+    start = time.perf_counter()
+    idx = build_ivf_index(corpus, "vec_id", "emb", n_cells=128)
+    out = knn_join(
+        corpus, "vec_id", "emb", k=k, n_cells=128, n_probe=16, index=idx
+    ).persist()
+    n_out = out.count()
+    elapsed = time.perf_counter() - start
+    assert n_out == VECS_N * k
+
+    # recall vs brute force on a deterministic 200-query sample
+    sample_ids = [int(i) * (VECS_N // 200) + 7 for i in range(200)]
+    queries = corpus.filter(F.col("vec_id").isin(sample_ids))
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(corpus, queries, "vec_id", "emb", k=k).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in out.filter(F.col("query_id").isin(sample_ids)).collect()
+    }
+    out.unpersist()
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"knn_join recall {recall:.3f} < 0.9"
+    assert elapsed < 240, f"100k knn_join took {elapsed:.0f}s"
+
+    # near-linearity: candidate volume = sum over cells of
+    # probes_in_cell * members_in_cell, computed from the index itself.
+    # With n_cells ∝ n at fixed n_probe the per-row candidate count
+    # n*n_probe/n_cells is constant, so total candidates scale ~2x for
+    # a 2x corpus — quadratic growth would push the ratio toward 4.
+    def candidate_volume(n, n_cells):
+        c = _vecs(spark, n)
+        ix = build_ivf_index(c, "vec_id", "emb", n_cells=n_cells)
+        members = ix.assigned.groupBy("__cell").count()
+        # every vector probes n_probe cells; probes-per-cell ~ uniform
+        # enough that members^T members bounds it — measure exactly via
+        # the probe fraction: total = sum(members_c * probes_c) where
+        # probes roughly redistribute n*n_probe over cells by size
+        sizes = np.array([r["count"] for r in members.collect()], dtype=np.float64)
+        return float((sizes / sizes.sum() * n * 16 * sizes).sum())
+
+    full = candidate_volume(VECS_N, 128)
+    half = candidate_volume(VECS_N // 2, 64)
+    assert full <= 3 * half, f"candidate volume {full:.0f} vs {half:.0f} at half scale"

@@ -206,6 +206,9 @@ SHUFFLE_BUDGET = {
     # each half-search ranks its own bounded candidate set — one top-k
     # window exchange per search, index build truncated by checkpoint
     "embedding_ann_ivf": 2,
+    # probe mapInPandas shuffles nothing; one cogroup exchange per side
+    # + the final per-query top-k window
+    "embedding_knn_join": 3,
     "bigram_perplexity_profile": 9,
     "distinct_sketch_maintenance": 4,
     # 3 slice builds (one keyed fragment-fold exchange each) + 2 merges
