@@ -404,7 +404,14 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bench note: the op is EAGER (stateful outputs localCheckpoint at
     build time — see ops/lsh.py), so cold/warm bench timings both pay
     the full ~30-job admission; the fixed per-job overhead dominates at
-    sf0.1 and amortizes with data size."""
+    sf0.1 and amortizes with data size. r5 measured the VERDICT r4 #8
+    fold (one tagged banded join + one verify chain replacing the
+    cross/within pair): sequential-batch equivalence stayed green, but
+    warm time moved 10.9s -> 8.8/15.5/10.6s across runs (noise-band,
+    not the >=25% keep threshold) while the job count ROSE 41 -> 47 —
+    the fold only removes the batch-sized self-join, and the corpus
+    store rides the banded join exactly once in both shapes, so the
+    two-pass form stays."""
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     fresh = docs.filter(F.col("doc_id") % 2 == 1)
