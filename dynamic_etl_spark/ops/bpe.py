@@ -183,3 +183,95 @@ def bpe_segment(word: str, merge_ranks: dict, eow: str = "</w>") -> list:
         _, a, b = min(ranked)
         symbols = merge_word(symbols, a, b)
     return symbols
+
+
+def bpe_encode_words(
+    words: DataFrame,
+    merge_table: DataFrame,
+    word_col: str = "word",
+    eow: str = "</w>",
+) -> DataFrame:
+    """Segment each DISTINCT word with a trained merge table: (word,
+    pieces array<string>, n_pieces). The merge table is n_merges rows —
+    a tokenizer config, bounded by construction — so it collects once
+    and ships in the worker closure; segmentation itself runs in Arrow
+    batches with a per-task memo (Zipf: a handful of frequent words
+    dominate every batch).
+
+    This is the ENCODE half of the tokenizer (train_bpe is the other):
+    Python touches only the distinct-word table, never the corpus —
+    see :func:`bpe_encode_profile` for the corpus-side join shape."""
+    import pandas as pd
+
+    ranks = {
+        (r["left"], r["right"]): int(r["rank"]) for r in merge_table.collect()
+    }
+
+    def seg(batches):
+        memo: dict = {}
+        for pdf in batches:
+            pieces = []
+            for w in pdf[word_col]:
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = bpe_segment(w, ranks, eow)
+                pieces.append(got)
+            yield pd.DataFrame(
+                {
+                    word_col: pdf[word_col],
+                    "pieces": pieces,
+                    "n_pieces": [len(p) for p in pieces],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(word_col, T.StringType(), False),
+            T.StructField("pieces", T.ArrayType(T.StringType()), False),
+            T.StructField("n_pieces", T.IntegerType(), False),
+        ]
+    )
+    return words.select(word_col).distinct().mapInPandas(seg, schema)
+
+
+def bpe_encode_profile(
+    corpus: DataFrame,
+    merge_table: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eow: str = "</w>",
+) -> DataFrame:
+    """Per-document BPE tokenization stats WITHOUT per-document Python —
+    the 100 TB encode shape: the corpus explodes to words (codegen
+    split), the DISTINCT words segment once (word-table-sized Python,
+    :func:`bpe_encode_words`), and a word -> n_pieces join + one groupBy
+    aggregate the corpus side entirely in codegen. Word counts follow
+    Zipf, so the Python stage is orders of magnitude smaller than the
+    corpus and the join's build side is the word table.
+
+    Output: (doc_id, n_words, n_bpe_tokens, n_chars_tokenized,
+    chars_per_token) — integer sums divided ONCE at the end (the
+    divide-last parity rule), 6dp. chars_per_token counts the eow
+    marker as one symbol, matching n_pieces."""
+    words = corpus.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+    ).filter(F.length("word") > 0)
+    encoded = bpe_encode_words(words, merge_table, "word", eow)
+    return (
+        words.join(encoded, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).alias("n_chars_tokenized"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_bpe_tokens",
+            "n_chars_tokenized",
+            F.round(
+                F.col("n_chars_tokenized").cast("double") / F.col("n_bpe_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+    )

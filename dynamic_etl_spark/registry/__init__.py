@@ -243,6 +243,9 @@ _TAIL_ORDER = (
     # rows-only (iterative per-round argmax; reference-BPE-checked in
     # pytest)
     "bpe_merge_training",
+    # rows-only (encode of the iteratively-trained table; reference-encode
+    # equality pytest)
+    "bpe_encode_stats",
     # rows-only (IEEE rank sums; numpy power-iteration-checked in pytest)
     "events_type_pagerank",
     # rows-only (engine-hash-specific; brute-force-checked in pytest)

@@ -679,6 +679,23 @@ def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_bpe(docs, "text", n_merges=16, min_count=2).orderBy("rank")
 
 
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ENCODE over the corpus with a freshly trained merge
+    table (ops/bpe.bpe_encode_profile): 16 merges trained on documents,
+    then per-doc token counts + compression ratio. Python touches only
+    the distinct-word table (Zipf-bounded); the corpus side is explode +
+    join + one codegen aggregate. Rows-only (training is iterative);
+    pinned against the pure-Python reference encode in
+    tests/test_llm.py."""
+    from dynamic_etl_spark.ops.bpe import bpe_encode_profile, train_bpe
+
+    docs = ensure_fanout_parallelism(t(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    merges = train_bpe(docs, "text", n_merges=16, min_count=2).localCheckpoint()
+    return bpe_encode_profile(docs, merges, "doc_id", "text").orderBy("doc_id")
+
+
 def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN majority-vote classification over the embedding column: every
     100th vector is held out, its label predicted from the 10 nearest
@@ -1141,6 +1158,12 @@ QUERIES: QueryRegistry = {
         bpe_merge_training, None,
         "distributed BPE tokenizer training: 16 merges on the word-frequency table "
         "(rows-only; reference-BPE-checked in pytest)",
+    ),
+    "bpe_encode_stats": Query(
+        bpe_encode_stats, None,
+        "corpus BPE encode with the trained merges: distinct-word-memoized "
+        "segmentation + codegen per-doc stats (rows-only; reference-encode "
+        "equality pytest)",
     ),
     "minhash_near_dup": Query(
         minhash_near_dup, None,

@@ -453,3 +453,48 @@ def test_bpe_early_stop_and_segment_roundtrip(spark):
     # segmentation applies learned merges and always terminates
     assert "".join(seg) == "ab</w>"
     assert len(seg) <= 3
+
+
+def test_bpe_encode_profile_matches_reference_encode(spark):
+    """The distributed encode (distinct-word segmentation + corpus join)
+    must equal segmenting every word of every doc with the driver-side
+    reference loop — same token counts, same char sums, same ratio."""
+    from dynamic_etl_spark.ops.bpe import (
+        bpe_encode_profile,
+        bpe_segment,
+        train_bpe,
+    )
+
+    texts = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new newer"),
+        (3, "wide wider widest new low"),
+        (4, "the newest widest lowest the the"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    merges = train_bpe(docs, "text", n_merges=10, min_count=2)
+    ranks = {(r["left"], r["right"]): r["rank"] for r in merges.collect()}
+
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["n_bpe_tokens"], r["n_chars_tokenized"], r["chars_per_token"]
+        )
+        for r in bpe_encode_profile(docs, merges).collect()
+    }
+    for doc_id, text in texts:
+        words = text.split()
+        n_tok = sum(len(bpe_segment(w, ranks)) for w in words)
+        n_chars = sum(len(w) for w in words)
+        assert got[doc_id] == (
+            len(words), n_tok, n_chars, round(n_chars / n_tok, 6)
+        ), f"doc {doc_id} diverged from the reference encode"
+
+
+def test_bpe_encode_registry_runs_small(spark):
+    from dynamic_etl_spark.registry import all_queries
+
+    out = all_queries()["bpe_encode_stats"].fn(spark, SF_SMALL)
+    rows = out.collect()
+    assert len(rows) == 500  # one per document
+    assert all(r["n_bpe_tokens"] >= r["n_words"] for r in rows)  # eow splits
+    assert all(r["chars_per_token"] > 0 for r in rows)

@@ -197,6 +197,10 @@ SHUFFLE_BUDGET = {
     # shuffle per round); the returned merge table is a driver-local
     # frame whose only exchange is the rank sort
     "bpe_merge_training": 1,
+    # training ran eagerly (checkpointed merge table); lazy tail = word
+    # explode + distinct-word segmentation exchange + word join + per-doc
+    # groupBy + sort
+    "bpe_encode_stats": 5,
     "approx_distinct_profile": 1,
     "minhash_near_dup": 6,
     "incremental_near_dup": 13,
