@@ -55,8 +55,12 @@ def _worst_rank_err(rows, sorted_vals):
     worst = 0.0
     for r in rows:
         vals = sorted_vals[r["event_type"]]
-        tr = np.searchsorted(vals, r["quantile_est"], side="right") / len(vals)
-        worst = max(worst, abs(tr - r["q"]))
+        # a duplicated value occupies a rank INTERVAL; error = distance
+        # from q to that interval (zero when q falls inside it)
+        lo = np.searchsorted(vals, r["quantile_est"], side="left") / len(vals)
+        hi = np.searchsorted(vals, r["quantile_est"], side="right") / len(vals)
+        q = r["q"]
+        worst = max(worst, 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi)))
     return worst
 
 
@@ -208,7 +212,9 @@ def test_streaming_summary_maintains_rank_sketch(spark, scratch):
     worst = 0.0
     for r in maintained:
         vals = sorted_vals[r["grp"]]
-        tr = np.searchsorted(vals, r["quantile_est"], side="right") / len(vals)
-        worst = max(worst, abs(tr - r["q"]))
+        lo = np.searchsorted(vals, r["quantile_est"], side="left") / len(vals)
+        hi = np.searchsorted(vals, r["quantile_est"], side="right") / len(vals)
+        q = r["q"]
+        worst = max(worst, 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi)))
     bound = kll_rank_error_bound(max(len(v) for v in sorted_vals.values()), k, n_merges=2)
     assert worst <= bound, f"maintained rank error {worst:.5f} > bound {bound:.5f}"

@@ -104,3 +104,44 @@ def test_line_dedup_counts_partial_aggregate_and_quota_rank_pushdown(spark):
 
     qplan = _plan(spark, "source_quota_cap")
     assert "WindowGroupLimit" in qplan
+
+
+def test_rank_sketch_folds_once_per_state_op(spark):
+    """The KLL query plans exactly 3 build pre-sketches (MapInPandas)
+    and 5 per-key folds (3 builds + 2 merges, FlatMapGroupsInPandas).
+    More means the finalize stage replicated the build/merge subtree
+    per quantile — the regression the r5 one-pass conditional-agg
+    finalize exists to prevent (it tripled the exchange count when each
+    q filtered its own copy of the cumulative frame)."""
+    plan = _plan(spark, "rank_sketch_maintenance")
+    assert plan.count("MapInPandas") == 3, plan.count("MapInPandas")
+    assert plan.count("FlatMapGroupsInPandas") == 5, plan.count("FlatMapGroupsInPandas")
+    # the wide->long quantile stack stays a codegen generator, not a union
+    assert "Generate stack" in plan or "stack(" in plan
+
+
+def test_knn_join_cogroups_once_and_probes_without_shuffle(spark):
+    """knn_join: ONE distributed probe pass (MapInPandas), ONE cogroup
+    (FlatMapCoGroupsInPandas) — a second cogroup or a join-back of
+    vectors would double the corpus traffic."""
+    plan = _plan(spark, "embedding_knn_join")
+    assert plan.count("FlatMapCoGroupsInPandas") == 1
+    assert plan.count("MapInPandas") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_multimodal_decode_chain_is_two_arrow_stages(spark):
+    """synthetic_media + extract_media_features: exactly two MapInPandas
+    stages and no shuffle between them — the decode pipeline is
+    partition-preserving end to end."""
+    plan = _plan(spark, "multimodal_feature_extract")
+    assert plan.count("MapInPandas") == 2
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_bpe_encode_segments_distinct_words_only(spark):
+    """The corpus side of the encode must stay codegen: exactly one
+    Arrow stage (distinct-word segmentation); a second one means the
+    corpus rows started flowing through Python."""
+    plan = _plan(spark, "bpe_encode_stats")
+    assert plan.count("MapInPandas") == 1
