@@ -198,6 +198,8 @@ _TAIL_ORDER = (
     "events_sliding_window",       # W twin of events_tumbling_window
     "events_rate_profile",         # bounded agg twin of the events family
     "cube_order_totals",           # A9 subsumed by rollup_totals
+    "grouping_sets_order_totals",  # r5: arbitrary (non-hierarchical) sets twin
+    "value_anomaly_mad",           # r5: MAD twin of the windowed IQR gate
     "dedup_keep_first_line",       # D2 twin of dedup_keep_last_line (+ clean_store_feed)
     "dedup_keep_last_line_agg",    # D1 again, skew-resilient max_by formulation
     "duplicate_group_members",     # D3 sibling of duplicate_detection (A7)

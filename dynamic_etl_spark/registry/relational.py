@@ -664,6 +664,36 @@ def cube_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (engine extra; Spark 4 DataFrame
+    groupingSets API): per-status totals UNION per-priority totals in
+    one aggregation pass — the non-hierarchical set combination neither
+    ROLLUP nor CUBE can express (a by-status report and a by-priority
+    report sharing one scan)."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [[F.col("o_orderstatus")], [F.col("o_orderpriority")]],
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    ).agg(
+        A.dsum("o_totalprice", "total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+    )
+
+
+GROUPING_SETS_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       {sql_dsum('o_totalprice')} AS total_price,
+       COUNT(*) AS n_orders,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
 CUBE_ORACLE = f"""
 SELECT o_orderstatus, o_orderpriority,
        {sql_dsum('o_totalprice')} AS total_price,
@@ -730,4 +760,8 @@ QUERIES: QueryRegistry = {
     "drop_unresolved_keys": Query(drop_unresolved_keys, DROP_UNRESOLVED_ORACLE, "P8 na.drop after FK resolution"),
     "salted_skew_join": Query(salted_skew_join, SALTED_JOIN_ORACLE, "skew-salted equi-join (semantics-preserving)"),
     "cube_order_totals": Query(cube_order_totals, CUBE_ORACLE, "CUBE grouping sets (engine extra)"),
+    "grouping_sets_order_totals": Query(
+        grouping_sets_order_totals, GROUPING_SETS_ORACLE,
+        "arbitrary (non-hierarchical) GROUPING SETS: by-status UNION by-priority in one pass",
+    ),
 }

@@ -215,6 +215,74 @@ GROUP BY e.event_type
 """
 
 
+def value_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust anomaly gate — the breakdown-point-0.5 sibling
+    of the IQR fence (value_outlier_gate): flag |x - median| >
+    3 * 1.4826 * MAD (the normal-consistency constant). Two broadcast-
+    back phases, both group-cardinality-sized: per-key median, then the
+    median absolute deviation over the deviations, then one classify
+    scan. All fence arithmetic is the identical IEEE chain on both
+    engines (constant folding of 3.0*1.4826 agrees); a value exactly ON
+    the fence is inside it (strict >)."""
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("__med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "__ad", F.abs(F.col("value") - F.col("__med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("__ad", F.lit(0.5)).alias("__mad"),
+        F.min("__med").alias("__med_carry"),
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "__hit", F.col("__ad") > F.lit(3.0) * F.lit(1.4826) * F.col("__mad")
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("__hit"), 1).otherwise(0)).cast("long").alias("n_anomalies"),
+            F.round(F.min("__med_carry"), 6).alias("median_value"),
+            F.round(F.min("__mad"), 6).alias("mad_value"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_anomalies",
+            F.round(F.col("n_anomalies") / F.col("n"), 6).alias("anomaly_frac"),
+            "median_value",
+            "mad_value",
+        )
+    )
+
+
+MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, abs(e.value - m.med) AS ad, m.med
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad, min(med) AS med_carry
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       count(*) AS n,
+       CAST(sum(CASE WHEN d.ad > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies,
+       round(CAST(sum(CASE WHEN d.ad > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 6) AS anomaly_frac,
+       round(min(m.med_carry), 6) AS median_value,
+       round(min(m.mad), 6) AS mad_value
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
 def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnostics over events.user_id
     (ops/agg.key_skew_profile): the pre-flight number for choosing
@@ -313,6 +381,10 @@ QUERIES: QueryRegistry = {
     "value_outlier_gate": Query(
         value_outlier_gate, OUTLIER_ORACLE,
         "IQR/Tukey-fence outlier counts per group (robust numeric profile)",
+    ),
+    "value_anomaly_mad": Query(
+        value_anomaly_mad, MAD_ORACLE,
+        "median/MAD robust anomaly gate (3*1.4826*MAD fence, breakdown 0.5)",
     ),
     "events_key_skew_profile": Query(
         events_key_skew_profile, KEY_SKEW_ORACLE,

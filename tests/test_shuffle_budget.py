@@ -122,6 +122,7 @@ SHUFFLE_BUDGET = {
     "events_sliding_window": 1,
     "events_rate_profile": 2,
     "cube_order_totals": 1,
+    "grouping_sets_order_totals": 1,
     "dedup_keep_first_line": 1,
     "dedup_keep_last_line_agg": 1,
     "duplicate_group_members": 1,
@@ -144,6 +145,8 @@ SHUFFLE_BUDGET = {
     "events_rolling_user_value": 1,
     "events_interarrival_profile": 1,
     "value_outlier_gate": 2,
+    # two broadcast-back percentile phases + classify aggregate
+    "value_anomaly_mad": 3,
     "events_key_skew_profile": 2,
     # tile groupBy + boundary sort
     "events_zorder_tiles": 2,
