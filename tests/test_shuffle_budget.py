@@ -145,8 +145,11 @@ SHUFFLE_BUDGET = {
     "events_rolling_user_value": 1,
     "events_interarrival_profile": 1,
     "value_outlier_gate": 2,
-    # two broadcast-back percentile phases + classify aggregate
-    "value_anomaly_mad": 3,
+    # two broadcast-back percentile phases + classify aggregate; the
+    # median agg subtree prints under BOTH broadcast consumers in the
+    # initial plan (ReusedExchange kicks in at runtime), so the text
+    # count is 4, not 3
+    "value_anomaly_mad": 4,
     "events_key_skew_profile": 2,
     # tile groupBy + boundary sort
     "events_zorder_tiles": 2,
