@@ -448,3 +448,51 @@ def pmi_collocations(
         .limit(top_k)
     )
     return out
+
+
+def cross_doc_gram_exposure(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Cross-document duplication EXPOSURE: the fraction of each
+    document's distinct word k-grams that also appear in at least one
+    OTHER document — the corpus-level complement of the within-document
+    repetition gates (Gopher A1.1) and the pairwise near-dup tiers.
+    RefinedWeb/C4 prune by exactly this signal (fraction of content
+    duplicated elsewhere) without ever materializing pairs, which is
+    what makes it the 100 TB-cheap first gate: two shuffles total —
+    (doc, gram) distinct rows group once on the gram for document
+    counts, then join back and re-group per doc. No pair join, no
+    signature pass; candidate volume is corpus gram mass, linear in
+    corpus size.
+
+    Output: (id, n_grams, n_shared_grams, shared_gram_frac 6dp)."""
+    from dynamic_etl_spark.ops.lsh import word_shingles
+
+    grams = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("gram")
+    )
+    # word_shingles is distinct-per-doc, so COUNT(*) per gram == document
+    # frequency; map-side partials collapse boilerplate grams pre-shuffle
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__docs"))
+    return (
+        grams.join(counts, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("__docs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_shared_grams",
+            F.round(F.col("n_shared_grams") / F.col("n_grams"), 6).alias(
+                "shared_gram_frac"
+            ),
+        )
+    )

@@ -200,6 +200,7 @@ _TAIL_ORDER = (
     "cube_order_totals",           # A9 subsumed by rollup_totals
     "grouping_sets_order_totals",  # r5: arbitrary (non-hierarchical) sets twin
     "value_anomaly_mad",           # r5: MAD twin of the windowed IQR gate
+    "document_gram_exposure",      # r5: pair-free corpus-duplication gate
     "dedup_keep_first_line",       # D2 twin of dedup_keep_last_line (+ clean_store_feed)
     "dedup_keep_last_line_agg",    # D1 again, skew-resilient max_by formulation
     "duplicate_group_members",     # D3 sibling of duplicate_detection (A7)

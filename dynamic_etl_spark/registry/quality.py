@@ -199,7 +199,51 @@ LIMIT 20
 """
 
 
+def document_gram_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-gram exposure (ops/quality.
+    cross_doc_gram_exposure): per doc, the fraction of its distinct word
+    3-grams that appear in at least one other document — the pair-free
+    corpus-duplication gate (RefinedWeb-style) that scales linearly
+    where the pairwise tiers scale with duplicate structure."""
+    docs = ensure_fanout_parallelism(t(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    return Q.cross_doc_gram_exposure(docs, id_col="doc_id", text_col="text", k=3)
+
+
+GRAM_EXPOSURE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(0, greatest(len(toks) - 3, 0) + 1),
+           i -> array_to_string(toks[i + 1 : i + 3], ' ')
+         ))) AS gram
+  FROM base
+),
+c AS (
+  SELECT gram, COUNT(*) AS n_docs FROM sh GROUP BY gram
+)
+SELECT s.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_grams,
+       round(CAST(SUM(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS shared_gram_frac
+FROM sh s JOIN c USING (gram)
+GROUP BY s.doc_id
+"""
+
+
 QUERIES: QueryRegistry = {
+    "document_gram_exposure": Query(
+        document_gram_exposure,
+        GRAM_EXPOSURE_ORACLE,
+        "pair-free cross-document duplicated-gram exposure per doc "
+        "(RefinedWeb-style corpus-duplication gate)",
+    ),
     "gopher_repetition_gates": Query(
         gopher_repetition_gates,
         GOPHER_ORACLE,
