@@ -261,6 +261,8 @@ _TAIL_ORDER = (
     # rows-only (k-means cells engine-specific; exact-equality pytest at
     # n_probe==n_cells + 100k recall gate in test_scale_stress)
     "embedding_knn_join",
+    # rows-only (knn_join consumer; full-probe == brute-force pytest)
+    "embedding_density_profile",
     # rows-only (libm log2 is engine-specific; numpy-checked in pytest)
     "bigram_perplexity_profile",
     # rows-only (HLL sketch bytes are engine-specific; tolerance pytest)

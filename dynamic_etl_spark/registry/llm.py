@@ -547,6 +547,28 @@ def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ANN.knn_join(emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=4)
 
 
+def embedding_density_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN local-density scoring (ops/ann.knn_join consumer): per
+    vector, the mean cosine of its 5 nearest corpus neighbors — the
+    signal dedup-aware mixture weighting and mode-collapse pruning act
+    on (dense semantic regions contribute redundant gradient; SemDeDup
+    prunes them pairwise, density scoring downweights them smoothly).
+    The flag threshold is a config, not a learned value. Rows-only
+    (k-means cells are engine-specific); tests/test_llm.py pins the
+    full-probe profile to the brute-force-derived densities exactly."""
+    emb = t(spark, sf_dir, "embeddings")
+    topk = ANN.knn_join(emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=4)
+    return (
+        topk.groupBy(F.col("query_id").alias("vec_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.round(F.avg("cosine_sim"), 6).alias("mean_topk_sim"),
+        )
+        .withColumn("is_dense", F.col("mean_topk_sim") > 0.45)
+        .orderBy("vec_id")
+    )
+
+
 def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings plus deterministically planted near-dups: every 50th
     vector re-enters under vec_id+1000000 with a tiny index-keyed
@@ -1203,6 +1225,11 @@ QUERIES: QueryRegistry = {
         "corpus x corpus kNN join over one reusable IVF index — distributed "
         "multi-probe + per-cell blockwise BLAS (rows-only; exact-equality "
         "and 100k recall pytests)",
+    ),
+    "embedding_density_profile": Query(
+        embedding_density_profile, None,
+        "kNN local-density scoring for dedup-aware mixture weighting "
+        "(rows-only; full-probe == brute-force pytest)",
     ),
     "multimodal_feature_extract": Query(
         multimodal_feature_extract, MULTIMODAL_ORACLE,

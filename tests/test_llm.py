@@ -498,3 +498,29 @@ def test_bpe_encode_registry_runs_small(spark):
     assert len(rows) == 500  # one per document
     assert all(r["n_bpe_tokens"] >= r["n_words"] for r in rows)  # eow splits
     assert all(r["chars_per_token"] > 0 for r in rows)
+
+
+def test_density_profile_full_probe_matches_bruteforce(spark):
+    """With every cell probed, the density profile must equal the mean
+    top-5 cosine computed from the exact brute-force kNN."""
+    from dynamic_etl_spark.registry.llm import embedding_density_profile
+
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+    exact = ANN.cosine_topk(emb, emb, "vec_id", "embedding", k=5)
+    truth = {}
+    agg = {}
+    for r in exact.collect():
+        agg.setdefault(r["query_id"], []).append(r["cosine_sim"])
+    truth = {q: round(sum(v) / len(v), 6) for q, v in agg.items()}
+    full = (
+        ANN.knn_join(emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=8)
+        .groupBy(F.col("query_id"))
+        .agg(F.round(F.avg("cosine_sim"), 6).alias("m"))
+        .collect()
+    )
+    got = {r["query_id"]: r["m"] for r in full}
+    assert got == truth
+    # and the registry profile (partial probe) stays rows-complete
+    prof = embedding_density_profile(spark, SF_SMALL).collect()
+    assert len(prof) == emb.count()
+    assert all(r["n_neighbors"] == 5 for r in prof)

@@ -221,6 +221,8 @@ SHUFFLE_BUDGET = {
     # probe mapInPandas shuffles nothing; one cogroup exchange per side
     # + the final per-query top-k window
     "embedding_knn_join": 3,
+    # knn_join tail + per-vector density agg + boundary sort
+    "embedding_density_profile": 5,
     "bigram_perplexity_profile": 9,
     "distinct_sketch_maintenance": 4,
     # 3 slice builds (one keyed fragment-fold exchange each) + 2 merges
