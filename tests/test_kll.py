@@ -218,3 +218,41 @@ def test_streaming_summary_maintains_rank_sketch(spark, scratch):
         worst = max(worst, 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi)))
     bound = kll_rank_error_bound(max(len(v) for v in sorted_vals.values()), k, n_merges=2)
     assert worst <= bound, f"maintained rank error {worst:.5f} > bound {bound:.5f}"
+
+
+def test_kll_empty_and_all_null_inputs(spark):
+    """An empty or all-NULL build yields an empty state; merging an
+    empty delta is the identity; finalize of empty is empty — the edges
+    a streaming micro-batch hits routinely."""
+    empty = spark.createDataFrame([], "grp string, value double")
+    s_empty = build_kll_state(empty, ["grp"], "value", k=64)
+    assert s_empty.count() == 0
+    assert finalize_kll_state(s_empty, qs=QS).count() == 0
+
+    nulls = spark.createDataFrame([("a", None), ("b", None)], "grp string, value double")
+    assert build_kll_state(nulls, ["grp"], "value", k=64).count() == 0
+
+    real = build_kll_state(
+        spark.createDataFrame([("a", float(i)) for i in range(50)], "grp string, value double"),
+        ["grp"], "value", k=64,
+    )
+    merged = merge_kll_state(real, s_empty, k=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, real.collect()))
+
+
+def test_kll_single_value_and_single_row(spark):
+    """Degenerate distributions: one row, and one value repeated past
+    the compaction threshold — every quantile must return that value."""
+    one = build_kll_state(
+        spark.createDataFrame([("a", 7.5)], "grp string, value double"), ["grp"], "value", k=8
+    )
+    rows = finalize_kll_state(one, qs=QS).collect()
+    assert [(r["q"], r["quantile_est"]) for r in sorted(rows, key=lambda r: r["q"])] == [
+        (0.5, 7.5), (0.9, 7.5), (0.99, 7.5)
+    ]
+    const = build_kll_state(
+        spark.createDataFrame([("a", 3.25)] * 500, "grp string, value double"),
+        ["grp"], "value", k=16,
+    )
+    for r in finalize_kll_state(const, qs=QS).collect():
+        assert r["quantile_est"] == 3.25

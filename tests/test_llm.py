@@ -524,3 +524,18 @@ def test_density_profile_full_probe_matches_bruteforce(spark):
     prof = embedding_density_profile(spark, SF_SMALL).collect()
     assert len(prof) == emb.count()
     assert all(r["n_neighbors"] == 5 for r in prof)
+
+
+def test_knn_join_tiny_corpus_edges(spark):
+    """Corpora at or below k and below n_cells must not crash: every row
+    still gets its (min(k, n-1)) neighbors."""
+    rows = [(i, [float(i), 1.0, 0.5]) for i in range(5)]
+    tiny = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ANN.knn_join(tiny, "vec_id", "embedding", k=10, n_cells=3, n_probe=3).collect()
+    per_query = {}
+    for r in out:
+        per_query.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(per_query) == {0, 1, 2, 3, 4}
+    for q, ns in per_query.items():
+        assert q not in ns  # no self-match
+        assert len(ns) == 4  # all others, k capped by corpus size

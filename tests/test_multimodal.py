@@ -127,3 +127,13 @@ def test_on_error_drop_skips_undecodable_rows(spark):
 def test_header_features_fallback_unchanged():
     assert header_features(bytes(range(8))) == [b / 255.0 for b in range(8)]
     assert header_features(b"\x05") == [5 / 255.0] + [0.0] * 7
+
+
+def test_synthetic_media_empty_and_single_row(spark):
+    from pyspark.sql import functions as F
+
+    empty = spark.createDataFrame([], "doc_id long")
+    assert extract_media_features(synthetic_media(empty), decoder=strict_decoder).count() == 0
+    one = spark.createDataFrame([(42,)], "doc_id long")
+    rows = extract_media_features(synthetic_media(one), decoder=strict_decoder).collect()
+    assert len(rows) == 1 and rows[0]["features"] == strict_decoder(encode_bmp(42))
