@@ -310,3 +310,16 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table_name)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line — the interchange format of
+    most corpus-curation tooling). Scan-parallel: one file per
+    partition, no coalesce; downstream re-reads with read_jsonl and an
+    explicit schema."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — columnar interchange with Hive-era warehouses."""
+    df.write.mode(mode).orc(path)

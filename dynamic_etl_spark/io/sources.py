@@ -175,3 +175,42 @@ def read_jdbc(
     if predicates:
         return reader.jdbc(url, table, predicates=list(predicates))
     return reader.load()
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines source with an EXPLICIT schema and PERMISSIVE
+    corrupt-record accounting — the file-level sibling of the coercion
+    accounting the cleaning layer does per column (F25/P9): malformed
+    lines land whole in ``corrupt_col`` instead of killing the read or
+    silently vanishing, so ingestion can route them to a reject sink
+    with exact counts.
+
+    Never inferSchema: inference is a SECOND full scan of the input
+    before the real one — at 100 TB that doubles ingest cost and pins
+    the types to whatever the first day's data looked like. The schema
+    string is the contract; drift shows up as corrupt/NULL rows the
+    validator counts, not as a silently changed column type.
+
+    Spark caveat: a downstream plan may not reference ONLY the corrupt
+    column (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — keep at least one data
+    column in the projection when counting/routing rejects.
+    """
+    full_schema = f"{schema}, {corrupt_col} STRING"
+    return (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source: columnar like parquet (predicate pushdown + column
+    pruning both apply; tests pin PushedFilters on the scan), here for
+    interchange with Hive-era warehouses that standardized on ORC."""
+    return spark.read.orc(path)
