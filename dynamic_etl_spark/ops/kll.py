@@ -118,8 +118,20 @@ def _state_schema(df: DataFrame, keys: Sequence[str]) -> T.StructType:
     return T.StructType(fields)
 
 
+#: Pre-sketch key-state flush threshold: a partition holding more than
+#: this many concurrent per-key sketches emits them as fragments and
+#: resets (the per-key fold merges fragments regardless), bounding
+#: mapInPandas memory under high key cardinality the way partial
+#: aggregation spills.
+MAX_KEYS_IN_FLIGHT = 50_000
+
+
 def build_kll_state(
-    df: DataFrame, keys: Sequence[str], value: str, k: int = DEFAULT_K
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    k: int = DEFAULT_K,
+    max_keys_in_flight: int = MAX_KEYS_IN_FLIGHT,
 ) -> DataFrame:
     """Mergeable RANK-SKETCH state: a KLL compactor hierarchy per key
     group — the unknown-range quantile member of the maintained-summary
@@ -141,6 +153,17 @@ def build_kll_state(
 
     def presketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sketches: dict[tuple, dict[int, np.ndarray]] = {}
+
+        def drain():
+            for kt, levels in sketches.items():
+                lv, vv = _emit(_compress(levels, k))
+                if lv:
+                    out = {c: [kt[i]] * len(lv) for i, c in enumerate(keys)}
+                    out["state_level"] = lv
+                    out["state_value"] = vv
+                    yield pd.DataFrame(out)
+            sketches.clear()
+
         for pdf in batches:
             vals = pdf["__v"].to_numpy(dtype=np.float64)
             key_frame = pdf[keys]
@@ -156,13 +179,12 @@ def build_kll_state(
                 )
                 if len(levels[0]) > k:
                     sketches[kt] = _compress(levels, k)
-        for kt, levels in sketches.items():
-            lv, vv = _emit(levels)
-            out = {c: [kt[i]] * len(lv) for i, c in enumerate(keys)}
-            out["state_level"] = lv
-            out["state_value"] = vv
-            if lv:
-                yield pd.DataFrame(out)
+            # high-cardinality guard: emit fragments and reset rather than
+            # hold every key's sketch for the whole partition (the keyed
+            # fold merges fragments either way; only fragment COUNT grows)
+            if len(sketches) > max_keys_in_flight:
+                yield from drain()
+        yield from drain()
 
     fragments = src.mapInPandas(presketch, schema)
     return _fold_per_key(fragments, keys, k, schema)

@@ -256,3 +256,33 @@ def test_kll_single_value_and_single_row(spark):
     )
     for r in finalize_kll_state(const, qs=QS).collect():
         assert r["quantile_est"] == 3.25
+
+
+def test_presketch_key_flush_preserves_correctness(spark):
+    """The high-cardinality guard (fragments emitted mid-partition when
+    too many keys are in flight) must not change semantics: with the
+    flush threshold forced to 3 over 40 keys, every key's estimates
+    still sit inside the rank-error bound and the state-size bound
+    holds per key."""
+    rows = [(f"k{i % 40:02d}", float((i * 37) % 1000)) for i in range(8000)]
+    df = spark.createDataFrame(rows, "grp string, value double").repartition(4)
+    k = 64
+    state = build_kll_state(df, ["grp"], "value", k=k, max_keys_in_flight=3)
+    per_key_rows = {r["grp"]: r["count"] for r in state.groupBy("grp").count().collect()}
+    assert set(per_key_rows) == {f"k{i:02d}" for i in range(40)}
+    n_per = 8000 // 40
+    assert max(per_key_rows.values()) <= kll_state_bound(n_per, k)
+    fin = finalize_kll_state(state, qs=QS).collect()
+    by_grp = {}
+    for g, v in rows:
+        by_grp.setdefault(g, []).append(v)
+    sorted_vals = {g: np.sort(np.array(v)) for g, v in by_grp.items()}
+    worst = 0.0
+    for r in fin:
+        vals = sorted_vals[r["grp"]]
+        lo = np.searchsorted(vals, r["quantile_est"], side="left") / len(vals)
+        hi = np.searchsorted(vals, r["quantile_est"], side="right") / len(vals)
+        q = r["q"]
+        worst = max(worst, 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi)))
+    # flushes act like extra merges; allow the per-partition merge budget
+    assert worst <= kll_rank_error_bound(n_per, k, n_merges=8), worst
