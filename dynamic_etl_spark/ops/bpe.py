@@ -195,8 +195,8 @@ def bpe_encode_words(
     pieces array<string>, n_pieces). The merge table is n_merges rows —
     a tokenizer config, bounded by construction — so it collects once
     and ships in the worker closure; segmentation itself runs in Arrow
-    batches with a per-task memo (Zipf: a handful of frequent words
-    dominate every batch).
+    batches over the distinct-word table, where each word is segmented
+    exactly once corpus-wide (the dedup lives in the plan, not a memo).
 
     This is the ENCODE half of the tokenizer (train_bpe is the other):
     Python touches only the distinct-word table, never the corpus —
@@ -208,14 +208,13 @@ def bpe_encode_words(
     }
 
     def seg(batches):
-        memo: dict = {}
         for pdf in batches:
+            # the input is the DISTINCT word table (each word reaches one
+            # task exactly once), so there is nothing to memoize — the
+            # dedup happened in the plan, where it belongs
             pieces = []
             for w in pdf[word_col]:
-                got = memo.get(w)
-                if got is None:
-                    got = memo[w] = bpe_segment(w, ranks, eow)
-                pieces.append(got)
+                pieces.append(bpe_segment(w, ranks, eow))
             yield pd.DataFrame(
                 {
                     word_col: pdf[word_col],
