@@ -91,8 +91,9 @@ SHUFFLE_BUDGET = {
     "exact_dedup_fingerprint": 1,
     "ngram_jaccard_similarity": 2,
     "gopher_repetition_gates": 4,
-    # gram doc-frequency agg + join-back + per-doc agg (pair-free)
-    "document_gram_exposure": 3,
+    # fan-out round-robin (single-file source) + gram doc-frequency agg
+    # + join-back gram shuffle + per-doc agg (pair-free)
+    "document_gram_exposure": 4,
     "winnowing_fingerprint": 2,
     "pii_detect_redact": 0,
     "benchmark_decontamination": 3,
