@@ -1,0 +1,55 @@
+"""Parallelism invariance for the driver-window queries most exposed to
+partitioning: the suite runs local[8]/shuffle=8 while the grading driver
+runs local[32]/shuffle=32, so any partitioning-dependent expression —
+a rand(), an under-ordered window, a float sum outside the exact-decimal
+discipline — would pass every local test and fail only in the driver.
+This sweep re-executes representative queries under a 32-way shuffle
+configuration and requires BIT-IDENTICAL collected results."""
+
+from __future__ import annotations
+
+import pytest
+
+from dynamic_etl_spark.registry import all_queries
+from tests.conftest import SF_SMALL
+
+REGISTRY = all_queries()
+
+#: Queries chosen for exposure, one per risk class: hash-uniform sampling
+#: / splits / shards, keyed+global windows, salted joins, mergeable-state
+#: folds, exact-decimal aggregate sums, xxhash LSH candidate generation,
+#: Arrow cogroup scoring, and the iterative BPE argmax.
+SWEEP = (
+    "corpus_stratified_sample",
+    "corpus_split_assignment",
+    "corpus_mixture_sample",
+    "shard_assignment_profile",
+    "events_equidepth_deciles",
+    "order_price_distribution_ranks",
+    "salted_skew_join",
+    "heavy_hitter_maintenance",
+    "reservoir_sample_maintenance",
+    "rank_sketch_maintenance",
+    "pricing_summary",
+    "sequence_packing",
+    "minhash_near_dup",
+    "embedding_knn_join",
+)
+
+
+def _rows(spark, name):
+    df = REGISTRY[name].fn(spark, SF_SMALL)
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.parametrize("name", SWEEP)
+def test_result_identical_at_8_and_32_way_shuffle(spark, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        at8 = _rows(spark, name)
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        at32 = _rows(spark, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert at8 == at32, f"{name} changed results under a 32-way shuffle"
