@@ -116,7 +116,35 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
 
 #: First feature cell tags the decoded kind so mixed-media feature rows
 #: remain self-describing.
-KIND_BMP, KIND_WAV = 1.0, 2.0
+KIND_BMP, KIND_WAV, KIND_VIDEO = 1.0, 2.0, 3.0
+
+#: Raw-frames "video" container: magic + u32 frame count + back-to-back
+#: uncompressed BMP frames. Real video codecs are entropy-coded (the
+#: NotImplementedError class); this container carries the VIDEO-shaped
+#: decode semantics — frame indexing and temporal sampling — through the
+#: same stdlib struct path.
+FRAMES_MAGIC = b"FRS0"
+VIDEO_N_FRAMES = 4
+#: Temporal sampling stride: decode every 2nd frame (the driver brief's
+#: "frame-sample" operation) — features derive from sampled frames only.
+FRAME_SAMPLE_EVERY = 2
+
+
+def decode_frames(payload: bytes) -> list[tuple[int, int, list[tuple[int, int, int]]]]:
+    """Decode the raw-frames container: [(w, h, pixels), ...] per frame,
+    each frame a full BMP parsed by :func:`decode_bmp`."""
+    if payload[:4] != FRAMES_MAGIC or len(payload) < 8:
+        raise ValueError("not a raw-frames payload")
+    (n_frames,) = struct.unpack_from("<I", payload, 4)
+    frames = []
+    pos = 8
+    for _ in range(n_frames):
+        if payload[pos : pos + 2] != b"BM":
+            raise ValueError("raw-frames container holds a non-BMP frame")
+        (size,) = struct.unpack_from("<I", payload, pos + 2)
+        frames.append(decode_bmp(payload[pos : pos + size]))
+        pos += size
+    return frames
 
 
 def strict_decoder(payload: bytes) -> list[float]:
@@ -151,6 +179,19 @@ def strict_decoder(payload: bytes) -> list[float]:
             sum(samples) / n if samples else 0.0,
             float(max((abs(s) for s in samples), default=0)),
             0.0,
+        ]
+    if payload[:4] == FRAMES_MAGIC:
+        frames = decode_frames(payload)
+        sampled = frames[::FRAME_SAMPLE_EVERY]  # temporal frame-sampling
+        px = [p for _, _, pixels in sampled for p in pixels]
+        n = float(len(px))
+        return [
+            KIND_VIDEO,
+            float(len(frames)),
+            float(len(sampled)),
+            sum(p[0] for p in px) / n,
+            sum(p[1] for p in px) / n,
+            sum(p[2] for p in px) / n,
         ]
     raise NotImplementedError(
         "compressed media decode requires an image/audio library not "
@@ -254,6 +295,20 @@ def encode_bmp(doc_id: int, w: int = BMP_W, h: int = BMP_H) -> bytes:
     return bytes(header + info + data)
 
 
+def _frame_seed(doc_id: int, f: int) -> int:
+    """Per-frame pixel-function seed: frame f of doc d draws from the
+    same channel functions as a BMP with id d*1000+f — closed-form, so
+    the oracle computes sampled-frame means analytically."""
+    return doc_id * 1000 + f
+
+
+def encode_frames(doc_id: int, n_frames: int = VIDEO_N_FRAMES) -> bytes:
+    """Serialize n_frames deterministic BMP frames into the raw-frames
+    container the video branch of strict_decoder parses."""
+    body = b"".join(encode_bmp(_frame_seed(doc_id, f)) for f in range(n_frames))
+    return FRAMES_MAGIC + struct.pack("<I", n_frames) + body
+
+
 def encode_wav(doc_id: int, rate: int = WAV_RATE, n: int = WAV_N) -> bytes:
     """Serialize the deterministic sample function as a real RIFF/WAVE
     PCM16 mono file."""
@@ -266,11 +321,20 @@ def encode_wav(doc_id: int, rate: int = WAV_RATE, n: int = WAV_N) -> bytes:
 
 def synthetic_media(docs: DataFrame) -> DataFrame:
     """Fixture adapter: deterministic REAL media payloads keyed off
-    doc_id — BMP for even ids, WAV for odd — built in the same Arrow
-    mapInPandas idiom the decode path uses. Because the pixel/sample
-    generating functions are closed-form, a SQL oracle can compute the
-    decoded features analytically; hash equality then proves the whole
-    encode -> binary column -> strict decode chain."""
+    doc_id — BMP for doc_id%3==0, WAV for %3==1, raw-frames video for
+    %3==2 — built in the same Arrow mapInPandas idiom the decode path
+    uses. Because the pixel/sample/frame generating functions are
+    closed-form, a SQL oracle can compute the decoded features
+    analytically; hash equality then proves the whole encode -> binary
+    column -> strict decode (incl. temporal frame-sampling) chain."""
+
+    def payload(d: int) -> bytes:
+        m = d % 3
+        return encode_bmp(d) if m == 0 else encode_wav(d) if m == 1 else encode_frames(d)
+
+    def mtype(d: int) -> str:
+        m = d % 3
+        return "image/bmp" if m == 0 else "audio/wav" if m == 1 else "video/x-raw-frames"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -278,12 +342,8 @@ def synthetic_media(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
-                    "media": [
-                        encode_bmp(d) if d % 2 == 0 else encode_wav(d) for d in ids
-                    ],
-                    "media_type": [
-                        "image/bmp" if d % 2 == 0 else "audio/wav" for d in ids
-                    ],
+                    "media": [payload(d) for d in ids],
+                    "media_type": [mtype(d) for d in ids],
                 }
             )
 

@@ -849,11 +849,14 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Channel/sample generating functions mirror ops/multimodal._bmp_rgb /
-# _wav_sample; file sizes are the fixed 3x2-24bpp BMP (54 header + 2*12
-# padded rows = 78) and 8-sample PCM16 WAV (44 header + 16 = 60). Means
-# divide an exact integer sum once in double — bit-identical cross-engine
-# (WAV /8 is even dyadic-exact).
+# Channel/sample/frame generating functions mirror ops/multimodal.
+# _bmp_rgb / _wav_sample / _frame_seed; file sizes are the fixed
+# 3x2-24bpp BMP (54 header + 2*12 padded rows = 78), 8-sample PCM16 WAV
+# (44 header + 16 = 60), and the 4-frame raw-frames container (8 header
+# + 4*78 = 320). Video features average the TEMPORALLY SAMPLED frames
+# only (every 2nd -> f in {0,2}; flat index j in 0..11 maps to frame
+# (j//6)*2, pixel j%6). Means divide an exact integer sum once in
+# double — bit-identical cross-engine (WAV /8 is even dyadic-exact).
 MULTIMODAL_ORACLE = """
 WITH bmp AS (
   SELECT doc_id,
@@ -861,7 +864,7 @@ WITH bmp AS (
          CAST(SUM((doc_id*2 + 5*i + 1) % 256) AS DOUBLE) / 6 AS mean_g,
          CAST(SUM((doc_id*3 + 7*i + 2) % 256) AS DOUBLE) / 6 AS mean_b
   FROM (SELECT doc_id, unnest(range(0, 6)) AS i
-        FROM documents WHERE doc_id % 2 = 0)
+        FROM documents WHERE doc_id % 3 = 0)
   GROUP BY doc_id
 ),
 wav AS (
@@ -869,7 +872,19 @@ wav AS (
          CAST(SUM(((doc_id*31 + i*17) % 2003) - 1001) AS DOUBLE) / 8 AS mean_s,
          CAST(MAX(ABS(((doc_id*31 + i*17) % 2003) - 1001)) AS DOUBLE) AS max_abs
   FROM (SELECT doc_id, unnest(range(0, 8)) AS i
-        FROM documents WHERE doc_id % 2 = 1)
+        FROM documents WHERE doc_id % 3 = 1)
+  GROUP BY doc_id
+),
+vid AS (
+  SELECT doc_id,
+         CAST(SUM(((doc_id*1000 + (j // 6) * 2) + 3*(j % 6)) % 256) AS DOUBLE) / 12
+           AS mean_r,
+         CAST(SUM(((doc_id*1000 + (j // 6) * 2)*2 + 5*(j % 6) + 1) % 256) AS DOUBLE) / 12
+           AS mean_g,
+         CAST(SUM(((doc_id*1000 + (j // 6) * 2)*3 + 7*(j % 6) + 2) % 256) AS DOUBLE) / 12
+           AS mean_b
+  FROM (SELECT doc_id, unnest(range(0, 12)) AS j
+        FROM documents WHERE doc_id % 3 = 2)
   GROUP BY doc_id
 )
 SELECT doc_id, 'image/bmp' AS media_type, CAST(78 AS INT) AS n_bytes,
@@ -893,6 +908,17 @@ SELECT doc_id, 'audio/wav', CAST(60 AS INT),
          CAST(CAST(0.0 AS DOUBLE) AS VARCHAR)
        ], ',')
 FROM wav
+UNION ALL
+SELECT doc_id, 'video/x-raw-frames', CAST(320 AS INT),
+       array_to_string([
+         CAST(CAST(3.0 AS DOUBLE) AS VARCHAR),
+         CAST(CAST(4.0 AS DOUBLE) AS VARCHAR),
+         CAST(CAST(2.0 AS DOUBLE) AS VARCHAR),
+         CAST(CAST(round(mean_r, 6) AS DOUBLE) AS VARCHAR),
+         CAST(CAST(round(mean_g, 6) AS DOUBLE) AS VARCHAR),
+         CAST(CAST(round(mean_b, 6) AS DOUBLE) AS VARCHAR)
+       ], ',')
+FROM vid
 """
 
 

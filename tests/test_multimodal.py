@@ -12,15 +12,21 @@ from pyspark.sql import functions as F
 from dynamic_etl_spark.ops.multimodal import (
     BMP_H,
     BMP_W,
+    FRAME_SAMPLE_EVERY,
     KIND_BMP,
+    KIND_VIDEO,
     KIND_WAV,
+    VIDEO_N_FRAMES,
     WAV_N,
     WAV_RATE,
     _bmp_rgb,
+    _frame_seed,
     _wav_sample,
     decode_bmp,
+    decode_frames,
     decode_wav,
     encode_bmp,
+    encode_frames,
     encode_wav,
     extract_media_features,
     header_features,
@@ -98,15 +104,17 @@ def test_strict_decoder_raises_only_for_compressed_or_unknown():
 
 
 def test_spark_decode_chain_matches_pure_python(spark):
-    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    docs = spark.range(0, 42).select(F.col("id").alias("doc_id"))
     feats = extract_media_features(synthetic_media(docs), decoder=strict_decoder)
     got = {r["doc_id"]: r for r in feats.collect()}
-    assert len(got) == 40
-    for d in range(40):
-        raw = encode_bmp(d) if d % 2 == 0 else encode_wav(d)
+    assert len(got) == 42
+    enc = {0: encode_bmp, 1: encode_wav, 2: encode_frames}
+    typ = {0: "image/bmp", 1: "audio/wav", 2: "video/x-raw-frames"}
+    for d in range(42):
+        raw = enc[d % 3](d)
         assert got[d]["n_bytes"] == len(raw)
         assert got[d]["features"] == strict_decoder(raw)
-        assert got[d]["media_type"] == ("image/bmp" if d % 2 == 0 else "audio/wav")
+        assert got[d]["media_type"] == typ[d % 3]
 
 
 def test_on_error_drop_skips_undecodable_rows(spark):
@@ -137,3 +145,25 @@ def test_synthetic_media_empty_and_single_row(spark):
     one = spark.createDataFrame([(42,)], "doc_id long")
     rows = extract_media_features(synthetic_media(one), decoder=strict_decoder).collect()
     assert len(rows) == 1 and rows[0]["features"] == strict_decoder(encode_bmp(42))
+
+
+def test_video_frames_round_trip_and_temporal_sampling():
+    for doc_id in (2, 8, 1001):
+        frames = decode_frames(encode_frames(doc_id))
+        assert len(frames) == VIDEO_N_FRAMES
+        for f, (w, h, px) in enumerate(frames):
+            assert (w, h) == (BMP_W, BMP_H)
+            assert px == [_bmp_rgb(_frame_seed(doc_id, f), i) for i in range(BMP_W * BMP_H)]
+        feats = strict_decoder(encode_frames(doc_id))
+        assert feats[0] == KIND_VIDEO
+        assert feats[1] == float(VIDEO_N_FRAMES)
+        assert feats[2] == float(len(range(0, VIDEO_N_FRAMES, FRAME_SAMPLE_EVERY)))
+        # features derive ONLY from the sampled frames
+        sampled = [
+            _bmp_rgb(_frame_seed(doc_id, f), i)
+            for f in range(0, VIDEO_N_FRAMES, FRAME_SAMPLE_EVERY)
+            for i in range(BMP_W * BMP_H)
+        ]
+        assert feats[3] == sum(p[0] for p in sampled) / len(sampled)
+    with pytest.raises(ValueError):
+        decode_frames(b"FRS0" + b"\x01\x00\x00\x00" + b"XX definitely not a frame here")
