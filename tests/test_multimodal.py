@@ -167,3 +167,44 @@ def test_video_frames_round_trip_and_temporal_sampling():
         assert feats[3] == sum(p[0] for p in sampled) / len(sampled)
     with pytest.raises(ValueError):
         decode_frames(b"FRS0" + b"\x01\x00\x00\x00" + b"XX definitely not a frame here")
+
+
+def test_resize_media_chain(spark):
+    """resize_media: BMPs resize via nearest-neighbor and re-encode as
+    valid BMPs (decode_bmp round-trips them at the new geometry); WAV
+    payloads pass through byte-identical; the resized chain feeds
+    extract_media_features unchanged."""
+    from dynamic_etl_spark.ops.multimodal import resize_media, resize_nearest
+
+    docs = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    resized = resize_media(synthetic_media(docs), new_w=6, new_h=4)
+    got = {r["doc_id"]: r for r in resized.collect()}
+    assert len(got) == 12
+    for d in range(12):
+        if d % 3 == 0:  # image: resized
+            w, h, px = decode_bmp(bytes(got[d]["media"]))
+            assert (w, h) == (6, 4)
+            src = [_bmp_rgb(d, i) for i in range(BMP_W * BMP_H)]
+            assert px == resize_nearest(src, BMP_W, BMP_H, 6, 4)
+        elif d % 3 == 1:  # audio: pass-through
+            assert bytes(got[d]["media"]) == encode_wav(d)
+    feats = extract_media_features(resized, decoder=strict_decoder)
+    for r in feats.collect():
+        if r["media_type"] == "image/bmp":
+            assert r["features"][1:3] == [6.0, 4.0]
+
+
+def test_resize_nearest_reference_cases():
+    from dynamic_etl_spark.ops.multimodal import resize_nearest
+
+    # 2x1 -> 4x2: each source pixel replicates into a 2x2 block
+    px = [(1, 2, 3), (4, 5, 6)]
+    out = resize_nearest(px, 2, 1, 4, 2)
+    assert out == [px[0], px[0], px[1], px[1]] * 2
+    # downscale 4x2 -> 2x1 picks the top-left of each block
+    big = [(i, i, i) for i in range(8)]
+    assert resize_nearest(big, 4, 2, 2, 1) == [(0, 0, 0), (2, 2, 2)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resize_nearest(px, 2, 1, 0, 2)
