@@ -175,3 +175,67 @@ def test_mg_merge_guarantee_survives(xs, ys, k):
     for item, c in true.items():
         if c > n / (k + 1):
             assert item in merged, f"heavy item {item} ({c}/{n}) lost in merge at k={k}"
+
+
+# ---------------------------------------------------------------------------
+# BPE core properties: merge_word / bpe_segment invariants for arbitrary
+# symbol streams and merge tables
+# ---------------------------------------------------------------------------
+
+sym = st.text(alphabet="abc", min_size=1, max_size=2)
+word_strat = st.text(alphabet="abcde", min_size=0, max_size=24)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(sym, min_size=0, max_size=30), sym, sym)
+def test_merge_word_conserves_content(symbols, left, right):
+    """merge_word: (1) concatenation of symbols is unchanged (merging
+    never creates or destroys characters); (2) no adjacent (left, right)
+    pair survives EXCEPT inside freshly merged tokens; (3) idempotent
+    when no pair exists."""
+    from dynamic_etl_spark.ops.bpe import merge_word
+
+    out = merge_word(symbols, left, right)
+    assert "".join(out) == "".join(symbols)
+    for a, b in zip(out, out[1:]):
+        # greedy leftmost: a surviving adjacent pair can only happen when
+        # the left symbol was itself just merged (e.g. aa+a in 'aaaa')
+        if (a, b) == (left, right):
+            assert a == left + right or b == left + right
+    if all((a, b) != (left, right) for a, b in zip(symbols, symbols[1:])):
+        assert out == symbols
+
+
+@settings(max_examples=60, deadline=None)
+@given(word_strat)
+def test_bpe_segment_reconstructs_word(word):
+    """Segmentation with ANY merge table must reconstruct word + eow on
+    concatenation and terminate."""
+    from dynamic_etl_spark.ops.bpe import bpe_segment
+
+    ranks = {("a", "b"): 0, ("ab", "c"): 1, ("d", "e"): 2, ("c", "d"): 3}
+    seg = bpe_segment(word, ranks)
+    assert "".join(seg) == word + "</w>"
+
+
+# ---------------------------------------------------------------------------
+# resize_nearest properties
+# ---------------------------------------------------------------------------
+
+dims = st.integers(min_value=1, max_value=8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(dims, dims, dims, dims)
+def test_resize_nearest_properties(w, h, nw, nh):
+    """(1) identity at the same geometry; (2) output size is exactly
+    nw*nh; (3) every output pixel exists in the source (nearest-neighbor
+    never invents values)."""
+    from dynamic_etl_spark.ops.multimodal import resize_nearest
+
+    px = [(i % 256, (i * 3) % 256, (i * 7) % 256) for i in range(w * h)]
+    assert resize_nearest(px, w, h, w, h) == px
+    out = resize_nearest(px, w, h, nw, nh)
+    assert len(out) == nw * nh
+    src = set(px)
+    assert all(p in src for p in out)
