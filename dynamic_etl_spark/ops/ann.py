@@ -211,6 +211,7 @@ def build_ivf_index(
     n_cells: int = 16,
     seed: int = 42,
     persist: bool = True,
+    max_iter: int = 20,
 ) -> IvfIndex:
     """One MLlib k-means fit (seeded) + one transform pass assigning each
     corpus vector to its cell. ``persist`` materializes the assignment
@@ -228,7 +229,15 @@ def build_ivf_index(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("__cv")
     ).withColumn("__features", array_to_vector(F.col("__cv")))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="__features", predictionCol="__cell")
+    # max_iter trades assignment refinement for fit jobs: candidate
+    # bucketing only needs rough Voronoi structure (SemDeDup's own
+    # practice on web-scale corpora is a handful of Lloyd iterations),
+    # so callers whose downstream is threshold- or recall-gated may cut
+    # it well below MLlib's default 20
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter,
+        featuresCol="__features", predictionCol="__cell",
+    )
     model = km.fit(c)
     assigned = model.transform(c).select("neighbor_id", "__cv", "__cell")
     if persist:
@@ -502,6 +511,7 @@ def semantic_dedup_pairs(
     index: IvfIndex | None = None,
     block_rows: int = 1024,
     max_cell_rows: int = 200_000,
+    max_iter: int = 8,
 ) -> DataFrame:
     """SemDeDup candidate generation (Abbas et al. 2023, arXiv:2303.09540):
     k-means clusters the embedding space, and pairwise cosine runs ONLY
@@ -536,7 +546,9 @@ def semantic_dedup_pairs(
     from pyspark.sql import types as T
 
     if index is None:
-        index = build_ivf_index(corpus, id_col, vec_col, n_cells, seed, persist=False)
+        index = build_ivf_index(
+            corpus, id_col, vec_col, n_cells, seed, persist=False, max_iter=max_iter
+        )
     assigned = index.assigned  # (neighbor_id, __cv, __cell)
     id_type = corpus.schema[id_col].dataType
     out_schema = T.StructType(
@@ -737,6 +749,7 @@ def semantic_dedup(
     index: IvfIndex | None = None,
     block_rows: int = 1024,
     max_cell_rows: int = 200_000,
+    max_iter: int = 8,
 ) -> DataFrame:
     """Full SemDeDup pass: within-cluster cosine pairs at >= threshold
     (semantic_dedup_pairs) chained into connected components
@@ -752,7 +765,9 @@ def semantic_dedup(
     from dynamic_etl_spark.ops.graph import connected_components
 
     if index is None:
-        index = build_ivf_index(corpus, id_col, vec_col, n_cells, seed, persist=False)
+        index = build_ivf_index(
+            corpus, id_col, vec_col, n_cells, seed, persist=False, max_iter=max_iter
+        )
     pairs = semantic_dedup_pairs(
         corpus, id_col, vec_col, threshold, n_cells, seed,
         index=index, block_rows=block_rows, max_cell_rows=max_cell_rows,
