@@ -714,11 +714,23 @@ def knn_join(
             hi = min(lo + block_rows, len(qids_all))
             S = Q[lo:hi] @ M.T  # (block, cell_size) slab
             S[qids_all[lo:hi, None] == mids[None, :]] = -np.inf  # no self-match
-            # local top-kk per row; members are id-sorted, so the
-            # partition boundary is deterministic under sim ties
+            # local top-kk per row
             part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
             rows = np.arange(hi - lo)[:, None]
             sims = S[rows, part]
+            # argpartition keeps an ARBITRARY subset when cosine ties
+            # straddle the kk-th boundary, which could drop the member
+            # _rank_topk's (sim DESC, neighbor ASC) total order keeps.
+            # Re-rank exactly the boundary-tied rows: members are
+            # id-sorted ascending, so a STABLE sort on -sim alone
+            # realizes that total order (ADVICE r5).
+            kth = sims.min(axis=1)
+            tied = np.nonzero((S >= kth[:, None]).sum(axis=1) > kk)[0]
+            for r in tied:
+                cand = np.nonzero(S[r] >= kth[r])[0]
+                part[r] = cand[np.argsort(-S[r, cand], kind="stable")[:kk]]
+            if len(tied):
+                sims = S[rows, part]
             keep = np.isfinite(sims)
             q_parts.append(qids_all[lo:hi].repeat(kk)[keep.ravel()])
             n_parts.append(mids[part][keep])

@@ -232,6 +232,16 @@ def finalize_kll_state(
     per-key frame is sketch-bounded (k * n_levels rows), so the window
     is safe at any key skew. Output (keys..., q, quantile_est)."""
     keys = [c for c in state.columns if c not in _STATE_COLS]
+    # Tie-invariance (ADVICE r5, deliberate exception to the total-order
+    # window rule): duplicate (state_value, state_level) compactor rows
+    # are bit-identical, so no deterministic tiebreak column can exist —
+    # but none is needed. The selection below is
+    # min(state_value WHERE cum >= target); a run of equal state_value
+    # rows qualifies iff its LAST row does, and the run-end cumulative
+    # weight is invariant under any intra-run permutation (only the
+    # order of equal values permutes, and weight sums commute). Hence
+    # the quantile estimate is identical for every tie order — verified
+    # by tests/test_kll.py::test_finalize_tie_invariance.
     w = (
         Window.partitionBy(*keys)
         .orderBy("state_value", "state_level")

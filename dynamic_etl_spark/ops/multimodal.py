@@ -184,6 +184,8 @@ def strict_decoder(payload: bytes) -> list[float]:
         frames = decode_frames(payload)
         sampled = frames[::FRAME_SAMPLE_EVERY]  # temporal frame-sampling
         px = [p for _, _, pixels in sampled for p in pixels]
+        if not px:
+            raise ValueError("raw-frames payload holds no sampled pixels")
         n = float(len(px))
         return [
             KIND_VIDEO,
@@ -198,6 +200,14 @@ def strict_decoder(payload: bytes) -> list[float]:
         "present in this container; plug a PIL/torchaudio-backed decoder "
         "in here"
     )
+
+
+#: Failure classes the 'drop' path must survive: NotImplementedError
+#: (compressed codec), ValueError (corrupt/degenerate container), and
+#: struct.error (truncated payload mid-unpack — NOT a ValueError
+#: subclass, so listing ValueError alone still kills a mixed-corpus job
+#: on a truncated WAV/frames payload).
+DECODE_FAILURES = (NotImplementedError, ValueError, struct.error)
 
 
 def extract_media_features(
@@ -237,7 +247,7 @@ def extract_media_features(
                 raw = bytes(payload)
                 try:
                     feats = decoder(raw)
-                except (NotImplementedError, ValueError):
+                except DECODE_FAILURES:
                     if drop_failures:
                         continue
                     raise
@@ -371,7 +381,7 @@ def resize_media(
                         raw = serialize_bmp(
                             resize_nearest(px, w, h, new_w, new_h), new_w, new_h
                         )
-                    except (NotImplementedError, ValueError):
+                    except DECODE_FAILURES:
                         if drop_failures:
                             continue
                         raise

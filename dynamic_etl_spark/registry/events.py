@@ -1348,7 +1348,8 @@ m123 AS (
   GROUP BY event_type, state_item
 ),
 {_mg_sql('m123', 'cm123')}
-SELECT event_type, state_item AS user_id, state_cnt AS count_lower_bound
+SELECT event_type, state_item AS user_id,
+       CAST(state_cnt AS BIGINT) AS count_lower_bound
 FROM cm123
 ORDER BY event_type, count_lower_bound DESC, user_id
 """

@@ -30,6 +30,16 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 
 
 def _canon_cell(v):
+    """Type-distinguishing canonical form.
+
+    The driver's hash is representation-sensitive: an int64 ``2`` and a
+    float64 ``2.0`` hash differently even though Python says ``2 == 2.0``.
+    CORRECTNESS_r05's one red row (heavy_hitter_maintenance) shipped
+    because this function used to return raw numbers and the Counter
+    comparison used Python ``==`` — numerically-equal-but-differently-typed
+    surfaces stayed locally green. Numeric cells are therefore tagged with
+    their type kind (``b``/``i``/``f``) so a dtype divergence fails the
+    local gate exactly like the driver's."""
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return None
     # array-valued cells (Spark ArrayType / DuckDB LIST come back as
@@ -40,8 +50,21 @@ def _canon_cell(v):
         return repr(v)
     if pd.isna(v):
         return None
-    if isinstance(v, float):
-        return float(v)
+    # bool is an int subclass — test it first
+    if isinstance(v, bool) or type(v).__name__ == "bool_":
+        return ("b", bool(v))
+    if isinstance(v, float) or type(v).__name__ in ("float16", "float32", "float64"):
+        return ("f", float(v))
+    if isinstance(v, int) or type(v).__name__ in (
+        "int8", "int16", "int32", "int64",
+        "uint8", "uint16", "uint32", "uint64",
+    ):
+        return ("i", int(v))
+    if type(v).__name__ == "Decimal":
+        # the query-boundary convention surfaces decimals as double; a
+        # Decimal reaching the driver is itself a parity bug — keep it
+        # distinct from both int and float so it fails loudly
+        return ("d", str(v))
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return v
@@ -79,6 +102,17 @@ def compare(name: str, spark_df, oracle_df: pd.DataFrame) -> ParityResult:
         return ParityResult(name, False, len(pdf), len(oracle_df), issues)
     if len(pdf) != len(oracle_df):
         issues.append("row count mismatch")
+
+    # dtype-kind strictness: the driver hash distinguishes int64 2 from
+    # float64 2.0 (CORRECTNESS_r05 heavy_hitter_maintenance) — surface
+    # dtype divergence must fail locally, per column, before values
+    for col in spark_cols:
+        sk, ok_ = pdf[col].dtype.kind, oracle_df[col].dtype.kind
+        if sk != ok_ and not (len(pdf) == 0 and len(oracle_df) == 0):
+            issues.append(
+                f"dtype-kind mismatch on {col!r}: spark={pdf[col].dtype} "
+                f"oracle={oracle_df[col].dtype}"
+            )
 
     s_rows, o_rows = canonicalize(pdf), canonicalize(oracle_df)
     if s_rows != o_rows and not issues:

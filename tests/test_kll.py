@@ -175,6 +175,48 @@ def test_exact_below_k_and_deterministic_rerun(spark):
             assert got == round(float(exact), 6)
 
 
+def test_finalize_tie_invariance(spark):
+    """finalize_kll_state's cumulative window orders by (state_value,
+    state_level), which is NOT unique when bit-identical compactor rows
+    repeat (ADVICE r5). The selection is provably tie-invariant (a run
+    of equal values qualifies iff its run-end cumulative weight does,
+    and run-end sums commute) — pin that by finalizing the same state
+    multiset, duplicates included, under shuffled row orders and
+    adversarial partitionings."""
+    rows = []
+    for key in ("a", "b"):
+        # duplicate (value, level) pairs on purpose, at several levels
+        rows += [(key, 0, 1.0)] * 3 + [(key, 1, 1.0)] * 2
+        rows += [(key, 0, 2.5)] * 2 + [(key, 2, 2.5)]
+        rows += [(key, 1, 7.0)] * 4 + [(key, 0, 9.0)]
+    schema = "k string, state_level int, state_value double"
+    base = None
+    for perm in (rows, list(reversed(rows)), rows[::2] + rows[1::2]):
+        for nparts in (1, 7):
+            state = spark.createDataFrame(perm, schema).repartition(nparts)
+            got = sorted(map(tuple, finalize_kll_state(state, qs=QS).collect()))
+            if base is None:
+                base = got
+            assert got == base
+    # and the selected estimates are the weighted empirical quantiles
+    import collections
+
+    weights = collections.Counter()
+    for _, lvl, val in rows[: len(rows) // 2]:  # key "a"
+        weights[val] += 2**lvl
+    total = sum(weights.values())
+    for q in QS:
+        target = int(np.ceil(q * total))
+        cum = 0
+        for val in sorted(weights):
+            cum += weights[val]
+            if cum >= target:
+                expected = val
+                break
+        got = [r for r in base if r[0] == "a" and r[1] == q][0][2]
+        assert got == round(expected, 6)
+
+
 def test_streaming_summary_maintains_rank_sketch(spark, scratch):
     """run_streaming_summary with the KLL builders: after three
     micro-batches the maintained estimates sit inside the merge-tree

@@ -205,6 +205,40 @@ def test_knn_join_full_probe_equals_bruteforce(spark):
         assert got == exact
 
 
+def test_knn_join_boundary_ties_match_bruteforce(spark):
+    """Exact cosine ties straddling the local top-k boundary (ADVICE r5):
+    power-of-2 scaled copies of one direction normalize to bit-identical
+    vectors, so each 8-member group carries 7 within-group ties at
+    cosine 1.0 while k=5 — argpartition alone would keep an arbitrary 5;
+    the kept subset must match _rank_topk's (sim DESC, neighbor ASC)
+    total order, i.e. brute force, bit-for-bit."""
+    dirs = [
+        (1.0, 0.0, 0.0, 0.0),
+        (0.0, 1.0, 0.0, 0.0),
+        (0.0, 0.0, 1.0, 0.0),
+        (3.0, 4.0, 0.0, 0.0),
+        (1.0, 2.0, 2.0, 0.0),
+    ]
+    rows = []
+    for vid in range(40):
+        g, j = vid % 5, vid // 5  # interleaved so tied ids are not contiguous
+        scale = float(2**j)  # power-of-2 scales keep normalization bit-exact
+        rows.append((vid, [c * scale for c in dirs[g]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = sorted(
+        map(tuple, ANN.cosine_topk(emb, emb, "vec_id", "embedding", k=5).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            ANN.knn_join(
+                emb, "vec_id", "embedding", k=5, n_cells=4, n_probe=4, block_rows=16
+            ).collect(),
+        )
+    )
+    assert got == exact
+
+
 def test_knn_join_respects_cell_guard(spark):
     emb = load_table(spark, SF_SMALL, "embeddings")
     import pytest as _pytest

@@ -13,6 +13,7 @@ from dynamic_etl_spark.ops.multimodal import (
     BMP_H,
     BMP_W,
     FRAME_SAMPLE_EVERY,
+    FRAMES_MAGIC,
     KIND_BMP,
     KIND_VIDEO,
     KIND_WAV,
@@ -30,6 +31,7 @@ from dynamic_etl_spark.ops.multimodal import (
     encode_wav,
     extract_media_features,
     header_features,
+    resize_media,
     strict_decoder,
     synthetic_media,
 )
@@ -130,6 +132,34 @@ def test_on_error_drop_skips_undecodable_rows(spark):
     # default surfaces the failure instead of silently shrinking
     with pytest.raises(Exception, match="NotImplementedError|compressed"):
         extract_media_features(media, decoder=strict_decoder).collect()
+
+
+def test_on_error_drop_survives_truncated_and_zero_frame_payloads(spark):
+    """ADVICE r5: struct.error (truncated payload mid-unpack) is NOT a
+    ValueError subclass, and a zero-frame raw-frames container used to
+    hit ZeroDivisionError — both must follow the 'drop' path, not kill
+    the job."""
+    truncated_wav = encode_wav(5)[:20]  # RIFF/WAVE magic intact, fmt cut
+    zero_frames = FRAMES_MAGIC + struct.pack("<I", 0)
+    truncated_frames = encode_frames(2)[:10]  # magic + count + partial BM
+    rows = [
+        (1, encode_bmp(4), "image/bmp"),
+        (2, truncated_wav, "audio/wav"),
+        (3, zero_frames, "video/x-raw-frames"),
+        (4, truncated_frames, "video/x-raw-frames"),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, media binary, media_type string")
+    out = extract_media_features(media, decoder=strict_decoder, on_error="drop")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1]
+    # resize's drop path takes the same failure tuple: a truncated BMP
+    # (magic intact, header cut) must drop, good rows must survive
+    bad_bmp = encode_bmp(7)[:30]
+    media2 = spark.createDataFrame(
+        [(1, encode_bmp(4), "image/bmp"), (2, bad_bmp, "image/bmp")],
+        "doc_id long, media binary, media_type string",
+    )
+    resized = resize_media(media2, 2, 2, on_error="drop")
+    assert sorted(r["doc_id"] for r in resized.collect()) == [1]
 
 
 def test_header_features_fallback_unchanged():

@@ -1,0 +1,74 @@
+"""The parity harness itself must be dtype-strict.
+
+CORRECTNESS_r05's one red row (heavy_hitter_maintenance) shipped with a
+green local parity suite because the old cell canonicalization compared
+with Python ``==``, where ``2.0 == 2`` — an int64-vs-float64 surface
+divergence was invisible locally while the driver's representation-
+sensitive hash failed. These tests pin the harness's authority over the
+driver gate: numerically-equal-but-differently-typed surfaces must FAIL
+(VERDICT r5 next-steps #2)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pandas as pd
+
+from tests.parity import compare
+
+
+class _FakeSparkDF:
+    """Minimal stand-in: compare() only calls .toPandas()."""
+
+    def __init__(self, pdf: pd.DataFrame):
+        self._pdf = pdf
+
+    def toPandas(self) -> pd.DataFrame:
+        return self._pdf
+
+
+def test_int_vs_float_column_fails():
+    spark_side = pd.DataFrame({"k": ["a", "b"], "cnt": pd.array([2, 3], dtype="int64")})
+    oracle_side = pd.DataFrame({"k": ["a", "b"], "cnt": pd.array([2.0, 3.0], dtype="float64")})
+    result = compare("dtype_guard", _FakeSparkDF(spark_side), oracle_side)
+    assert not result.ok
+    assert any("dtype-kind mismatch" in i for i in result.issues)
+
+
+def test_identical_frames_pass():
+    a = pd.DataFrame({"k": ["a", "b"], "cnt": pd.array([2, 3], dtype="int64")})
+    b = pd.DataFrame({"k": ["b", "a"], "cnt": pd.array([3, 2], dtype="int64")})
+    result = compare("order_free", _FakeSparkDF(a), b)
+    assert result.ok, str(result)
+
+
+def test_int_vs_float_inside_array_cell_fails():
+    """Array columns are object-dtyped on both sides, so the per-column
+    dtype check cannot see inside — the cell canonicalization must."""
+    spark_side = pd.DataFrame({"k": ["a"], "xs": [[1, 2]]})
+    oracle_side = pd.DataFrame({"k": ["a"], "xs": [[1.0, 2.0]]})
+    result = compare("array_guard", _FakeSparkDF(spark_side), oracle_side)
+    assert not result.ok
+
+
+def test_decimal_vs_float_cell_fails():
+    """A Decimal reaching the surface violates the decimals-as-double
+    boundary convention; it must not silently compare equal to a float."""
+    spark_side = pd.DataFrame({"v": [1.5]})
+    oracle_side = pd.DataFrame({"v": [Decimal("1.5")]})
+    result = compare("decimal_guard", _FakeSparkDF(spark_side), oracle_side)
+    assert not result.ok
+
+
+def test_bool_vs_int_cell_fails():
+    spark_side = pd.DataFrame({"v": pd.array([True, False], dtype="bool")})
+    oracle_side = pd.DataFrame({"v": pd.array([1, 0], dtype="int64")})
+    result = compare("bool_guard", _FakeSparkDF(spark_side), oracle_side)
+    assert not result.ok
+
+
+def test_value_difference_still_fails():
+    a = pd.DataFrame({"cnt": pd.array([2], dtype="int64")})
+    b = pd.DataFrame({"cnt": pd.array([4], dtype="int64")})
+    result = compare("value_guard", _FakeSparkDF(a), b)
+    assert not result.ok
