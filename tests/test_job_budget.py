@@ -1,0 +1,87 @@
+"""Per-query Spark JOB-count budgets for the eager/iterative queries
+(VERDICT r5 #7) — the sibling of tests/test_shuffle_budget.py for the
+cost dimension Exchange counting cannot see.
+
+Queries built from checkpointed batch loops (incremental near-dup
+admission) or capped iterative refinement (SemDeDup k-means) spend a
+fixed number of EAGER jobs per run; growth there hides in wall-time
+noise but multiplies at 100 TB batch cadence. bench.py records the
+measured count per round (BENCH_r05 carries "jobs"); this test pins the
+budgets so an accidental extra checkpoint or un-capped iteration fails
+CI rather than drifting.
+
+A budget increase demands a plan review, not a number bump (same
+convention as the shuffle budget)."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from dynamic_etl_spark.registry import all_queries
+from tests.conftest import SF_SMALL
+
+REGISTRY = all_queries()
+
+#: Budgets = observed band ceiling + 1. Job counts are structural
+#: (checkpoint batches, capped iterations, eager actions) but wobble a
+#: few jobs with session state/AQE: incremental_near_dup measured 38-44
+#: across local sf0.001 and driver sf0.1 runs (and the REJECTED r4 fold
+#: experiment measured 47 — the budget stays below it); the others are
+#: near-stable (semantic_dedup 41-42, knn_join 29 local / 37 driver
+#: sf0.1, heavy_hitter 12-13, rank_sketch 9-10). A real regression in
+#: the loops adds at least one job PER BATCH/ITERATION (>= 5), so the
+#: +1 headroom never masks one.
+JOB_BUDGETS = {
+    "incremental_near_dup": 45,
+    "semantic_dedup_survivors": 43,
+    "embedding_knn_join": 32,
+    "heavy_hitter_maintenance": 13,
+    "rank_sketch_maintenance": 10,
+}
+
+_group_seq = itertools.count()
+
+
+def _run_in_group(spark, fn, *args) -> int:
+    """Run fn(*args).count() inside a fresh job group; return the number
+    of Spark jobs the group spent."""
+    sc = spark.sparkContext
+    group = f"job-budget-{next(_group_seq)}"
+    sc.setJobGroup(group, group)
+    try:
+        fn(*args).count()
+    finally:
+        sc.setJobGroup(None, None)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+@pytest.mark.parametrize("name", sorted(JOB_BUDGETS))
+def test_job_budget(spark, name):
+    jobs = _run_in_group(spark, REGISTRY[name].fn, spark, SF_SMALL)
+    budget = JOB_BUDGETS[name]
+    assert jobs <= budget, (
+        f"{name} spent {jobs} Spark jobs > budget {budget}: an extra eager "
+        f"action (checkpoint, collect, un-capped iteration) crept into the "
+        f"plan — review it before raising the budget"
+    )
+
+
+def test_meter_detects_an_extra_checkpoint(spark):
+    """The meter itself must be sensitive: deliberately adding one extra
+    localCheckpoint to a query's result inside the measured group has to
+    raise the count above the plain run — otherwise a real regression
+    could hide."""
+    name = "heavy_hitter_maintenance"
+    plain = _run_in_group(spark, REGISTRY[name].fn, spark, SF_SMALL)
+
+    def mutated(spark_, sf_dir):
+        # the deliberate regression: an extra eager checkpoint
+        return REGISTRY[name].fn(spark_, sf_dir).localCheckpoint()
+
+    mutated_jobs = _run_in_group(spark, mutated, spark, SF_SMALL)
+    assert mutated_jobs > plain, (
+        f"extra checkpoint did not move the job count ({mutated_jobs} vs "
+        f"{plain}) — the meter is blind"
+    )
