@@ -82,6 +82,8 @@ HEADLINE = (
     "rank_sketch_maintenance",
     "multimodal_feature_extract",
     "embedding_knn_join",
+    # round 6: the oracle-checkable KLL finalize arithmetic
+    "rank_sketch_finalize_exact",
 )
 
 

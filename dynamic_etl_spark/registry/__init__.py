@@ -27,134 +27,63 @@ from dynamic_etl_spark.registry.core import Query, QueryRegistry
 #: LSH/ANN paths, brute-force-checked in tests/test_llm.py) go last.
 DRIVER_WINDOW = 50
 
-#: Positions 1-50 — the r5 rotation. Every operator family earned a
-#: driver-green representative across r1–r4 (68 queries carry the hard
-#: hash signal), so this round hands the window to the 48 oracle-backed
-#: queries the driver has NEVER hash-confirmed (added since r3), plus
-#: the two r4-green queries whose results CHANGE this round
-#: (validation_report gains the cross-column conditional rule;
-#: multimodal_feature_extract gains the real BMP/WAV strict decode).
-#: Four never-confirmed twins stay in the tail to make room — their
-#: family representative is already driver-green or in-window
-#: (dedup_keep_last_line_agg = D1 twin, events_hourly_heatmap = resample
-#: twin, generator_products/distributors = generator_fact_day siblings).
+#: Positions 1-50 — the r6 rotation (VERDICT r5 #3): close the driver-
+#: signal ledger. In-window first: the one red row re-checked after its
+#: oracle cast fix (heavy_hitter_maintenance), the new r6 finalize-
+#: arithmetic query, the 3 r5 post-window additions, and the 4 tail
+#: twins never driver-confirmed — after this round every oracle-backed
+#: query has carried the driver's hash at least once. The remaining 41
+#: slots re-confirm high-value r1–r4-green queries, prioritizing the
+#: ones whose code paths changed this round (heavy-hitter's salted
+#: compress, the multimodal decode guards).
 _WINDOW_ORDER = (
-    # SCD-2 read side + snapshot diff (merge family)
-    "scd2_point_in_time_lookup",
-    "orders_snapshot_diff",
-    # mergeable maintained-summary suite (monoid / MG / reservoir /
-    # quantile-histogram)
-    "incremental_rollup_maintenance",
+    # re-check after the HUGEINT->BIGINT oracle cast (the r5 red row)
     "heavy_hitter_maintenance",
-    "reservoir_sample_maintenance",
-    "quantile_hist_maintenance",
-    # physical layout
-    "events_zorder_tiles",
-    # semantic dedup + label propagation + scale-path decontamination
-    "semantic_dedup_survivors",
-    "knn_label_vote",
-    "benchmark_decontamination_bloom",
-    # embedding aggregation / quantization audit
-    "embedding_label_centroids",
-    "embedding_int8_quant",
-    # training-mix assembly + shard export
-    "corpus_split_assignment",
-    "corpus_mixture_sample",
-    "shard_assignment_profile",
-    "source_quota_cap",
-    # document-quality layer
-    "tfidf_top_terms",
-    "bigram_novelty_profile",
-    "document_chunking",
-    "vocabulary_build",
-    "pmi_collocations_top",
-    "markup_strip_clean",
-    "quality_rank_calibration",
-    "source_concentration_profile",
-    # robust-stats DQ gates + skew diagnostics
-    "value_outlier_gate",
-    "events_key_skew_profile",
-    # event analytics: funnel / retention / drift / percentiles
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "events_type_drift_profile",
-    "events_value_percentiles",
-    # long<->wide reshaping
-    "events_type_pivot",
-    "events_type_unpivot",
-    # rolling / inter-arrival / windowed-distinct
-    "events_rolling_user_value",
-    "events_interarrival_profile",
-    "events_rolling_distinct_users",
-    # histograms + deciles
-    "events_value_histogram",
-    "events_equidepth_deciles",
-    # LOCF / resample / transitions
-    "events_fill_forward",
-    "events_hourly_resample",
-    "events_transition_matrix",
-    # feature scaling
-    "events_minmax_scaled",
-    "events_value_zscore",
-    # correlated aggregates / distribution ranks / RFM / listagg
-    "orders_above_customer_avg",
-    "order_price_distribution_ranks",
-    "customer_rfm_segmentation",
-    "nation_segment_listagg",
-    # blocked edit-distance lookup
-    "fuzzy_brand_match",
-    # dim generator (fact generator already driver-green r04)
-    "generator_stores",
-    # changed this round: cross-column conditional rule (planted
-    # violation) / real BMP+WAV strict decode
-    "validation_report",
+    # new r6: KLL finalize arithmetic over a deterministic state
+    "rank_sketch_finalize_exact",
+    # r5 post-window additions, never driver-checked
+    "document_gram_exposure",
+    "grouping_sets_order_totals",
+    "value_anomaly_mad",
+    # the 4 never-confirmed tail twins
+    "dedup_keep_last_line_agg",
+    "events_hourly_heatmap",
+    "generator_products",
+    "generator_distributors",
+    # changed code path this round: decode-failure guards
     "multimodal_feature_extract",
-)
-
-#: The r1–r4 window, rotated out: every entry below was driver-green in
-#: CORRECTNESS_r01–r04; the local pytest parity harness still
-#: hash-checks each against the same oracle every run.
-_R5_ROTATED_OUT = (
+    # ---- backfill: r1–r4-green representatives across families ----
     # relational scans / joins / aggregates
     "flagship_star_join",
     "scan_projection_filter",
     "pricing_summary",
-    "distinct_profile",
     "duplicate_detection",
     "null_count_profile",
     "rollup_totals",
-    "top_part_types",
     "fallback_key_resolution",
     "drop_unresolved_keys",
     "salted_skew_join",
     # windows / dedup
     "surrogate_key_assignment",
     "customer_order_sequence",
-    "dedup_keep_last_line",
     # cleaning
     "clean_store_feed",
     "clean_product_feed",
-    "alias_header_resolution",
-    "tiered_discount_pricing",
     "coercion_failure_profile",
     # dates
     "date_dimension_build",
-    "date_key_lookup",
     "date_gap_fill_incremental",
-    # merge / SCD (r4 rotation: SCD-2 history merge gets the hard signal)
+    # merge / SCD
     "change_detection_classification",
     "scd1_merge_orders",
     "scd2_merge_customers",
     "mini_dim_upsert",
-    "snowflake_extraction",
-    # events (r4 rotation: as-of + range joins get the hard signal)
+    # events
     "events_tumbling_window",
     "events_sessionization",
     "events_asof_last_purchase",
     "events_range_interval_join",
-    # LLM-data-pipeline layer (driver-brief first-class components;
-    # r4 rotation: quality gates / fingerprints / PII / decontamination
-    # / line-dedup get the hard signal)
+    # LLM-data-pipeline layer
     "text_stats_profile",
     "language_id_profile",
     "exact_dedup_fingerprint",
@@ -166,13 +95,76 @@ _R5_ROTATED_OUT = (
     "line_dedup_profile",
     "near_dup_components",
     "dedup_survivors",
-    "corpus_stratified_sample",
     "sequence_packing",
     "embedding_near_dup",
     "embedding_topk_bruteforce",
-    "embedding_topk_vectorized",
-    # generators
+    # generators + validation
     "generator_fact_day",
+    "validation_report",
+)
+
+#: Rotated out after earning their driver-green (r1–r5); the local
+#: pytest parity harness still hash-checks each against the same oracle
+#: every run.
+_R6_ROTATED_OUT = (
+    # r5 window, confirmed green in CORRECTNESS_r05
+    "scd2_point_in_time_lookup",
+    "orders_snapshot_diff",
+    "incremental_rollup_maintenance",
+    "reservoir_sample_maintenance",
+    "quantile_hist_maintenance",
+    "events_zorder_tiles",
+    "semantic_dedup_survivors",
+    "knn_label_vote",
+    "benchmark_decontamination_bloom",
+    "embedding_label_centroids",
+    "embedding_int8_quant",
+    "corpus_split_assignment",
+    "corpus_mixture_sample",
+    "shard_assignment_profile",
+    "source_quota_cap",
+    "tfidf_top_terms",
+    "bigram_novelty_profile",
+    "document_chunking",
+    "vocabulary_build",
+    "pmi_collocations_top",
+    "markup_strip_clean",
+    "quality_rank_calibration",
+    "source_concentration_profile",
+    "value_outlier_gate",
+    "events_key_skew_profile",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "events_type_drift_profile",
+    "events_value_percentiles",
+    "events_type_pivot",
+    "events_type_unpivot",
+    "events_rolling_user_value",
+    "events_interarrival_profile",
+    "events_rolling_distinct_users",
+    "events_value_histogram",
+    "events_equidepth_deciles",
+    "events_fill_forward",
+    "events_hourly_resample",
+    "events_transition_matrix",
+    "events_minmax_scaled",
+    "events_value_zscore",
+    "orders_above_customer_avg",
+    "order_price_distribution_ranks",
+    "customer_rfm_segmentation",
+    "nation_segment_listagg",
+    "fuzzy_brand_match",
+    "generator_stores",
+    # r1–r4-green twins that ceded their backfill slot this round
+    "corpus_stratified_sample",
+    "distinct_profile",
+    "top_part_types",
+    "dedup_keep_last_line",
+    "alias_header_resolution",
+    "tiered_discount_pricing",
+    "date_key_lookup",
+    "snowflake_extraction",
+    "embedding_topk_vectorized",
 )
 
 #: Positions 51+: previously driver-confirmed queries rotated out in
@@ -198,16 +190,10 @@ _TAIL_ORDER = (
     "events_sliding_window",       # W twin of events_tumbling_window
     "events_rate_profile",         # bounded agg twin of the events family
     "cube_order_totals",           # A9 subsumed by rollup_totals
-    "grouping_sets_order_totals",  # r5: arbitrary (non-hierarchical) sets twin
-    "value_anomaly_mad",           # r5: MAD twin of the windowed IQR gate
-    "document_gram_exposure",      # r5: pair-free corpus-duplication gate
     "dedup_keep_first_line",       # D2 twin of dedup_keep_last_line (+ clean_store_feed)
-    "dedup_keep_last_line_agg",    # D1 again, skew-resilient max_by formulation
     "duplicate_group_members",     # D3 sibling of duplicate_detection (A7)
     "natural_key_concat",          # F9 concat also exercised in the clean feeds
     "date_backfill_initial",       # U5 twin of date_gap_fill_incremental
-    "generator_products",
-    "generator_distributors",
     # document-quality layer (oracle-backed)
     # quota capping, percentile profiles (oracle-backed)
     # SCD-2 read side: point-in-time attribution (oracle-backed)
@@ -234,7 +220,6 @@ _TAIL_ORDER = (
     # windowed distinct count + binned histogram (oracle-backed)
     # LOCF gap repair + linear regridding + Markov transitions
     # (oracle-backed)
-    "events_hourly_heatmap",
     # feature scaling: min-max + z-score (oracle-backed)
     # context-window chunking + vocabulary + collocations + markup strip
     # (oracle-backed)
@@ -309,7 +294,7 @@ def all_queries() -> QueryRegistry:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")
         pooled.update(module.QUERIES)
 
-    order = (*_WINDOW_ORDER, *_R5_ROTATED_OUT, *_TAIL_ORDER)
+    order = (*_WINDOW_ORDER, *_R6_ROTATED_OUT, *_TAIL_ORDER)
     if len(_WINDOW_ORDER) != DRIVER_WINDOW:
         raise ValueError(
             f"driver window holds {DRIVER_WINDOW} queries, order lists {len(_WINDOW_ORDER)}"

@@ -1123,6 +1123,59 @@ def rank_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_kll_state(merged, qs=(0.5, 0.9, 0.99)).orderBy("event_type", "q")
 
 
+def rank_sketch_finalize_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable twin of the KLL FINALIZE arithmetic (VERDICT r5
+    #5): the sketch build/merge is rightly rows-only (crc32 compaction
+    coins are engine hashing), but finalize_kll_state's weighted
+    cumulative-rank selection over a FIXED state table is engine-exact.
+    Synthesize a deterministic compactor state from the events table —
+    state_level = event_id % 3, the key-modulo dirty-fixture convention,
+    reproducible in SQL — and run the REAL ops/kll.finalize_kll_state
+    over it, so the window cumsum + pow-of-two weights + ceil selection
+    carry the driver's hash signal while the rank-error bound stays
+    pytest territory (tests/test_kll.py)."""
+    from dynamic_etl_spark.ops.kll import finalize_kll_state
+
+    state = t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("event_id") % 3).cast("int").alias("state_level"),
+        F.col("value").cast("double").alias("state_value"),
+    )
+    return finalize_kll_state(state, qs=(0.5, 0.9, 0.99)).orderBy("event_type", "q")
+
+
+RANK_SKETCH_FINALIZE_ORACLE = """
+WITH weighted AS (
+  SELECT event_type,
+         CAST(event_id % 3 AS INTEGER) AS state_level,
+         value AS state_value,
+         CAST(POW(2.0, event_id % 3) AS BIGINT) AS w
+  FROM events
+),
+cum AS (
+  SELECT event_type, state_value,
+         SUM(w) OVER (PARTITION BY event_type
+                      ORDER BY state_value, state_level
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+         SUM(w) OVER (PARTITION BY event_type) AS tot
+  FROM weighted
+),
+sel AS (
+  SELECT event_type,
+         MIN(CASE WHEN c >= CEIL(0.5 * tot) THEN state_value END) AS q50,
+         MIN(CASE WHEN c >= CEIL(0.9 * tot) THEN state_value END) AS q90,
+         MIN(CASE WHEN c >= CEIL(0.99 * tot) THEN state_value END) AS q99
+  FROM cum GROUP BY event_type
+)
+SELECT event_type, CAST(0.5 AS DOUBLE) AS q, ROUND(q50, 6) AS quantile_est FROM sel
+UNION ALL
+SELECT event_type, CAST(0.9 AS DOUBLE) AS q, ROUND(q90, 6) AS quantile_est FROM sel
+UNION ALL
+SELECT event_type, CAST(0.99 AS DOUBLE) AS q, ROUND(q99, 6) AS quantile_est FROM sel
+ORDER BY event_type, q
+"""
+
+
 QUANTILE_HIST_ORACLE = """
 WITH hist AS (
   SELECT event_type,
@@ -1489,6 +1542,12 @@ QUERIES: QueryRegistry = {
         None,
         "maintained unknown-range P50/P90/P99 from mergeable KLL rank "
         "sketches over date slices (rows-only; rank-error-bound pytest)",
+    ),
+    "rank_sketch_finalize_exact": Query(
+        rank_sketch_finalize_exact,
+        RANK_SKETCH_FINALIZE_ORACLE,
+        "KLL finalize arithmetic over a deterministic synthetic state: "
+        "weighted cumulative-rank selection, hash-checked",
     ),
     "events_minmax_scaled": Query(
         events_minmax_scaled,

@@ -32,31 +32,38 @@ def test_rows_only_query_runs(spark, name):
     assert len(df.columns) > 0
 
 
-def test_driver_window_holds_the_r5_rotation():
+def test_driver_window_holds_the_r6_rotation():
     """The driver hash-checks only the first DRIVER_WINDOW registered
-    queries. The r5 window hands the hard signal to the oracle-backed
-    queries never driver-confirmed in r1–r4 (VERDICT r4 next-steps #1)
-    plus the two r4-green queries whose results change in r5; everything
+    queries. The r6 window closes the driver-signal ledger (VERDICT r5
+    #3): the red-row re-check, the new finalize-arithmetic query, the 3
+    r5 post-window additions, and the 4 never-confirmed tail twins all
+    sit in-window; every windowed query is oracle-backed; everything
     rotated out stays hash-checked by this local harness."""
-    from dynamic_etl_spark.registry import DRIVER_WINDOW, _R5_ROTATED_OUT
+    from dynamic_etl_spark.registry import DRIVER_WINDOW, _R6_ROTATED_OUT
 
     window = list(REGISTRY)[:DRIVER_WINDOW]
     for name in (
-        # representatives of the never-confirmed families
-        "scd2_point_in_time_lookup",
+        # the r5 red row, re-checked after the HUGEINT->BIGINT cast
         "heavy_hitter_maintenance",
-        "semantic_dedup_survivors",
-        "events_zorder_tiles",
-        "benchmark_decontamination_bloom",
-        # changed in r5: cross-column rule / real BMP+WAV decode
-        "validation_report",
+        # new r6: KLL finalize arithmetic
+        "rank_sketch_finalize_exact",
+        # r5 post-window additions
+        "document_gram_exposure",
+        "grouping_sets_order_totals",
+        "value_anomaly_mad",
+        # the never-confirmed tail twins
+        "dedup_keep_last_line_agg",
+        "events_hourly_heatmap",
+        "generator_products",
+        "generator_distributors",
+        # decode guards changed this round
         "multimodal_feature_extract",
     ):
         assert name in window, f"{name} fell outside the driver correctness window"
-    # nothing already driver-confirmed wastes a slot (except the two
-    # changed queries, which need re-confirmation)
-    stale = set(window) & set(_R5_ROTATED_OUT)
-    assert not stale, f"already-confirmed queries occupy window slots: {sorted(stale)}"
+    # a rows-only query in the window would waste a hash slot
+    assert all(REGISTRY[n].oracle is not None for n in window)
+    stale = set(window) & set(_R6_ROTATED_OUT)
+    assert not stale, f"rotated-out queries occupy window slots: {sorted(stale)}"
 
 
 def test_driver_window_is_fully_oracle_backed():

@@ -30,6 +30,7 @@ SWEEP = (
     "heavy_hitter_maintenance",
     "reservoir_sample_maintenance",
     "rank_sketch_maintenance",
+    "rank_sketch_finalize_exact",
     "pricing_summary",
     "sequence_packing",
     "minhash_near_dup",

@@ -230,6 +230,9 @@ SHUFFLE_BUDGET = {
     # + shared finalize window + sort; mapInPandas pre-sketch shuffles
     # nothing
     "rank_sketch_maintenance": 8,
+    # ONE keyed exchange serves both finalize windows AND the selection
+    # aggregate; + the presentation sort
+    "rank_sketch_finalize_exact": 2,
     "corpus_weighted_sample": 2,
 }
 
