@@ -82,8 +82,10 @@ HEADLINE = (
     "rank_sketch_maintenance",
     "multimodal_feature_extract",
     "embedding_knn_join",
-    # round 6: the oracle-checkable KLL finalize arithmetic
+    # round 6: the oracle-checkable KLL finalize arithmetic + per-dim
+    # embedding spread
     "rank_sketch_finalize_exact",
+    "embedding_dim_spread",
 )
 
 

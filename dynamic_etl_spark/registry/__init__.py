@@ -52,6 +52,8 @@ _WINDOW_ORDER = (
     "generator_distributors",
     # changed code path this round: decode-failure guards
     "multimodal_feature_extract",
+    # new r6: per-dim embedding spread (collapsed-dim QA)
+    "embedding_dim_spread",
     # ---- backfill: r1–r4-green representatives across families ----
     # relational scans / joins / aggregates
     "flagship_star_join",
@@ -65,7 +67,6 @@ _WINDOW_ORDER = (
     "salted_skew_join",
     # windows / dedup
     "surrogate_key_assignment",
-    "customer_order_sequence",
     # cleaning
     "clean_store_feed",
     "clean_product_feed",
@@ -157,6 +158,7 @@ _R6_ROTATED_OUT = (
     "generator_stores",
     # r1–r4-green twins that ceded their backfill slot this round
     "corpus_stratified_sample",
+    "customer_order_sequence",
     "distinct_profile",
     "top_part_types",
     "dedup_keep_last_line",

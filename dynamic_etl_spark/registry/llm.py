@@ -981,6 +981,57 @@ GROUP BY label, i - 1
 
 
 
+def embedding_dim_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(label, dim) mean AND variance of the embedding coordinate —
+    the collapsed-dimension QA check (a dim whose variance ~0 carries no
+    information; an encoder regression that collapses dims shows up here
+    before any retrieval metric moves), and the diversity decomposition:
+    mean pairwise squared distance within a label = 2 * sum_d var_d, so
+    per-dim variances are the per-axis attribution of corpus diversity.
+
+    Parity: v is float32; v as double is exact and v*v is a <=48-bit
+    product — exact in double — so BOTH moment sums ride the near-exact
+    decimal(38,30) discipline of embedding_label_centroids, and the
+    single divide/square/subtract epilogue is the identical IEEE
+    sequence in both engines."""
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    s1 = F.sum(F.col("v").cast("decimal(38,30)")).cast("double")
+    s2 = F.sum((F.col("v") * F.col("v")).cast("decimal(38,30)")).cast("double")
+    n = F.count(F.lit(1))
+    mean = s1 / n
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            n.alias("n_vectors"),
+            F.round(mean, 6).alias("dim_mean"),
+            F.round(s2 / n - mean * mean, 6).alias("dim_variance"),
+        )
+        .select("label", "dim", "n_vectors", "dim_mean", "dim_variance")
+    )
+
+
+DIM_SPREAD_ORACLE = """
+WITH ex AS (
+  SELECT label,
+         unnest(range(1, len(embedding) + 1)) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+SELECT label, dim, count(*) AS n_vectors,
+       round(CAST(SUM(CAST(v AS DECIMAL(38,30))) AS DOUBLE) / count(*), 6)
+         AS dim_mean,
+       round(CAST(SUM(CAST(v * v AS DECIMAL(38,30))) AS DOUBLE) / count(*)
+             - (CAST(SUM(CAST(v AS DECIMAL(38,30))) AS DOUBLE) / count(*))
+               * (CAST(SUM(CAST(v AS DECIMAL(38,30))) AS DOUBLE) / count(*)), 6)
+         AS dim_variance
+FROM ex
+GROUP BY label, dim
+"""
+
+
 def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     return ANN.int8_quant_profile(emb, "vec_id", "embedding")
@@ -1265,6 +1316,12 @@ QUERIES: QueryRegistry = {
     "embedding_int8_quant": Query(
         embedding_int8_quant, INT8_QUANT_ORACLE,
         "per-vector absmax int8 quantization audit (integer checksums + max error)",
+    ),
+    "embedding_dim_spread": Query(
+        embedding_dim_spread,
+        DIM_SPREAD_ORACLE,
+        "per-dimension embedding mean/variance: collapsed-dim QA + the "
+        "sum-of-variances diversity decomposition",
     ),
     "embedding_label_centroids": Query(
         embedding_label_centroids, CENTROIDS_ORACLE,

@@ -125,11 +125,19 @@ def compare(name: str, spark_df, oracle_df: pd.DataFrame) -> ParityResult:
         o_only = Counter(o_rows) - Counter(s_rows)
         n_diff = sum(s_only.values()) + sum(o_only.values())
         max_float_dev = 0.0
+
+        def _as_float(cell):
+            # float cells canonicalize as ("f", value) tuples
+            if isinstance(cell, tuple) and len(cell) == 2 and cell[0] == "f":
+                return cell[1]
+            return None
+
         for a, b in zip(sorted(s_only.elements(), key=repr), sorted(o_only.elements(), key=repr)):
             for x, y in zip(a, b):
-                if isinstance(x, float) and isinstance(y, float):
-                    denom = max(abs(x), abs(y), 1e-12)
-                    max_float_dev = max(max_float_dev, abs(x - y) / denom)
+                fx, fy = _as_float(x), _as_float(y)
+                if fx is not None and fy is not None:
+                    denom = max(abs(fx), abs(fy), 1e-12)
+                    max_float_dev = max(max_float_dev, abs(fx - fy) / denom)
         for row in list(s_only.elements())[:3]:
             issues.append(f"spark-only row: {row!r}")
         for row in list(o_only.elements())[:3]:

@@ -31,6 +31,7 @@ SWEEP = (
     "reservoir_sample_maintenance",
     "rank_sketch_maintenance",
     "rank_sketch_finalize_exact",
+    "embedding_dim_spread",
     "pricing_summary",
     "sequence_packing",
     "minhash_near_dup",

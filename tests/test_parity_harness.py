@@ -72,3 +72,14 @@ def test_value_difference_still_fails():
     b = pd.DataFrame({"cnt": pd.array([4], dtype="int64")})
     result = compare("value_guard", _FakeSparkDF(a), b)
     assert not result.ok
+
+
+def test_float_deviation_diagnostic_survives_tagging():
+    """The near-miss diagnostic must still see through the (kind, value)
+    cell tags: a tiny float drift reports a nonzero max relative dev."""
+    a = pd.DataFrame({"v": [1.0, 2.0]})
+    b = pd.DataFrame({"v": [1.0, 2.0 + 1e-9]})
+    result = compare("float_dev", _FakeSparkDF(a), b)
+    assert not result.ok
+    dev_lines = [i for i in result.issues if "max rel float dev" in i]
+    assert dev_lines and "0.000e+00" not in dev_lines[0], result.issues

@@ -233,6 +233,8 @@ SHUFFLE_BUDGET = {
     # ONE keyed exchange serves both finalize windows AND the selection
     # aggregate; + the presentation sort
     "rank_sketch_finalize_exact": 2,
+    # posexplode + one (label, dim) agg with map-side partials
+    "embedding_dim_spread": 1,
     "corpus_weighted_sample": 2,
 }
 
