@@ -19,12 +19,13 @@ from dynamic_etl_spark.registry.core import Query, QueryRegistry
 #: The driver records hard correctness rows (row-count + schema + value
 #: hash vs the DuckDB oracle) for the FIRST 50 registered queries only, so
 #: registration order is a verification-signal decision, not cosmetics.
-#: The window below holds one green-checkable query per distinct operator
-#: family; near-duplicate formulations of an already-windowed operator
-#: (e.g. cube vs rollup — both A9) sit past position 50, where the local
-#: pytest parity harness (tests/test_oracle_parity.py) still hash-checks
-#: them against the same oracles. Rows-only queries (engine-hash-specific
-#: LSH/ANN paths, brute-force-checked in tests/test_llm.py) go last.
+#: Rotation policy: never-driver-confirmed and changed-this-round queries
+#: take window slots first; remaining slots re-confirm already-green
+#: representatives. Everything past position 50 stays hash-checked every
+#: run by the local parity harness (tests/test_oracle_parity.py), which
+#: is dtype-strict since r6 and so carries the driver's full signal.
+#: Rows-only queries (engine-hash-specific LSH/ANN paths, brute-force-
+#: checked in tests/test_llm.py) go last.
 DRIVER_WINDOW = 50
 
 #: Positions 1-50 — the r6 rotation (VERDICT r5 #3): close the driver-
