@@ -194,6 +194,48 @@ def stratified_sample(
     return df.filter(uniform < frac)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    splits: Sequence[tuple[str, float]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Group-holdout train/validation/test split: every EXACT-DUPLICATE
+    group (md5 content fingerprint, the engine's whole-doc dedup key)
+    receives ONE split assignment, hashed from the group's canonical
+    min-id rather than the row's own id — so a document duplicated
+    across the corpus can never land in train AND eval. This is the
+    contamination path a split-before-dedup pipeline reintroduces no
+    matter how good the later dedup is: row-hash splitting puts the two
+    copies of a duplicate on independent coins, and the eval copy then
+    scores memorization, not generalization (the measurement artifact
+    Lee et al. 2022 §6 quantify on duplicated eval sets).
+
+    Adds ``group_id`` (canonical min id over the fingerprint group),
+    ``group_size``, and ``split_col``. One shuffle, on the fingerprint;
+    the assignment itself is the row-local codegen CASE of
+    :func:`hash_split` over ``uniform_affine(group_id)``, so it stays
+    reproducible in SQL and stable under any partitioning. Skew is
+    bounded by the largest duplicate group — a corpus-quality fact the
+    ``group_size`` output surfaces directly.
+    """
+    from dynamic_etl_spark.ops.text import fingerprint_md5
+
+    w = Window.partitionBy("__fp")
+    grouped = (
+        df.withColumn("__fp", fingerprint_md5(F.col(text_col)))
+        .withColumn("group_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .drop("__fp")
+    )
+    return hash_split(
+        grouped, uniform_affine(F.col("group_id"), salt=salt), splits, split_col
+    )
+
+
 def assign_shard(key: Column | str, n_shards: int, salt: int = 0) -> Column:
     """Deterministic shard id in [0, n_shards): ``floor(U(key) * n)`` over
     the SQL-reproducible affine uniform. Row-local codegen — no shuffle,

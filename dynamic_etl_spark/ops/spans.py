@@ -1,0 +1,156 @@
+"""Exact duplicated-span detection and removal (sub-document dedup).
+
+Re-expresses the suffix-array substring deduplication of Lee et al. 2022
+("Deduplicating Training Data Makes Language Models Better", ExactSubstr)
+as a native Spark plan: a word ``k``-gram occurring more than once
+anywhere in the corpus (another document OR the same one) marks the
+k-token window it spans as duplicated; maximal runs of OVERLAPPING
+duplicated windows are the removal spans. Every maximal duplicated
+substring of >= k tokens is exactly the union of its length-k windows —
+each window is duplicated by construction — so window-run merging
+recovers the same spans the suffix array finds at the k-token threshold,
+without ever building one. The reference repo has no document layer;
+this extends the engine's dedup surface beyond the whole-document
+(exact / MinHash / SimHash) and line-level tiers to sub-document
+granularity — the gate that whole-doc dedup structurally cannot express
+(boilerplate headers, license blocks, templated paragraphs).
+
+Scale design (SCALE.md): no suffix array, no pair join. Detection is a
+corpus-linear gram count (one shuffle, map-side partials), a join back
+on the gram key, and one per-document window for the interval merge
+whose frame is bounded by the document's own gram count. Removal
+re-assembles kept tokens with explode + codegen aggregation; covered
+positions explode from the MERGED (disjoint) spans, so total explode
+volume never exceeds the corpus token mass. Every stage is linear in
+corpus size; per-key skew is bounded by document length (documents, not
+grams, are the window key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyspark.sql import Column
+
+from dynamic_etl_spark.ops.text import tokens
+
+
+def _gram_seq_pretokenized(toks: Column, k: int) -> Column:
+    """Ordered word k-grams over an already-tokenized column — the
+    ``ops.lsh.word_gram_seq`` construction without the re-tokenize
+    (callers here need the token array again for re-assembly). Only
+    called where size(toks) >= k, so no partial-gram guard is needed."""
+
+    def _gram(i: Column) -> Column:
+        # helper, not a default-arg capture (PySpark lambda trap)
+        return F.concat_ws(" ", F.slice(toks, i + 1, k))
+
+    return F.transform(F.sequence(F.lit(0), F.size(toks) - k), _gram)
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document duplicated-span profile + cleaned text.
+
+    Output: (id, n_tokens, n_dup_spans, n_dup_tokens, dup_token_frac,
+    cleaned_text). ``cleaned_text`` is the token-normalized document
+    (lowercased, single-space joined — the same normalization every
+    token statistic in this engine uses) with every duplicated span
+    removed; documents shorter than ``k`` tokens emit no windows and
+    pass through untouched.
+
+    Plan shape: grams -> global count (>=2 occurrences anywhere marks a
+    window, within-document repeats included, per ExactSubstr) -> join
+    back -> per-doc overlap-merge of [gpos, gpos+k-1] windows (windows
+    whose starts differ by >= k do not overlap and stay separate spans)
+    -> explode merged spans to covered positions -> anti-join the token
+    stream -> ordered re-assembly. The merge window's orderBy is gpos,
+    unique per document (total order per repo rule)."""
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    grams = base.filter(F.size("__toks") >= k).select(
+        id_col,
+        F.posexplode(_gram_seq_pretokenized(F.col("__toks"), k)).alias(
+            "gpos", "gram"
+        ),
+    )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__occ"))
+    dup_starts = (
+        grams.join(counts.filter(F.col("__occ") >= 2), "gram")
+        .select(id_col, "gpos")
+    )
+
+    # Overlap-merge: window [gpos, gpos+k-1] overlaps the previous one
+    # iff gpos <= prev_gpos + k - 1. End positions are monotone in gpos,
+    # so lag(gpos) suffices for the running-max-end interval merge.
+    w = Window.partitionBy(id_col).orderBy("gpos")
+    spans = (
+        dup_starts.withColumn(
+            "__brk",
+            F.when(
+                F.lag("gpos").over(w).isNull()
+                | (F.col("gpos") > F.lag("gpos").over(w) + (k - 1)),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "__island")
+        .agg(
+            F.min("gpos").alias("__s"),
+            (F.max("gpos") + (k - 1)).alias("__e"),
+        )
+    )
+    stats = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("__e") - F.col("__s") + 1).alias("n_dup_tokens"),
+    )
+
+    covered = spans.select(
+        id_col, F.explode(F.sequence("__s", "__e")).alias("pos")
+    )
+    tokpos = base.select(
+        id_col, F.posexplode("__toks").alias("pos", "w")
+    )
+    cleaned = (
+        tokpos.join(covered, [id_col, "pos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("cleaned_text")
+        )
+    )
+
+    n_tok = F.size("__toks").cast("long")
+    return (
+        base.join(stats, id_col, "left")
+        .join(cleaned, id_col, "left")
+        .select(
+            id_col,
+            n_tok.alias("n_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            F.when(n_tok == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("n_dup_tokens", F.lit(0)).cast("double") / n_tok, 6
+                )
+            )
+            .alias("dup_token_frac"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

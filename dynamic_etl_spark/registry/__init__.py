@@ -198,6 +198,14 @@ _TAIL_ORDER = (
     "natural_key_concat",          # F9 concat also exercised in the clean feeds
     "date_backfill_initial",       # U5 twin of date_gap_fill_incremental
     # document-quality layer (oracle-backed)
+    # new r6: ExactSubstr duplicated-span removal (oracle-backed; added
+    # after the r6 window was frozen — next rotation's first candidate)
+    "duplicated_span_removal",
+    # new r6: group-holdout leakage-safe split (oracle-backed; post-
+    # window add, next rotation's candidate alongside span removal)
+    "leakage_safe_split",
+    # new r6: one-pass OLS drift trend (oracle-backed; post-window add)
+    "events_value_trend",
     # quota capping, percentile profiles (oracle-backed)
     # SCD-2 read side: point-in-time attribution (oracle-backed)
     # version-to-version table diff with per-column attribution

@@ -23,6 +23,7 @@ from dynamic_etl_spark.ops.decontam import (
 from dynamic_etl_spark.ops.sample import sql_assign_shard, sql_uniform_affine
 from dynamic_etl_spark.ops.text import winnow_fingerprints
 from dynamic_etl_spark.registry.core import Query, QueryRegistry, t
+from dynamic_etl_spark.registry.llm import _SQL_NORM  # shared fingerprint twin
 from dynamic_etl_spark.registry.llm import _SQL_TOKENS  # shared tokenizer twin
 from dynamic_etl_spark.session import ensure_fanout_parallelism
 
@@ -353,6 +354,47 @@ FROM documents
 """
 
 
+def leakage_safe_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-holdout 98/1/1 split over a corpus with injected exact
+    duplicates (the exact_dedup_fingerprint re-keyed noisy copies, so
+    dup groups of size > 1 actually exist): the split coin is flipped on
+    the fingerprint group's canonical min-id, never the row id — the
+    invariant pytest (test_sampling) asserts no group straddles splits."""
+    from dynamic_etl_spark.ops.sample import leakage_safe_split
+
+    docs = t(spark, sf_dir, "documents")
+    resent = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper(F.concat(F.lit("  "), F.col("text"), F.lit("  "))).alias("text"),
+    )
+    feed = docs.select("doc_id", "text").unionByName(resent)
+    return leakage_safe_split(
+        feed, [("train", 0.98), ("validation", 0.01), ("test", 0.01)], salt=73
+    ).select("doc_id", "group_id", "group_size", "split")
+
+
+_SQL_U73G = sql_uniform_affine("group_id", 73)
+LEAKAGE_SAFE_SPLIT_ORACLE = f"""
+WITH feed AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, upper('  ' || text || '  ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+g AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY md5({_SQL_NORM})) AS group_id,
+         COUNT(*) OVER (PARTITION BY md5({_SQL_NORM})) AS group_size
+  FROM feed
+)
+SELECT doc_id, group_id, group_size,
+       CASE WHEN {_SQL_U73G} < 0.98 THEN 'train'
+            WHEN {_SQL_U73G} < 0.99 THEN 'validation'
+            ELSE 'test' END AS split
+FROM g
+"""
+
+
 # ==========================================================================
 # Exact mixture quotas: every even-numbered source contributes exactly 12
 # documents, every odd one exactly 5, drawn by deterministic pseudo-random
@@ -520,6 +562,13 @@ QUERIES: QueryRegistry = {
         corpus_split_assignment,
         SPLIT_ORACLE,
         "deterministic 98/1/1 train/validation/test split by key hash-uniform",
+    ),
+    "leakage_safe_split": Query(
+        leakage_safe_split_assignment,
+        LEAKAGE_SAFE_SPLIT_ORACLE,
+        "group-holdout split: exact-dup groups share one assignment "
+        "(hash of canonical min-id) so duplicates never straddle "
+        "train/eval",
     ),
     "corpus_mixture_sample": Query(
         corpus_mixture_sample,

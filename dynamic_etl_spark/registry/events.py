@@ -524,6 +524,115 @@ def events_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type time-trend drift audit: closed-form OLS of value against
+    hours-since-anchor plus the Pearson correlation — the one-pass
+    drift detector that tells a pipeline whether a metric is moving
+    before any windowed comparison runs. One shuffle (the moment
+    aggregation); the regression epilogue is scalar per group.
+
+    Parity discipline: x is INTEGER hours via epoch-microsecond floor
+    division (timestampdiff(HOUR) truncates elapsed time while DuckDB's
+    date_diff counts boundary crossings — integer epoch division is the
+    one formulation both engines compute identically); x-moments stay
+    integer-exact in BIGINT, y-moments ride the decimal(38,24) sums of
+    the zscore family, and the epilogue is the same IEEE double sequence
+    in both engines. `+ 0.0` collapses IEEE -0.0 to +0.0 — slopes and
+    correlations of un-trended data round to zero from either side, and
+    the driver's hash distinguishes the two zeros."""
+    ev = t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    # anchor 2024-01-01 00:00:00 UTC = 1704067200000000 epoch-us: keeps
+    # the intercept at the fixture's own time origin instead of a 54-year
+    # extrapolation to 1970 (slope and r are translation-invariant)
+    x = F.expr(
+        "(unix_micros(CAST(ts AS TIMESTAMP)) - 1704067200000000)"
+        " div 3600000000"
+    ).cast("long")
+    v = F.col("value")
+    m = ev.select("event_type", x.alias("__x"), v.alias("__y")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y").cast(_ZDEC)).cast("double").alias("__sy"),
+        F.sum((F.col("__y") * F.col("__y")).cast(_ZDEC)).cast("double").alias("__syy"),
+        F.sum((F.col("__x") * F.col("__y")).cast(_ZDEC)).cast("double").alias("__sxy"),
+    )
+    n, sx, sxx = F.col("__n"), F.col("__sx"), F.col("__sxx")
+    sy, syy, sxy = F.col("__sy"), F.col("__syy"), F.col("__sxy")
+    dx = (n * sxx - sx * sx).cast("double")
+    num = n * sxy - sx * sy
+    dy = n * syy - sy * sy
+    slope = num / dx
+    return m.select(
+        "event_type",
+        n.cast("long").alias("n_events"),
+        (
+            F.round(F.when((dx > 0) & (dy > 0), slope).otherwise(0.0), 6) + 0.0
+        ).alias("slope_per_hour"),
+        (
+            F.round(
+                F.when(
+                    (dx > 0) & (dy > 0),
+                    (sy - slope * sx.cast("double")) / n,
+                ).otherwise(0.0),
+                6,
+            )
+            + 0.0
+        ).alias("intercept"),
+        (
+            F.round(
+                F.when(
+                    (dx > 0) & (dy > 0), num / F.sqrt(dx * dy)
+                ).otherwise(0.0),
+                6,
+            )
+            + 0.0
+        ).alias("pearson_r"),
+    ).orderBy("event_type")
+
+
+VALUE_TREND_ORACLE = """
+WITH pts AS (
+  SELECT event_type,
+         (epoch_us(ts) - 1704067200000000) // 3600000000 AS x,
+         value AS y
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         count(*) AS n,
+         SUM(x) AS sx,
+         SUM(x * x) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(38,24))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,24))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,24))) AS DOUBLE) AS sxy
+  FROM pts GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_events,
+       round(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                   AND n * syy - sy * sy > 0
+                  THEN (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)
+                  ELSE 0.0 END, 6) + 0.0 AS slope_per_hour,
+       round(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                   AND n * syy - sy * sy > 0
+                  THEN (sy - ((n * sxy - sx * sy)
+                              / CAST(n * sxx - sx * sx AS DOUBLE))
+                             * CAST(sx AS DOUBLE)) / n
+                  ELSE 0.0 END, 6) + 0.0 AS intercept,
+       round(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                   AND n * syy - sy * sy > 0
+                  THEN (n * sxy - sx * sy)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * (n * syy - sy * sy))
+                  ELSE 0.0 END, 6) + 0.0 AS pearson_r
+FROM m
+ORDER BY event_type
+"""
+
+
 ZSCORE_ORACLE = """
 WITH stats AS (
   SELECT event_type,
@@ -1558,5 +1667,11 @@ QUERIES: QueryRegistry = {
         events_value_zscore,
         ZSCORE_ORACLE,
         "z-score standardization from exact-decimal moment sums",
+    ),
+    "events_value_trend": Query(
+        events_value_trend,
+        VALUE_TREND_ORACLE,
+        "per-type OLS time-trend + Pearson r from one-pass integer/"
+        "decimal moment sums (drift detector)",
     ),
 }

@@ -237,7 +237,82 @@ GROUP BY s.doc_id
 """
 
 
+def duplicated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span removal (Lee et al. 2022) at the
+    k=5 word threshold: any 5-gram occurring >= 2 times anywhere in the
+    corpus marks its window; overlapping windows merge into maximal
+    spans, which are cut from the token-normalized text."""
+    from dynamic_etl_spark.ops.spans import duplicated_span_stats
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicated_span_stats(docs, k=5)
+
+
+_SPAN_K = 5
+
+SPAN_REMOVAL_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(range(0, len(toks) - {_SPAN_K} + 1)) AS gpos,
+         unnest(list_transform(range(0, len(toks) - {_SPAN_K} + 1),
+                i -> array_to_string(toks[i + 1 : i + {_SPAN_K}], ' '))) AS gram
+  FROM base WHERE len(toks) >= {_SPAN_K}
+),
+c AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+d AS (SELECT g.doc_id, g.gpos FROM g JOIN c USING (gram)),
+isl AS (
+  SELECT doc_id, gpos,
+         CASE WHEN lag(gpos) OVER w IS NULL
+                OR gpos > lag(gpos) OVER w + {_SPAN_K - 1} THEN 1 ELSE 0 END AS brk
+  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY gpos)
+),
+spans AS (
+  SELECT doc_id, island, MIN(gpos) AS s, MAX(gpos) + {_SPAN_K - 1} AS e
+  FROM (
+    SELECT doc_id, gpos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY gpos
+                          ROWS UNBOUNDED PRECEDING) AS island
+    FROM isl
+  ) GROUP BY doc_id, island
+),
+st AS (
+  SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS n_dup FROM spans
+  GROUP BY doc_id
+),
+cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM spans),
+tp AS (
+  SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS w
+  FROM base
+),
+cl AS (
+  SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.pos) AS cleaned_text
+  FROM tp t ANTI JOIN cov USING (doc_id, pos)
+  GROUP BY t.doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(st.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+       CASE WHEN len(b.toks) = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE round(CAST(COALESCE(st.n_dup, 0) AS DOUBLE) / len(b.toks), 6)
+       END AS dup_token_frac,
+       COALESCE(cl.cleaned_text, '') AS cleaned_text
+FROM base b
+LEFT JOIN st USING (doc_id)
+LEFT JOIN cl USING (doc_id)
+"""
+
+
 QUERIES: QueryRegistry = {
+    "duplicated_span_removal": Query(
+        duplicated_span_removal,
+        SPAN_REMOVAL_ORACLE,
+        "ExactSubstr duplicated-span removal (Lee et al. 2022): corpus "
+        "5-gram windows -> overlap-merged spans -> cleaned text",
+    ),
     "document_gram_exposure": Query(
         document_gram_exposure,
         GRAM_EXPOSURE_ORACLE,

@@ -22,6 +22,7 @@ REGISTRY = all_queries()
 SWEEP = (
     "corpus_stratified_sample",
     "corpus_split_assignment",
+    "leakage_safe_split",
     "corpus_mixture_sample",
     "shard_assignment_profile",
     "events_equidepth_deciles",
@@ -33,6 +34,8 @@ SWEEP = (
     "rank_sketch_finalize_exact",
     "embedding_dim_spread",
     "pricing_summary",
+    "events_value_trend",
+    "duplicated_span_removal",
     "sequence_packing",
     "minhash_near_dup",
     "embedding_knn_join",

@@ -257,3 +257,36 @@ def test_weighted_sample_without_replacement_aes(spark):
     assert sorted(r["id"] for r in got) == [1, 2]
     top1 = weighted_sample_without_replacement(small, "id", "w", k=1).collect()
     assert len(top1) == 1 and top1[0]["id"] in (1, 2)
+
+
+def test_leakage_safe_split_group_invariant(spark):
+    """Every exact-duplicate group lands in exactly one split; the split
+    decision is the canonical min-id's coin, so re-keyed noisy copies of
+    a document always follow their group — never an independent flip."""
+    from dynamic_etl_spark.ops.sample import leakage_safe_split
+
+    rows = [(i, f"unique doc number {i} body {'x' * (i % 7)}") for i in range(40)]
+    # three dup groups: ids 100/101/102 share text A (with case/space
+    # noise the fingerprint normalizer kills), 200/201 share text B
+    rows += [
+        (100, "shared alpha body one"),
+        (101, "  SHARED   ALPHA  BODY ONE "),
+        (102, "shared alpha body one"),
+        (200, "shared beta body two"),
+        (201, "Shared Beta Body Two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(
+        df, [("train", 0.8), ("validation", 0.1), ("test", 0.1)], salt=7
+    )
+    pdf = out.toPandas()
+    assert (pdf.groupby("group_id")["split"].nunique() == 1).all()
+    a = pdf[pdf.doc_id.isin([100, 101, 102])]
+    assert set(a.group_id) == {100} and set(a.group_size) == {3}
+    assert len(set(a.split)) == 1
+    b = pdf[pdf.doc_id.isin([200, 201])]
+    assert set(b.group_id) == {200} and set(b.group_size) == {2}
+    # singleton groups: group_id is the row's own id
+    singles = pdf[pdf.doc_id < 40]
+    assert (singles.group_id == singles.doc_id).all()
+    assert (singles.group_size == 1).all()

@@ -94,6 +94,9 @@ SHUFFLE_BUDGET = {
     # fan-out round-robin (single-file source) + gram doc-frequency agg
     # + join-back gram shuffle + per-doc agg (pair-free)
     "document_gram_exposure": 4,
+    # gram count + dup-start join-back + per-doc merge window + covered
+    # anti-join + kept-token reassembly agg (pair-free ExactSubstr)
+    "duplicated_span_removal": 5,
     "winnowing_fingerprint": 2,
     "pii_detect_redact": 0,
     "benchmark_decontamination": 3,
@@ -142,6 +145,8 @@ SHUFFLE_BUDGET = {
     # full-outer on the key (both sides) + boundary sort
     "orders_snapshot_diff": 3,
     "corpus_split_assignment": 0,
+    # one fingerprint-window shuffle; the split CASE itself is row-local
+    "leakage_safe_split": 1,
     "corpus_mixture_sample": 1,
     "embedding_label_centroids": 1,
     "embedding_int8_quant": 1,
@@ -190,6 +195,8 @@ SHUFFLE_BUDGET = {
     "events_hourly_heatmap": 3,
     "events_minmax_scaled": 1,
     "events_value_zscore": 1,
+    # moment aggregation + the presentation orderBy's range exchange
+    "events_value_trend": 2,
     "document_chunking": 1,
     "vocabulary_build": 1,
     "pmi_collocations_top": 2,
