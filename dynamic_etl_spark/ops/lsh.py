@@ -33,14 +33,32 @@ def word_shingles(c: Column, k: int = 3) -> Column:
     return F.array_distinct(word_gram_seq(c, k))
 
 
+def gram_seq_pretokenized(toks: Column, k: int) -> Column:
+    """Ordered word k-grams over an already-tokenized array — the ONE
+    gram-construction expression every token-positional operator shares
+    (winnowing, Jaccard shingles, ExactSubstr span removal), so their
+    DuckDB ``list_transform`` twins track a single definition. Callers
+    must guarantee ``size(toks) >= k``: ``F.sequence`` DESCENDS when
+    stop < start, so an unguarded short doc would emit negative indices
+    (:func:`word_gram_seq` adds the short-doc clamp for raw text)."""
+
+    def _gram(i: Column) -> Column:
+        # helper, not a default-arg capture (PySpark lambda trap)
+        return F.concat_ws(" ", F.slice(toks, i + 1, k))
+
+    return F.transform(F.sequence(F.lit(0), F.size(toks) - k), _gram)
+
+
 def word_gram_seq(c: Column, k: int) -> Column:
     """Word k-grams in document order, duplicates kept. Winnowing's input:
     position matters there, so no ``array_distinct`` — contrast
-    ``word_shingles``, which is set-semantics for Jaccard."""
+    ``word_shingles``, which is set-semantics for Jaccard. Documents
+    shorter than ``k`` tokens emit ONE partial gram (the whole doc),
+    value-identical to the historical ``greatest()``-clamped form."""
     toks = tokens(c)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return F.when(
+        F.size(toks) >= k, gram_seq_pretokenized(toks, k)
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
 #: Driver union-find fast path for within-batch components: above this

@@ -31,22 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pyspark.sql import Column
-
+from dynamic_etl_spark.ops.lsh import gram_seq_pretokenized
 from dynamic_etl_spark.ops.text import tokens
-
-
-def _gram_seq_pretokenized(toks: Column, k: int) -> Column:
-    """Ordered word k-grams over an already-tokenized column — the
-    ``ops.lsh.word_gram_seq`` construction without the re-tokenize
-    (callers here need the token array again for re-assembly). Only
-    called where size(toks) >= k, so no partial-gram guard is needed."""
-
-    def _gram(i: Column) -> Column:
-        # helper, not a default-arg capture (PySpark lambda trap)
-        return F.concat_ws(" ", F.slice(toks, i + 1, k))
-
-    return F.transform(F.sequence(F.lit(0), F.size(toks) - k), _gram)
 
 
 def duplicated_span_stats(
@@ -77,7 +63,7 @@ def duplicated_span_stats(
     )
     grams = base.filter(F.size("__toks") >= k).select(
         id_col,
-        F.posexplode(_gram_seq_pretokenized(F.col("__toks"), k)).alias(
+        F.posexplode(gram_seq_pretokenized(F.col("__toks"), k)).alias(
             "gpos", "gram"
         ),
     )

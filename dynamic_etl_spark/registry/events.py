@@ -549,20 +549,30 @@ def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         " div 3600000000"
     ).cast("long")
     v = F.col("value")
+    # x-moments in decimal(38,0): sum(x*x) and the n*sxx / sx*sx products
+    # overflow BIGINT near 1e9 rows x 1e5 hours (sum(x^2) ~ 7e19, sx^2 ~
+    # 1e28 >> Long.MAX 9.2e18) — non-ANSI Spark would WRAP silently while
+    # DuckDB's SUM(BIGINT)->HUGEINT stays exact. Exact 128-bit-class
+    # integer arithmetic on both sides; each quantity crosses to double
+    # exactly once, via the same explicit cast as the oracle's.
+    _IDEC = "decimal(38,0)"
     m = ev.select("event_type", x.alias("__x"), v.alias("__y")).groupBy(
         "event_type"
     ).agg(
         F.count(F.lit(1)).alias("__n"),
-        F.sum("__x").alias("__sx"),
-        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x").cast(_IDEC)).alias("__sx"),
+        F.sum((F.col("__x") * F.col("__x")).cast(_IDEC)).alias("__sxx"),
         F.sum(F.col("__y").cast(_ZDEC)).cast("double").alias("__sy"),
         F.sum((F.col("__y") * F.col("__y")).cast(_ZDEC)).cast("double").alias("__syy"),
         F.sum((F.col("__x") * F.col("__y")).cast(_ZDEC)).cast("double").alias("__sxy"),
     )
     n, sx, sxx = F.col("__n"), F.col("__sx"), F.col("__sxx")
     sy, syy, sxy = F.col("__sy"), F.col("__syy"), F.col("__sxy")
-    dx = (n * sxx - sx * sx).cast("double")
-    num = n * sxy - sx * sy
+    sx_d = sx.cast("double")
+    dx = (
+        n.cast(_IDEC) * sxx - sx * sx
+    ).cast("double")
+    num = n * sxy - sx_d * sy
     dy = n * syy - sy * sy
     slope = num / dx
     return m.select(
@@ -575,7 +585,7 @@ def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.when(
                     (dx > 0) & (dy > 0),
-                    (sy - slope * sx.cast("double")) / n,
+                    (sy - slope * sx_d) / n,
                 ).otherwise(0.0),
                 6,
             )
@@ -1245,10 +1255,17 @@ def rank_sketch_finalize_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest territory (tests/test_kll.py)."""
     from dynamic_etl_spark.ops.kll import finalize_kll_state
 
-    state = t(spark, sf_dir, "events").select(
-        "event_type",
-        (F.col("event_id") % 3).cast("int").alias("state_level"),
-        F.col("value").cast("double").alias("state_value"),
+    state = (
+        t(spark, sf_dir, "events")
+        # state_value feeds a window ORDER BY: a NULL there would sit
+        # NULLS FIRST in Spark but NULLS LAST in DuckDB's cumsum
+        # (SCALE.md null-placement trap) — filter before it can order
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (F.col("event_id") % 3).cast("int").alias("state_level"),
+            F.col("value").cast("double").alias("state_value"),
+        )
     )
     return finalize_kll_state(state, qs=(0.5, 0.9, 0.99)).orderBy("event_type", "q")
 
@@ -1259,7 +1276,7 @@ WITH weighted AS (
          CAST(event_id % 3 AS INTEGER) AS state_level,
          value AS state_value,
          CAST(POW(2.0, event_id % 3) AS BIGINT) AS w
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 cum AS (
   SELECT event_type, state_value,

@@ -1006,8 +1006,11 @@ def embedding_dim_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.groupBy("label", "dim")
         .agg(
             n.alias("n_vectors"),
-            F.round(mean, 6).alias("dim_mean"),
-            F.round(s2 / n - mean * mean, 6).alias("dim_variance"),
+            # + 0.0 collapses IEEE -0.0 (a zero-centered dim's mean, or
+            # variance under negative FP cancellation, rounding to zero
+            # from below) to +0.0 — SCALE.md signed-zero parity trap
+            (F.round(mean, 6) + 0.0).alias("dim_mean"),
+            (F.round(s2 / n - mean * mean, 6) + 0.0).alias("dim_variance"),
         )
         .select("label", "dim", "n_vectors", "dim_mean", "dim_variance")
     )
@@ -1022,11 +1025,11 @@ WITH ex AS (
 )
 SELECT label, dim, count(*) AS n_vectors,
        round(CAST(SUM(CAST(v AS DECIMAL(38,30))) AS DOUBLE) / count(*), 6)
-         AS dim_mean,
+         + 0.0 AS dim_mean,
        round(CAST(SUM(CAST(v * v AS DECIMAL(38,30))) AS DOUBLE) / count(*)
              - (CAST(SUM(CAST(v AS DECIMAL(38,30))) AS DOUBLE) / count(*))
                * (CAST(SUM(CAST(v AS DECIMAL(38,30))) AS DOUBLE) / count(*)), 6)
-         AS dim_variance
+         + 0.0 AS dim_variance
 FROM ex
 GROUP BY label, dim
 """

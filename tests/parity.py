@@ -54,7 +54,11 @@ def _canon_cell(v):
     if isinstance(v, bool) or type(v).__name__ == "bool_":
         return ("b", bool(v))
     if isinstance(v, float) or type(v).__name__ in ("float16", "float32", "float64"):
-        return ("f", float(v))
+        # IEEE -0.0 == 0.0 in Python but the two are bit- and driver-
+        # hash-distinct (SCALE.md signed-zero trap): tag the sign so a
+        # Spark +0.0 vs oracle -0.0 divergence fails locally
+        f = float(v)
+        return ("f", f, math.copysign(1.0, f))
     if isinstance(v, int) or type(v).__name__ in (
         "int8", "int16", "int32", "int64",
         "uint8", "uint16", "uint32", "uint64",
@@ -127,8 +131,8 @@ def compare(name: str, spark_df, oracle_df: pd.DataFrame) -> ParityResult:
         max_float_dev = 0.0
 
         def _as_float(cell):
-            # float cells canonicalize as ("f", value) tuples
-            if isinstance(cell, tuple) and len(cell) == 2 and cell[0] == "f":
+            # float cells canonicalize as ("f", value, sign) tuples
+            if isinstance(cell, tuple) and len(cell) == 3 and cell[0] == "f":
                 return cell[1]
             return None
 

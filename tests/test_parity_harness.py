@@ -83,3 +83,20 @@ def test_float_deviation_diagnostic_survives_tagging():
     assert not result.ok
     dev_lines = [i for i in result.issues if "max rel float dev" in i]
     assert dev_lines and "0.000e+00" not in dev_lines[0], result.issues
+
+
+def test_signed_zero_cell_fails():
+    """IEEE -0.0 == 0.0 in Python but the driver hash distinguishes the
+    bit patterns (SCALE.md signed-zero trap: Spark round() can produce
+    +0.0 where DuckDB round() produces -0.0). The harness must fail."""
+    a = pd.DataFrame({"v": [0.0]})
+    b = pd.DataFrame({"v": [-0.0]})
+    result = compare("zero_guard", _FakeSparkDF(a), b)
+    assert not result.ok
+
+
+def test_equal_positive_zeros_pass():
+    a = pd.DataFrame({"v": [0.0, 1.5]})
+    b = pd.DataFrame({"v": [1.5, 0.0]})
+    result = compare("zero_ok", _FakeSparkDF(a), b)
+    assert result.ok, str(result)
