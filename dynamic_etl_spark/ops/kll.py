@@ -7,8 +7,10 @@ The sketch is the compactor hierarchy of Karnin-Lang-Liberty (KLL,
 FOCS'16) with the equal-capacity levels of Manku-Rajagopalan-Lindsay
 (SIGMOD'98): level ``l`` holds at most ``k`` values, each standing for
 ``2^l`` original rows. When a level overflows, its sorted content is
-compacted — every other value is promoted to the next level (doubling
-its weight) and the rest are discarded. One compaction at level ``l``
+compacted — every other value of an even-sized region is promoted to
+the next level (doubling its weight) and the rest are discarded; an
+odd-sized level retains its minimum in place first, so implied weight
+is conserved exactly through every compaction. One compaction at level ``l``
 perturbs any rank by at most ``2^(l-1)``, and level ``l`` can compact at
 most ``n/(k*2^l)`` times, so total rank error is at most
 ``n*H/(2k)`` with ``H ~ log2(n/k)`` levels — i.e. relative rank error
@@ -77,8 +79,15 @@ def _compress(levels: dict[int, np.ndarray], k: int) -> dict[int, np.ndarray]:
         arr = levels.get(lvl)
         if arr is not None and len(arr) > k:
             srt = np.sort(arr)
-            promoted = srt[_coin(srt) :: 2]
-            levels[lvl] = srt[:0]
+            # odd-sized level: retain the minimum at this level so mass
+            # is conserved exactly — promoting alternate items of an ODD
+            # region would create (ceil*2 = n+1) or destroy (floor*2 =
+            # n-1) one unit of implied weight. The retained item keeps
+            # its own weight, so it adds no rank error; only the even
+            # region is compacted (KLL FOCS'16 §2 compacts even counts).
+            keep = len(srt) % 2
+            promoted = srt[keep:][_coin(srt) :: 2]
+            levels[lvl] = srt[:keep]
             up = levels.get(lvl + 1)
             levels[lvl + 1] = (
                 promoted if up is None or len(up) == 0 else np.concatenate([up, promoted])
@@ -275,7 +284,13 @@ def finalize_kll_state(
     return wide.select(
         *keys,
         F.expr(f"stack({len(qs)}, {stack}) AS (q, quantile_est)"),
-    ).select(*keys, "q", F.round("quantile_est", 6).alias("quantile_est"))
+    ).select(
+        *keys,
+        "q",
+        # + 0.0 collapses IEEE -0.0 (a near-zero-negative quantile
+        # rounding to zero from below) — SCALE.md signed-zero parity trap
+        (F.round("quantile_est", 6) + 0.0).alias("quantile_est"),
+    )
 
 
 def kll_state_bound(n: int, k: int = DEFAULT_K) -> int:

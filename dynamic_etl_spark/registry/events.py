@@ -1293,11 +1293,11 @@ sel AS (
          MIN(CASE WHEN c >= CEIL(0.99 * tot) THEN state_value END) AS q99
   FROM cum GROUP BY event_type
 )
-SELECT event_type, CAST(0.5 AS DOUBLE) AS q, ROUND(q50, 6) AS quantile_est FROM sel
+SELECT event_type, CAST(0.5 AS DOUBLE) AS q, ROUND(q50, 6) + 0.0 AS quantile_est FROM sel
 UNION ALL
-SELECT event_type, CAST(0.9 AS DOUBLE) AS q, ROUND(q90, 6) AS quantile_est FROM sel
+SELECT event_type, CAST(0.9 AS DOUBLE) AS q, ROUND(q90, 6) + 0.0 AS quantile_est FROM sel
 UNION ALL
-SELECT event_type, CAST(0.99 AS DOUBLE) AS q, ROUND(q99, 6) AS quantile_est FROM sel
+SELECT event_type, CAST(0.99 AS DOUBLE) AS q, ROUND(q99, 6) + 0.0 AS quantile_est FROM sel
 ORDER BY event_type, q
 """
 
