@@ -86,6 +86,10 @@ HEADLINE = (
     # embedding spread
     "rank_sketch_finalize_exact",
     "embedding_dim_spread",
+    # round 6 continuation: span removal + semantic decontamination get
+    # tracked numbers (QI risk / diversity are sub-100ms relational aggs)
+    "duplicated_span_removal",
+    "semantic_decontamination",
 )
 
 

@@ -95,6 +95,61 @@ def cosine_topk(
     return _rank_topk(scored, k)
 
 
+def max_cosine_vs_queries(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Per-CORPUS-row nearest query by cosine — :func:`cosine_topk`'s
+    transpose (that one ranks neighbors per query; this one keeps each
+    corpus row's single best match against the whole query set). The
+    semantic-decontamination primitive: the query side is an eval/
+    benchmark set, benchmark-sized at ANY corpus scale, so it collapses
+    to a ONE-ROW sorted array-of-structs broadcast anchor and the corpus
+    never shuffles at all — each row folds its own max inside the
+    projection (zero exchanges; contrast the corpus-wide groupBy a
+    crossJoin-then-argmax formulation would need).
+
+    Determinism: the anchor array is ``sort_array`` over (query_id, vec)
+    structs (collect_list order is partition-dependent), dots are the
+    sequential left-to-right :func:`dot`, and FP-equal similarity ties
+    keep the LOWEST query_id (strict ``>`` against an ascending-id
+    scan). Output: (id_col, matched_query_id, max_cosine_sim rounded
+    6dp), one row per corpus row.
+    """
+    query_id_col = query_id_col or id_col
+    anchor = F.broadcast(
+        queries.select(
+            F.struct(
+                F.col(query_id_col).cast("long").alias("qid"),
+                as_double_vec(F.col(vec_col)).alias("qv"),
+            ).alias("__q")
+        ).agg(F.sort_array(F.collect_list("__q")).alias("__evals"))
+    )
+    cv = F.col("__cv")
+
+    def _score(q: Column) -> Column:
+        # helper, not a default-arg capture (PySpark lambda trap)
+        return F.struct(
+            cosine(q["qv"], cv).alias("s"), (-q["qid"]).alias("negqid")
+        )
+
+    # array_max is lexicographic on (s, negqid): max sim first, and on an
+    # FP-equal tie the LARGER negqid == the SMALLER query_id wins
+    best = F.array_max(F.transform(F.col("__evals"), _score))
+    return (
+        corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__cv"))
+        .crossJoin(anchor)
+        .select(
+            id_col,
+            (-best["negqid"]).alias("matched_query_id"),
+            F.round(best["s"], 6).alias("max_cosine_sim"),
+        )
+    )
+
+
 def _srp_bit(v: Column, bit: int, seed: int) -> Column:
     """One sign-random-projection bit: sign of dot(v, h_bit) where h_bit's
     component j is ±1 from xxhash64(seed, bit, j) parity, j being the

@@ -206,6 +206,15 @@ _TAIL_ORDER = (
     "leakage_safe_split",
     # new r6: one-pass OLS drift trend (oracle-backed; post-window add)
     "events_value_trend",
+    # new r6: embedding-space eval-set decontamination (oracle-backed;
+    # post-window add, next rotation's candidate)
+    "semantic_decontamination",
+    # new r6: k-anonymity quasi-identifier risk profile (oracle-backed;
+    # post-window add)
+    "quasi_identifier_risk",
+    # new r6: per-source Gini-Simpson lexical diversity (oracle-backed;
+    # post-window add)
+    "source_diversity_profile",
     # quota capping, percentile profiles (oracle-backed)
     # SCD-2 read side: point-in-time attribution (oracle-backed)
     # version-to-version table diff with per-column attribution

@@ -628,6 +628,74 @@ FROM pairs WHERE sim >= 0.9
 """
 
 
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-set decontamination: flag TRAIN vectors whose
+    max cosine against ANY eval/benchmark vector reaches 0.9 — the
+    semantic analogue of benchmark_decontamination's exact n-gram gate
+    (catches paraphrased leakage that shared-n-gram tests miss; the gate
+    direction is per-TRAIN-row, so it composes with a drop/filter).
+
+    Fixture: eval = every 50th vector (benchmark-sized by construction);
+    train = the rest PLUS planted contaminants — each eval vector
+    re-enters under vec_id+2000000 with the repo's index-keyed ±0.0005
+    perturbation (cosine vs its source ≈ 0.99999; the corpus' natural
+    max cross-pair cosine ≈ 0.51, so threshold 0.9 isolates exactly the
+    planted rows and names their source eval vector).
+
+    100 TB shape: ops/ann.max_cosine_vs_queries folds the broadcast
+    eval set per corpus row — zero shuffles, no corpus-wide argmax
+    exchange; the filter prunes before anything wide."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    eval_set = emb.filter(F.col("vec_id") % 50 == 0)
+    planted = eval_set.select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (x.cast("double") + F.lit(0.0005) * ((i % 3) - 1)),
+        ).cast("array<float>").alias("embedding"),
+    )
+    train = emb.filter(F.col("vec_id") % 50 != 0).unionByName(planted)
+    best = ANN.max_cosine_vs_queries(train, eval_set, "vec_id", "embedding")
+    return best.filter(F.col("max_cosine_sim") >= 0.9).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("matched_query_id").alias("matched_eval_id"),
+        F.col("max_cosine_sim"),
+    )
+
+
+SEMANTIC_DECONTAM_ORACLE = """
+WITH eval AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 = 0
+),
+planted AS (
+  SELECT vec_id + 2000000 AS vec_id,
+         list_transform(range(1, len(embedding) + 1),
+           i -> CAST(CAST(embedding[i] AS DOUBLE)
+                     + 0.0005 * (((i - 1) % 3) - 1) AS REAL)) AS embedding
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+train AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0
+  UNION ALL SELECT vec_id, embedding FROM planted
+),
+scored AS (
+  SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+         list_dot_product(t.embedding::DOUBLE[], e.v)
+           / (sqrt(list_dot_product(t.embedding::DOUBLE[], t.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(e.v, e.v))) AS sim
+  FROM train t, eval e
+),
+best AS (
+  SELECT train_id, eval_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY train_id
+                            ORDER BY sim DESC, eval_id ASC) AS rn
+  FROM scored
+)
+SELECT train_id, eval_id AS matched_eval_id, round(sim, 6) AS max_cosine_sim
+FROM best WHERE rn = 1 AND round(sim, 6) >= 0.9
+"""
+
+
 def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (ops/ann.semantic_dedup — Abbas et al. 2023): k-means
     cells, within-cell blockwise-BLAS cosine pairs at >= 0.95, connected
@@ -1247,6 +1315,12 @@ QUERIES: QueryRegistry = {
         vocabulary_build, VOCAB_ORACLE,
         "dense-id corpus vocabulary: total-order id assignment with "
         "WindowGroupLimit rank pushdown",
+    ),
+    "semantic_decontamination": Query(
+        semantic_decontamination, SEMANTIC_DECONTAM_ORACLE,
+        "embedding-space eval-set decontamination: per-train-row max "
+        "cosine vs the broadcast eval set (zero-shuffle fold), planted "
+        "contaminants isolated at >= 0.9",
     ),
     "semantic_dedup_survivors": Query(
         semantic_dedup_survivors, SEMANTIC_DEDUP_ORACLE,

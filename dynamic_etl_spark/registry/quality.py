@@ -10,8 +10,10 @@ total-order-every-window rule).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dynamic_etl_spark.ops import quality as Q
+from dynamic_etl_spark.ops import text as TX
 from dynamic_etl_spark.registry.core import Query, QueryRegistry, t
 from dynamic_etl_spark.registry.llm import _SQL_TOKENS  # shared tokenizer twin
 from dynamic_etl_spark.session import ensure_fanout_parallelism
@@ -306,6 +308,67 @@ LEFT JOIN cl USING (doc_id)
 """
 
 
+def source_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity via the Gini-Simpson index
+    ``1 - sum(c^2)/N^2`` (probability two sampled tokens differ) — the
+    libm-free diversity twin of Shannon entropy (log2 is engine-specific
+    here, the bigram_perplexity precedent; Gini-Simpson is exact integer
+    products with ONE IEEE division+subtraction, mirrored verbatim in
+    SQL). A collapsed source (one word repeated) scores ~0, a fully
+    varied one approaches 1 — the mixture-assembly signal for spotting
+    template-flooded or boilerplate sources before they dominate a
+    training mix. Two exchanges: word-count groupBy (map-side partial),
+    per-source fold."""
+    docs = t(spark, sf_dir, "documents")
+    wc = (
+        docs.select("source", F.explode(TX.tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # c*c in decimal(38,0): a 100 TB-scale hot token's count^2 overflows
+    # BIGINT (c ~ 1e10 squares to 1e20 > Long.MAX) — same class as
+    # events_value_trend's x-moments; DuckDB promotes to HUGEINT.
+    per_src = wc.groupBy("source").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("__ssq"),
+    )
+    n_d = F.col("n_words").cast("double")
+    return per_src.select(
+        "source",
+        "n_words",
+        "n_distinct_words",
+        F.round(F.lit(1.0) - F.col("__ssq").cast("double") / (n_d * n_d), 6).alias(
+            "gini_simpson"
+        ),
+    ).orderBy("source")
+
+
+DIVERSITY_ORACLE = """
+WITH base AS (
+  SELECT source, {tokens} AS toks FROM documents
+),
+wc AS (
+  SELECT source, w, count(*) AS c
+  FROM (SELECT source, unnest(toks) AS w FROM base)
+  GROUP BY source, w
+),
+per_src AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_words,
+         count(*) AS n_distinct_words,
+         SUM(c * c) AS ssq
+  FROM wc GROUP BY source
+)
+SELECT source, n_words, n_distinct_words,
+       round(1.0 - CAST(ssq AS DOUBLE)
+             / (CAST(n_words AS DOUBLE) * CAST(n_words AS DOUBLE)), 6)
+         AS gini_simpson
+FROM per_src
+ORDER BY source
+""".format(tokens=_SQL_TOKENS)
+
+
 QUERIES: QueryRegistry = {
     "duplicated_span_removal": Query(
         duplicated_span_removal,
@@ -345,5 +408,11 @@ QUERIES: QueryRegistry = {
         PMI_ORACLE,
         "top-20 PMI collocations via the libm-free ratio (log is "
         "monotone, so ratio rank == PMI rank)",
+    ),
+    "source_diversity_profile": Query(
+        source_diversity_profile,
+        DIVERSITY_ORACLE,
+        "per-source Gini-Simpson lexical diversity (libm-free entropy "
+        "twin) for spotting template-flooded sources in a training mix",
     ),
 }

@@ -373,6 +373,86 @@ ORDER BY category
 """
 
 
+def quasi_identifier_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity re-identification risk over customer quasi-identifiers
+    (nation, market segment, account-balance band): for k in {2, 5, 10},
+    how many equivalence classes — and how many ROWS — sit in classes
+    smaller than k. The privacy-side sibling of pii_detect_redact:
+    redaction hides direct identifiers; this gate measures whether the
+    remaining attribute combination still singles people out (Sweeney
+    2002). Plan: one groupBy builds the class-size table (bounded by the
+    QI domain product, not the row count), a 3-element explode fans the
+    thresholds WITHOUT a join, and one final agg folds the profile —
+    two exchanges total, each over class-cardinality-sized input.
+
+    Parity notes: the balance band is floor(c_acctbal / 1000.0) — one
+    IEEE division then floor, bit-identical both engines (CAST of a
+    double to BIGINT would ROUND in DuckDB but TRUNCATE in Spark, so the
+    band never casts a non-integral double). Ratio divides LAST from
+    exact integer counts."""
+    cust = t(spark, sf_dir, "customer")
+    classes = (
+        cust.groupBy(
+            F.col("c_nationkey").alias("nation_key"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    fanned = classes.select(
+        F.explode(F.array(F.lit(2), F.lit(5), F.lit(10))).alias("k_threshold"),
+        "class_size",
+    )
+    at_risk = F.col("class_size") < F.col("k_threshold")
+    return (
+        fanned.groupBy("k_threshold")
+        .agg(
+            F.sum(F.when(at_risk, 1).otherwise(0)).alias("n_classes_at_risk"),
+            F.sum(F.when(at_risk, F.col("class_size")).otherwise(0)).alias(
+                "n_rows_at_risk"
+            ),
+            F.sum("class_size").alias("n_rows_total"),
+        )
+        .select(
+            "k_threshold",
+            "n_classes_at_risk",
+            "n_rows_at_risk",
+            "n_rows_total",
+            F.round(
+                F.col("n_rows_at_risk").cast("double")
+                / F.col("n_rows_total").cast("double"),
+                6,
+            ).alias("at_risk_row_ratio"),
+        )
+        .orderBy("k_threshold")
+    )
+
+
+QI_RISK_ORACLE = """
+WITH classes AS (
+  SELECT c_nationkey AS nation_key, c_mktsegment AS segment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         count(*) AS class_size
+  FROM customer GROUP BY 1, 2, 3
+),
+fanned AS (
+  SELECT k.k_threshold, c.class_size
+  FROM classes c CROSS JOIN (VALUES (2), (5), (10)) k(k_threshold)
+)
+SELECT k_threshold,
+       CAST(SUM(CASE WHEN class_size < k_threshold THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_at_risk,
+       CAST(SUM(CASE WHEN class_size < k_threshold THEN class_size ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       CAST(SUM(class_size) AS BIGINT) AS n_rows_total,
+       round(CAST(SUM(CASE WHEN class_size < k_threshold THEN class_size ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(class_size) AS DOUBLE), 6) AS at_risk_row_ratio
+FROM fanned
+GROUP BY k_threshold
+ORDER BY k_threshold
+"""
+
+
 QUERIES: QueryRegistry = {
     "validation_report": Query(
         validation_report, VALIDATION_ORACLE,
@@ -395,5 +475,10 @@ QUERIES: QueryRegistry = {
         events_type_drift_profile, DRIFT_ORACLE,
         "snapshot distribution drift: per-category rates, deltas, "
         "chi-square terms from exact counts (no libm)",
+    ),
+    "quasi_identifier_risk": Query(
+        quasi_identifier_risk, QI_RISK_ORACLE,
+        "k-anonymity risk profile over customer quasi-identifiers: "
+        "classes/rows in equivalence classes smaller than k in {2,5,10}",
     ),
 }

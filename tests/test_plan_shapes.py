@@ -78,6 +78,7 @@ _CROSS_JOIN_WHITELIST = (
     "simhash_near_dup",                 # 1-row broadcast anchor
     "benchmark_decontamination_bloom",  # 1-row bloom-words broadcast anchor
     "bigram_perplexity_profile",        # 1-row vocab-size broadcast anchor
+    "semantic_decontamination",         # 1-row eval-set broadcast anchor
 )
 
 

@@ -197,6 +197,10 @@ SHUFFLE_BUDGET = {
     "events_value_zscore": 1,
     # moment aggregation + the presentation orderBy's range exchange
     "events_value_trend": 2,
+    # r6 post-window adds: measured on the executed plan
+    "semantic_decontamination": 1,  # eval-set collect_list fold; corpus never shuffles
+    "quasi_identifier_risk": 3,     # class groupBy + threshold fold + output sort
+    "source_diversity_profile": 3,  # word-count groupBy + per-source fold + output sort
     "document_chunking": 1,
     "vocabulary_build": 1,
     "pmi_collocations_top": 2,
