@@ -139,14 +139,21 @@ def max_cosine_vs_queries(
     # array_max is lexicographic on (s, negqid): max sim first, and on an
     # FP-equal tie the LARGER negqid == the SMALLER query_id wins
     best = F.array_max(F.transform(F.col("__evals"), _score))
-    return (
+    # materialize the fold ONCE in its own projection: referencing `best`
+    # per output field would let CollapseProject splice the |queries|-scan
+    # expression into every consumer (field extraction + any downstream
+    # threshold filter = 3 full scans per row); struct-field access on
+    # the materialized column is cheap, so the second projection and
+    # pushed-down filters reuse one evaluation
+    folded = (
         corpus.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("__cv"))
         .crossJoin(anchor)
-        .select(
-            id_col,
-            (-best["negqid"]).alias("matched_query_id"),
-            F.round(best["s"], 6).alias("max_cosine_sim"),
-        )
+        .select(id_col, best.alias("__best"))
+    )
+    return folded.select(
+        id_col,
+        (-F.col("__best.negqid")).alias("matched_query_id"),
+        F.round(F.col("__best.s"), 6).alias("max_cosine_sim"),
     )
 
 

@@ -573,3 +573,55 @@ def test_knn_join_tiny_corpus_edges(spark):
     for q, ns in per_query.items():
         assert q not in ns  # no self-match
         assert len(ns) == 4  # all others, k capped by corpus size
+
+
+def test_max_cosine_vs_queries_matches_bruteforce_argmax(spark):
+    """max_cosine_vs_queries == per-corpus-row argmax of the cosine_topk
+    scoring: for every corpus row the (matched id, rounded sim) must
+    equal the brute-force max over the query set under the same
+    (sim DESC, query_id ASC) total order."""
+    import itertools
+    import math
+
+    rng_rows = [
+        (vid, [math.sin(vid * 7 + d) for d in range(8)]) for vid in range(30)
+    ]
+    q_rows = [(qid, [math.cos(qid * 3 + d) for d in range(8)]) for qid in range(4)]
+    corpus = spark.createDataFrame(rng_rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(q_rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["matched_query_id"], r["max_cosine_sim"])
+        for r in ANN.max_cosine_vs_queries(
+            corpus, queries, "vec_id", "embedding"
+        ).collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    assert set(got) == {vid for vid, _ in rng_rows}
+    for vid, vec in rng_rows:
+        best = max(((cos(vec, qv), -qid) for qid, qv in q_rows))
+        assert got[vid][0] == -best[1], vid
+        assert got[vid][1] == pytest.approx(round(best[0], 6), abs=1e-9), vid
+
+
+def test_max_cosine_vs_queries_fp_tie_keeps_lowest_query_id(spark):
+    """FP-equal similarity ties keep the LOWEST query_id (the documented
+    strict-> scan order): two queries that are power-of-2 scalings of one
+    direction are cosine-identical to every corpus row."""
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [3.0, -1.0])], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(7, [2.0, 4.0]), (3, [1.0, 2.0]), (5, [4.0, 8.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r["matched_query_id"]
+        for r in ANN.max_cosine_vs_queries(
+            corpus, queries, "vec_id", "embedding"
+        ).collect()
+    }
+    assert rows == {0: 3, 1: 3}
