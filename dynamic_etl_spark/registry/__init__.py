@@ -215,6 +215,9 @@ _TAIL_ORDER = (
     # new r6: per-source Gini-Simpson lexical diversity (oracle-backed;
     # post-window add)
     "source_diversity_profile",
+    # new r6: small-files compaction planner (oracle-backed; post-window
+    # add)
+    "events_compaction_plan",
     # quota capping, percentile profiles (oracle-backed)
     # SCD-2 read side: point-in-time attribution (oracle-backed)
     # version-to-version table diff with per-column attribution

@@ -1534,6 +1534,75 @@ ORDER BY event_type, count_lower_bound DESC, user_id
 """
 
 
+def events_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planner: bin-pack hour-partitions into
+    ~500-row output files by contiguous prefix-sum assignment — the
+    table-maintenance pass every petabyte lakehouse runs (a 100 TB
+    events table written hourly accumulates millions of KB-sized files;
+    scans then pay per-file open/seek instead of streaming). The fixture
+    is honest about the pathology: 10k rows shredded across 720
+    hour-partitions (~14 rows each).
+
+    Plan shape: the planner NEVER touches row-level data after the
+    per-partition stats aggregate (one row per partition — at a real
+    deployment these come free from the table manifest); assignment is
+    ops/pack.prefix_sum's two-level scan (bucketed windows + one
+    bucket-totals broadcast), so there is no single-task global window
+    anywhere. file_id = start-offset div target, the same
+    concat-and-chunk arithmetic as sequence_packing, so files fill to
+    the target and only the last runs short."""
+    from dynamic_etl_spark.ops.pack import prefix_sum
+
+    ev = t(spark, sf_dir, "events")
+    hour_key = F.expr(
+        "(unix_micros(CAST(ts AS TIMESTAMP)) - 1704067200000000)"
+        " div 3600000000"
+    ).cast("long")
+    parts = ev.groupBy(hour_key.alias("part_key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    cum = prefix_sum(parts, "part_key", "n_rows", out_col="cum_rows")
+    target = 500
+    plan = cum.select(
+        F.expr(f"(cum_rows - n_rows) div {target}").alias("file_id"),
+        "part_key",
+        "n_rows",
+    )
+    return (
+        plan.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum("n_rows").alias("n_rows_total"),
+            F.min("part_key").alias("first_hour"),
+            F.max("part_key").alias("last_hour"),
+        )
+        .orderBy("file_id")
+    )
+
+
+COMPACTION_PLAN_ORACLE = """
+WITH parts AS (
+  SELECT (epoch_us(ts) - 1704067200000000) // 3600000000 AS part_key,
+         count(*) AS n_rows
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT part_key, n_rows,
+         SUM(n_rows) OVER (ORDER BY part_key
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows
+  FROM parts
+)
+SELECT CAST((cum_rows - n_rows) // 500 AS BIGINT) AS file_id,
+       count(*) AS n_partitions,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows_total,
+       min(part_key) AS first_hour,
+       max(part_key) AS last_hour
+FROM cum
+GROUP BY 1
+ORDER BY file_id
+"""
+
+
 QUERIES: QueryRegistry = {
     "events_tumbling_window": Query(
         events_tumbling_window, TUMBLING_ORACLE, "1-hour tumbling window counts/sums"
@@ -1549,6 +1618,12 @@ QUERIES: QueryRegistry = {
     ),
     "events_rate_profile": Query(
         events_rate_profile, RATE_ORACLE, "per-type conditional counts + global share"
+    ),
+    "events_compaction_plan": Query(
+        events_compaction_plan, COMPACTION_PLAN_ORACLE,
+        "small-files compaction planner: hour-partition stats bin-packed "
+        "into ~500-row files via the two-level prefix sum (no single-task "
+        "window)",
     ),
     "events_asof_last_purchase": Query(
         events_asof_last_purchase,

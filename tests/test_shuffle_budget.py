@@ -201,6 +201,7 @@ SHUFFLE_BUDGET = {
     "semantic_decontamination": 1,  # eval-set collect_list fold; corpus never shuffles
     "quasi_identifier_risk": 3,     # class groupBy + threshold fold + output sort
     "source_diversity_profile": 3,  # word-count groupBy + per-source fold + output sort
+    "events_compaction_plan": 4,    # partition stats + bucketed prefix-sum window + file fold + sort
     "document_chunking": 1,
     "vocabulary_build": 1,
     "pmi_collocations_top": 2,
