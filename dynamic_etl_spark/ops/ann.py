@@ -112,11 +112,14 @@ def max_cosine_vs_queries(
     projection (zero exchanges; contrast the corpus-wide groupBy a
     crossJoin-then-argmax formulation would need).
 
-    Determinism: the anchor array is ``sort_array`` over (query_id, vec)
-    structs (collect_list order is partition-dependent), dots are the
-    sequential left-to-right :func:`dot`, and FP-equal similarity ties
-    keep the LOWEST query_id (strict ``>`` against an ascending-id
-    scan). Output: (id_col, matched_query_id, max_cosine_sim rounded
+    Determinism: dots are the sequential left-to-right :func:`dot`, and
+    the winner is ``array_max`` over (sim, -query_id) structs —
+    lexicographic, hence ORDER-INDEPENDENT, with FP-equal similarity
+    ties keeping the LOWEST query_id. ``sort_array`` on the anchor is
+    therefore not load-bearing for the result; it only pins the anchor
+    array's CONTENT order (collect_list is partition-dependent) so
+    plans, explains, and checkpointed anchors stay bit-stable run to
+    run. Output: (id_col, matched_query_id, max_cosine_sim rounded
     6dp), one row per corpus row.
     """
     query_id_col = query_id_col or id_col

@@ -325,13 +325,17 @@ def source_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    # c*c in decimal(38,0): a 100 TB-scale hot token's count^2 overflows
-    # BIGINT (c ~ 1e10 squares to 1e20 > Long.MAX) — same class as
-    # events_value_trend's x-moments; DuckDB promotes to HUGEINT.
+    # the square itself must happen in decimal: a 100 TB-scale hot
+    # token's count^2 overflows BIGINT (c ~ 1e10 squares to 1e20 >
+    # Long.MAX), and non-ANSI Spark would WRAP the bigint product
+    # SILENTLY before any outer cast could save it (casting the
+    # already-wrapped product is the r6 review's catch); the oracle's
+    # HUGEINT cast mirrors it (DuckDB's BIGINT multiply would RAISE,
+    # not promote)
     per_src = wc.groupBy("source").agg(
         F.sum("c").alias("n_words"),
         F.count(F.lit(1)).alias("n_distinct_words"),
-        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("__ssq"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("__ssq"),
     )
     n_d = F.col("n_words").cast("double")
     return per_src.select(
@@ -357,7 +361,7 @@ per_src AS (
   SELECT source,
          CAST(SUM(c) AS BIGINT) AS n_words,
          count(*) AS n_distinct_words,
-         SUM(c * c) AS ssq
+         SUM(CAST(c AS HUGEINT) * c) AS ssq
   FROM wc GROUP BY source
 )
 SELECT source, n_words, n_distinct_words,

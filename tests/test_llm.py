@@ -580,7 +580,6 @@ def test_max_cosine_vs_queries_matches_bruteforce_argmax(spark):
     scoring: for every corpus row the (matched id, rounded sim) must
     equal the brute-force max over the query set under the same
     (sim DESC, query_id ASC) total order."""
-    import itertools
     import math
 
     rng_rows = [
