@@ -39,6 +39,12 @@ SWEEP = (
     "sequence_packing",
     "minhash_near_dup",
     "embedding_knn_join",
+    # r6 post-window adds: collect_list anchor (order pinned only by
+    # sort_array), two-level prefix-sum bucketing, decimal square sums
+    "semantic_decontamination",
+    "events_compaction_plan",
+    "source_diversity_profile",
+    "quasi_identifier_risk",
 )
 
 
