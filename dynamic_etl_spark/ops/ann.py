@@ -160,6 +160,76 @@ def max_cosine_vs_queries(
     )
 
 
+def max_cosine_vs_queries_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Arrow/BLAS twin of :func:`max_cosine_vs_queries` — the 100 TB
+    execution shape when the eval set stops being tiny: the query matrix
+    ships inside the mapInPandas closure (bounded mini-dim collect), each
+    Arrow batch scores with ONE ``V @ Q.T`` matmul and a C-side row
+    argmax, and the corpus never shuffles (a pure mapInPandas, zero
+    exchanges — same contract as the expression path).
+
+    Determinism/parity: queries are sorted ascending by id so
+    ``np.argmax``'s first-max rule reproduces the expression path's
+    lowest-query-id tiebreak on FP-equal similarities; the similarity is
+    emitted RAW and rounded JVM-side (np.round is half-even where Spark's
+    round is HALF_UP). Both paths compute dot / (norm(a) * norm(b)) in
+    the same operation order, so on exactly-representable inputs they
+    are bit-identical (pinned in tests/test_llm.py)."""
+    import numpy as np
+    import pandas as pd
+
+    query_id_col = query_id_col or id_col
+    qrows = sorted(
+        queries.select(query_id_col, vec_col).collect(), key=lambda r: r[0]
+    )
+    q_arr = np.asarray([r[0] for r in qrows])
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, corpus.schema[id_col].dataType, True),
+            T.StructField(
+                "matched_query_id", queries.schema[query_id_col].dataType, True
+            ),
+            T.StructField("__sim", T.DoubleType(), False),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            v_norm = np.sqrt((v * v).sum(axis=1))
+            sims = (v @ q_mat.T) / np.outer(v_norm, q_norm)
+            j = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "matched_query_id": q_arr[j],
+                    "__sim": sims[np.arange(len(v)), j],
+                }
+            )
+
+    return (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(score, out_schema)
+        .select(
+            id_col,
+            "matched_query_id",
+            F.round("__sim", 6).alias("max_cosine_sim"),
+        )
+    )
+
+
 def _srp_bit(v: Column, bit: int, seed: int) -> Column:
     """One sign-random-projection bit: sign of dot(v, h_bit) where h_bit's
     component j is ±1 from xxhash64(seed, bit, j) parity, j being the

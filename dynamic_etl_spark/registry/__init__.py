@@ -218,6 +218,9 @@ _TAIL_ORDER = (
     # new r6: small-files compaction planner (oracle-backed; post-window
     # add)
     "events_compaction_plan",
+    # new r6: BLAS scale path of semantic_decontamination (oracle-backed
+    # twin; post-window add)
+    "semantic_decontamination_vectorized",
     # quota capping, percentile profiles (oracle-backed)
     # SCD-2 read side: point-in-time attribution (oracle-backed)
     # version-to-version table diff with per-column attribution

@@ -645,6 +645,18 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: ops/ann.max_cosine_vs_queries folds the broadcast
     eval set per corpus row — zero shuffles, no corpus-wide argmax
     exchange; the filter prunes before anything wide."""
+    train, eval_set = _decontam_corpus(spark, sf_dir)
+    best = ANN.max_cosine_vs_queries(train, eval_set, "vec_id", "embedding")
+    return best.filter(F.col("max_cosine_sim") >= 0.9).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("matched_query_id").alias("matched_eval_id"),
+        F.col("max_cosine_sim"),
+    )
+
+
+def _decontam_corpus(spark: SparkSession, sf_dir: str):
+    """(train, eval) pair with planted contamination — shared by the
+    expression-path and vectorized semantic-decontamination queries."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     eval_set = emb.filter(F.col("vec_id") % 50 == 0)
     planted = eval_set.select(
@@ -655,7 +667,20 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("array<float>").alias("embedding"),
     )
     train = emb.filter(F.col("vec_id") % 50 != 0).unionByName(planted)
-    best = ANN.max_cosine_vs_queries(train, eval_set, "vec_id", "embedding")
+    return train, eval_set
+
+
+def semantic_decontamination_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as semantic_decontamination through the Arrow/BLAS
+    per-batch matmul path (ops/ann.max_cosine_vs_queries_vectorized) —
+    the execution shape for a 10k-doc x 768-dim eval set, where the
+    interpreted per-row fold would burn |eval| x dim lambda evaluations
+    per corpus row. Shares the brute-force oracle, the
+    embedding_topk_bruteforce/_vectorized twin convention."""
+    train, eval_set = _decontam_corpus(spark, sf_dir)
+    best = ANN.max_cosine_vs_queries_vectorized(
+        train, eval_set, "vec_id", "embedding"
+    )
     return best.filter(F.col("max_cosine_sim") >= 0.9).select(
         F.col("vec_id").alias("train_id"),
         F.col("matched_query_id").alias("matched_eval_id"),
@@ -1321,6 +1346,11 @@ QUERIES: QueryRegistry = {
         "embedding-space eval-set decontamination: per-train-row max "
         "cosine vs the broadcast eval set (zero-shuffle fold), planted "
         "contaminants isolated at >= 0.9",
+    ),
+    "semantic_decontamination_vectorized": Query(
+        semantic_decontamination_vectorized, SEMANTIC_DECONTAM_ORACLE,
+        "semantic decontamination via the Arrow/BLAS batch-matmul path "
+        "(zero shuffles; shares the brute-force oracle)",
     ),
     "semantic_dedup_survivors": Query(
         semantic_dedup_survivors, SEMANTIC_DEDUP_ORACLE,

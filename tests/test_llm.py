@@ -624,3 +624,38 @@ def test_max_cosine_vs_queries_fp_tie_keeps_lowest_query_id(spark):
         ).collect()
     }
     assert rows == {0: 3, 1: 3}
+
+
+def test_max_cosine_vectorized_bit_equals_expression_path(spark):
+    """On exactly-representable inputs (small-int vectors: every dot's
+    partial sums fit 53 bits, so ANY summation order is exact) the BLAS
+    path must equal the interpreted expression path bit-for-bit — both
+    compute dot / (norm(a) * norm(b)) in the same operation order. The
+    query set includes a power-of-2 scaled duplicate so the FP-tie rule
+    (lowest query_id) is exercised in both paths."""
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 3 + d) % 7 - 3) for d in range(6)]) for i in range(40)
+         if any((i * 3 + d) % 7 - 3 for d in range(6))],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [
+            (2, [1.0, 2.0, 0.0, -1.0, 3.0, 1.0]),
+            (9, [2.0, 4.0, 0.0, -2.0, 6.0, 2.0]),  # scaled dup of 2 -> tie
+            (5, [-1.0, 0.0, 2.0, 1.0, 0.0, -2.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    expr_path = sorted(
+        map(tuple, ANN.max_cosine_vs_queries(corpus, queries, "vec_id", "embedding").collect())
+    )
+    blas_path = sorted(
+        map(
+            tuple,
+            ANN.max_cosine_vs_queries_vectorized(
+                corpus, queries, "vec_id", "embedding"
+            ).collect(),
+        )
+    )
+    assert expr_path == blas_path
+    assert all(m == 2 for _, m, s in expr_path if s == 1.0)  # tie kept lowest id

@@ -42,6 +42,7 @@ SWEEP = (
     # r6 post-window adds: collect_list anchor (order pinned only by
     # sort_array), two-level prefix-sum bucketing, decimal square sums
     "semantic_decontamination",
+    "semantic_decontamination_vectorized",
     "events_compaction_plan",
     "source_diversity_profile",
     "quasi_identifier_risk",

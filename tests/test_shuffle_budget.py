@@ -202,6 +202,7 @@ SHUFFLE_BUDGET = {
     "quasi_identifier_risk": 3,     # class groupBy + threshold fold + output sort
     "source_diversity_profile": 3,  # word-count groupBy + per-source fold + output sort
     "events_compaction_plan": 4,    # partition stats + bucketed prefix-sum window + file fold + sort
+    "semantic_decontamination_vectorized": 0,  # pure mapInPandas; eval matrix in closure
     "document_chunking": 1,
     "vocabulary_build": 1,
     "pmi_collocations_top": 2,
