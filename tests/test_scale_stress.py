@@ -389,3 +389,38 @@ def test_heavy_hitter_hot_key_salt_bound(spark):
     # the derived default tracks the session's shuffle width, clamped
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     assert _mg_salts(counts) == max(8, min(width, 256))
+
+
+def test_prefix_sum_million_partition_compaction(spark):
+    """The compaction planner's prefix sum at 1M partition-stat rows
+    (a 100 TB table at hourly granularity holds fewer): the cumulative
+    total is EXACT at the far end, every non-final output file lands
+    within one partition's rows of the target (the start-offset
+    assignment guarantee), and the physical plan contains no
+    single-partition exchange — the two-level scan is the point; a
+    global ORDER BY window would funnel all 1M rows through one task."""
+    from dynamic_etl_spark.ops.pack import prefix_sum
+
+    n, target, max_v = 1_000_000, 5_000, 20
+    parts = spark.range(n).select(
+        F.col("id").alias("k"),
+        (((F.xxhash64("id") % max_v) + max_v) % max_v + 1).alias("v"),
+    )
+    cum = prefix_sum(parts, "k", "v", "c", num_buckets=64)
+    files = (
+        cum.select(F.expr(f"(c - v) div {target}").alias("f"), "v")
+        .groupBy("f")
+        .agg(F.sum("v").alias("rows"))
+    )
+    plan = files._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+
+    total = parts.agg(F.sum("v")).collect()[0][0]
+    assert cum.agg(F.max("c")).collect()[0][0] == total
+
+    sizes = {r["f"]: r["rows"] for r in files.collect()}
+    last = max(sizes)
+    assert sum(sizes.values()) == total
+    for f, nr in sizes.items():
+        if f != last:
+            assert abs(nr - target) < max_v, (f, nr)
