@@ -120,7 +120,10 @@ def max_cosine_vs_queries(
     array's CONTENT order (collect_list is partition-dependent) so
     plans, explains, and checkpointed anchors stay bit-stable run to
     run. Output: (id_col, matched_query_id, max_cosine_sim rounded
-    6dp), one row per corpus row.
+    6dp), one row per corpus row. An EMPTY query set yields NULL
+    match/sim per row (array_max of an empty anchor) — threshold
+    filters drop those rows; the vectorized twin raises instead, having
+    already paid the collect that can tell.
     """
     query_id_col = query_id_col or id_col
     anchor = F.broadcast(
@@ -188,6 +191,11 @@ def max_cosine_vs_queries_vectorized(
     qrows = sorted(
         queries.select(query_id_col, vec_col).collect(), key=lambda r: r[0]
     )
+    if not qrows:
+        # loud, not silent: an empty eval set means every corpus row
+        # would "pass" decontamination vacuously — refuse (the collect
+        # already paid for the check, so this guard is free)
+        raise ValueError("max_cosine_vs_queries_vectorized: empty query set")
     q_arr = np.asarray([r[0] for r in qrows])
     q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
