@@ -221,6 +221,9 @@ _TAIL_ORDER = (
     # new r6: BLAS scale path of semantic_decontamination (oracle-backed
     # twin; post-window add)
     "semantic_decontamination_vectorized",
+    # new r6: length-bucketed inference batching audit (oracle-backed;
+    # post-window add)
+    "length_bucketed_batching",
     # quota capping, percentile profiles (oracle-backed)
     # SCD-2 read side: point-in-time attribution (oracle-backed)
     # version-to-version table diff with per-column attribution

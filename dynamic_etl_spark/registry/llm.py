@@ -373,6 +373,81 @@ FROM o
 """
 
 
+def length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching audit: sort documents by token
+    count, cut 32-doc batches along that order, and report each batch's
+    padding waste (`max_len * n_docs - sum_len`) and fill efficiency —
+    the dynamic-batching discipline that turns a padded-to-longest
+    inference fleet from ~50% idle FLOPs to >95% (unsorted batches pad
+    every short doc to the batch's longest outlier).
+
+    The global rank over (n_tokens, doc_id) comes from ops/pack's
+    two-level prefix sum over a compound numeric key — NOT a
+    ROW_NUMBER() over an unpartitioned window, which would funnel the
+    corpus through one task. Key = n_tokens * 1e5 + doc_id encodes the
+    lexicographic order while ids stay under 1e5 (fixture max 5e3); a
+    100 TB corpus widens the key to decimal(38,0) — same plan."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", TX.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    keyed = toks.select(
+        "n_tokens",
+        (F.col("n_tokens") * 100000 + F.col("doc_id")).alias("__ord"),
+        F.lit(1).alias("__one"),
+    )
+    ranked = PK.prefix_sum(keyed, "__ord", "__one", out_col="__rn")
+    batched = ranked.select(
+        F.expr("(__rn - 1) div 32").alias("batch_id"), "n_tokens"
+    )
+    n_docs = F.count(F.lit(1))
+    return (
+        batched.groupBy("batch_id")
+        .agg(
+            n_docs.alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .select(
+            "batch_id",
+            "n_docs",
+            "max_tokens",
+            "sum_tokens",
+            (F.col("max_tokens") * F.col("n_docs") - F.col("sum_tokens")).alias(
+                "padding_waste"
+            ),
+            F.round(
+                F.col("sum_tokens").cast("double")
+                / (F.col("max_tokens").cast("double") * F.col("n_docs").cast("double")),
+                6,
+            ).alias("batch_efficiency"),
+        )
+        .orderBy("batch_id")
+    )
+
+
+LENGTH_BATCHING_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens FROM documents
+),
+r AS (
+  SELECT n_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_tokens * 100000 + doc_id) AS rn
+  FROM base
+),
+b AS (SELECT (rn - 1) // 32 AS batch_id, n_tokens FROM r)
+SELECT CAST(batch_id AS BIGINT) AS batch_id,
+       count(*) AS n_docs,
+       max(n_tokens) AS max_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(max(n_tokens) * count(*) - SUM(n_tokens) AS BIGINT) AS padding_waste,
+       round(CAST(SUM(n_tokens) AS DOUBLE)
+             / (CAST(max(n_tokens) AS DOUBLE) * CAST(count(*) AS DOUBLE)), 6)
+         AS batch_efficiency
+FROM b GROUP BY 1 ORDER BY batch_id
+"""
+
+
 # ==========================================================================
 # MinHash-LSH near-dup + SimHash (engine-hash-specific -> rows-only here;
 # ground-truthed against brute force in tests/test_llm.py)
@@ -1320,7 +1395,13 @@ QUERIES: QueryRegistry = {
     ),
     "sequence_packing": Query(
         sequence_packing, SEQUENCE_PACKING_ORACLE,
-        "512-token concat-and-chunk packing via distributed two-level prefix sum",
+        "512-token concat-and-chunk packing via distributed two-level "
+        "prefix sum",
+    ),
+    "length_bucketed_batching": Query(
+        length_bucketed_batching, LENGTH_BATCHING_ORACLE,
+        "length-sorted 32-doc inference batches: per-batch padding waste "
+        "+ fill efficiency via the prefix-sum rank (no global window)",
     ),
     "document_chunking": Query(
         document_chunking, CHUNKING_ORACLE,

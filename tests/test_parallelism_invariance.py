@@ -46,6 +46,7 @@ SWEEP = (
     "events_compaction_plan",
     "source_diversity_profile",
     "quasi_identifier_risk",
+    "length_bucketed_batching",
 )
 
 

@@ -203,6 +203,7 @@ SHUFFLE_BUDGET = {
     "source_diversity_profile": 3,  # word-count groupBy + per-source fold + output sort
     "events_compaction_plan": 4,    # partition stats + bucketed prefix-sum window + file fold + sort
     "semantic_decontamination_vectorized": 0,  # pure mapInPandas; eval matrix in closure
+    "length_bucketed_batching": 3,  # bucketed prefix-sum window + batch fold + sort
     "document_chunking": 1,
     "vocabulary_build": 1,
     "pmi_collocations_top": 2,
