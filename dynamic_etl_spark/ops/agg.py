@@ -561,3 +561,88 @@ def finalize_quantile_hist_state(
         "q",
         F.round(est, 6).alias("quantile_est"),
     )
+
+
+def cm_bucket(item: Column, depth_idx: int, width: int) -> Column:
+    """Count-Min row hash: 8 hex chars of md5 sliced at depth offset —
+    the one hash family BOTH engines evaluate identically (Spark
+    ``conv(substr(md5,..),16,10)`` == DuckDB ``('0x'||substr)::BIGINT``,
+    the winnowing/exact-dedup md5 precedent), so unlike the HLL sketch
+    the CM state itself is oracle-checkable. One md5 per item yields
+    four independent 32-bit slices — depth <= 4 costs a single hash."""
+    if not 0 <= depth_idx < 4:
+        raise ValueError("cm_bucket: md5 yields 4 independent 32-bit slices")
+    hex8 = F.substring(F.md5(item.cast("string")), 1 + 8 * depth_idx, 8)
+    return F.conv(hex8, 16, 10).cast("long") % width
+
+
+def build_cm_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    item: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Mergeable Count-Min frequency state (Cormode-Muthukrishnan 2005):
+    per key group, ``depth`` hash rows of ``width`` counters; an item's
+    estimated count is the MIN over its rows, always >= the true count
+    (overestimate-only, never under). The point-frequency member of the
+    maintained-summary suite: Misra-Gries answers "who is heavy", CM
+    answers "how often is THIS key" for ANY key in O(depth) lookups over
+    O(depth*width) state — no item list retained at all. State rows:
+    (keys..., state_depth, state_bucket, state_cnt); merging is
+    elementwise integer addition (an exact monoid, like the rollup
+    state), so merge-tree == one-shot bit-for-bit and the whole
+    maintenance path is oracle-checkable. Error: overestimate <=
+    2n/width with prob >= 1 - 2^-depth. One explode (depth rows/event)
+    + one partial-aggregated groupBy."""
+    buckets = F.array(*[cm_bucket(F.col(item), d, width) for d in range(depth)])
+    return (
+        df.select(*keys, F.posexplode(buckets).alias("state_depth", "state_bucket"))
+        .groupBy(*keys, "state_depth", "state_bucket")
+        .agg(F.count(F.lit(1)).alias("state_cnt"))
+    )
+
+
+_CM_STATE_COLS = ("state_depth", "state_bucket", "state_cnt")
+
+
+def merge_cm_state(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a delta CM state into the stored state: elementwise counter
+    addition. State-sized shuffle, never history."""
+    keys = [c for c in state.columns if c not in _CM_STATE_COLS]
+    return (
+        state.unionByName(delta)
+        .groupBy(*keys, "state_depth", "state_bucket")
+        .agg(F.sum("state_cnt").alias("state_cnt"))
+    )
+
+
+def cm_estimate(
+    state: DataFrame,
+    probes: DataFrame,
+    item: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates for a probe set: min over each probe's
+    depth buckets. LEFT join + coalesce(0): a probe whose bucket holds
+    no counter has estimate 0 from that row (an inner join would
+    silently drop never-seen probes instead of answering 0). Probe-sized
+    work; the state is O(depth*width) and broadcastable."""
+    keys = [c for c in state.columns if c not in _CM_STATE_COLS]
+    if keys:
+        # keyed estimation needs key-aware probes and a key-grouped join;
+        # no caller needs it yet — refuse rather than silently min over
+        # counters pooled across key groups
+        raise ValueError(f"cm_estimate: global state only, got keys {keys}")
+    buckets = F.array(*[cm_bucket(F.col(item), d, width) for d in range(depth)])
+    fanned = probes.select(
+        F.col(item), F.posexplode(buckets).alias("state_depth", "state_bucket")
+    )
+    joined = fanned.join(
+        F.broadcast(state), on=["state_depth", "state_bucket"], how="left"
+    )
+    return joined.groupBy(item).agg(
+        F.min(F.coalesce(F.col("state_cnt"), F.lit(0))).alias("cm_estimate")
+    )

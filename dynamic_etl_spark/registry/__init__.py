@@ -224,6 +224,9 @@ _TAIL_ORDER = (
     # new r6: length-bucketed inference batching audit (oracle-backed;
     # post-window add)
     "length_bucketed_batching",
+    # new r6: maintained Count-Min point-frequency sketch (oracle-backed;
+    # post-window add)
+    "count_min_maintenance",
     # quota capping, percentile profiles (oracle-backed)
     # SCD-2 read side: point-in-time attribution (oracle-backed)
     # version-to-version table diff with per-column attribution

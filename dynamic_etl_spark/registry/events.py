@@ -1534,6 +1534,93 @@ ORDER BY event_type, count_lower_bound DESC, user_id
 """
 
 
+def count_min_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained Count-Min point-frequency sketch (ops/agg.build/merge/
+    cm_estimate — Cormode-Muthukrishnan 2005): three date slices
+    sketched independently into depth-4 x width-256 counter grids,
+    merged by elementwise addition (an exact monoid — merge tree ==
+    one-shot bit-for-bit), then probed for every 10th user's event
+    count. Completes the maintained-summary suite's frequency axis:
+    Misra-Gries says WHO is heavy; CM answers "how often is THIS key"
+    for ANY key from O(depth*width) state with no item list at all.
+
+    Unlike the HLL twin this IS oracle-checkable: the row hashes are
+    md5-hex slices both engines evaluate identically and every counter
+    is an exact integer, so the DuckDB twin sketches ONE-SHOT and hash
+    equality proves the maintenance lossless AND the estimates
+    overestimate-only (cm_estimate - exact_cnt >= 0 surfaces per
+    probe)."""
+    from dynamic_etl_spark.ops.agg import (
+        build_cm_state,
+        cm_estimate,
+        merge_cm_state,
+    )
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    cut1 = F.lit("2024-01-11 00:00:00").cast("timestamp_ntz")
+    cut2 = F.lit("2024-01-21 00:00:00").cast("timestamp_ntz")
+    # width 32 is deliberately UNDERSIZED for the fixture's ~150 users
+    # so bucket collisions actually occur and the overestimate column
+    # carries nonzero values (real deployments size width ~ 2/epsilon);
+    # the estimates stay overestimate-only either way
+    s1 = build_cm_state(ev.filter(F.col("ts") < cut1), [], "user_id", width=32)
+    s2 = build_cm_state(
+        ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
+        [], "user_id", width=32,
+    )
+    s3 = build_cm_state(ev.filter(F.col("ts") >= cut2), [], "user_id", width=32)
+    merged = merge_cm_state(merge_cm_state(s1, s2), s3)
+    hot = ev.filter(F.col("user_id") % 10 == 0)
+    probes = hot.select("user_id").distinct()
+    est = cm_estimate(merged, probes, "user_id", width=32)
+    exact = hot.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "cm_estimate",
+            "exact_cnt",
+            (F.col("cm_estimate") - F.col("exact_cnt")).alias("overestimate"),
+        )
+        .orderBy("user_id")
+    )
+
+
+COUNT_MIN_ORACLE = """
+WITH depths(d) AS (VALUES (0), (1), (2), (3)),
+buckets AS (
+  SELECT user_id, d AS state_depth,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1 + 8 * d, 8))::BIGINT
+           % 32 AS state_bucket
+  FROM events CROSS JOIN depths
+),
+state AS (
+  SELECT state_depth, state_bucket, count(*) AS state_cnt
+  FROM buckets GROUP BY 1, 2
+),
+probes AS (SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 0),
+pb AS (
+  SELECT user_id, d AS state_depth,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1 + 8 * d, 8))::BIGINT
+           % 32 AS state_bucket
+  FROM probes CROSS JOIN depths
+),
+est AS (
+  SELECT user_id, MIN(COALESCE(state_cnt, 0)) AS cm_estimate
+  FROM pb LEFT JOIN state USING (state_depth, state_bucket)
+  GROUP BY user_id
+),
+exact AS (
+  SELECT user_id, count(*) AS exact_cnt
+  FROM events WHERE user_id % 10 = 0 GROUP BY user_id
+)
+SELECT est.user_id, est.cm_estimate, exact.exact_cnt,
+       est.cm_estimate - exact.exact_cnt AS overestimate
+FROM est JOIN exact USING (user_id)
+ORDER BY user_id
+"""
+
+
 def events_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction planner: bin-pack hour-partitions into
     ~500-row output files by contiguous prefix-sum assignment — the
@@ -1618,6 +1705,11 @@ QUERIES: QueryRegistry = {
     ),
     "events_rate_profile": Query(
         events_rate_profile, RATE_ORACLE, "per-type conditional counts + global share"
+    ),
+    "count_min_maintenance": Query(
+        count_min_maintenance, COUNT_MIN_ORACLE,
+        "maintained Count-Min point-frequency sketch: md5-slice hash "
+        "rows, exact-monoid merge, overestimate-only probe estimates",
     ),
     "events_compaction_plan": Query(
         events_compaction_plan, COMPACTION_PLAN_ORACLE,

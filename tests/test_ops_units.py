@@ -727,3 +727,53 @@ def test_quantile_hist_state_error_bound_and_merge(spark):
     }
     for k, est in got.items():
         assert abs(est - exact[k]) <= width, (k, est, exact[k])
+
+
+def test_count_min_merge_equals_oneshot_and_overestimates(spark):
+    """CM state is an exact monoid: any slice split folds to the
+    one-shot sketch bit-for-bit, and every item's estimate is >= its
+    true count (the CM guarantee — an underestimate anywhere means a
+    broken bucket hash or a dropped counter)."""
+    from dynamic_etl_spark.ops.agg import build_cm_state, cm_estimate, merge_cm_state
+
+    items = spark.range(3000).select((F.col("id") % 97).alias("item"))
+    oneshot = build_cm_state(items, [], "item", width=16)
+    parts = [
+        build_cm_state(items.filter(F.col("item") % 3 == r), [], "item", width=16)
+        for r in range(3)
+    ]
+    merged = merge_cm_state(merge_cm_state(parts[0], parts[1]), parts[2])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
+
+    probes = items.select("item").distinct()
+    est = {
+        r["item"]: r["cm_estimate"]
+        for r in cm_estimate(merged, probes, "item", width=16).collect()
+    }
+    exact = {
+        r["item"]: r["n"]
+        for r in items.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[i] >= exact[i] for i in exact), "CM underestimated"
+    # width 16 << 97 items: collisions must actually occur for the
+    # property to be non-vacuous
+    assert any(est[i] > exact[i] for i in exact)
+
+
+def test_count_min_estimate_refuses_keyed_state_and_answers_unseen(spark):
+    from dynamic_etl_spark.ops.agg import build_cm_state, cm_estimate
+
+    items = spark.range(100).select((F.col("id") % 7).alias("item"))
+    keyed = build_cm_state(items.withColumn("g", F.lit(1)), ["g"], "item")
+    with pytest.raises(ValueError, match="global state only"):
+        cm_estimate(keyed, items.select("item").distinct(), "item")
+
+    # an unseen probe whose buckets hold no counters answers 0, not NULL
+    # and not a dropped row (width 256 >> 7 items: some bucket is empty)
+    state = build_cm_state(items, [], "item", width=256)
+    unseen = spark.range(1).select(F.lit(999983).alias("item"))
+    rows = cm_estimate(state, unseen, "item", width=256).collect()
+    assert len(rows) == 1 and rows[0]["cm_estimate"] >= 0

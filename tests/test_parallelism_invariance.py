@@ -47,6 +47,7 @@ SWEEP = (
     "source_diversity_profile",
     "quasi_identifier_risk",
     "length_bucketed_batching",
+    "count_min_maintenance",
 )
 
 

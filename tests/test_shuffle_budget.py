@@ -204,6 +204,7 @@ SHUFFLE_BUDGET = {
     "events_compaction_plan": 4,    # partition stats + bucketed prefix-sum window + file fold + sort
     "semantic_decontamination_vectorized": 0,  # pure mapInPandas; eval matrix in closure
     "length_bucketed_batching": 3,  # bucketed prefix-sum window + batch fold + sort
+    "count_min_maintenance": 6,     # 3 slice builds + merge fold + probe/exact aggs
     "document_chunking": 1,
     "vocabulary_build": 1,
     "pmi_collocations_top": 2,
