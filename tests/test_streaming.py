@@ -684,3 +684,65 @@ def test_streaming_summary_maintains_heavy_hitters_and_reservoir(spark, scratch)
     assert sorted(map(tuple, read_versioned(spark, state2).collect())) == sorted(
         map(tuple, one_shot.collect())
     )
+
+
+def test_streaming_summary_maintains_count_min(spark, scratch):
+    """run_streaming_summary with the Count-Min builders: the maintained
+    counter grid equals the one-shot sketch over everything (elementwise
+    integer addition is lossless), so streaming point-frequency
+    estimates carry the same overestimate-only guarantee as batch."""
+    import os
+
+    from dynamic_etl_spark.io.versioned import read_versioned
+    from dynamic_etl_spark.ops.agg import (
+        build_cm_state,
+        cm_estimate,
+        merge_cm_state,
+    )
+    from dynamic_etl_spark.streaming import file_stream, run_streaming_summary
+
+    src = os.path.join(scratch, "src")
+    state = os.path.join(scratch, "state")
+    ckpt = os.path.join(scratch, "ckpt")
+    os.makedirs(src)
+    all_rows = []
+    for part in range(3):
+        rows = [((i * 11 + part * 5) % 37,) for i in range(60)]
+        all_rows += rows
+        spark.createDataFrame(rows, "item long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run_streaming_summary(
+            file_stream(spark, src, "item long", fmt="parquet"),
+            state,
+            ckpt,
+            build=lambda b: build_cm_state(b, [], "item", width=16),
+            merge=merge_cm_state,
+        )
+
+    one_shot = {
+        (r["state_depth"], r["state_bucket"]): r["state_cnt"]
+        for r in build_cm_state(
+            spark.createDataFrame(all_rows, "item long"), [], "item", width=16
+        ).collect()
+    }
+    maintained_df = read_versioned(spark, state)
+    maintained = {
+        (r["state_depth"], r["state_bucket"]): r["state_cnt"]
+        for r in maintained_df.collect()
+    }
+    assert maintained == one_shot
+
+    # streaming-maintained estimates stay overestimate-only
+    items = spark.createDataFrame(all_rows, "item long")
+    exact = {
+        r["item"]: r["n"]
+        for r in items.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    est = {
+        r["item"]: r["cm_estimate"]
+        for r in cm_estimate(
+            maintained_df, items.distinct(), "item", width=16
+        ).collect()
+    }
+    assert all(est[i] >= exact[i] for i in exact)
