@@ -595,53 +595,75 @@ def build_cm_state(
     state), so merge-tree == one-shot bit-for-bit and the whole
     maintenance path is oracle-checkable. Error: overestimate <=
     2n/width with prob >= 1 - 2^-depth. One explode (depth rows/event)
-    + one partial-aggregated groupBy."""
+    + one partial-aggregated groupBy.
+
+    ``state_width`` rides along as a constant column: a probe against a
+    grid hashed at a DIFFERENT width reads the wrong buckets and can
+    UNDERestimate — the one failure CM must never have — so
+    :func:`cm_estimate` derives width/depth from the state instead of
+    trusting caller defaults (and a mixed-width merge becomes visible
+    as two width groups instead of a silently summed wrong grid)."""
     buckets = F.array(*[cm_bucket(F.col(item), d, width) for d in range(depth)])
     return (
         df.select(*keys, F.posexplode(buckets).alias("state_depth", "state_bucket"))
         .groupBy(*keys, "state_depth", "state_bucket")
         .agg(F.count(F.lit(1)).alias("state_cnt"))
+        .withColumn("state_width", F.lit(width))
     )
 
 
-_CM_STATE_COLS = ("state_depth", "state_bucket", "state_cnt")
+_CM_STATE_COLS = ("state_depth", "state_bucket", "state_cnt", "state_width")
 
 
 def merge_cm_state(state: DataFrame, delta: DataFrame) -> DataFrame:
     """Fold a delta CM state into the stored state: elementwise counter
-    addition. State-sized shuffle, never history."""
+    addition, grouped by ``state_width`` so grids hashed at different
+    widths never sum into one wrong grid (a mismatch surfaces as two
+    width groups, which :func:`cm_estimate` then refuses loudly).
+    State-sized shuffle, never history."""
     keys = [c for c in state.columns if c not in _CM_STATE_COLS]
     return (
         state.unionByName(delta)
-        .groupBy(*keys, "state_depth", "state_bucket")
+        .groupBy(*keys, "state_width", "state_depth", "state_bucket")
         .agg(F.sum("state_cnt").alias("state_cnt"))
+        # merge(build(x)) must be column-order-stable with build(x):
+        # downstream state writes and one-shot comparisons see ONE schema
+        .select(*state.columns)
     )
 
 
-def cm_estimate(
-    state: DataFrame,
-    probes: DataFrame,
-    item: str,
-    depth: int = 4,
-    width: int = 256,
-) -> DataFrame:
+def cm_estimate(state: DataFrame, probes: DataFrame, item: str) -> DataFrame:
     """Point-frequency estimates for a probe set: min over each probe's
-    depth buckets. LEFT join + coalesce(0): a probe whose bucket holds
-    no counter has estimate 0 from that row (an inner join would
-    silently drop never-seen probes instead of answering 0). Probe-sized
-    work; the state is O(depth*width) and broadcastable."""
+    depth buckets. Width and depth are DERIVED from the state (one
+    bounded collect over the grid-sized state) — probing with mismatched
+    parameters reads the wrong buckets and can UNDERestimate, the one
+    failure CM must never have, so there are no caller-supplied defaults
+    to get wrong; a state holding multiple widths (a mixed-width merge)
+    raises. LEFT join + coalesce(0): a probe whose bucket holds no
+    counter has estimate 0 from that row (an inner join would silently
+    drop never-seen probes instead of answering 0). Probe-sized work;
+    the state is O(depth*width) and broadcastable."""
     keys = [c for c in state.columns if c not in _CM_STATE_COLS]
     if keys:
         # keyed estimation needs key-aware probes and a key-grouped join;
         # no caller needs it yet — refuse rather than silently min over
         # counters pooled across key groups
         raise ValueError(f"cm_estimate: global state only, got keys {keys}")
+    meta = state.agg(
+        F.collect_set("state_width").alias("ws"),
+        (F.max("state_depth") + 1).alias("depth"),
+    ).collect()[0]
+    if len(meta["ws"]) != 1:
+        raise ValueError(f"cm_estimate: mixed-width state {sorted(meta['ws'])}")
+    width, depth = int(meta["ws"][0]), int(meta["depth"])
     buckets = F.array(*[cm_bucket(F.col(item), d, width) for d in range(depth)])
     fanned = probes.select(
         F.col(item), F.posexplode(buckets).alias("state_depth", "state_bucket")
     )
     joined = fanned.join(
-        F.broadcast(state), on=["state_depth", "state_bucket"], how="left"
+        F.broadcast(state.drop("state_width")),
+        on=["state_depth", "state_bucket"],
+        how="left",
     )
     return joined.groupBy(item).agg(
         F.min(F.coalesce(F.col("state_cnt"), F.lit(0))).alias("cm_estimate")

@@ -119,11 +119,13 @@ def max_cosine_vs_queries(
     therefore not load-bearing for the result; it only pins the anchor
     array's CONTENT order (collect_list is partition-dependent) so
     plans, explains, and checkpointed anchors stay bit-stable run to
-    run. Output: (id_col, matched_query_id, max_cosine_sim rounded
-    6dp), one row per corpus row. An EMPTY query set yields NULL
-    match/sim per row (array_max of an empty anchor) — threshold
-    filters drop those rows; the vectorized twin raises instead, having
-    already paid the collect that can tell.
+    run. Output: (id_col, matched_query_id AS LONG, max_cosine_sim
+    rounded 6dp), one row per corpus row. Query ids must be numeric
+    (the tiebreak negates them; both twins surface matched_query_id as
+    long so their schemas stay hash-identical). An EMPTY query set
+    yields NULL match/sim per row (array_max of an empty anchor) —
+    threshold filters drop those rows; the vectorized twin raises
+    instead, having already paid the collect that can tell.
     """
     query_id_col = query_id_col or id_col
     anchor = F.broadcast(
@@ -183,7 +185,13 @@ def max_cosine_vs_queries_vectorized(
     emitted RAW and rounded JVM-side (np.round is half-even where Spark's
     round is HALF_UP). Both paths compute dot / (norm(a) * norm(b)) in
     the same operation order, so on exactly-representable inputs they
-    are bit-identical (pinned in tests/test_llm.py)."""
+    are bit-identical (pinned in tests/test_llm.py). On arbitrary
+    floats, BLAS's blocked accumulation can differ from the sequential
+    dot in the last ulps — the same accepted risk as
+    cosine_topk_vectorized, which has shared the brute-force oracle and
+    carried the driver hash since r2: a 6dp round only exposes it for a
+    value within ~1 ulp of a rounding boundary. Query ids must be
+    numeric and surface as LONG (the expression twin's schema)."""
     import numpy as np
     import pandas as pd
 
@@ -196,16 +204,17 @@ def max_cosine_vs_queries_vectorized(
         # would "pass" decontamination vacuously — refuse (the collect
         # already paid for the check, so this guard is free)
         raise ValueError("max_cosine_vs_queries_vectorized: empty query set")
-    q_arr = np.asarray([r[0] for r in qrows])
+    q_arr = np.asarray([r[0] for r in qrows], dtype=np.int64)
     q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
 
     out_schema = T.StructType(
         [
             T.StructField(id_col, corpus.schema[id_col].dataType, True),
-            T.StructField(
-                "matched_query_id", queries.schema[query_id_col].dataType, True
-            ),
+            # LONG to match the expression twin's negation-cast surface —
+            # the two paths must stay schema-identical under the repo's
+            # dtype-strict parity rule
+            T.StructField("matched_query_id", T.LongType(), True),
             T.StructField("__sim", T.DoubleType(), False),
         ]
     )

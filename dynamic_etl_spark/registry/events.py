@@ -1116,6 +1116,22 @@ ORDER BY hour_of_day, event_type
 """
 
 
+def _three_slice(ev: DataFrame, build, merge) -> DataFrame:
+    """Shared maintenance fixture for the *_maintenance family: the
+    events feed cut into three date slices at Jan 11 / Jan 21, each
+    summarized independently by ``build``, the summaries folded pairwise
+    by ``merge`` — the merge tree every maintained-summary query proves
+    equal (or bounded-equal) to the one-shot aggregate. One definition
+    so a boundary or null-ts policy change happens in exactly one
+    place."""
+    cut1 = F.lit("2024-01-11 00:00:00").cast("timestamp_ntz")
+    cut2 = F.lit("2024-01-21 00:00:00").cast("timestamp_ntz")
+    s1 = build(ev.filter(F.col("ts") < cut1))
+    s2 = build(ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)))
+    s3 = build(ev.filter(F.col("ts") >= cut2))
+    return merge(merge(s1, s2), s3)
+
+
 def distinct_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintained approximate distinct-users per event type
     (ops/agg.build/merge/finalize_distinct_sketch_state): three date
@@ -1129,18 +1145,11 @@ def distinct_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = t(spark, sf_dir, "events").select("event_type", "user_id", "ts")
-    cut1 = F.lit("2024-01-11 00:00:00").cast("timestamp_ntz")
-    cut2 = F.lit("2024-01-21 00:00:00").cast("timestamp_ntz")
-    s1 = build_distinct_sketch_state(
-        ev.filter(F.col("ts") < cut1), ["event_type"], "user_id"
+    merged = _three_slice(
+        ev,
+        lambda df: build_distinct_sketch_state(df, ["event_type"], "user_id"),
+        merge_distinct_sketch_state,
     )
-    s2 = build_distinct_sketch_state(
-        ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)), ["event_type"], "user_id"
-    )
-    s3 = build_distinct_sketch_state(
-        ev.filter(F.col("ts") >= cut2), ["event_type"], "user_id"
-    )
-    merged = merge_distinct_sketch_state(merge_distinct_sketch_state(s1, s2), s3)
     return finalize_distinct_sketch_state(merged).orderBy("event_type")
 
 
@@ -1159,19 +1168,11 @@ def heavy_hitter_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = t(spark, sf_dir, "events").select("event_type", "user_id", "ts")
-    cut1 = F.lit("2024-01-11 00:00:00").cast("timestamp_ntz")
-    cut2 = F.lit("2024-01-21 00:00:00").cast("timestamp_ntz")
-    s1 = build_heavy_hitter_state(
-        ev.filter(F.col("ts") < cut1), ["event_type"], "user_id", k=8
+    merged = _three_slice(
+        ev,
+        lambda df: build_heavy_hitter_state(df, ["event_type"], "user_id", k=8),
+        lambda a, b: merge_heavy_hitter_state(a, b, k=8),
     )
-    s2 = build_heavy_hitter_state(
-        ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
-        ["event_type"], "user_id", k=8,
-    )
-    s3 = build_heavy_hitter_state(
-        ev.filter(F.col("ts") >= cut2), ["event_type"], "user_id", k=8
-    )
-    merged = merge_heavy_hitter_state(merge_heavy_hitter_state(s1, s2, k=8), s3, k=8)
     return finalize_heavy_hitter_state(merged, item_alias="user_id").orderBy(
         "event_type", F.desc("count_lower_bound"), "user_id"
     )
@@ -1192,20 +1193,12 @@ def quantile_hist_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = t(spark, sf_dir, "events").select("event_type", "value", "ts")
-    cut1 = F.lit("2024-01-11 00:00:00").cast("timestamp_ntz")
-    cut2 = F.lit("2024-01-21 00:00:00").cast("timestamp_ntz")
     lo, hi, nb = 0.0, 500.0, 100
-    s1 = build_quantile_hist_state(
-        ev.filter(F.col("ts") < cut1), ["event_type"], "value", lo, hi, nb
+    merged = _three_slice(
+        ev,
+        lambda df: build_quantile_hist_state(df, ["event_type"], "value", lo, hi, nb),
+        merge_quantile_hist_state,
     )
-    s2 = build_quantile_hist_state(
-        ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
-        ["event_type"], "value", lo, hi, nb,
-    )
-    s3 = build_quantile_hist_state(
-        ev.filter(F.col("ts") >= cut2), ["event_type"], "value", lo, hi, nb
-    )
-    merged = merge_quantile_hist_state(merge_quantile_hist_state(s1, s2), s3)
     return finalize_quantile_hist_state(
         merged, lo, hi, nb, qs=(0.5, 0.9, 0.99)
     ).orderBy("event_type", "q")
@@ -1231,14 +1224,11 @@ def rank_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select(
         "event_type", F.col("value").cast("double").alias("value"), "ts"
     )
-    cut1 = F.lit("2024-01-11 00:00:00").cast("timestamp_ntz")
-    cut2 = F.lit("2024-01-21 00:00:00").cast("timestamp_ntz")
-    s1 = build_kll_state(ev.filter(F.col("ts") < cut1), ["event_type"], "value")
-    s2 = build_kll_state(
-        ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)), ["event_type"], "value"
+    merged = _three_slice(
+        ev,
+        lambda df: build_kll_state(df, ["event_type"], "value"),
+        merge_kll_state,
     )
-    s3 = build_kll_state(ev.filter(F.col("ts") >= cut2), ["event_type"], "value")
-    merged = merge_kll_state(merge_kll_state(s1, s2), s3)
     return finalize_kll_state(merged, qs=(0.5, 0.9, 0.99)).orderBy("event_type", "q")
 
 
@@ -1438,19 +1428,11 @@ def reservoir_sample_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = t(spark, sf_dir, "events").select("event_type", "event_id", "ts")
-    cut1 = F.lit("2024-01-11 00:00:00").cast("timestamp_ntz")
-    cut2 = F.lit("2024-01-21 00:00:00").cast("timestamp_ntz")
-    s1 = build_reservoir_state(
-        ev.filter(F.col("ts") < cut1), ["event_type"], "event_id", n=5
+    merged = _three_slice(
+        ev,
+        lambda df: build_reservoir_state(df, ["event_type"], "event_id", n=5),
+        lambda a, b: merge_reservoir_state(a, b, n=5),
     )
-    s2 = build_reservoir_state(
-        ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
-        ["event_type"], "event_id", n=5,
-    )
-    s3 = build_reservoir_state(
-        ev.filter(F.col("ts") >= cut2), ["event_type"], "event_id", n=5
-    )
-    merged = merge_reservoir_state(merge_reservoir_state(s1, s2, n=5), s3, n=5)
     return finalize_reservoir_state(merged, item_alias="event_id").orderBy(
         "event_type", "priority", "event_id"
     )
@@ -1557,22 +1539,18 @@ def count_min_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = t(spark, sf_dir, "events").select("user_id", "ts")
-    cut1 = F.lit("2024-01-11 00:00:00").cast("timestamp_ntz")
-    cut2 = F.lit("2024-01-21 00:00:00").cast("timestamp_ntz")
     # width 32 is deliberately UNDERSIZED for the fixture's ~150 users
     # so bucket collisions actually occur and the overestimate column
     # carries nonzero values (real deployments size width ~ 2/epsilon);
     # the estimates stay overestimate-only either way
-    s1 = build_cm_state(ev.filter(F.col("ts") < cut1), [], "user_id", width=32)
-    s2 = build_cm_state(
-        ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
-        [], "user_id", width=32,
+    merged = _three_slice(
+        ev,
+        lambda df: build_cm_state(df, [], "user_id", width=32),
+        merge_cm_state,
     )
-    s3 = build_cm_state(ev.filter(F.col("ts") >= cut2), [], "user_id", width=32)
-    merged = merge_cm_state(merge_cm_state(s1, s2), s3)
     hot = ev.filter(F.col("user_id") % 10 == 0)
     probes = hot.select("user_id").distinct()
-    est = cm_estimate(merged, probes, "user_id", width=32)
+    est = cm_estimate(merged, probes, "user_id")
     exact = hot.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
     return (
         est.join(exact, "user_id")

@@ -385,12 +385,22 @@ def length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level prefix sum over a compound numeric key — NOT a
     ROW_NUMBER() over an unpartitioned window, which would funnel the
     corpus through one task. Key = n_tokens * 1e5 + doc_id encodes the
-    lexicographic order while ids stay under 1e5 (fixture max 5e3); a
-    100 TB corpus widens the key to decimal(38,0) — same plan."""
+    lexicographic order ONLY while 0 <= doc_id < 1e5 (fixture max 5e3)
+    — a collision would break prefix_sum's uniqueness precondition and
+    silently diverge from the oracle's ROW_NUMBER, so the bound is
+    ENFORCED below (one bounded-scalar agg, the validation_report
+    high-water-mark precedent); a 100 TB corpus widens the key to
+    decimal(38,0) — same plan."""
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", TX.token_count(F.col("text")).cast("long").alias("n_tokens")
     )
+    lo, hi = toks.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    if lo is not None and (lo < 0 or hi >= 100_000):
+        raise ValueError(
+            f"length_bucketed_batching: doc_id range [{lo}, {hi}] breaks the"
+            " compound-key uniqueness bound [0, 1e5) — widen the key"
+        )
     keyed = toks.select(
         "n_tokens",
         (F.col("n_tokens") * 100000 + F.col("doc_id")).alias("__ord"),

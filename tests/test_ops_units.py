@@ -750,7 +750,7 @@ def test_count_min_merge_equals_oneshot_and_overestimates(spark):
     probes = items.select("item").distinct()
     est = {
         r["item"]: r["cm_estimate"]
-        for r in cm_estimate(merged, probes, "item", width=16).collect()
+        for r in cm_estimate(merged, probes, "item").collect()
     }
     exact = {
         r["item"]: r["n"]
@@ -775,5 +775,21 @@ def test_count_min_estimate_refuses_keyed_state_and_answers_unseen(spark):
     # and not a dropped row (width 256 >> 7 items: some bucket is empty)
     state = build_cm_state(items, [], "item", width=256)
     unseen = spark.range(1).select(F.lit(999983).alias("item"))
-    rows = cm_estimate(state, unseen, "item", width=256).collect()
+    rows = cm_estimate(state, unseen, "item").collect()
     assert len(rows) == 1 and rows[0]["cm_estimate"] >= 0
+
+
+def test_count_min_estimate_refuses_mixed_width_merge(spark):
+    """Grids hashed at different widths must never answer probes as one
+    sketch — the mismatch would read wrong buckets and can UNDERestimate
+    (the failure CM promises away). merge keeps the grids apart by
+    state_width; estimate refuses the combined state loudly."""
+    from dynamic_etl_spark.ops.agg import build_cm_state, cm_estimate, merge_cm_state
+
+    items = spark.range(200).select((F.col("id") % 13).alias("item"))
+    mixed = merge_cm_state(
+        build_cm_state(items, [], "item", width=16),
+        build_cm_state(items, [], "item", width=32),
+    )
+    with pytest.raises(ValueError, match="mixed-width"):
+        cm_estimate(mixed, items.select("item").distinct(), "item")

@@ -741,8 +741,6 @@ def test_streaming_summary_maintains_count_min(spark, scratch):
     }
     est = {
         r["item"]: r["cm_estimate"]
-        for r in cm_estimate(
-            maintained_df, items.distinct(), "item", width=16
-        ).collect()
+        for r in cm_estimate(maintained_df, items.distinct(), "item").collect()
     }
     assert all(est[i] >= exact[i] for i in exact)
