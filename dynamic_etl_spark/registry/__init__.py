@@ -227,6 +227,9 @@ _TAIL_ORDER = (
     # new r6: maintained Count-Min point-frequency sketch (oracle-backed;
     # post-window add)
     "count_min_maintenance",
+    # new r6: two-sample KS numeric-drift gate (oracle-backed; post-window
+    # add)
+    "events_ks_drift",
     # quota capping, percentile profiles (oracle-backed)
     # SCD-2 read side: point-in-time attribution (oracle-backed)
     # version-to-version table diff with per-column attribution

@@ -8,7 +8,7 @@ plain SQL. Mixed PASS/FAIL statuses prove both branches of each gate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dynamic_etl_spark.registry.core import Query, QueryRegistry, t
@@ -373,6 +373,88 @@ ORDER BY category
 """
 
 
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift gate per event type: the max
+    |F_before(x) - F_after(x)| over the empirical CDFs of `value` on
+    either side of the Jan-15 cut — the canonical NUMERIC-distribution
+    drift statistic, complementing events_type_drift_profile's
+    chi-square over categories. Everything is exact integer cumulatives
+    with ONE double division per side per step, so the statistic is
+    engine-identical (no libm, no binning choices to tune).
+
+    Plan: one groupBy collapses to per-(type, value) side counts —
+    windows then run over DISTINCT values only (the CDF steps nowhere
+    else), so the keyed sort frame is distinct-value-bounded, not
+    row-bounded. At a 100 TB value domain you'd pre-bin (the equidepth
+    deciles query) before this; for telemetry-style domains the distinct
+    collapse IS the bound."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    split = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    side_a = (F.col("ts") < split).cast("int")
+    per_value = ev.groupBy(
+        "event_type", F.col("value").cast("double").alias("v")
+    ).agg(
+        F.sum(side_a).alias("ca"),
+        F.sum(1 - side_a).alias("cb"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wk = Window.partitionBy("event_type")
+    stepped = per_value.select(
+        "event_type",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(wk).alias("na"),
+        F.sum("cb").over(wk).alias("nb"),
+    )
+    d = F.abs(
+        F.col("cum_a").cast("double") / F.col("na").cast("double")
+        - F.col("cum_b").cast("double") / F.col("nb").cast("double")
+    )
+    return (
+        stepped.groupBy("event_type")
+        .agg(
+            F.max("na").alias("n_before"),
+            F.max("nb").alias("n_after"),
+            F.round(F.max(d), 6).alias("ks_statistic"),
+        )
+        .orderBy("event_type")
+    )
+
+
+KS_DRIFT_ORACLE = """
+WITH per_value AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v,
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 0 ELSE 1 END) AS cb
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, CAST(value AS DOUBLE)
+),
+stepped AS (
+  SELECT event_type,
+         SUM(ca) OVER (PARTITION BY event_type ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(cb) OVER (PARTITION BY event_type ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+         SUM(ca) OVER (PARTITION BY event_type) AS na,
+         SUM(cb) OVER (PARTITION BY event_type) AS nb
+  FROM per_value
+)
+SELECT event_type,
+       CAST(MAX(na) AS BIGINT) AS n_before,
+       CAST(MAX(nb) AS BIGINT) AS n_after,
+       round(MAX(abs(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
+                     - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE))), 6)
+         AS ks_statistic
+FROM stepped
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def quasi_identifier_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity re-identification risk over customer quasi-identifiers
     (nation, market segment, account-balance band): for k in {2, 5, 10},
@@ -480,5 +562,10 @@ QUERIES: QueryRegistry = {
         quasi_identifier_risk, QI_RISK_ORACLE,
         "k-anonymity risk profile over customer quasi-identifiers: "
         "classes/rows in equivalence classes smaller than k in {2,5,10}",
+    ),
+    "events_ks_drift": Query(
+        events_ks_drift, KS_DRIFT_ORACLE,
+        "two-sample Kolmogorov-Smirnov numeric-drift gate per event type "
+        "(exact integer CDF steps, distinct-value-bounded windows)",
     ),
 }

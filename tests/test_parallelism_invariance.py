@@ -48,6 +48,7 @@ SWEEP = (
     "quasi_identifier_risk",
     "length_bucketed_batching",
     "count_min_maintenance",
+    "events_ks_drift",
 )
 
 

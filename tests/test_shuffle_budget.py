@@ -205,6 +205,7 @@ SHUFFLE_BUDGET = {
     "semantic_decontamination_vectorized": 0,  # pure mapInPandas; eval matrix in closure
     "length_bucketed_batching": 3,  # bucketed prefix-sum window + batch fold + sort
     "count_min_maintenance": 6,     # 3 slice builds + merge fold + probe/exact aggs
+    "events_ks_drift": 3,           # per-value collapse + CDF window + final fold
     "document_chunking": 1,
     "vocabulary_build": 1,
     "pmi_collocations_top": 2,
