@@ -325,6 +325,7 @@ def run_streaming_summary(
         build=lambda b: build_heavy_hitter_state(b, keys, item, k)
         build=lambda b: build_reservoir_state(b, keys, item, n)
         build=lambda b: build_distinct_sketch_state(b, keys, v)
+        build=lambda b: build_cm_state(b, [], item, width=w)
 
     — so maintained percentiles, heavy hitters, reservoirs, and distinct
     sketches all get streaming currency without history rescans.
