@@ -641,14 +641,20 @@ def cm_estimate(state: DataFrame, probes: DataFrame, item: str) -> DataFrame:
     to get wrong; a state holding multiple widths (a mixed-width merge)
     raises. LEFT join + coalesce(0): a probe whose bucket holds no
     counter has estimate 0 from that row (an inner join would silently
-    drop never-seen probes instead of answering 0). Probe-sized work;
-    the state is O(depth*width) and broadcastable."""
+    drop never-seen probes instead of answering 0).
+
+    KEYED states (build_cm_state with keys) hold one independent grid
+    per key group; probes must then carry the same key columns and each
+    (key, item) answers from ITS group's grid — a probe on a key group
+    the state never saw answers 0, like any never-seen item. Probe-sized
+    work; the state is O(groups * depth * width) and broadcastable at
+    any realistic group count."""
     keys = [c for c in state.columns if c not in _CM_STATE_COLS]
-    if keys:
-        # keyed estimation needs key-aware probes and a key-grouped join;
-        # no caller needs it yet — refuse rather than silently min over
-        # counters pooled across key groups
-        raise ValueError(f"cm_estimate: global state only, got keys {keys}")
+    missing = [k for k in keys if k not in probes.columns]
+    if missing:
+        raise ValueError(
+            f"cm_estimate: keyed state needs probe columns {missing}"
+        )
     meta = state.agg(
         F.collect_set("state_width").alias("ws"),
         (F.max("state_depth") + 1).alias("depth"),
@@ -658,13 +664,13 @@ def cm_estimate(state: DataFrame, probes: DataFrame, item: str) -> DataFrame:
     width, depth = int(meta["ws"][0]), int(meta["depth"])
     buckets = F.array(*[cm_bucket(F.col(item), d, width) for d in range(depth)])
     fanned = probes.select(
-        F.col(item), F.posexplode(buckets).alias("state_depth", "state_bucket")
+        *keys, F.col(item), F.posexplode(buckets).alias("state_depth", "state_bucket")
     )
     joined = fanned.join(
         F.broadcast(state.drop("state_width")),
-        on=["state_depth", "state_bucket"],
+        on=[*keys, "state_depth", "state_bucket"],
         how="left",
     )
-    return joined.groupBy(item).agg(
+    return joined.groupBy(*keys, item).agg(
         F.min(F.coalesce(F.col("state_cnt"), F.lit(0))).alias("cm_estimate")
     )

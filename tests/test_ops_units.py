@@ -763,20 +763,40 @@ def test_count_min_merge_equals_oneshot_and_overestimates(spark):
     assert any(est[i] > exact[i] for i in exact)
 
 
-def test_count_min_estimate_refuses_keyed_state_and_answers_unseen(spark):
+def test_count_min_keyed_estimate_and_unseen_probe(spark):
+    """Keyed state holds one grid per key group: each (key, item)
+    answers from ITS grid (cross-group counts never pool), a keyed
+    probe missing the key columns is refused, and an unseen probe
+    answers 0 rather than NULL or a dropped row."""
     from dynamic_etl_spark.ops.agg import build_cm_state, cm_estimate
 
-    items = spark.range(100).select((F.col("id") % 7).alias("item"))
-    keyed = build_cm_state(items.withColumn("g", F.lit(1)), ["g"], "item")
-    with pytest.raises(ValueError, match="global state only"):
-        cm_estimate(keyed, items.select("item").distinct(), "item")
+    rows = spark.range(600).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") % 7).alias("item")
+    )
+    keyed = build_cm_state(rows, ["g"], "item", width=64)
+    with pytest.raises(ValueError, match="needs probe columns"):
+        cm_estimate(keyed, rows.select("item").distinct(), "item")
+
+    probes = rows.select("g", "item").distinct()
+    est = {
+        (r["g"], r["item"]): r["cm_estimate"]
+        for r in cm_estimate(keyed, probes, "item").collect()
+    }
+    exact = {
+        (r["g"], r["item"]): r["n"]
+        for r in rows.groupBy("g", "item").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(est) == set(exact)
+    # width 64 >> 7 items per group: no collisions, so per-group
+    # estimates are EXACT — pooled cross-group grids would inflate them
+    assert est == exact
 
     # an unseen probe whose buckets hold no counters answers 0, not NULL
     # and not a dropped row (width 256 >> 7 items: some bucket is empty)
-    state = build_cm_state(items, [], "item", width=256)
+    state = build_cm_state(rows, [], "item", width=256)
     unseen = spark.range(1).select(F.lit(999983).alias("item"))
-    rows = cm_estimate(state, unseen, "item").collect()
-    assert len(rows) == 1 and rows[0]["cm_estimate"] >= 0
+    out = cm_estimate(state, unseen, "item").collect()
+    assert len(out) == 1 and out[0]["cm_estimate"] >= 0
 
 
 def test_count_min_estimate_refuses_mixed_width_merge(spark):
