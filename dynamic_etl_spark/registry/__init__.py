@@ -230,6 +230,9 @@ _TAIL_ORDER = (
     # new r6: two-sample KS numeric-drift gate (oracle-backed; post-window
     # add)
     "events_ks_drift",
+    # new r6: warehouse-wide FK integrity audit (oracle-backed; post-window
+    # add)
+    "fk_integrity_report",
     # quota capping, percentile profiles (oracle-backed)
     # SCD-2 read side: point-in-time attribution (oracle-backed)
     # version-to-version table diff with per-column attribution

@@ -425,6 +425,101 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Every FK edge in the TPC-H-ish schema: (name, child table, child key,
+#: parent table, parent key). One definition drives BOTH engine sides.
+_FK_EDGES = (
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-wide referential-integrity audit: one row per FK edge
+    with child rows, orphan rows (child key matching no parent — NULL
+    keys count as orphans: an unresolvable reference either way), and
+    the orphan ratio. The whole-schema sibling of P8's single-edge
+    drop_unresolved_keys: run nightly, a nonzero row pinpoints WHICH
+    relationship a bad load broke before any consumer join silently
+    drops rows.
+
+    Plan: per edge, a LEFT join against the DISTINCT parent keys and a
+    conditional count — dimension-sized sides broadcast (Catalyst picks
+    it from stats); the two fact-to-fact edges shuffle on their join
+    key exactly as the consumer joins would, which is the point: the
+    audit costs what one run of the join it protects costs.
+
+    The clean fixture has zero orphans everywhere, which would leave
+    the orphan branch hash-unexercised — so child keys are planted
+    dirty per the key-modulo convention (key % 97 == 0 points outside
+    the parent domain; % 101 == 1 goes NULL, counted as an orphan: an
+    unresolvable reference either way), and every edge reports a
+    nonzero mixed PASS/FAIL row like validation_report."""
+    per_edge = []
+    for name, child, ck, parent, pk in _FK_EDGES:
+        k = F.col(ck)
+        dirty = (
+            F.when(k % 97 == 0, k + 1000000)
+            .when(k % 101 == 1, F.lit(None))
+            .otherwise(k)
+        )
+        c = t(spark, sf_dir, child).select(dirty.alias("__k"))
+        p = t(spark, sf_dir, parent).select(F.col(pk).alias("__k")).distinct()
+        per_edge.append(
+            c.join(p.withColumn("__hit", F.lit(1)), "__k", "left").agg(
+                F.lit(name).alias("relationship"),
+                F.count(F.lit(1)).alias("child_rows"),
+                F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias(
+                    "orphan_rows"
+                ),
+            )
+        )
+    report = per_edge[0]
+    for e in per_edge[1:]:
+        report = report.unionByName(e)
+    return report.select(
+        "relationship",
+        "child_rows",
+        "orphan_rows",
+        F.round(
+            F.col("orphan_rows").cast("double") / F.col("child_rows").cast("double"),
+            6,
+        ).alias("orphan_ratio"),
+    ).orderBy("relationship")
+
+
+def _fk_edge_sql(name: str, child: str, ck: str, parent: str, pk: str) -> str:
+    dirty = (
+        f"CASE WHEN {ck} % 97 = 0 THEN {ck} + 1000000"
+        f" WHEN {ck} % 101 = 1 THEN NULL ELSE {ck} END"
+    )
+    return f"""
+  SELECT '{name}' AS relationship,
+         count(*) AS child_rows,
+         CAST(SUM(CASE WHEN p.__k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS orphan_rows
+  FROM (SELECT {dirty} AS __c FROM {child}) c
+  LEFT JOIN (SELECT DISTINCT {pk} AS __k FROM {parent}) p ON c.__c = p.__k"""
+
+
+FK_INTEGRITY_ORACLE = (
+    "WITH edges AS ("
+    + "\n  UNION ALL".join(_fk_edge_sql(*e) for e in _FK_EDGES)
+    + """
+)
+SELECT relationship, child_rows, orphan_rows,
+       round(CAST(orphan_rows AS DOUBLE) / CAST(child_rows AS DOUBLE), 6)
+         AS orphan_ratio
+FROM edges
+ORDER BY relationship
+"""
+)
+
+
 KS_DRIFT_ORACLE = """
 WITH per_value AS (
   SELECT event_type, CAST(value AS DOUBLE) AS v,
@@ -567,5 +662,10 @@ QUERIES: QueryRegistry = {
         events_ks_drift, KS_DRIFT_ORACLE,
         "two-sample Kolmogorov-Smirnov numeric-drift gate per event type "
         "(exact integer CDF steps, distinct-value-bounded windows)",
+    ),
+    "fk_integrity_report": Query(
+        fk_integrity_report, FK_INTEGRITY_ORACLE,
+        "warehouse-wide referential-integrity audit: child/orphan rows "
+        "and orphan ratio per FK edge of the schema",
     ),
 }
