@@ -646,9 +646,14 @@ def cm_estimate(state: DataFrame, probes: DataFrame, item: str) -> DataFrame:
     KEYED states (build_cm_state with keys) hold one independent grid
     per key group; probes must then carry the same key columns and each
     (key, item) answers from ITS group's grid — a probe on a key group
-    the state never saw answers 0, like any never-seen item. Probe-sized
-    work; the state is O(groups * depth * width) and broadcastable at
-    any realistic group count."""
+    the state never saw answers 0, like any never-seen item. Keys join
+    NULL-SAFE: groupBy keeps NULL key groups, so a null-unsafe join
+    would answer 0 for a group the state DID count — an underestimate.
+    Probe-sized work; the KEYLESS state is O(depth*width) and carries an
+    explicit broadcast hint, while a keyed state is group-cardinality-
+    scaled, so its join strategy is left to AQE's runtime stats
+    (SCALE.md broadcast rule: a hardcoded hint that fits at sf0.1 OOMs
+    at 100 TB)."""
     keys = [c for c in state.columns if c not in _CM_STATE_COLS]
     missing = [k for k in keys if k not in probes.columns]
     if missing:
@@ -666,11 +671,23 @@ def cm_estimate(state: DataFrame, probes: DataFrame, item: str) -> DataFrame:
     fanned = probes.select(
         *keys, F.col(item), F.posexplode(buckets).alias("state_depth", "state_bucket")
     )
-    joined = fanned.join(
-        F.broadcast(state.drop("state_width")),
-        on=[*keys, "state_depth", "state_bucket"],
-        how="left",
-    )
+    grid = state.drop("state_width")
+    if not keys:
+        joined = fanned.join(
+            F.broadcast(grid), on=["state_depth", "state_bucket"], how="left"
+        )
+    else:
+        renamed = grid
+        for k in keys:
+            renamed = renamed.withColumnRenamed(k, f"__s_{k}")
+        cond = (fanned["state_depth"] == renamed["state_depth"]) & (
+            fanned["state_bucket"] == renamed["state_bucket"]
+        )
+        for k in keys:
+            cond = cond & fanned[k].eqNullSafe(renamed[f"__s_{k}"])
+        joined = fanned.join(renamed, cond, "left").select(
+            *[fanned[c] for c in (*keys, item)], renamed["state_cnt"]
+        )
     return joined.groupBy(*keys, item).agg(
         F.min(F.coalesce(F.col("state_cnt"), F.lit(0))).alias("cm_estimate")
     )

@@ -390,7 +390,10 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse IS the bound."""
     ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     split = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
-    side_a = (F.col("ts") < split).cast("int")
+    # when/otherwise, NOT a bare boolean cast: a NULL ts must land in
+    # the 'after' side on BOTH engines (the oracle's CASE does; a cast
+    # of NULL < split would silently drop the row from both sums)
+    side_a = F.when(F.col("ts") < split, 1).otherwise(0)
     per_value = ev.groupBy(
         "event_type", F.col("value").cast("double").alias("v")
     ).agg(
@@ -455,15 +458,17 @@ def fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The clean fixture has zero orphans everywhere, which would leave
     the orphan branch hash-unexercised — so child keys are planted
-    dirty per the key-modulo convention (key % 97 == 0 points outside
-    the parent domain; % 101 == 1 goes NULL, counted as an orphan: an
-    unresolvable reference either way), and every edge reports a
-    nonzero mixed PASS/FAIL row like validation_report."""
+    dirty per the key-modulo convention (key % 97 == 0 flips NEGATIVE —
+    every key domain is non-negative at any scale factor, so the plant
+    can never silently re-enter the parent domain the way a fixed
+    +offset would at sf >= 1; % 101 == 1 goes NULL, counted as an
+    orphan: an unresolvable reference either way), and every edge
+    reports a nonzero mixed PASS/FAIL row like validation_report."""
     per_edge = []
     for name, child, ck, parent, pk in _FK_EDGES:
         k = F.col(ck)
         dirty = (
-            F.when(k % 97 == 0, k + 1000000)
+            F.when(k % 97 == 0, -(k + 1))
             .when(k % 101 == 1, F.lit(None))
             .otherwise(k)
         )
@@ -494,7 +499,7 @@ def fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fk_edge_sql(name: str, child: str, ck: str, parent: str, pk: str) -> str:
     dirty = (
-        f"CASE WHEN {ck} % 97 = 0 THEN {ck} + 1000000"
+        f"CASE WHEN {ck} % 97 = 0 THEN -({ck} + 1)"
         f" WHEN {ck} % 101 = 1 THEN NULL ELSE {ck} END"
     )
     return f"""

@@ -813,3 +813,21 @@ def test_count_min_estimate_refuses_mixed_width_merge(spark):
     )
     with pytest.raises(ValueError, match="mixed-width"):
         cm_estimate(mixed, items.select("item").distinct(), "item")
+
+
+def test_count_min_keyed_estimate_null_key_group(spark):
+    """groupBy keeps NULL key groups, so the keyed probe join must be
+    null-safe — a null-unsafe join would answer 0 for a group the state
+    DID count, an underestimate."""
+    from dynamic_etl_spark.ops.agg import build_cm_state, cm_estimate
+
+    rows = spark.createDataFrame(
+        [(None, 1)] * 10 + [("a", 1)] * 3, "g string, item long"
+    )
+    state = build_cm_state(rows, ["g"], "item", width=64)
+    probes = rows.select("g", "item").distinct()
+    est = {
+        (r["g"], r["item"]): r["cm_estimate"]
+        for r in cm_estimate(state, probes, "item").collect()
+    }
+    assert est == {(None, 1): 10, ("a", 1): 3}
