@@ -831,3 +831,42 @@ def test_count_min_keyed_estimate_null_key_group(spark):
         for r in cm_estimate(state, probes, "item").collect()
     }
     assert est == {(None, 1): 10, ("a", 1): 3}
+
+
+def test_count_min_mass_conservation_adversarial(spark):
+    """For ANY input multiset — constant streams, negatives, strings,
+    near-Long.MAX values — every depth row of the grid holds exactly n
+    total mass (the explode writes each item into every row once), and
+    every probe estimate >= its exact count. A broken bucket hash or a
+    dropped counter breaks one of the two."""
+    from dynamic_etl_spark.ops.agg import build_cm_state, cm_estimate
+
+    cases = [
+        spark.range(500).select(F.lit(7).alias("item")),
+        spark.range(300).select((-(F.col("id") % 11) - 1).alias("item")),
+        spark.range(400).select(
+            F.concat(F.lit("u"), (F.col("id") % 13).cast("string")).alias("item")
+        ),
+        spark.range(200).select(
+            (F.lit(9_223_372_036_854_775_000) - (F.col("id") % 5)).alias("item")
+        ),
+    ]
+    for df in cases:
+        n = df.count()
+        state = build_cm_state(df, [], "item", width=8)
+        per_depth = {
+            r["state_depth"]: r["m"]
+            for r in state.groupBy("state_depth")
+            .agg(F.sum("state_cnt").alias("m"))
+            .collect()
+        }
+        assert per_depth == {d: n for d in range(4)}, per_depth
+        exact = {
+            r["item"]: r["n"]
+            for r in df.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        est = {
+            r["item"]: r["cm_estimate"]
+            for r in cm_estimate(state, df.distinct(), "item").collect()
+        }
+        assert all(est[i] >= exact[i] for i in exact)
