@@ -233,6 +233,9 @@ _TAIL_ORDER = (
     # new r6: warehouse-wide FK integrity audit (oracle-backed; post-window
     # add)
     "fk_integrity_report",
+    # new r6: slice-rebuild late-data correction (oracle-backed;
+    # post-window add)
+    "rollup_slice_rebuild",
     # quota capping, percentile profiles (oracle-backed)
     # SCD-2 read side: point-in-time attribution (oracle-backed)
     # version-to-version table diff with per-column attribution

@@ -434,6 +434,65 @@ ORDER BY o_orderpriority
 """
 
 
+def rollup_slice_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data correction by SLICE REBUILD: a restatement batch arrives
+    for the middle date slice (every 53rd order's total is corrected
+    +10.00 — key-modulo, reproducible in SQL), so ONLY that slice's
+    state rebuilds from the corrected feed and re-folds with the two
+    untouched slice states. The oracle aggregates the corrected corpus
+    ONE-SHOT; hash equality proves day-level backfill == full recompute
+    — at 100 TB the difference between restating one day's partition
+    and rescanning the table. The correction itself is added in
+    decimal(14,2) (exact, both engines) before the state's exact-sum
+    monoid ever sees it."""
+    orders = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    lo = F.lit("1995-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    corrected = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(14,2))"
+        " + CAST(10.00 AS DECIMAL(14,2)) AS DOUBLE)"
+    )
+    slice2_fixed = orders.filter((d >= lo) & (d < hi)).select(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 53 == 0, corrected)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    s1 = A.build_agg_state(
+        orders.filter(d < lo), ["o_orderpriority"], "o_totalprice"
+    )
+    s2 = A.build_agg_state(slice2_fixed, ["o_orderpriority"], "o_totalprice")
+    s3 = A.build_agg_state(
+        orders.filter(d >= hi), ["o_orderpriority"], "o_totalprice"
+    )
+    merged = A.merge_agg_state(A.merge_agg_state(s1, s2), s3)
+    return A.finalize_agg_state(merged).orderBy("o_orderpriority")
+
+
+SLICE_REBUILD_ORACLE = f"""
+WITH corrected AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
+               AND o_orderdate < TIMESTAMP '1997-01-01'
+               AND o_orderkey % 53 = 0
+              THEN CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                        + CAST(10.00 AS DECIMAL(14,2)) AS DOUBLE)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+)
+SELECT o_orderpriority,
+       COUNT(o_totalprice) AS n_rows,
+       {sql_dsum('o_totalprice')} AS sum_value,
+       {sql_davg('o_totalprice')} AS avg_value,
+       MIN(o_totalprice) AS min_value,
+       MAX(o_totalprice) AS max_value
+FROM corrected
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # A10/W4 — distinct extraction + sort-by-aggregate top-N (deterministic
 # tie-break) (reference: scripts/fact_sales_daily.py:258-261)
@@ -750,6 +809,11 @@ QUERIES: QueryRegistry = {
         incremental_rollup_maintenance, INCREMENTAL_ROLLUP_ORACLE,
         "mergeable agg state: three independent slices folded together "
         "must hash-equal the one-shot aggregate",
+    ),
+    "rollup_slice_rebuild": Query(
+        rollup_slice_rebuild, SLICE_REBUILD_ORACLE,
+        "late-data correction by slice rebuild: restate ONE date slice, "
+        "re-fold, hash-equal a full recompute of the corrected corpus",
     ),
     "top_part_types": Query(top_part_types, TOP_TYPES_ORACLE, "A10/W4 top-N by aggregate"),
     "customers_with_orders": Query(customers_with_orders, SEMI_ORACLE, "J7 semi join"),

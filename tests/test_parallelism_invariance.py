@@ -50,6 +50,7 @@ SWEEP = (
     "count_min_maintenance",
     "events_ks_drift",
     "fk_integrity_report",
+    "rollup_slice_rebuild",
 )
 
 

@@ -207,6 +207,7 @@ SHUFFLE_BUDGET = {
     "count_min_maintenance": 6,     # 3 slice builds + merge fold + probe/exact aggs
     "events_ks_drift": 3,           # per-value collapse + CDF window + final fold
     "fk_integrity_report": 14,      # 7 edges x (parent distinct + agg); joins broadcast
+    "rollup_slice_rebuild": 4,      # 3 slice builds + merge fold (sort rides the fold)
     "document_chunking": 1,
     "vocabulary_build": 1,
     "pmi_collocations_top": 2,
