@@ -392,6 +392,41 @@ GROUP BY ROLLUP (o_orderstatus)
 """
 
 
+#: Order-date slice boundaries shared by the rollup-maintenance family.
+_SLICE_LO, _SLICE_HI = "1995-01-01", "1997-01-01"
+
+
+def _fold_order_slices(orders: DataFrame, middle: DataFrame) -> DataFrame:
+    """Three-slice rollup fold over the orders date range with a
+    caller-supplied MIDDLE slice feed (the original rows for pure
+    maintenance; a corrected feed for slice rebuild) — one skeleton so
+    boundary or finalize-surface changes happen in one place."""
+    d = F.col("o_orderdate")
+    lo = F.lit(_SLICE_LO).cast("timestamp_ntz")
+    hi = F.lit(_SLICE_HI).cast("timestamp_ntz")
+    keys, v = ["o_orderpriority"], "o_totalprice"
+    s1 = A.build_agg_state(orders.filter(d < lo), keys, v)
+    s2 = A.build_agg_state(middle, keys, v)
+    s3 = A.build_agg_state(orders.filter(d >= hi), keys, v)
+    merged = A.merge_agg_state(A.merge_agg_state(s1, s2), s3)
+    return A.finalize_agg_state(merged).orderBy("o_orderpriority")
+
+
+def _rollup_select_sql(src: str) -> str:
+    """The fold's one-shot SQL twin over a source relation."""
+    return f"""
+SELECT o_orderpriority,
+       COUNT(o_totalprice) AS n_rows,
+       {sql_dsum('o_totalprice')} AS sum_value,
+       {sql_davg('o_totalprice')} AS avg_value,
+       MIN(o_totalprice) AS min_value,
+       MAX(o_totalprice) AS max_value
+FROM {src}
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintained rollup (ops/agg.build/merge/finalize_agg_state): orders
     arrive in three date slices aggregated INDEPENDENTLY, the per-slice
@@ -402,36 +437,14 @@ def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     and shuffling a dimension-sized state."""
     orders = t(spark, sf_dir, "orders")
     d = F.col("o_orderdate")
-    s1 = A.build_agg_state(
-        orders.filter(d < F.lit("1995-01-01").cast("timestamp_ntz")),
-        ["o_orderpriority"], "o_totalprice",
+    middle = orders.filter(
+        (d >= F.lit(_SLICE_LO).cast("timestamp_ntz"))
+        & (d < F.lit(_SLICE_HI).cast("timestamp_ntz"))
     )
-    s2 = A.build_agg_state(
-        orders.filter(
-            (d >= F.lit("1995-01-01").cast("timestamp_ntz"))
-            & (d < F.lit("1997-01-01").cast("timestamp_ntz"))
-        ),
-        ["o_orderpriority"], "o_totalprice",
-    )
-    s3 = A.build_agg_state(
-        orders.filter(d >= F.lit("1997-01-01").cast("timestamp_ntz")),
-        ["o_orderpriority"], "o_totalprice",
-    )
-    merged = A.merge_agg_state(A.merge_agg_state(s1, s2), s3)
-    return A.finalize_agg_state(merged).orderBy("o_orderpriority")
+    return _fold_order_slices(orders, middle)
 
 
-INCREMENTAL_ROLLUP_ORACLE = f"""
-SELECT o_orderpriority,
-       COUNT(o_totalprice) AS n_rows,
-       {sql_dsum('o_totalprice')} AS sum_value,
-       {sql_davg('o_totalprice')} AS avg_value,
-       MIN(o_totalprice) AS min_value,
-       MAX(o_totalprice) AS max_value
-FROM orders
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority
-"""
+INCREMENTAL_ROLLUP_ORACLE = _rollup_select_sql("orders")
 
 
 def rollup_slice_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,8 +460,8 @@ def rollup_slice_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     monoid ever sees it."""
     orders = t(spark, sf_dir, "orders")
     d = F.col("o_orderdate")
-    lo = F.lit("1995-01-01").cast("timestamp_ntz")
-    hi = F.lit("1997-01-01").cast("timestamp_ntz")
+    lo = F.lit(_SLICE_LO).cast("timestamp_ntz")
+    hi = F.lit(_SLICE_HI).cast("timestamp_ntz")
     corrected = F.expr(
         "CAST(CAST(o_totalprice AS DECIMAL(14,2))"
         " + CAST(10.00 AS DECIMAL(14,2)) AS DOUBLE)"
@@ -459,38 +472,20 @@ def rollup_slice_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_totalprice"))
         .alias("o_totalprice"),
     )
-    s1 = A.build_agg_state(
-        orders.filter(d < lo), ["o_orderpriority"], "o_totalprice"
-    )
-    s2 = A.build_agg_state(slice2_fixed, ["o_orderpriority"], "o_totalprice")
-    s3 = A.build_agg_state(
-        orders.filter(d >= hi), ["o_orderpriority"], "o_totalprice"
-    )
-    merged = A.merge_agg_state(A.merge_agg_state(s1, s2), s3)
-    return A.finalize_agg_state(merged).orderBy("o_orderpriority")
+    return _fold_order_slices(orders, slice2_fixed)
 
 
 SLICE_REBUILD_ORACLE = f"""
 WITH corrected AS (
   SELECT o_orderpriority,
-         CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
-               AND o_orderdate < TIMESTAMP '1997-01-01'
+         CASE WHEN o_orderdate >= TIMESTAMP '{_SLICE_LO}'
+               AND o_orderdate < TIMESTAMP '{_SLICE_HI}'
                AND o_orderkey % 53 = 0
               THEN CAST(CAST(o_totalprice AS DECIMAL(14,2))
                         + CAST(10.00 AS DECIMAL(14,2)) AS DOUBLE)
               ELSE o_totalprice END AS o_totalprice
   FROM orders
-)
-SELECT o_orderpriority,
-       COUNT(o_totalprice) AS n_rows,
-       {sql_dsum('o_totalprice')} AS sum_value,
-       {sql_davg('o_totalprice')} AS avg_value,
-       MIN(o_totalprice) AS min_value,
-       MAX(o_totalprice) AS max_value
-FROM corrected
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority
-"""
+){_rollup_select_sql('corrected')}"""
 
 
 # --------------------------------------------------------------------------
