@@ -95,7 +95,13 @@ def _compress(levels: dict[int, np.ndarray], k: int) -> dict[int, np.ndarray]:
         lvl += 1
         if lvl > max(levels, default=0):
             break
-    return {l: a for l, a in levels.items() if len(a)}
+    # canonicalize: SORT every surviving level, compacted or not. An
+    # uncompacted level otherwise keeps fragment-concatenation order, so
+    # two folds of the same multiset would be multiset-equal but not
+    # byte-equal (caught by a 500-trial r6 stress) — sorting here makes
+    # the fold-order-invariance claim exact and the emitted state
+    # byte-stable at any arrival order.
+    return {l: np.sort(a) for l, a in levels.items() if len(a)}
 
 
 def _fold(frames: Iterator[tuple[np.ndarray, np.ndarray]], k: int) -> dict[int, np.ndarray]:
