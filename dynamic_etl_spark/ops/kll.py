@@ -95,13 +95,7 @@ def _compress(levels: dict[int, np.ndarray], k: int) -> dict[int, np.ndarray]:
         lvl += 1
         if lvl > max(levels, default=0):
             break
-    # canonicalize: SORT every surviving level, compacted or not. An
-    # uncompacted level otherwise keeps fragment-concatenation order, so
-    # two folds of the same multiset would be multiset-equal but not
-    # byte-equal (caught by a 500-trial r6 stress) — sorting here makes
-    # the fold-order-invariance claim exact and the emitted state
-    # byte-stable at any arrival order.
-    return {l: np.sort(a) for l, a in levels.items() if len(a)}
+    return {l: a for l, a in levels.items() if len(a)}
 
 
 def _fold(frames: Iterator[tuple[np.ndarray, np.ndarray]], k: int) -> dict[int, np.ndarray]:
@@ -114,15 +108,27 @@ def _fold(frames: Iterator[tuple[np.ndarray, np.ndarray]], k: int) -> dict[int, 
         for l in np.unique(lv):
             levels.setdefault(int(l), []).append(vals[lv == l])
     dense = {l: np.concatenate(parts) for l, parts in levels.items()}
-    return _compress(dense, k)
+    # canonicalize at the boundary (NOT inside _compress's hot loop): an
+    # uncompacted level keeps fragment-concatenation order, so two folds
+    # of the same fragment multiset would be multiset-equal but not
+    # byte-equal without this sort (tests/test_kll.py pins byte
+    # equality, incl. a shuffled-fold stress). Note the scope: the fold
+    # of a FIXED fragment multiset is byte-stable; a partition BUILD's
+    # fragment content still depends on batch chunking, like any
+    # streaming sketch.
+    return {l: np.sort(a) for l, a in _compress(dense, k).items()}
 
 
 def _emit(levels: dict[int, np.ndarray]) -> tuple[list[int], list[float]]:
+    """Rows from a level dict, canonically ordered (level asc, value asc
+    within level) — every externally visible state emission passes
+    through here, so emitted fragments/states are byte-stable for a
+    given level-content multiset."""
     out_l: list[int] = []
     out_v: list[float] = []
     for l in sorted(levels):
         out_l.extend([l] * len(levels[l]))
-        out_v.extend(float(v) for v in levels[l])
+        out_v.extend(float(v) for v in np.sort(levels[l]))
     return out_l, out_v
 
 

@@ -396,14 +396,25 @@ GROUP BY ROLLUP (o_orderstatus)
 _SLICE_LO, _SLICE_HI = "1995-01-01", "1997-01-01"
 
 
-def _fold_order_slices(orders: DataFrame, middle: DataFrame) -> DataFrame:
-    """Three-slice rollup fold over the orders date range with a
-    caller-supplied MIDDLE slice feed (the original rows for pure
-    maintenance; a corrected feed for slice rebuild) — one skeleton so
-    boundary or finalize-surface changes happen in one place."""
+def _slice_bounds():
+    """The fold's slice boundary columns — the ONE construction every
+    slice predicate derives from."""
+    return (
+        F.lit(_SLICE_LO).cast("timestamp_ntz"),
+        F.lit(_SLICE_HI).cast("timestamp_ntz"),
+    )
+
+
+def _fold_order_slices(orders: DataFrame, middle: DataFrame | None = None) -> DataFrame:
+    """Three-slice rollup fold over the orders date range. ``middle``
+    defaults to the orders rows inside the middle slice (pure
+    maintenance); slice rebuild passes a corrected feed instead — one
+    skeleton, one boundary predicate, so a boundary or finalize-surface
+    change happens in exactly one place."""
     d = F.col("o_orderdate")
-    lo = F.lit(_SLICE_LO).cast("timestamp_ntz")
-    hi = F.lit(_SLICE_HI).cast("timestamp_ntz")
+    lo, hi = _slice_bounds()
+    if middle is None:
+        middle = orders.filter((d >= lo) & (d < hi))
     keys, v = ["o_orderpriority"], "o_totalprice"
     s1 = A.build_agg_state(orders.filter(d < lo), keys, v)
     s2 = A.build_agg_state(middle, keys, v)
@@ -435,13 +446,7 @@ def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
     provably lossless because the state sum is an exact decimal monoid.
     At 100 TB this is the difference between rescanning history per day
     and shuffling a dimension-sized state."""
-    orders = t(spark, sf_dir, "orders")
-    d = F.col("o_orderdate")
-    middle = orders.filter(
-        (d >= F.lit(_SLICE_LO).cast("timestamp_ntz"))
-        & (d < F.lit(_SLICE_HI).cast("timestamp_ntz"))
-    )
-    return _fold_order_slices(orders, middle)
+    return _fold_order_slices(t(spark, sf_dir, "orders"))
 
 
 INCREMENTAL_ROLLUP_ORACLE = _rollup_select_sql("orders")
@@ -460,8 +465,7 @@ def rollup_slice_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     monoid ever sees it."""
     orders = t(spark, sf_dir, "orders")
     d = F.col("o_orderdate")
-    lo = F.lit(_SLICE_LO).cast("timestamp_ntz")
-    hi = F.lit(_SLICE_HI).cast("timestamp_ntz")
+    lo, hi = _slice_bounds()
     corrected = F.expr(
         "CAST(CAST(o_totalprice AS DECIMAL(14,2))"
         " + CAST(10.00 AS DECIMAL(14,2)) AS DOUBLE)"

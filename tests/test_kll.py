@@ -134,24 +134,40 @@ def test_merge_tree_shapes_all_within_bound(spark):
 
 def test_fold_is_exactly_associative_on_fragments():
     """Below the Spark layer the fold itself is content-deterministic:
-    folding the same fragment multiset in any order compresses to the
-    identical compactor hierarchy (sorting inside _compress erases
-    arrival order)."""
+    folding the same fragment multiset in any order yields the
+    BYTE-IDENTICAL compactor hierarchy — _fold canonical-sorts every
+    level, so the assertion is raw array equality, deliberately NOT
+    multiset equality (an uncompacted level would otherwise keep
+    fragment-concatenation order; r6 stress caught exactly that).
+    Swept over 50 random fragment shuffles, sizes, and k values."""
     rng = np.random.RandomState(3)
-    k = 64
-    frags = []
-    for _ in range(5):
-        levels = _compress({0: rng.lognormal(2, 1, 500)}, k)
-        lv = np.concatenate(
-            [np.full(len(a), l, dtype=np.int64) for l, a in levels.items()]
-        )
-        vv = np.concatenate([a for a in levels.values()])
-        frags.append((lv, vv))
-    a = _fold(iter(frags), k)
-    b = _fold(iter(list(reversed(frags))), k)
-    assert sorted(a) == sorted(b)
-    for l in a:
-        assert np.array_equal(np.sort(a[l]), np.sort(b[l]))
+    for trial in range(50):
+        k = int(rng.randint(8, 128))
+        n_frag = int(rng.randint(1, 6))
+        frags = []
+        for _ in range(n_frag):
+            n = int(rng.randint(0, 2000))
+            levels = _compress({0: rng.lognormal(2, 1, n)}, k) if n else {}
+            lv = (
+                np.concatenate(
+                    [np.full(len(a), l, dtype=np.int64) for l, a in levels.items()]
+                )
+                if levels
+                else np.array([], dtype=np.int64)
+            )
+            vv = (
+                np.concatenate([a for a in levels.values()])
+                if levels
+                else np.array([], dtype=np.float64)
+            )
+            frags.append((lv, vv))
+        a = _fold(iter(frags), k)
+        perm = list(range(n_frag))
+        rng.shuffle(perm)
+        b = _fold(iter([frags[i] for i in perm]), k)
+        assert sorted(a) == sorted(b), (trial, k)
+        for l in a:
+            assert np.array_equal(a[l], b[l]), (trial, k, l)
 
 
 def test_exact_below_k_and_deterministic_rerun(spark):
