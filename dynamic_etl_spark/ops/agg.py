@@ -8,6 +8,7 @@ exact). Helpers return Columns so callers compose them in one ``agg`` pass.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -576,12 +577,39 @@ def cm_bucket(item: Column, depth_idx: int, width: int) -> Column:
     return F.conv(hex8, 16, 10).cast("long") % width
 
 
+def cm_params(eps: float, delta: float) -> tuple[int, int]:
+    """Derive (depth, width) from the standard Count-Min guarantee
+    (Cormode-Muthukrishnan 2005 §3.1): with ``width = ceil(e / eps)``
+    and ``depth = ceil(ln(1 / delta))``, every estimate satisfies
+    ``true <= est <= true + eps * n`` with probability ``>= 1 - delta``
+    (n = total stream count). The md5-slice hash family yields at most
+    4 independent 32-bit rows per item (:func:`cm_bucket`), so depth is
+    capped at 4 — i.e. delta >= e^-4 ~= 0.0184; a tighter delta needs a
+    second hash family and is refused loudly rather than silently
+    delivering a weaker guarantee."""
+    if not 0 < eps < 1:
+        raise ValueError(f"cm_params: eps must be in (0,1), got {eps}")
+    if not 0 < delta < 1:
+        raise ValueError(f"cm_params: delta must be in (0,1), got {delta}")
+    depth = math.ceil(math.log(1.0 / delta))
+    width = math.ceil(math.e / eps)
+    if depth > 4:
+        raise ValueError(
+            f"cm_params: delta={delta} needs depth={depth} > 4 independent "
+            "md5 slices (min supported delta is exp(-4) ~= 0.0184)"
+        )
+    return max(depth, 1), width
+
+
 def build_cm_state(
     df: DataFrame,
     keys: Sequence[str],
     item: str,
     depth: int = 4,
     width: int = 256,
+    *,
+    eps: float | None = None,
+    delta: float | None = None,
 ) -> DataFrame:
     """Mergeable Count-Min frequency state (Cormode-Muthukrishnan 2005):
     per key group, ``depth`` hash rows of ``width`` counters; an item's
@@ -602,7 +630,16 @@ def build_cm_state(
     UNDERestimate — the one failure CM must never have — so
     :func:`cm_estimate` derives width/depth from the state instead of
     trusting caller defaults (and a mixed-width merge becomes visible
-    as two width groups instead of a silently summed wrong grid)."""
+    as two width groups instead of a silently summed wrong grid).
+
+    Pass ``eps``/``delta`` (both, keyword-only) to size the grid from
+    the accuracy contract instead of raw knobs: :func:`cm_params` gives
+    ``est <= true + eps*n`` with probability ``>= 1 - delta``. Raw
+    width/depth remain the low-level override when neither is given."""
+    if (eps is None) != (delta is None):
+        raise ValueError("build_cm_state: pass BOTH eps and delta, or neither")
+    if eps is not None and delta is not None:
+        depth, width = cm_params(eps, delta)
     buckets = F.array(*[cm_bucket(F.col(item), d, width) for d in range(depth)])
     return (
         df.select(*keys, F.posexplode(buckets).alias("state_depth", "state_bucket"))
@@ -664,6 +701,12 @@ def cm_estimate(state: DataFrame, probes: DataFrame, item: str) -> DataFrame:
         F.collect_set("state_width").alias("ws"),
         (F.max("state_depth") + 1).alias("depth"),
     ).collect()[0]
+    if not meta["ws"]:
+        # collect_set over zero rows is [], which would otherwise fail the
+        # len==1 check below with a misleading "mixed-width" message; an
+        # empty state is a caller bug (nothing was ever counted), not a
+        # width mismatch, so name it.
+        raise ValueError("cm_estimate: empty state (no counters built/merged)")
     if len(meta["ws"]) != 1:
         raise ValueError(f"cm_estimate: mixed-width state {sorted(meta['ws'])}")
     width, depth = int(meta["ws"][0]), int(meta["depth"])

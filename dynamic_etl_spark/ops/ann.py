@@ -122,12 +122,18 @@ def max_cosine_vs_queries(
     run. Output: (id_col, matched_query_id AS LONG, max_cosine_sim
     rounded 6dp), one row per corpus row. Query ids must be numeric
     (the tiebreak negates them; both twins surface matched_query_id as
-    long so their schemas stay hash-identical). An EMPTY query set
-    yields NULL match/sim per row (array_max of an empty anchor) —
-    threshold filters drop those rows; the vectorized twin raises
-    instead, having already paid the collect that can tell.
+    long so their schemas stay hash-identical). An EMPTY query set is
+    REFUSED, matching the vectorized twin: array_max of an empty anchor
+    would yield NULL match/sim per corpus row, threshold filters would
+    drop every row, and decontamination would vacuously pass the whole
+    corpus — the silent failure this op exists to prevent. The check is
+    a bounded count() on the benchmark-sized side (one tiny eager job at
+    construction; the corpus plan is untouched), so both twins now fail
+    identically loudly (ADVICE r6).
     """
     query_id_col = query_id_col or id_col
+    if queries.limit(1).count() == 0:
+        raise ValueError("max_cosine_vs_queries: empty query set")
     anchor = F.broadcast(
         queries.select(
             F.struct(

@@ -413,9 +413,18 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").over(wk).alias("na"),
         F.sum("cb").over(wk).alias("nb"),
     )
-    d = F.abs(
-        F.col("cum_a").cast("double") / F.col("na").cast("double")
-        - F.col("cum_b").cast("double") / F.col("nb").cast("double")
+    # one-sided guard: a type present on only ONE side of the cut has
+    # na or nb = 0, double/0 is NULL on both engines, and a NULL never
+    # trips a gate — i.e. the maximal-drift case (a brand-new or
+    # vanished event type) would be exactly the blind spot. Disjoint
+    # supports have KS statistic 1.0 by definition; say so explicitly.
+    d = F.when(
+        (F.col("na") == 0) | (F.col("nb") == 0), F.lit(1.0)
+    ).otherwise(
+        F.abs(
+            F.col("cum_a").cast("double") / F.col("na").cast("double")
+            - F.col("cum_b").cast("double") / F.col("nb").cast("double")
+        )
     )
     return (
         stepped.groupBy("event_type")
@@ -546,8 +555,10 @@ stepped AS (
 SELECT event_type,
        CAST(MAX(na) AS BIGINT) AS n_before,
        CAST(MAX(nb) AS BIGINT) AS n_after,
-       round(MAX(abs(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
-                     - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE))), 6)
+       round(MAX(CASE WHEN na = 0 OR nb = 0 THEN 1.0
+                 ELSE abs(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
+                          - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE))
+                 END), 6)
          AS ks_statistic
 FROM stepped
 GROUP BY event_type

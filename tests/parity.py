@@ -40,8 +40,16 @@ def _canon_cell(v):
     surfaces stayed locally green. Numeric cells are therefore tagged with
     their type kind (``b``/``i``/``f``) so a dtype divergence fails the
     local gate exactly like the driver's."""
-    if v is None or (isinstance(v, float) and math.isnan(v)):
+    if v is None:
         return None
+    if isinstance(v, float) and math.isnan(v):
+        # NaN is NOT folded into None: a Spark-NULL vs oracle-NaN surface
+        # is representation-distinct to the driver's hash, so it must fail
+        # locally too (ADVICE r6 — the float sibling of the r6 int-vs-float
+        # hardening). Within a float64 pandas column the two are already
+        # conflated by pandas itself; this tag catches the object-column
+        # and mixed-dtype cases the conflation doesn't mask.
+        return ("f", "nan")
     # array-valued cells (Spark ArrayType / DuckDB LIST come back as
     # list or numpy.ndarray) canonicalize element-wise
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
@@ -58,6 +66,8 @@ def _canon_cell(v):
         # hash-distinct (SCALE.md signed-zero trap): tag the sign so a
         # Spark +0.0 vs oracle -0.0 divergence fails locally
         f = float(v)
+        if math.isnan(f):  # numpy float32/16 NaN doesn't hit the float check above
+            return ("f", "nan")
         return ("f", f, math.copysign(1.0, f))
     if isinstance(v, int) or type(v).__name__ in (
         "int8", "int16", "int32", "int64",

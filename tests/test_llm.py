@@ -663,3 +663,18 @@ def test_max_cosine_vectorized_bit_equals_expression_path(spark):
     # and the fixture must actually exercise the tie for this to pin it
     tied = [m for _, m, _ in expr_path if m in (2, 9)]
     assert tied and all(m == 2 for m in tied)
+
+
+def test_max_cosine_vs_queries_both_twins_refuse_empty_query_set(spark):
+    """An empty eval set means every corpus row would vacuously 'pass'
+    decontamination — the silent failure the op exists to prevent. Both
+    twins must refuse identically loudly (ADVICE r6: the expression path
+    used to yield NULL match/sim while the vectorized path raised)."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    empty = corpus.filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty query set"):
+        ANN.max_cosine_vs_queries(corpus, empty, "vec_id", "embedding")
+    with pytest.raises(ValueError, match="empty query set"):
+        ANN.max_cosine_vs_queries_vectorized(corpus, empty, "vec_id", "embedding")

@@ -100,3 +100,24 @@ def test_equal_positive_zeros_pass():
     b = pd.DataFrame({"v": [1.5, 0.0]})
     result = compare("zero_ok", _FakeSparkDF(a), b)
     assert result.ok, str(result)
+
+
+def test_nan_vs_null_object_cell_fails():
+    """NaN must not canonicalize to None (ADVICE r6): in object-dtyped
+    columns (arrays, mixed surfaces) a Spark NULL vs an oracle NaN is
+    representation-distinct to the driver's hash, so it must fail here.
+    Array cells keep both sides object-dtyped, dodging pandas' own
+    NULL-as-NaN conflation inside float64 columns."""
+    spark_side = pd.DataFrame({"k": ["a"], "xs": [[1.0, None]]})
+    oracle_side = pd.DataFrame({"k": ["a"], "xs": [[1.0, float("nan")]]})
+    result = compare("nan_guard", _FakeSparkDF(spark_side), oracle_side)
+    assert not result.ok
+
+
+def test_equal_nans_pass():
+    """Two NaNs must compare equal to each other (nan != nan under
+    Python ==, so the canonical tag has to be a comparable sentinel)."""
+    a = pd.DataFrame({"k": ["a"], "xs": [[float("nan"), 2.0]]})
+    b = pd.DataFrame({"k": ["a"], "xs": [[float("nan"), 2.0]]})
+    result = compare("nan_ok", _FakeSparkDF(a), b)
+    assert result.ok, str(result)

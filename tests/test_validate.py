@@ -97,3 +97,53 @@ def test_cross_column_conditional_rule(spark):
     assert all(
         r["status"] == "PASS" for r in ok.collect() if r["check_name"] == "cross_column"
     )
+
+
+def test_ks_drift_one_sided_type_reports_maximal_drift(spark, tmp_path):
+    """A type present on only ONE side of the Jan-15 cut (brand-new or
+    vanished) has disjoint supports — KS statistic 1.0 by definition.
+    Before the ADVICE r6 guard, na or nb was 0, double/0 was NULL on
+    both engines, and a NULL never trips a gate: the drift gate was
+    blind exactly in the maximal-drift case. Both twins must now say
+    1.0, identically."""
+    import duckdb
+
+    from dynamic_etl_spark.registry.validation import (
+        KS_DRIFT_ORACLE,
+        events_ks_drift,
+    )
+
+    rows = (
+        # 'vanished': only before the cut
+        [("vanished", f"2024-01-0{1 + i % 9}T00:00:00", float(i)) for i in range(20)]
+        # 'brand_new': only after the cut
+        + [("brand_new", f"2024-02-0{1 + i % 9}T00:00:00", float(i)) for i in range(20)]
+        # 'steady': both sides, identical distribution -> small statistic
+        + [("steady", f"2024-01-0{1 + i % 9}T00:00:00", float(i % 5)) for i in range(20)]
+        + [("steady", f"2024-02-0{1 + i % 9}T00:00:00", float(i % 5)) for i in range(20)]
+    )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(t_, __import__("datetime").datetime.fromisoformat(ts), v) for t_, ts, v in rows],
+        "event_type string, ts timestamp_ntz, value double",
+    ).coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    got = {
+        r["event_type"]: (r["n_before"], r["n_after"], r["ks_statistic"])
+        for r in events_ks_drift(spark, sf_dir).collect()
+    }
+    assert got["vanished"] == (20, 0, 1.0)
+    assert got["brand_new"] == (0, 20, 1.0)
+    assert got["steady"][2] == 0.0
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet/*.parquet')"
+        )
+        oracle = {
+            r[0]: (r[1], r[2], r[3]) for r in con.execute(KS_DRIFT_ORACLE).fetchall()
+        }
+    finally:
+        con.close()
+    assert oracle == got
