@@ -28,34 +28,31 @@ from dynamic_etl_spark.registry.core import Query, QueryRegistry
 #: checked in tests/test_llm.py) go last.
 DRIVER_WINDOW = 50
 
-#: Positions 1-50 — the r6 rotation (VERDICT r5 #3): close the driver-
-#: signal ledger. In-window first: the one red row re-checked after its
-#: oracle cast fix (heavy_hitter_maintenance), the new r6 finalize-
-#: arithmetic query, the 3 r5 post-window additions, and the 4 tail
-#: twins never driver-confirmed — after this round every oracle-backed
-#: query has carried the driver's hash at least once. The remaining 41
-#: slots re-confirm high-value r1–r4-green queries, prioritizing the
-#: ones whose code paths changed this round (heavy-hitter's salted
-#: compress, the multimodal decode guards).
+#: Positions 1-50 — the r7 rotation (VERDICT r6 #1): the 13 r6
+#: post-window additions that have never carried the driver's hash take
+#: the head slots, closing the cumulative ledger at 138/138 oracle-backed
+#: queries; next comes the one confirmed query whose code path changed
+#: this round (multimodal_feature_extract's numpy decode rewrite must
+#: re-earn its hash). The remaining slots re-confirm r1–r6-green
+#: representatives across every family.
 _WINDOW_ORDER = (
-    # re-check after the HUGEINT->BIGINT oracle cast (the r5 red row)
-    "heavy_hitter_maintenance",
-    # new r6: KLL finalize arithmetic over a deterministic state
-    "rank_sketch_finalize_exact",
-    # r5 post-window additions, never driver-checked
-    "document_gram_exposure",
-    "grouping_sets_order_totals",
-    "value_anomaly_mad",
-    # the 4 never-confirmed tail twins
-    "dedup_keep_last_line_agg",
-    "events_hourly_heatmap",
-    "generator_products",
-    "generator_distributors",
-    # changed code path this round: decode-failure guards
+    # ---- the 13 never-driver-confirmed r6 post-window additions ----
+    "count_min_maintenance",
+    "duplicated_span_removal",
+    "events_compaction_plan",
+    "events_ks_drift",
+    "events_value_trend",
+    "fk_integrity_report",
+    "leakage_safe_split",
+    "length_bucketed_batching",
+    "quasi_identifier_risk",
+    "rollup_slice_rebuild",
+    "semantic_decontamination",
+    "semantic_decontamination_vectorized",
+    "source_diversity_profile",
+    # changed code path this round: vectorized media decode (VERDICT r6 #4)
     "multimodal_feature_extract",
-    # new r6: per-dim embedding spread (collapsed-dim QA)
-    "embedding_dim_spread",
-    # ---- backfill: r1–r4-green representatives across families ----
+    # ---- backfill: r1–r6-green representatives across families ----
     # relational scans / joins / aggregates
     "flagship_star_join",
     "scan_projection_filter",
@@ -65,7 +62,6 @@ _WINDOW_ORDER = (
     "rollup_totals",
     "fallback_key_resolution",
     "drop_unresolved_keys",
-    "salted_skew_join",
     # windows / dedup
     "surrogate_key_assignment",
     # cleaning
@@ -84,14 +80,12 @@ _WINDOW_ORDER = (
     "events_tumbling_window",
     "events_sessionization",
     "events_asof_last_purchase",
-    "events_range_interval_join",
     # LLM-data-pipeline layer
     "text_stats_profile",
     "language_id_profile",
     "exact_dedup_fingerprint",
     "ngram_jaccard_similarity",
     "gopher_repetition_gates",
-    "winnowing_fingerprint",
     "pii_detect_redact",
     "benchmark_decontamination",
     "line_dedup_profile",
@@ -105,10 +99,28 @@ _WINDOW_ORDER = (
     "validation_report",
 )
 
-#: Rotated out after earning their driver-green (r1–r5); the local
+#: Rotated out after earning their driver-green (r1–r6); the local
 #: pytest parity harness still hash-checks each against the same oracle
 #: every run.
-_R6_ROTATED_OUT = (
+_ROTATED_OUT = (
+    # r6 window heads, confirmed green in CORRECTNESS_r06 — swapped out
+    # to hand every remaining hard-signal slot to the never-confirmed 13
+    "heavy_hitter_maintenance",
+    "rank_sketch_finalize_exact",
+    "document_gram_exposure",
+    "grouping_sets_order_totals",
+    "value_anomaly_mad",
+    "dedup_keep_last_line_agg",
+    "events_hourly_heatmap",
+    "generator_products",
+    "generator_distributors",
+    "embedding_dim_spread",
+    # r6-green backfill that ceded its slot to the r7 rotation (family
+    # coverage stays in-window via siblings: flagship/fallback joins,
+    # exact/ngram/line dedup, tumbling/sessionization/asof events)
+    "salted_skew_join",
+    "winnowing_fingerprint",
+    "events_range_interval_join",
     # r5 window, confirmed green in CORRECTNESS_r05
     "scd2_point_in_time_lookup",
     "orders_snapshot_diff",
@@ -198,44 +210,6 @@ _TAIL_ORDER = (
     "natural_key_concat",          # F9 concat also exercised in the clean feeds
     "date_backfill_initial",       # U5 twin of date_gap_fill_incremental
     # document-quality layer (oracle-backed)
-    # new r6: ExactSubstr duplicated-span removal (oracle-backed; added
-    # after the r6 window was frozen — next rotation's first candidate)
-    "duplicated_span_removal",
-    # new r6: group-holdout leakage-safe split (oracle-backed; post-
-    # window add, next rotation's candidate alongside span removal)
-    "leakage_safe_split",
-    # new r6: one-pass OLS drift trend (oracle-backed; post-window add)
-    "events_value_trend",
-    # new r6: embedding-space eval-set decontamination (oracle-backed;
-    # post-window add, next rotation's candidate)
-    "semantic_decontamination",
-    # new r6: k-anonymity quasi-identifier risk profile (oracle-backed;
-    # post-window add)
-    "quasi_identifier_risk",
-    # new r6: per-source Gini-Simpson lexical diversity (oracle-backed;
-    # post-window add)
-    "source_diversity_profile",
-    # new r6: small-files compaction planner (oracle-backed; post-window
-    # add)
-    "events_compaction_plan",
-    # new r6: BLAS scale path of semantic_decontamination (oracle-backed
-    # twin; post-window add)
-    "semantic_decontamination_vectorized",
-    # new r6: length-bucketed inference batching audit (oracle-backed;
-    # post-window add)
-    "length_bucketed_batching",
-    # new r6: maintained Count-Min point-frequency sketch (oracle-backed;
-    # post-window add)
-    "count_min_maintenance",
-    # new r6: two-sample KS numeric-drift gate (oracle-backed; post-window
-    # add)
-    "events_ks_drift",
-    # new r6: warehouse-wide FK integrity audit (oracle-backed; post-window
-    # add)
-    "fk_integrity_report",
-    # new r6: slice-rebuild late-data correction (oracle-backed;
-    # post-window add)
-    "rollup_slice_rebuild",
     # quota capping, percentile profiles (oracle-backed)
     # SCD-2 read side: point-in-time attribution (oracle-backed)
     # version-to-version table diff with per-column attribution
@@ -335,7 +309,7 @@ def all_queries() -> QueryRegistry:
             raise ValueError(f"duplicate query names: {sorted(overlap)}")
         pooled.update(module.QUERIES)
 
-    order = (*_WINDOW_ORDER, *_R6_ROTATED_OUT, *_TAIL_ORDER)
+    order = (*_WINDOW_ORDER, *_ROTATED_OUT, *_TAIL_ORDER)
     if len(_WINDOW_ORDER) != DRIVER_WINDOW:
         raise ValueError(
             f"driver window holds {DRIVER_WINDOW} queries, order lists {len(_WINDOW_ORDER)}"

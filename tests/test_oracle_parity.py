@@ -32,37 +32,38 @@ def test_rows_only_query_runs(spark, name):
     assert len(df.columns) > 0
 
 
-def test_driver_window_holds_the_r6_rotation():
+def test_driver_window_holds_the_r7_rotation():
     """The driver hash-checks only the first DRIVER_WINDOW registered
-    queries. The r6 window closes the driver-signal ledger (VERDICT r5
-    #3): the red-row re-check, the new finalize-arithmetic query, the 3
-    r5 post-window additions, and the 4 never-confirmed tail twins all
-    sit in-window; every windowed query is oracle-backed; everything
-    rotated out stays hash-checked by this local harness."""
-    from dynamic_etl_spark.registry import DRIVER_WINDOW, _R6_ROTATED_OUT
+    queries. The r7 window closes the driver-signal ledger (VERDICT r6
+    #1): all 13 never-driver-confirmed r6 post-window additions sit
+    in-window, plus the one confirmed query whose code path changed this
+    round; every windowed query is oracle-backed; everything rotated out
+    stays hash-checked by this local harness."""
+    from dynamic_etl_spark.registry import DRIVER_WINDOW, _ROTATED_OUT
 
     window = list(REGISTRY)[:DRIVER_WINDOW]
     for name in (
-        # the r5 red row, re-checked after the HUGEINT->BIGINT cast
-        "heavy_hitter_maintenance",
-        # new r6: KLL finalize arithmetic
-        "rank_sketch_finalize_exact",
-        # r5 post-window additions
-        "document_gram_exposure",
-        "grouping_sets_order_totals",
-        "value_anomaly_mad",
-        # the never-confirmed tail twins
-        "dedup_keep_last_line_agg",
-        "events_hourly_heatmap",
-        "generator_products",
-        "generator_distributors",
-        # decode guards changed this round
+        # the 13 r6 post-window additions, never driver-confirmed
+        "count_min_maintenance",
+        "duplicated_span_removal",
+        "events_compaction_plan",
+        "events_ks_drift",
+        "events_value_trend",
+        "fk_integrity_report",
+        "leakage_safe_split",
+        "length_bucketed_batching",
+        "quasi_identifier_risk",
+        "rollup_slice_rebuild",
+        "semantic_decontamination",
+        "semantic_decontamination_vectorized",
+        "source_diversity_profile",
+        # numpy decode rewrite this round (VERDICT r6 #4)
         "multimodal_feature_extract",
     ):
         assert name in window, f"{name} fell outside the driver correctness window"
     # a rows-only query in the window would waste a hash slot
     assert all(REGISTRY[n].oracle is not None for n in window)
-    stale = set(window) & set(_R6_ROTATED_OUT)
+    stale = set(window) & set(_ROTATED_OUT)
     assert not stale, f"rotated-out queries occupy window slots: {sorted(stale)}"
 
 
