@@ -160,20 +160,45 @@ def main() -> None:
         jobs[name] = j2
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_queries": cold,
-                "cold_total": round(sum(cold.values()), 4),
-                "jobs": jobs,
-                "sf": sf,
-            }
-        )
-    )
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_queries": cold,
+        "cold_total": round(sum(cold.values()), 4),
+        "jobs": jobs,
+        "sf": sf,
+    }
+    # Full per-query detail (cold timings, job counts) goes to a sidecar
+    # file; stdout carries exactly ONE compact JSON line that fits the
+    # driver's 2000-byte output-tail capture — r2..r6 all recorded
+    # "parsed": null because the single detail line outgrew the tail
+    # (VERDICT r6 #3). The compact line keeps the driver contract fields
+    # + per-query warm seconds at 3dp; if the query list ever outgrows
+    # the budget it degrades to the worst-N queries rather than
+    # overflowing.
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    with open(sidecar, "w") as f:
+        json.dump(detail, f, indent=1)
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: round(s, 3) for n, s in timings.items()},
+        "cold_total": round(sum(cold.values()), 4),
+        "jobs_total": sum(jobs.values()),
+        "detail": "bench_detail.json",
+        "sf": sf,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        worst = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
+        compact["queries"] = {n: round(s, 3) for n, s in worst.items()}
+        compact["queries_shown"] = f"worst {len(worst)} of {len(timings)}"
+        line = json.dumps(compact, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line)
     spark.stop()
 
 
