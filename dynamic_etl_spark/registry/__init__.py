@@ -41,6 +41,8 @@ _WINDOW_ORDER = (
     "duplicated_span_removal",
     "events_compaction_plan",
     "events_ks_drift",
+    # new r7: its fixed-grid scale path (VERDICT r6 #2)
+    "events_ks_drift_binned",
     "events_value_trend",
     "fk_integrity_report",
     "leakage_safe_split",
@@ -61,7 +63,6 @@ _WINDOW_ORDER = (
     "null_count_profile",
     "rollup_totals",
     "fallback_key_resolution",
-    "drop_unresolved_keys",
     # windows / dedup
     "surrogate_key_assignment",
     # cleaning
@@ -119,6 +120,7 @@ _ROTATED_OUT = (
     # coverage stays in-window via siblings: flagship/fallback joins,
     # exact/ngram/line dedup, tumbling/sessionization/asof events)
     "salted_skew_join",
+    "drop_unresolved_keys",
     "winnowing_fingerprint",
     "events_range_interval_join",
     # r5 window, confirmed green in CORRECTNESS_r05

@@ -373,33 +373,36 @@ ORDER BY category
 """
 
 
-def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sample Kolmogorov-Smirnov drift gate per event type: the max
-    |F_before(x) - F_after(x)| over the empirical CDFs of `value` on
-    either side of the Jan-15 cut — the canonical NUMERIC-distribution
-    drift statistic, complementing events_type_drift_profile's
-    chi-square over categories. Everything is exact integer cumulatives
-    with ONE double division per side per step, so the statistic is
-    engine-identical (no libm, no binning choices to tune).
+#: Fixed-grid bin width for the KS scale path: floor(value / width) is
+#: one IEEE divide + floor, bit-identical on both engines (the QI-risk
+#: balance-band precedent), and bounds the per-type sort frame at
+#: (domain range / width) buckets regardless of row count or distinct
+#: values. One shared constant drives BOTH engine twins.
+KS_BIN_WIDTH = 5.0
 
-    Plan: one groupBy collapses to per-(type, value) side counts —
-    windows then run over DISTINCT values only (the CDF steps nowhere
-    else), so the keyed sort frame is distinct-value-bounded, not
-    row-bounded. At a 100 TB value domain you'd pre-bin (the equidepth
-    deciles query) before this; for telemetry-style domains the distinct
-    collapse IS the bound."""
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+
+def _ks_side_counts(events: DataFrame, key) -> DataFrame:
+    """Per-(event_type, CDF step key) side counts for the two-sample KS
+    fold: ca/cb = rows before/after the Jan-15 cut. ``key`` is the step
+    expression — the raw double value (exact) or its fixed-grid bucket
+    (binned scale path). Takes the events frame directly so stress tests
+    can feed synthesized million-row corpora without a file hop."""
+    ev = events.filter(F.col("value").isNotNull())
     split = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
     # when/otherwise, NOT a bare boolean cast: a NULL ts must land in
     # the 'after' side on BOTH engines (the oracle's CASE does; a cast
     # of NULL < split would silently drop the row from both sums)
     side_a = F.when(F.col("ts") < split, 1).otherwise(0)
-    per_value = ev.groupBy(
-        "event_type", F.col("value").cast("double").alias("v")
-    ).agg(
+    return ev.groupBy("event_type", key.alias("v")).agg(
         F.sum(side_a).alias("ca"),
         F.sum(1 - side_a).alias("cb"),
     )
+
+
+def _ks_fold(per_value: DataFrame, with_bins: bool) -> DataFrame:
+    """Shared KS tail: cumulative CDF steps per type, the max |F_a - F_b|,
+    and the one-sided guard — exact and binned differ ONLY in the step
+    key their side counts grouped on, so the fold is single-sourced."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("v")
@@ -426,15 +429,64 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("cum_b").cast("double") / F.col("nb").cast("double")
         )
     )
-    return (
-        stepped.groupBy("event_type")
-        .agg(
-            F.max("na").alias("n_before"),
-            F.max("nb").alias("n_after"),
-            F.round(F.max(d), 6).alias("ks_statistic"),
-        )
-        .orderBy("event_type")
-    )
+    aggs = [
+        F.max("na").alias("n_before"),
+        F.max("nb").alias("n_after"),
+        F.round(F.max(d), 6).alias("ks_statistic"),
+    ]
+    if with_bins:
+        aggs.append(F.count(F.lit(1)).alias("n_bins"))
+    return stepped.groupBy("event_type").agg(*aggs)
+
+
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift gate per event type: the max
+    |F_before(x) - F_after(x)| over the empirical CDFs of `value` on
+    either side of the Jan-15 cut — the canonical NUMERIC-distribution
+    drift statistic, complementing events_type_drift_profile's
+    chi-square over categories. Everything is exact integer cumulatives
+    with ONE double division per side per step, so the statistic is
+    engine-identical (no libm, no binning choices to tune).
+
+    Plan: one groupBy collapses to per-(type, value) side counts —
+    windows then run over DISTINCT values only (the CDF steps nowhere
+    else), so the keyed sort frame is distinct-value-bounded, not
+    row-bounded. At a continuous 100 TB value domain that bound is the
+    row count itself — call :func:`events_ks_drift_binned`, whose sort
+    frame is grid-bounded; this exact form doubles as its oracle on
+    validator-scale slices."""
+    return _ks_fold(
+        _ks_side_counts(t(spark, sf_dir, "events"), F.col("value").cast("double")),
+        with_bins=False,
+    ).orderBy("event_type")
+
+
+def events_ks_drift_binned(
+    spark: SparkSession, sf_dir: str, bin_width: float = KS_BIN_WIDTH
+) -> DataFrame:
+    """Fixed-grid scale path of :func:`events_ks_drift` (VERDICT r6 #2):
+    values collapse to ``floor(value / KS_BIN_WIDTH)`` buckets BEFORE the
+    CDF windows, so the per-type sort frame holds at most (domain range /
+    bin width) rows — independent of row count AND of distinct-value
+    cardinality, the bound the exact form cannot give on a continuous
+    100 TB domain. The statistic is the EXACT KS of the discretized
+    distributions: it underestimates the continuous KS by at most the
+    largest single-bin CDF mass (resolution = the grid), which is the
+    knob a drift-gate operator tunes, and it can never false-positive.
+    ``n_bins`` rides along so a gate can see its own resolution.
+
+    Parity: the bucket is one IEEE divide + floor, bit-identical on both
+    engines (the quasi_identifier_risk balance-band precedent), and the
+    fold downstream of the grouping is single-sourced with the exact
+    twin — the grid, not a second implementation, is the only
+    difference. The exact form IS this query's oracle at validator
+    scale: at bin width -> 0 the two coincide (pinned in
+    tests/test_validate.py)."""
+    bucket = F.floor(F.col("value").cast("double") / F.lit(bin_width)).cast("long")
+    return _ks_fold(
+        _ks_side_counts(t(spark, sf_dir, "events"), bucket),
+        with_bins=True,
+    ).orderBy("event_type")
 
 
 #: Every FK edge in the TPC-H-ish schema: (name, child table, child key,
@@ -566,6 +618,40 @@ ORDER BY event_type
 """
 
 
+KS_DRIFT_BINNED_ORACLE = """
+WITH per_value AS (
+  SELECT event_type,
+         CAST(floor(CAST(value AS DOUBLE) / 5.0) AS BIGINT) AS v,
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 0 ELSE 1 END) AS cb
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, CAST(floor(CAST(value AS DOUBLE) / 5.0) AS BIGINT)
+),
+stepped AS (
+  SELECT event_type,
+         SUM(ca) OVER (PARTITION BY event_type ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(cb) OVER (PARTITION BY event_type ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+         SUM(ca) OVER (PARTITION BY event_type) AS na,
+         SUM(cb) OVER (PARTITION BY event_type) AS nb
+  FROM per_value
+)
+SELECT event_type,
+       CAST(MAX(na) AS BIGINT) AS n_before,
+       CAST(MAX(nb) AS BIGINT) AS n_after,
+       round(MAX(CASE WHEN na = 0 OR nb = 0 THEN 1.0
+                 ELSE abs(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
+                          - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE))
+                 END), 6)
+         AS ks_statistic,
+       CAST(COUNT(*) AS BIGINT) AS n_bins
+FROM stepped
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def quasi_identifier_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity re-identification risk over customer quasi-identifiers
     (nation, market segment, account-balance band): for k in {2, 5, 10},
@@ -678,6 +764,12 @@ QUERIES: QueryRegistry = {
         events_ks_drift, KS_DRIFT_ORACLE,
         "two-sample Kolmogorov-Smirnov numeric-drift gate per event type "
         "(exact integer CDF steps, distinct-value-bounded windows)",
+    ),
+    "events_ks_drift_binned": Query(
+        events_ks_drift_binned, KS_DRIFT_BINNED_ORACLE,
+        "fixed-grid scale path of the KS drift gate: values pre-binned to "
+        "floor(value/width) so the per-type sort frame is grid-bounded, "
+        "not distinct-value-bounded (VERDICT r6 #2)",
     ),
     "fk_integrity_report": Query(
         fk_integrity_report, FK_INTEGRITY_ORACLE,

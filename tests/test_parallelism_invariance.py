@@ -49,6 +49,7 @@ SWEEP = (
     "length_bucketed_batching",
     "count_min_maintenance",
     "events_ks_drift",
+    "events_ks_drift_binned",
     "fk_integrity_report",
     "rollup_slice_rebuild",
 )

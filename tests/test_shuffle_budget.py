@@ -206,6 +206,7 @@ SHUFFLE_BUDGET = {
     "length_bucketed_batching": 3,  # bucketed prefix-sum window + batch fold + sort
     "count_min_maintenance": 6,     # 3 slice builds + merge fold + probe/exact aggs
     "events_ks_drift": 3,           # per-value collapse + CDF window + final fold
+    "events_ks_drift_binned": 3,    # same fold, grid-bounded sort frame
     "fk_integrity_report": 14,      # 7 edges x (parent distinct + agg); joins broadcast
     "rollup_slice_rebuild": 4,      # 3 slice builds + merge fold (sort rides the fold)
     "document_chunking": 1,
