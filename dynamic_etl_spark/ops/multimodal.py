@@ -56,7 +56,21 @@ def decode_bmp(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     struct only. Returns (width, height, pixels) with pixels in LOGICAL
     row-major top-down (r, g, b) order — i.e. the stored bottom-up BGR
     rows are un-flipped and channel-swapped, and per-row 4-byte padding
-    is stripped."""
+    is stripped. Convenience tuple-list surface for fixture-scale
+    callers (tests, resize); the feature hot path uses
+    :func:`decode_bmp_array` and never materializes Python tuples."""
+    w, h, arr = decode_bmp_array(payload)
+    return w, h, [tuple(p) for p in arr.tolist()]
+
+
+def decode_bmp_array(payload: bytes):
+    """Vectorized BMP decode (VERDICT r6 #4): one frombuffer + reshape
+    replaces the per-pixel Python loop — the decode batch is the hot
+    path the moment payloads are real media, and numpy's C loops are the
+    right inner shape for an Arrow-batched decoder. Returns (w, h,
+    uint8 ndarray of shape (h*w, 3)) in logical top-down RGB order."""
+    import numpy as np
+
     if payload[:2] != b"BM" or len(payload) < 54:
         raise ValueError("not a BMP payload")
     (pixel_off,) = struct.unpack_from("<I", payload, 10)
@@ -75,23 +89,36 @@ def decode_bmp(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     bottom_up = height > 0
     h = abs(height)
     row_size = (3 * width + 3) & ~3
-    pixels: list[tuple[int, int, int]] = []
-    for y in range(h):
-        src_row = (h - 1 - y) if bottom_up else y
-        off = pixel_off + src_row * row_size
-        row = payload[off : off + 3 * width]
-        if len(row) < 3 * width:
-            raise ValueError("truncated BMP pixel data")
-        for x in range(width):
-            b, g, r = row[3 * x : 3 * x + 3]
-            pixels.append((r, g, b))
-    return width, h, pixels
+    # the LAST row's 4-byte padding may be absent (the per-row slice loop
+    # this replaces accepted that); everything up to its 3*width pixel
+    # bytes must be present
+    if len(payload) < pixel_off + (h - 1) * row_size + 3 * width:
+        raise ValueError("truncated BMP pixel data")
+    region = np.zeros(h * row_size, dtype=np.uint8)
+    src = np.frombuffer(payload, dtype=np.uint8, offset=pixel_off)[: h * row_size]
+    region[: len(src)] = src
+    rows = region.reshape(h, row_size)[:, : 3 * width]
+    if bottom_up:
+        rows = rows[::-1]
+    # stored BGR -> logical RGB
+    arr = rows.reshape(h * width, 3)[:, ::-1]
+    return width, h, arr
 
 
 def decode_wav(payload: bytes) -> tuple[int, list[int]]:
-    """Decode a RIFF/WAVE PCM 16-bit mono payload with stdlib struct
-    only. Walks the chunk list (so extra chunks before 'data' are
-    legal), returns (sample_rate, samples)."""
+    """Decode a RIFF/WAVE PCM 16-bit mono payload. Tuple-list surface
+    for fixture-scale callers; the feature hot path uses
+    :func:`decode_wav_array`."""
+    rate, arr = decode_wav_array(payload)
+    return rate, arr.tolist()
+
+
+def decode_wav_array(payload: bytes):
+    """Vectorized WAV decode: the chunk walk stays stdlib struct (it is
+    chunk-count-bounded), the sample conversion is one frombuffer —
+    returns (sample_rate, int16 ndarray)."""
+    import numpy as np
+
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos, sample_rate, data = 12, None, None
@@ -110,7 +137,7 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
         pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
     if sample_rate is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    samples = list(struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2]))
+    samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
     return sample_rate, samples
 
 
@@ -132,7 +159,18 @@ FRAME_SAMPLE_EVERY = 2
 
 def decode_frames(payload: bytes) -> list[tuple[int, int, list[tuple[int, int, int]]]]:
     """Decode the raw-frames container: [(w, h, pixels), ...] per frame,
-    each frame a full BMP parsed by :func:`decode_bmp`."""
+    each frame a full BMP parsed by :func:`decode_bmp`. Tuple-list
+    surface; the feature hot path uses :func:`decode_frames_arrays`."""
+    return [
+        (w, h, [tuple(p) for p in arr.tolist()])
+        for w, h, arr in decode_frames_arrays(payload)
+    ]
+
+
+def decode_frames_arrays(payload: bytes):
+    """Vectorized raw-frames decode: [(w, h, uint8 ndarray), ...] — the
+    frame walk is frame-count-bounded Python, each frame's pixels one
+    :func:`decode_bmp_array` frombuffer."""
     if payload[:4] != FRAMES_MAGIC or len(payload) < 8:
         raise ValueError("not a raw-frames payload")
     (n_frames,) = struct.unpack_from("<I", payload, 4)
@@ -142,7 +180,7 @@ def decode_frames(payload: bytes) -> list[tuple[int, int, list[tuple[int, int, i
         if payload[pos : pos + 2] != b"BM":
             raise ValueError("raw-frames container holds a non-BMP frame")
         (size,) = struct.unpack_from("<I", payload, pos + 2)
-        frames.append(decode_bmp(payload[pos : pos + size]))
+        frames.append(decode_bmp_array(payload[pos : pos + size]))
         pos += size
     return frames
 
@@ -157,43 +195,55 @@ def strict_decoder(payload: bytes) -> list[float]:
     Genuinely compressed formats (JPEG/PNG/GIF/MP3/...) still raise
     NotImplementedError: entropy-coded payloads need an image/audio
     library this container does not ship; plug PIL/torchaudio in here.
+
+    Inner loops are numpy (VERDICT r6 #4): channel means come from
+    int64-accumulated C-side sums over the frombuffer'd pixel array —
+    uint8/int16 sums in int64 are exact, so the Python-int sum they
+    replaced produces the SAME integer, and the single IEEE divide is
+    unchanged (decode equality pinned on the existing fixtures in
+    tests/test_multimodal.py).
     """
+    import numpy as np
+
     if payload[:2] == b"BM":
-        w, h, px = decode_bmp(payload)
-        n = float(len(px))
+        w, h, arr = decode_bmp_array(payload)
+        n = float(arr.shape[0])
+        s = arr.sum(axis=0, dtype=np.int64)
         return [
             KIND_BMP,
             float(w),
             float(h),
-            sum(p[0] for p in px) / n,
-            sum(p[1] for p in px) / n,
-            sum(p[2] for p in px) / n,
+            int(s[0]) / n,
+            int(s[1]) / n,
+            int(s[2]) / n,
         ]
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        rate, samples = decode_wav(payload)
+        rate, samples = decode_wav_array(payload)
         n = float(len(samples))
         return [
             KIND_WAV,
             float(rate),
             n,
-            sum(samples) / n if samples else 0.0,
-            float(max((abs(s) for s in samples), default=0)),
+            int(samples.sum(dtype=np.int64)) / n if len(samples) else 0.0,
+            # abs in int64: |-32768| overflows int16
+            float(np.abs(samples.astype(np.int64)).max()) if len(samples) else 0.0,
             0.0,
         ]
     if payload[:4] == FRAMES_MAGIC:
-        frames = decode_frames(payload)
+        frames = decode_frames_arrays(payload)
         sampled = frames[::FRAME_SAMPLE_EVERY]  # temporal frame-sampling
-        px = [p for _, _, pixels in sampled for p in pixels]
-        if not px:
+        if not any(arr.shape[0] for _, _, arr in sampled):
             raise ValueError("raw-frames payload holds no sampled pixels")
-        n = float(len(px))
+        px = np.concatenate([arr for _, _, arr in sampled])
+        n = float(px.shape[0])
+        s = px.sum(axis=0, dtype=np.int64)
         return [
             KIND_VIDEO,
             float(len(frames)),
             float(len(sampled)),
-            sum(p[0] for p in px) / n,
-            sum(p[1] for p in px) / n,
-            sum(p[2] for p in px) / n,
+            int(s[0]) / n,
+            int(s[1]) / n,
+            int(s[2]) / n,
         ]
     raise NotImplementedError(
         "compressed media decode requires an image/audio library not "

@@ -238,3 +238,42 @@ def test_resize_nearest_reference_cases():
 
     with _pytest.raises(ValueError):
         resize_nearest(px, 2, 1, 0, 2)
+
+
+def test_strict_decoder_numpy_path_equals_python_sums():
+    """VERDICT r6 #4: the numpy inner loops must be bit-identical to the
+    Python-int sums they replaced — uint8/int16 sums accumulated in
+    int64 are exact, so the single IEEE divide sees the same integers.
+    Pinned per media kind on the existing fixtures."""
+    for doc_id in (0, 7, 254, 99991):
+        w, h, px = decode_bmp(encode_bmp(doc_id))
+        n = float(len(px))
+        expect = [
+            KIND_BMP, float(w), float(h),
+            sum(p[0] for p in px) / n,
+            sum(p[1] for p in px) / n,
+            sum(p[2] for p in px) / n,
+        ]
+        assert strict_decoder(encode_bmp(doc_id)) == expect
+    for doc_id in (1, 13, 2001):
+        rate, samples = decode_wav(encode_wav(doc_id))
+        n = float(len(samples))
+        expect = [
+            KIND_WAV, float(rate), n,
+            sum(samples) / n,
+            float(max(abs(s) for s in samples)),
+            0.0,
+        ]
+        assert strict_decoder(encode_wav(doc_id)) == expect
+    for doc_id in (2, 8, 1001):
+        frames = decode_frames(encode_frames(doc_id))
+        sampled = frames[::FRAME_SAMPLE_EVERY]
+        px = [p for _, _, pixels in sampled for p in pixels]
+        n = float(len(px))
+        expect = [
+            KIND_VIDEO, float(len(frames)), float(len(sampled)),
+            sum(p[0] for p in px) / n,
+            sum(p[1] for p in px) / n,
+            sum(p[2] for p in px) / n,
+        ]
+        assert strict_decoder(encode_frames(doc_id)) == expect
