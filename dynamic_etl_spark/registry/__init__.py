@@ -54,6 +54,9 @@ _WINDOW_ORDER = (
     "source_diversity_profile",
     # changed code path this round: vectorized media decode (VERDICT r6 #4)
     "multimodal_feature_extract",
+    # new r7: the composed curation cascade with per-stage removal
+    # accounting (VERDICT r6 #6)
+    "curation_pipeline_accounting",
     # ---- backfill: r1–r6-green representatives across families ----
     # relational scans / joins / aggregates
     "flagship_star_join",
@@ -94,7 +97,6 @@ _WINDOW_ORDER = (
     "dedup_survivors",
     "sequence_packing",
     "embedding_near_dup",
-    "embedding_topk_bruteforce",
     # generators + validation
     "generator_fact_day",
     "validation_report",
@@ -121,6 +123,7 @@ _ROTATED_OUT = (
     # exact/ngram/line dedup, tumbling/sessionization/asof events)
     "salted_skew_join",
     "drop_unresolved_keys",
+    "embedding_topk_bruteforce",
     "winnowing_fingerprint",
     "events_range_interval_join",
     # r5 window, confirmed green in CORRECTNESS_r05

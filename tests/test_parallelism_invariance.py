@@ -50,6 +50,7 @@ SWEEP = (
     "count_min_maintenance",
     "events_ks_drift",
     "events_ks_drift_binned",
+    "curation_pipeline_accounting",
     "fk_integrity_report",
     "rollup_slice_rebuild",
 )

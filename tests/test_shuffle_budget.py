@@ -198,6 +198,10 @@ SHUFFLE_BUDGET = {
     # moment aggregation + the presentation orderBy's range exchange
     "events_value_trend": 2,
     # r6 post-window adds: measured on the executed plan
+    "curation_pipeline_accounting": 10,  # lazy TAIL only (stats aggs over the
+    # localCheckpoint anchors + 6-row union/window + the s5 anti join);
+    # the tier work itself runs eagerly at checkpoint time and is pinned
+    # by tests/test_job_budget.py (measured 9)
     "semantic_decontamination": 1,  # eval-set collect_list fold; corpus never shuffles
     "quasi_identifier_risk": 3,     # class groupBy + threshold fold + output sort
     "source_diversity_profile": 3,  # word-count groupBy + per-source fold + output sort
