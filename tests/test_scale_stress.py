@@ -491,3 +491,41 @@ def test_ks_drift_binned_coincides_with_exact_at_fine_grid(spark, tmp_path):
         for r in events_ks_drift_binned(spark, sf_dir, bin_width=0.005).collect()
     }
     assert exact == binned
+
+
+def test_leakage_safe_split_giant_dup_group(spark):
+    """VERDICT r6 #7: one fingerprint group holding ~10% of a 1M-row
+    corpus. The fingerprint window must stay GROUP-bounded (the giant
+    group reports its own size and one canonical min id — no global
+    sort is involved), the whole group must land in exactly ONE split,
+    and the hash-split fractions on the remaining mass must stay within
+    tolerance — a giant group shifts totals, never the per-group coin."""
+    from dynamic_etl_spark.ops.sample import leakage_safe_split
+
+    n, dup_n = 1_000_000, 100_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < dup_n, F.lit("the same boilerplate document"))
+        .otherwise(
+            F.concat(F.lit("unique "), F.xxhash64("id").cast("string"))
+        )
+        .alias("text"),
+    ).repartition(64)
+
+    out = leakage_safe_split(
+        docs, [("train", 0.9), ("val", 0.05), ("test", 0.05)], salt=3
+    )
+    giant = out.filter(F.col("doc_id") < dup_n)
+    g = giant.groupBy("group_id", "group_size", "split").count().collect()
+    # the whole group: ONE (canonical-min-id, size, split) triple
+    assert len(g) == 1
+    assert (g[0]["group_id"], g[0]["group_size"], g[0]["count"]) == (0, dup_n, dup_n)
+
+    rest = dict(
+        (r["split"], r["count"])
+        for r in out.filter(F.col("doc_id") >= dup_n).groupBy("split").count().collect()
+    )
+    remaining = n - dup_n
+    for name, frac in (("train", 0.9), ("val", 0.05), ("test", 0.05)):
+        got = rest.get(name, 0) / remaining
+        assert abs(got - frac) < 0.005, (name, got)
