@@ -90,6 +90,10 @@ HEADLINE = (
     # tracked numbers (QI risk / diversity are sub-100ms relational aggs)
     "duplicated_span_removal",
     "semantic_decontamination",
+    # round 7: the composed curation cascade (the flagship LLM-curation
+    # story) gets a tracked number; the binned KS gate stays out (a
+    # sub-100ms grid-bounded agg, no signal to track)
+    "curation_pipeline_accounting",
 )
 
 

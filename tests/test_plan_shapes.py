@@ -79,6 +79,8 @@ _CROSS_JOIN_WHITELIST = (
     "benchmark_decontamination_bloom",  # 1-row bloom-words broadcast anchor
     "bigram_perplexity_profile",        # 1-row vocab-size broadcast anchor
     "semantic_decontamination",         # 1-row eval-set broadcast anchor
+    "curation_pipeline_accounting",     # tier 5 IS semantic_decontamination's
+                                        # 1-row eval-set broadcast anchor
 )
 
 
