@@ -214,6 +214,12 @@ _TAIL_ORDER = (
     "duplicate_group_members",     # D3 sibling of duplicate_detection (A7)
     "natural_key_concat",          # F9 concat also exercised in the clean feeds
     "date_backfill_initial",       # U5 twin of date_gap_fill_incremental
+    # new r7: group-holdout vs row-hash leakage audit (oracle-backed;
+    # post-window add — next rotation's first candidate)
+    "split_leakage_audit",
+    # new r7: maintained KS drift via the exact bin-count monoid
+    # (oracle-backed twin of events_ks_drift_binned; post-window add)
+    "ks_drift_maintenance",
     # document-quality layer (oracle-backed)
     # quota capping, percentile profiles (oracle-backed)
     # SCD-2 read side: point-in-time attribution (oracle-backed)

@@ -396,6 +396,127 @@ FROM g
 """
 
 
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage audit over the SAME dup-injected corpus under
+    both split schemes: ``group_holdout`` (leakage_safe_split — the coin
+    flips on the fingerprint group's canonical min-id) and ``row_hash``
+    (naive hash_split on the row id — the split-before-dedup
+    anti-pattern). One row per scheme: total docs, duplicate groups,
+    groups STRADDLING more than one split, and eval-side docs whose
+    duplicate group also has a train member (the memorization-scoring
+    contamination Lee et al. 2022 §6 quantify). The group-holdout row
+    must audit clean (zeros) while the row-hash row shows real leakage —
+    the mixed PASS/FAIL convention: both branches of the gate carry the
+    driver hash. Integer-only surface; same fixture as
+    leakage_safe_split (every 10th doc re-keyed with case/whitespace
+    noise), so the two queries cross-check each other."""
+    from dynamic_etl_spark.ops.sample import (
+        hash_split,
+        leakage_safe_split,
+        uniform_affine,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    resent = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper(F.concat(F.lit("  "), F.col("text"), F.lit("  "))).alias("text"),
+    )
+    feed = docs.select("doc_id", "text").unionByName(resent)
+    splits = [("train", 0.98), ("validation", 0.01), ("test", 0.01)]
+
+    holdout = leakage_safe_split(feed, splits, salt=73).select(
+        "doc_id", "group_id", "split"
+    )
+    # naive scheme: the row's own id flips the coin; group_id rides along
+    # (from the same grouped frame) purely to MEASURE the damage
+    naive = hash_split(
+        holdout.drop("split"), uniform_affine(F.col("doc_id"), salt=73), splits
+    )
+
+    def _audit(assigned: DataFrame, scheme: str) -> DataFrame:
+        per_group = assigned.groupBy("group_id").agg(
+            F.count(F.lit(1)).alias("members"),
+            F.countDistinct("split").alias("n_splits"),
+            F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+                "has_train"
+            ),
+            F.sum(F.when(F.col("split") != "train", 1).otherwise(0)).alias(
+                "eval_members"
+            ),
+        )
+        return per_group.agg(
+            F.sum("members").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("members") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_groups"),
+            F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("straddling_groups"),
+            F.sum(
+                F.when(
+                    (F.col("has_train") == 1) & (F.col("n_splits") > 1),
+                    F.col("eval_members"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("leaked_eval_docs"),
+        ).select(F.lit(scheme).alias("scheme"), "*")
+
+    return (
+        _audit(holdout, "group_holdout")
+        .unionByName(_audit(naive, "row_hash"))
+        .orderBy("scheme")
+    )
+
+
+_SQL_U73D = sql_uniform_affine("doc_id", 73)
+SPLIT_LEAKAGE_AUDIT_ORACLE = f"""
+WITH feed AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, upper('  ' || text || '  ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+g AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5({_SQL_NORM})) AS group_id
+  FROM feed
+),
+assigned AS (
+  SELECT doc_id, group_id,
+         'group_holdout' AS scheme,
+         CASE WHEN {_SQL_U73G} < 0.98 THEN 'train'
+              WHEN {_SQL_U73G} < 0.99 THEN 'validation'
+              ELSE 'test' END AS split
+  FROM g
+  UNION ALL
+  SELECT doc_id, group_id,
+         'row_hash' AS scheme,
+         CASE WHEN {_SQL_U73D} < 0.98 THEN 'train'
+              WHEN {_SQL_U73D} < 0.99 THEN 'validation'
+              ELSE 'test' END AS split
+  FROM g
+),
+per_group AS (
+  SELECT scheme, group_id,
+         COUNT(*) AS members,
+         COUNT(DISTINCT split) AS n_splits,
+         MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS has_train,
+         SUM(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) AS eval_members
+  FROM assigned GROUP BY scheme, group_id
+)
+SELECT scheme,
+       CAST(SUM(members) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN members > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+       CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS straddling_groups,
+       CAST(SUM(CASE WHEN has_train = 1 AND n_splits > 1 THEN eval_members
+                ELSE 0 END) AS BIGINT) AS leaked_eval_docs
+FROM per_group
+GROUP BY scheme
+ORDER BY scheme
+"""
+
+
 # ==========================================================================
 # Exact mixture quotas: every even-numbered source contributes exactly 12
 # documents, every odd one exactly 5, drawn by deterministic pseudo-random
@@ -933,6 +1054,14 @@ QUERIES: QueryRegistry = {
         "group-holdout split: exact-dup groups share one assignment "
         "(hash of canonical min-id) so duplicates never straddle "
         "train/eval",
+    ),
+    "split_leakage_audit": Query(
+        split_leakage_audit,
+        SPLIT_LEAKAGE_AUDIT_ORACLE,
+        "train/eval leakage audit of group-holdout vs naive row-hash "
+        "splitting on the same dup-injected corpus: straddling groups "
+        "and leaked eval docs per scheme (holdout audits clean, row-hash "
+        "shows real leakage)",
     ),
     "corpus_mixture_sample": Query(
         corpus_mixture_sample,

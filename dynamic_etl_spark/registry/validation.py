@@ -489,6 +489,44 @@ def events_ks_drift_binned(
     ).orderBy("event_type")
 
 
+def merge_ks_bin_state(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold two binned-KS side-count states: elementwise integer
+    addition per (event_type, bucket) — an exact monoid like the rollup
+    state, so merge tree == one-shot bit-for-bit and the drift gate can
+    be MAINTAINED across slices/batches instead of rescanning history.
+    State-sized shuffle, never history."""
+    return (
+        state.unionByName(delta)
+        .groupBy("event_type", "v")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+
+
+def ks_drift_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained two-sample KS drift gate: the binned side counts
+    (per-(type, bucket) integer ca/cb) are an exact monoid, so three
+    date slices summarize independently and fold losslessly via
+    :func:`merge_ks_bin_state` — the drift gate joins the
+    maintained-summary suite (rollup / MG / CM / KLL / reservoir /
+    quantile-hist) instead of rescanning history per check. Finalizing
+    the merged state IS :func:`events_ks_drift_binned`'s fold, so the
+    two queries share one oracle and hash equality proves the
+    maintenance lossless. State size: (types x occupied buckets) rows —
+    grid-bounded like the binned gate itself."""
+    from dynamic_etl_spark.registry.events import _three_slice
+
+    ev = t(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value").cast("double") / F.lit(KS_BIN_WIDTH)).cast(
+        "long"
+    )
+    merged = _three_slice(
+        ev,
+        lambda df: _ks_side_counts(df, bucket),
+        merge_ks_bin_state,
+    )
+    return _ks_fold(merged, with_bins=True).orderBy("event_type")
+
+
 #: Every FK edge in the TPC-H-ish schema: (name, child table, child key,
 #: parent table, parent key). One definition drives BOTH engine sides.
 _FK_EDGES = (
@@ -770,6 +808,12 @@ QUERIES: QueryRegistry = {
         "fixed-grid scale path of the KS drift gate: values pre-binned to "
         "floor(value/width) so the per-type sort frame is grid-bounded, "
         "not distinct-value-bounded (VERDICT r6 #2)",
+    ),
+    "ks_drift_maintenance": Query(
+        ks_drift_maintenance, KS_DRIFT_BINNED_ORACLE,
+        "maintained KS drift: binned side counts are an exact monoid, so "
+        "date slices fold losslessly and finalize to the one-shot binned "
+        "gate (shared oracle proves the maintenance lossless)",
     ),
     "fk_integrity_report": Query(
         fk_integrity_report, FK_INTEGRITY_ORACLE,

@@ -50,6 +50,8 @@ SWEEP = (
     "count_min_maintenance",
     "events_ks_drift",
     "events_ks_drift_binned",
+    "ks_drift_maintenance",
+    "split_leakage_audit",
     "curation_pipeline_accounting",
     "fk_integrity_report",
     "rollup_slice_rebuild",

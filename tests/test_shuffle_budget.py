@@ -198,6 +198,10 @@ SHUFFLE_BUDGET = {
     # moment aggregation + the presentation orderBy's range exchange
     "events_value_trend": 2,
     # r6 post-window adds: measured on the executed plan
+    "split_leakage_audit": 8,       # the fp window subtree appears in BOTH
+    # scheme branches of the union (6 hash: 2x fp window, 2x group_id agg,
+    # 2x partial fold) + 2 single-partition final folds; runtime reuse of
+    # the identical window subtree is AQE's call (ReusedExchange)
     "curation_pipeline_accounting": 10,  # lazy TAIL only (stats aggs over the
     # localCheckpoint anchors + 6-row union/window + the s5 anti join);
     # the tier work itself runs eagerly at checkpoint time and is pinned
@@ -211,6 +215,8 @@ SHUFFLE_BUDGET = {
     "count_min_maintenance": 6,     # 3 slice builds + merge fold + probe/exact aggs
     "events_ks_drift": 3,           # per-value collapse + CDF window + final fold
     "events_ks_drift_binned": 3,    # same fold, grid-bounded sort frame
+    "ks_drift_maintenance": 6,      # 3 slice builds + 2 monoid folds share
+    # exchanges under AQE; CDF window + final fold on the state
     "fk_integrity_report": 14,      # 7 edges x (parent distinct + agg); joins broadcast
     "rollup_slice_rebuild": 4,      # 3 slice builds + merge fold (sort rides the fold)
     "document_chunking": 1,
