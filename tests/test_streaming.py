@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import datetime
 import shutil
 from pathlib import Path
 
@@ -744,3 +745,77 @@ def test_streaming_summary_maintains_count_min(spark, scratch):
         for r in cm_estimate(maintained_df, items.distinct(), "item").collect()
     }
     assert all(est[i] >= exact[i] for i in exact)
+
+
+def test_streaming_summary_maintains_ks_drift_state(spark, scratch):
+    """run_streaming_summary with the binned-KS builders (the drift
+    gate's monoid state): after three micro-batches the maintained
+    per-(type, bucket) side counts equal the one-shot build over
+    everything ingested, and the finalized KS statistics match
+    bit-for-bit — the drift gate gets streaming currency with no
+    history rescan, like the rollup/CM/KLL siblings."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dynamic_etl_spark.io.versioned import read_versioned
+    from dynamic_etl_spark.registry.validation import (
+        KS_BIN_WIDTH,
+        _ks_fold,
+        _ks_side_counts,
+        merge_ks_bin_state,
+    )
+    from dynamic_etl_spark.streaming import file_stream, run_streaming_summary
+
+    src = os.path.join(scratch, "src")
+    state = os.path.join(scratch, "state")
+    ckpt = os.path.join(scratch, "ckpt")
+    os.makedirs(src)
+    schema = "event_type string, ts timestamp_ntz, value double"
+    bucket = F.floor(F.col("value").cast("double") / F.lit(KS_BIN_WIDTH)).cast("long")
+    all_rows = []
+    for part in range(3):
+        # one 'before' and one 'after' slab per batch, shifted after the
+        # cut so the drift statistic is nonzero and batch-spanning
+        rows = [
+            ("t" + str(i % 2),
+             datetime.datetime(2024, 1, 2 + part, 0, 0, 0),
+             float((i * 7 + part * 13) % 60))
+            for i in range(80)
+        ] + [
+            ("t" + str(i % 2),
+             datetime.datetime(2024, 2, 2 + part, 0, 0, 0),
+             float((i * 7 + part * 13) % 60 + 20))
+            for i in range(80)
+        ]
+        all_rows += rows
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        run_streaming_summary(
+            file_stream(spark, src, schema, fmt="parquet"),
+            state,
+            ckpt,
+            build=lambda b: _ks_side_counts(b, bucket),
+            merge=merge_ks_bin_state,
+        )
+
+    everything = spark.createDataFrame(all_rows, schema)
+    one_shot_state = {
+        (r["event_type"], r["v"]): (r["ca"], r["cb"])
+        for r in _ks_side_counts(everything, bucket).collect()
+    }
+    maintained_state = {
+        (r["event_type"], r["v"]): (r["ca"], r["cb"])
+        for r in read_versioned(spark, state).collect()
+    }
+    assert maintained_state == one_shot_state
+
+    finalized = {
+        r["event_type"]: tuple(r)[1:]
+        for r in _ks_fold(read_versioned(spark, state), with_bins=True).collect()
+    }
+    one_shot = {
+        r["event_type"]: tuple(r)[1:]
+        for r in _ks_fold(_ks_side_counts(everything, bucket), with_bins=True).collect()
+    }
+    assert finalized == one_shot
+    assert all(v[2] > 0 for v in finalized.values())  # drift actually present
