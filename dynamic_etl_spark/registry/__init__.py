@@ -220,6 +220,9 @@ _TAIL_ORDER = (
     # new r7: maintained KS drift via the exact bin-count monoid
     # (oracle-backed twin of events_ks_drift_binned; post-window add)
     "ks_drift_maintenance",
+    # new r7: dup-group histogram + reclaim forecast (oracle-backed;
+    # post-window add)
+    "dedup_impact_forecast",
     # document-quality layer (oracle-backed)
     # quota capping, percentile profiles (oracle-backed)
     # SCD-2 read side: point-in-time attribution (oracle-backed)

@@ -152,6 +152,79 @@ GROUP BY 1
 """
 
 
+def dedup_impact_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group size histogram + reclaim forecast: per group size,
+    how many fingerprint groups exist, how many docs they hold, and how
+    many docs/tokens exact dedup would RECLAIM (everything but each
+    group's canonical min-id member) — the number an operator reads
+    before paying for a dedup pass, and the capacity-planning sibling of
+    exact_dedup_fingerprint (same dup-injected fixture, so the two
+    cross-check: sum(reclaim_docs) == dup_count-1 summed there).
+    Integer-only surface. Plan: fingerprint groupBy-equivalent window
+    (ROW_NUMBER on the total order (doc_id) per fingerprint — canonical
+    = rank 1), a group-size fold, then a histogram fold over group
+    cardinality — each exchange is group/histogram-sized."""
+    docs = t(spark, sf_dir, "documents")
+    resent = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper(F.concat(F.lit("  "), F.col("text"), F.lit("  "))).alias("text"),
+    )
+    feed = docs.select("doc_id", "text").unionByName(resent)
+    from dynamic_etl_spark.ops.text import fingerprint_md5
+
+    w = Window.partitionBy("__fp").orderBy("doc_id")
+    ranked = feed.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("tc"),
+        fingerprint_md5(F.col("text")).alias("__fp"),
+    ).withColumn("rk", F.row_number().over(w))
+    per_group = ranked.groupBy("__fp").agg(
+        F.count(F.lit(1)).alias("gs"),
+        F.sum(F.when(F.col("rk") > 1, 1).otherwise(0)).alias("rdocs"),
+        F.sum(F.when(F.col("rk") > 1, F.col("tc")).otherwise(0)).alias("rtoks"),
+    )
+    return (
+        per_group.groupBy(F.col("gs").cast("long").alias("group_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("gs").cast("long").alias("n_docs"),
+            F.sum("rdocs").cast("long").alias("reclaim_docs"),
+            F.sum("rtoks").cast("long").alias("reclaim_tokens"),
+        )
+        .orderBy("group_size")
+    )
+
+
+DEDUP_FORECAST_ORACLE = f"""
+WITH feed AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, upper('  ' || text || '  ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+ranked AS (
+  SELECT doc_id, len({_SQL_TOKENS}) AS tc,
+         ROW_NUMBER() OVER (PARTITION BY md5({_SQL_NORM}) ORDER BY doc_id) AS rk,
+         md5({_SQL_NORM}) AS fp
+  FROM feed
+),
+per_group AS (
+  SELECT fp, COUNT(*) AS gs,
+         SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS rdocs,
+         SUM(CASE WHEN rk > 1 THEN tc ELSE 0 END) AS rtoks
+  FROM ranked GROUP BY fp
+)
+SELECT CAST(gs AS BIGINT) AS group_size,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(gs) AS BIGINT) AS n_docs,
+       CAST(SUM(rdocs) AS BIGINT) AS reclaim_docs,
+       CAST(SUM(rtoks) AS BIGINT) AS reclaim_tokens
+FROM per_group
+GROUP BY gs
+ORDER BY group_size
+"""
+
+
 # ==========================================================================
 # Exact n-gram Jaccard within (lang, source) blocks — the ground-truth twin
 # of the MinHash path, and itself a useful blocked near-dup operator
@@ -1386,6 +1459,12 @@ QUERIES: QueryRegistry = {
     "exact_dedup_fingerprint": Query(
         exact_dedup_fingerprint, EXACT_DEDUP_ORACLE,
         "md5-fingerprint exact dedup with injected duplicates",
+    ),
+    "dedup_impact_forecast": Query(
+        dedup_impact_forecast, DEDUP_FORECAST_ORACLE,
+        "duplicate-group size histogram + docs/tokens exact dedup would "
+        "reclaim (canonical min-id kept) — the pay-for-a-dedup-pass "
+        "forecast, cross-checking exact_dedup_fingerprint",
     ),
     "ngram_jaccard_similarity": Query(
         ngram_jaccard_similarity, NGRAM_JACCARD_ORACLE,

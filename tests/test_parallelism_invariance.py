@@ -52,6 +52,7 @@ SWEEP = (
     "events_ks_drift_binned",
     "ks_drift_maintenance",
     "split_leakage_audit",
+    "dedup_impact_forecast",
     "curation_pipeline_accounting",
     "fk_integrity_report",
     "rollup_slice_rebuild",

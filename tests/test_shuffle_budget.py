@@ -198,6 +198,7 @@ SHUFFLE_BUDGET = {
     # moment aggregation + the presentation orderBy's range exchange
     "events_value_trend": 2,
     # r6 post-window adds: measured on the executed plan
+    "dedup_impact_forecast": 3,     # fp window + group fold + histogram fold
     "split_leakage_audit": 8,       # the fp window subtree appears in BOTH
     # scheme branches of the union (6 hash: 2x fp window, 2x group_id agg,
     # 2x partial fold) + 2 single-partition final folds; runtime reuse of
