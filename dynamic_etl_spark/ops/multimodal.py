@@ -56,9 +56,10 @@ def decode_bmp(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     struct only. Returns (width, height, pixels) with pixels in LOGICAL
     row-major top-down (r, g, b) order — i.e. the stored bottom-up BGR
     rows are un-flipped and channel-swapped, and per-row 4-byte padding
-    is stripped. Convenience tuple-list surface for fixture-scale
-    callers (tests, resize); the feature hot path uses
-    :func:`decode_bmp_array` and never materializes Python tuples."""
+    is stripped. Convenience tuple-list surface for fixture-scale callers
+    (tests); both hot paths — feature extraction AND the resize
+    transform — use :func:`decode_bmp_array` and never materialize
+    Python tuples."""
     w, h, arr = decode_bmp_array(payload)
     return w, h, [tuple(p) for p in arr.tolist()]
 
@@ -401,6 +402,40 @@ def resize_nearest(
     return out
 
 
+def resize_nearest_array(arr, w: int, h: int, new_w: int, new_h: int):
+    """numpy twin of :func:`resize_nearest` over a (h*w, 3) uint8 array:
+    two integer index vectors + one fancy-index — the C-side inner shape
+    for the resize TRANSFORM stage (r7 self-review: the tuple-list hop
+    was the one decode consumer the r6 vectorization pass missed).
+    Bit-identical sampling: out (x, y) reads source
+    (x*w // new_w, y*h // new_h), the same floor arithmetic."""
+    import numpy as np
+
+    if new_w <= 0 or new_h <= 0:
+        raise ValueError("resize dimensions must be positive")
+    img = arr.reshape(h, w, 3)
+    ys = (np.arange(new_h) * h) // new_h
+    xs = (np.arange(new_w) * w) // new_w
+    return img[ys][:, xs].reshape(new_h * new_w, 3)
+
+
+def serialize_bmp_array(arr, w: int, h: int) -> bytes:
+    """numpy twin of :func:`serialize_bmp`: one reshape + reversed views
+    + zero-padded row matrix -> tobytes. Byte-identical output (pinned
+    in tests/test_multimodal.py)."""
+    import numpy as np
+
+    row_size = (3 * w + 3) & ~3
+    img = arr.reshape(h, w, 3)[::-1, :, ::-1]  # stored bottom-up, BGR
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : 3 * w] = img.reshape(h, 3 * w)
+    data = rows.tobytes()
+    pixel_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", pixel_off + len(data), 0, 0, pixel_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return bytes(header + info) + data
+
+
 def resize_media(
     media: DataFrame, new_w: int, new_h: int, on_error: str = "raise"
 ) -> DataFrame:
@@ -427,9 +462,11 @@ def resize_media(
                 raw = bytes(payload)
                 if raw[:2] == b"BM":
                     try:
-                        w, h, px = decode_bmp(raw)
-                        raw = serialize_bmp(
-                            resize_nearest(px, w, h, new_w, new_h), new_w, new_h
+                        w, h, arr = decode_bmp_array(raw)
+                        raw = serialize_bmp_array(
+                            resize_nearest_array(arr, w, h, new_w, new_h),
+                            new_w,
+                            new_h,
                         )
                     except DECODE_FAILURES:
                         if drop_failures:

@@ -1123,12 +1123,22 @@ def _three_slice(ev: DataFrame, build, merge) -> DataFrame:
     by ``merge`` — the merge tree every maintained-summary query proves
     equal (or bounded-equal) to the one-shot aggregate. One definition
     so a boundary or null-ts policy change happens in exactly one
-    place."""
+    place.
+
+    NULL-ts rows land in the LAST slice: every comparison against a
+    NULL timestamp evaluates NULL, so without the isNull arm the three
+    filters would silently drop the row from EVERY slice while the
+    one-shot aggregates (and their DuckDB twins, which never filter on
+    ts) still count it — the maintained summary would diverge from its
+    own oracle on the first late row that arrives without a timestamp
+    (r7 self-review, confirmed by execution on the KS state). The
+    'last slice' choice matches the engine's NULL-ts-lands-after
+    convention (_ks_side_counts, the events_ks_drift CASE)."""
     cut1 = F.lit("2024-01-11 00:00:00").cast("timestamp_ntz")
     cut2 = F.lit("2024-01-21 00:00:00").cast("timestamp_ntz")
     s1 = build(ev.filter(F.col("ts") < cut1))
     s2 = build(ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)))
-    s3 = build(ev.filter(F.col("ts") >= cut2))
+    s3 = build(ev.filter((F.col("ts") >= cut2) | F.col("ts").isNull()))
     return merge(merge(s1, s2), s3)
 
 

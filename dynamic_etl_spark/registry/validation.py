@@ -656,14 +656,14 @@ ORDER BY event_type
 """
 
 
-KS_DRIFT_BINNED_ORACLE = """
+KS_DRIFT_BINNED_ORACLE = f"""
 WITH per_value AS (
   SELECT event_type,
-         CAST(floor(CAST(value AS DOUBLE) / 5.0) AS BIGINT) AS v,
+         CAST(floor(CAST(value AS DOUBLE) / {KS_BIN_WIDTH}) AS BIGINT) AS v,
          SUM(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS ca,
          SUM(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 0 ELSE 1 END) AS cb
   FROM events WHERE value IS NOT NULL
-  GROUP BY event_type, CAST(floor(CAST(value AS DOUBLE) / 5.0) AS BIGINT)
+  GROUP BY event_type, CAST(floor(CAST(value AS DOUBLE) / {KS_BIN_WIDTH}) AS BIGINT)
 ),
 stepped AS (
   SELECT event_type,

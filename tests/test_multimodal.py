@@ -277,3 +277,29 @@ def test_strict_decoder_numpy_path_equals_python_sums():
             sum(p[2] for p in px) / n,
         ]
         assert strict_decoder(encode_frames(doc_id)) == expect
+
+
+def test_array_resize_and_serialize_twins_are_byte_identical():
+    """r7 self-review follow-up: the array-native resize/serialize twins
+    the resize TRANSFORM hot path now uses must be byte-identical to the
+    tuple-list reference implementations, including non-square geometry
+    and rows needing 4-byte padding."""
+    from dynamic_etl_spark.ops.multimodal import (
+        decode_bmp_array,
+        resize_nearest,
+        resize_nearest_array,
+        serialize_bmp,
+        serialize_bmp_array,
+    )
+
+    for doc_id in (0, 7, 254):
+        payload = encode_bmp(doc_id)
+        w, h, px = decode_bmp(payload)
+        _, _, arr = decode_bmp_array(payload)
+        assert serialize_bmp_array(arr, w, h) == serialize_bmp(px, w, h) == payload
+        for new_w, new_h in ((6, 4), (1, 1), (5, 3), (7, 2)):
+            ref = serialize_bmp(resize_nearest(px, w, h, new_w, new_h), new_w, new_h)
+            fast = serialize_bmp_array(
+                resize_nearest_array(arr, w, h, new_w, new_h), new_w, new_h
+            )
+            assert fast == ref, (doc_id, new_w, new_h)

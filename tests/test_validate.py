@@ -147,3 +147,37 @@ def test_ks_drift_one_sided_type_reports_maximal_drift(spark, tmp_path):
     finally:
         con.close()
     assert oracle == got
+
+
+def test_ks_maintenance_counts_null_ts_like_the_one_shot(spark, tmp_path):
+    """r7 self-review (confirmed by execution): _three_slice's three ts
+    filters all evaluate NULL for a NULL timestamp, silently dropping
+    the row from every slice while the one-shot gate (and the shared
+    DuckDB oracle, which never filters on ts) counts it on the 'after'
+    side. The maintained summary must equal the one-shot on a corpus
+    containing a NULL-ts row."""
+    import datetime
+
+    from dynamic_etl_spark.registry.validation import (
+        events_ks_drift_binned,
+        ks_drift_maintenance,
+    )
+
+    rows = (
+        [("a", datetime.datetime(2024, 1, 2), 1.0)]
+        + [("a", datetime.datetime(2024, 2, 2), 6.0)]
+        + [("a", None, 11.0)]  # the late row that arrives without a ts
+        + [("b", datetime.datetime(2024, 1, 12), float(i)) for i in range(5)]
+        + [("b", datetime.datetime(2024, 1, 22), float(i + 3)) for i in range(5)]
+    )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_type string, ts timestamp_ntz, value double"
+    ).coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    one_shot = sorted(map(tuple, events_ks_drift_binned(spark, sf_dir).collect()))
+    maintained = sorted(map(tuple, ks_drift_maintenance(spark, sf_dir).collect()))
+    assert maintained == one_shot
+    # the NULL-ts row is really in there: type 'a' counts 2 after-rows
+    a = [r for r in one_shot if r[0] == "a"][0]
+    assert (a[1], a[2]) == (1, 2)
