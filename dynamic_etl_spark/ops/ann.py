@@ -132,7 +132,9 @@ def max_cosine_vs_queries(
     identically loudly (ADVICE r6).
     """
     query_id_col = query_id_col or id_col
-    if queries.limit(1).count() == 0:
+    # take(1), not limit(1).count(): CollectLimit short-circuits in ONE
+    # job, while an AQE count over the filtered scan spends three
+    if not queries.take(1):
         raise ValueError("max_cosine_vs_queries: empty query set")
     anchor = F.broadcast(
         queries.select(

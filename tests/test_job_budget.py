@@ -34,8 +34,8 @@ REGISTRY = all_queries()
 #: the loops adds at least one job PER BATCH/ITERATION (>= 5), so the
 #: +1 headroom never masks one.
 JOB_BUDGETS = {
-    "curation_pipeline_accounting": 42,  # 5 tier checkpoints + their chains
-    # + the eval-set guard count + the accounting tail (measured 39)
+    "curation_pipeline_accounting": 41,  # 5 tier checkpoints + their chains
+    # + the eval-set take(1) guard + the accounting tail (measured 38)
     "incremental_near_dup": 45,
     "semantic_dedup_survivors": 43,
     "embedding_knn_join": 32,
