@@ -58,21 +58,78 @@ def duplicated_span_stats(
     -> explode merged spans to covered positions -> anti-join the token
     stream -> ordered re-assembly. The merge window's orderBy is gpos,
     unique per document (total order per repo rule)."""
-    base = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
-    )
-    grams = base.filter(F.size("__toks") >= k).select(
-        id_col,
-        F.posexplode(gram_seq_pretokenized(F.col("__toks"), k)).alias(
-            "gpos", "gram"
-        ),
-    )
+    base = _tokenized(df, id_col, text_col)
+    grams = _positional_grams(base, id_col, k)
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__occ"))
     dup_starts = (
         grams.join(counts.filter(F.col("__occ") >= 2), "gram")
         .select(id_col, "gpos")
     )
+    return span_stats_from_starts(base, dup_starts, id_col=id_col, k=k)
 
+
+def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+
+
+def _positional_grams(base: DataFrame, id_col: str, k: int) -> DataFrame:
+    """(id, gpos, gram) for every k-token window of every document."""
+    return base.filter(F.size("__toks") >= k).select(
+        id_col,
+        F.posexplode(gram_seq_pretokenized(F.col("__toks"), k)).alias(
+            "gpos", "gram"
+        ),
+    )
+
+
+def contaminated_span_stats(
+    df: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Surgical span-level decontamination: ExactSubstr's window-merge
+    machinery pointed at a BENCHMARK instead of the corpus itself — any
+    train k-gram occurring anywhere in the eval/benchmark text marks its
+    window, overlapping windows merge into maximal spans, and the spans
+    are CUT from the document. The fourth decontamination mode: exact
+    n-gram drop-the-doc (ops/decontam), its bloom scale path, semantic
+    drop-the-doc (ops/ann) — and this one, which keeps the document and
+    removes only the leaked substring (a single quoted benchmark
+    paragraph no longer costs an otherwise-clean document, the surgical
+    variant used for open-corpus releases).
+
+    Plan: the benchmark gram SET is benchmark-sized at any corpus scale,
+    so it broadcasts (the ops/decontam convention); detection is one
+    broadcast semi join on the gram key — the corpus never shuffles
+    until the per-document interval merge, whose frame is bounded by the
+    document's own gram count. Same output surface as
+    :func:`duplicated_span_stats`."""
+    base = _tokenized(df, id_col, text_col)
+    bench_grams = (
+        _positional_grams(_tokenized(benchmark, id_col, bench_text_col), id_col, k)
+        .select("gram")
+        .distinct()
+    )
+    dup_starts = (
+        _positional_grams(base, id_col, k)
+        .join(F.broadcast(bench_grams), "gram", "leftsemi")
+        .select(id_col, "gpos")
+    )
+    return span_stats_from_starts(base, dup_starts, id_col=id_col, k=k)
+
+
+def span_stats_from_starts(
+    base: DataFrame, dup_starts: DataFrame, *, id_col: str, k: int
+) -> DataFrame:
+    """Shared tail of the span-removal family: overlap-merge the marked
+    [gpos, gpos+k-1] windows, cut covered positions, re-assemble, and
+    profile — single-sourced so the duplicated-span and
+    benchmark-contaminated-span operators differ ONLY in how windows get
+    marked (corpus gram count >= 2 vs benchmark gram membership)."""
     # Overlap-merge: window [gpos, gpos+k-1] overlaps the previous one
     # iff gpos <= prev_gpos + k - 1. End positions are monotone in gpos,
     # so lag(gpos) suffices for the running-max-end interval merge.

@@ -223,6 +223,9 @@ _TAIL_ORDER = (
     # new r7: dup-group histogram + reclaim forecast (oracle-backed;
     # post-window add)
     "dedup_impact_forecast",
+    # new r7: surgical span-level decontamination (oracle-backed;
+    # post-window add)
+    "benchmark_span_scrub",
     # document-quality layer (oracle-backed)
     # quota capping, percentile profiles (oracle-backed)
     # SCD-2 read side: point-in-time attribution (oracle-backed)

@@ -122,6 +122,102 @@ FROM prof
 """
 
 
+def benchmark_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical span-level decontamination over the SAME planted fixture
+    as benchmark_decontamination (ops/spans.contaminated_span_stats):
+    instead of dropping contaminated documents, cut the maximal spans of
+    benchmark-overlapping 5-gram windows out of them. The planted
+    80-char benchmark fragments come out; the document stays. Output is
+    the span-removal profile renamed to the decontamination vocabulary."""
+    from dynamic_etl_spark.ops.spans import contaminated_span_stats
+
+    corpus, bench = _planted_decontam_inputs(spark, sf_dir)
+    return contaminated_span_stats(corpus, bench, k=5).select(
+        "doc_id",
+        "n_tokens",
+        F.col("n_dup_spans").alias("n_contam_spans"),
+        F.col("n_dup_tokens").alias("n_contam_tokens"),
+        F.col("dup_token_frac").alias("contam_token_frac"),
+        "cleaned_text",
+    )
+
+
+BENCH_SPAN_SCRUB_ORACLE = f"""
+WITH bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 41 = 0
+),
+corpus AS (
+  SELECT c.doc_id,
+         CASE WHEN b.frag IS NOT NULL THEN c.text || ' ' || b.frag
+              ELSE c.text END AS text
+  FROM (
+    SELECT doc_id, text,
+           CASE WHEN doc_id % 17 = 3 THEN (doc_id % 13) * 41 END AS bid
+    FROM documents WHERE doc_id % 41 <> 0
+  ) c
+  LEFT JOIN (SELECT doc_id AS bid, substr(text, 1, 80) AS frag FROM bench) b
+  USING (bid)
+),
+base AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM corpus
+),
+bgr AS (
+  SELECT DISTINCT unnest(list_transform(range(0, len(toks) - 5 + 1),
+           i -> array_to_string(toks[i + 1 : i + 5], ' '))) AS gram
+  FROM (SELECT {_SQL_TOKENS} AS toks FROM bench)
+  WHERE len(toks) >= 5
+),
+g AS (
+  SELECT doc_id,
+         unnest(range(0, len(toks) - 5 + 1)) AS gpos,
+         unnest(list_transform(range(0, len(toks) - 5 + 1),
+                i -> array_to_string(toks[i + 1 : i + 5], ' '))) AS gram
+  FROM base WHERE len(toks) >= 5
+),
+d AS (SELECT g.doc_id, g.gpos FROM g JOIN bgr USING (gram)),
+isl AS (
+  SELECT doc_id, gpos,
+         CASE WHEN lag(gpos) OVER w IS NULL
+                OR gpos > lag(gpos) OVER w + 4 THEN 1 ELSE 0 END AS brk
+  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY gpos)
+),
+spans AS (
+  SELECT doc_id, island, MIN(gpos) AS s, MAX(gpos) + 4 AS e
+  FROM (
+    SELECT doc_id, gpos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY gpos
+                          ROWS UNBOUNDED PRECEDING) AS island
+    FROM isl
+  ) GROUP BY doc_id, island
+),
+st AS (
+  SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS n_cut FROM spans
+  GROUP BY doc_id
+),
+cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM spans),
+tp AS (
+  SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS w
+  FROM base
+),
+cl AS (
+  SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.pos) AS cleaned_text
+  FROM tp t ANTI JOIN cov USING (doc_id, pos)
+  GROUP BY t.doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_contam_spans,
+       CAST(COALESCE(st.n_cut, 0) AS BIGINT) AS n_contam_tokens,
+       CASE WHEN len(b.toks) = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE round(CAST(COALESCE(st.n_cut, 0) AS DOUBLE) / len(b.toks), 6)
+       END AS contam_token_frac,
+       COALESCE(cl.cleaned_text, '') AS cleaned_text
+FROM base b
+LEFT JOIN st USING (doc_id)
+LEFT JOIN cl USING (doc_id)
+"""
+
+
 # ==========================================================================
 # PII detect + redact (dirty fixture: every 7th doc gets an email, the
 # next residue a phone, the next an IPv4 — all derived from doc_id)
@@ -1022,6 +1118,13 @@ QUERIES: QueryRegistry = {
         benchmark_decontamination,
         DECONTAMINATION_ORACLE,
         "n-gram overlap vs a broadcast benchmark gram set; planted leaks flagged",
+    ),
+    "benchmark_span_scrub": Query(
+        benchmark_span_scrub,
+        BENCH_SPAN_SCRUB_ORACLE,
+        "surgical decontamination: cut the maximal benchmark-overlapping "
+        "spans out of contaminated docs instead of dropping them "
+        "(ExactSubstr machinery pointed at the eval set)",
     ),
     "pii_detect_redact": Query(
         pii_detect_redact,

@@ -53,6 +53,7 @@ SWEEP = (
     "ks_drift_maintenance",
     "split_leakage_audit",
     "dedup_impact_forecast",
+    "benchmark_span_scrub",
     "curation_pipeline_accounting",
     "fk_integrity_report",
     "rollup_slice_rebuild",

@@ -198,6 +198,13 @@ SHUFFLE_BUDGET = {
     # moment aggregation + the presentation orderBy's range exchange
     "events_value_trend": 2,
     # r6 post-window adds: measured on the executed plan
+    "benchmark_span_scrub": 12,     # the planted-fixture corpus subtree
+    # (broadcast frag join + fanout repartition) is REPLICATED into the
+    # 4 span-tail branches (grams / merge window / token stream / final
+    # join), so its RoundRobin+hash exchanges count 4x in the initial
+    # plan; AQE collapses the identical subtrees to ReusedExchange at
+    # runtime. The marking join itself is a broadcast semi join — the
+    # corpus never shuffles to meet the benchmark.
     "dedup_impact_forecast": 3,     # fp window + group fold + histogram fold
     "split_leakage_audit": 8,       # the fp window subtree appears in BOTH
     # scheme branches of the union (6 hash: 2x fp window, 2x group_id agg,
