@@ -57,14 +57,19 @@ _WINDOW_ORDER = (
     # new r7: the composed curation cascade with per-stage removal
     # accounting (VERDICT r6 #6)
     "curation_pipeline_accounting",
+    # new r7: maintained KS drift, leakage audit, dedup forecast,
+    # surgical span decontamination — in-window so NOTHING ships this
+    # round without a driver hash
+    "ks_drift_maintenance",
+    "split_leakage_audit",
+    "dedup_impact_forecast",
+    "benchmark_span_scrub",
     # ---- backfill: r1–r6-green representatives across families ----
     # relational scans / joins / aggregates
     "flagship_star_join",
     "scan_projection_filter",
     "pricing_summary",
     "duplicate_detection",
-    "null_count_profile",
-    "rollup_totals",
     "fallback_key_resolution",
     # windows / dedup
     "surrogate_key_assignment",
@@ -74,12 +79,10 @@ _WINDOW_ORDER = (
     "coercion_failure_profile",
     # dates
     "date_dimension_build",
-    "date_gap_fill_incremental",
     # merge / SCD
     "change_detection_classification",
     "scd1_merge_orders",
     "scd2_merge_customers",
-    "mini_dim_upsert",
     # events
     "events_tumbling_window",
     "events_sessionization",
@@ -124,6 +127,10 @@ _ROTATED_OUT = (
     "salted_skew_join",
     "drop_unresolved_keys",
     "embedding_topk_bruteforce",
+    "null_count_profile",
+    "rollup_totals",
+    "date_gap_fill_incremental",
+    "mini_dim_upsert",
     "winnowing_fingerprint",
     "events_range_interval_join",
     # r5 window, confirmed green in CORRECTNESS_r05
@@ -214,18 +221,6 @@ _TAIL_ORDER = (
     "duplicate_group_members",     # D3 sibling of duplicate_detection (A7)
     "natural_key_concat",          # F9 concat also exercised in the clean feeds
     "date_backfill_initial",       # U5 twin of date_gap_fill_incremental
-    # new r7: group-holdout vs row-hash leakage audit (oracle-backed;
-    # post-window add — next rotation's first candidate)
-    "split_leakage_audit",
-    # new r7: maintained KS drift via the exact bin-count monoid
-    # (oracle-backed twin of events_ks_drift_binned; post-window add)
-    "ks_drift_maintenance",
-    # new r7: dup-group histogram + reclaim forecast (oracle-backed;
-    # post-window add)
-    "dedup_impact_forecast",
-    # new r7: surgical span-level decontamination (oracle-backed;
-    # post-window add)
-    "benchmark_span_scrub",
     # document-quality layer (oracle-backed)
     # quota capping, percentile profiles (oracle-backed)
     # SCD-2 read side: point-in-time attribution (oracle-backed)

@@ -59,6 +59,13 @@ def test_driver_window_holds_the_r7_rotation():
         "source_diversity_profile",
         # numpy decode rewrite this round (VERDICT r6 #4)
         "multimodal_feature_extract",
+        # every r7 addition ships with a hard-signal slot of its own
+        "events_ks_drift_binned",
+        "curation_pipeline_accounting",
+        "ks_drift_maintenance",
+        "split_leakage_audit",
+        "dedup_impact_forecast",
+        "benchmark_span_scrub",
     ):
         assert name in window, f"{name} fell outside the driver correctness window"
     # a rows-only query in the window would waste a hash slot
