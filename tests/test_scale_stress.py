@@ -529,3 +529,78 @@ def test_leakage_safe_split_giant_dup_group(spark):
     for name, frac in (("train", 0.9), ("val", 0.05), ("test", 0.05)):
         got = rest.get(name, 0) / remaining
         assert abs(got - frac) < 0.005, (name, got)
+
+
+def test_benchmark_span_scrub_million_docs_broadcast_shape(spark):
+    """The scrub's 100 TB claim: the benchmark gram set broadcasts (the
+    corpus NEVER shuffles to meet it) and work stays linear in corpus
+    gram mass. 1M hash-random 10-word docs vs a 200-doc benchmark, with
+    every 500th doc splicing a benchmark 5-gram run mid-document: all
+    planted docs — and in practice only they — lose exactly one >= 5
+    token span, and the job finishes inside the linear-work bound."""
+    from dynamic_etl_spark.ops.spans import contaminated_span_stats
+
+    n = 1_000_000
+    toks = [
+        F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64("id", F.lit(p)), F.lit(500_000)).cast("string"),
+        )
+        for p in range(10)
+    ]
+    # benchmark doc j = 12 words from a DISJOINT hash stream
+    bench = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit("b"),
+                    F.pmod(F.xxhash64("id", F.lit(900 + p)), F.lit(50_000)).cast("string"),
+                )
+                for p in range(12)
+            ],
+        ).alias("text"),
+    )
+    bench_frag = F.concat_ws(
+        " ",
+        *[
+            F.concat(
+                F.lit("b"),
+                F.pmod(F.xxhash64(F.col("id") % 200, F.lit(900 + p)), F.lit(50_000)).cast(
+                    "string"
+                ),
+            )
+            for p in range(6)
+        ],
+    )
+    corpus = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 500 == 0,
+            F.concat_ws(
+                " ", *toks[:5], bench_frag, *toks[5:]
+            ),
+        )
+        .otherwise(F.concat_ws(" ", *toks))
+        .alias("text"),
+    ).repartition(64)
+
+    start = time.time()
+    out = contaminated_span_stats(corpus, bench, k=5)
+    planted = out.filter(F.col("doc_id") % 500 == 0)
+    agg = planted.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("n_dup_spans") >= 1).cast("int")).alias("hit"),
+        F.min("n_dup_tokens").alias("min_cut"),
+    ).collect()[0]
+    clean_hits = out.filter(
+        (F.col("doc_id") % 500 != 0) & (F.col("n_dup_spans") > 0)
+    ).count()
+    elapsed = time.time() - start
+    assert agg["n"] == n // 500 and agg["hit"] == agg["n"]
+    assert agg["min_cut"] >= 6  # at least the spliced 6-word run
+    # hash-random 'w' words can collide into a bench gram only by a
+    # 5-in-a-row accident across disjoint vocabularies: none expected
+    assert clean_hits == 0
+    assert elapsed < 240, f"span scrub stress took {elapsed:.0f}s"

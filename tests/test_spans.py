@@ -76,3 +76,85 @@ def test_normalization_is_the_token_stream(spark):
     got = _run(spark, [("F", "  Mixed\tCase   words\nhere now ")])
     assert got["F"]["cleaned_text"] == "mixed case words here now"
     assert got["F"]["n_tokens"] == 5
+
+
+def _scrub(spark, corpus_rows, bench_rows):
+    from dynamic_etl_spark.ops.spans import contaminated_span_stats
+
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    bench = spark.createDataFrame(bench_rows, ["doc_id", "text"])
+    out = contaminated_span_stats(corpus, bench, k=K)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_benchmark_scrub_cuts_only_eval_overlap(spark):
+    """The scrub marks windows by BENCHMARK membership, not corpus
+    repetition: a doc quoting a benchmark run loses exactly that span; a
+    corpus-internal duplicate pair (which duplicated_span_stats WOULD
+    cut) passes the scrub untouched; a benchmark-free doc is identity."""
+    bench = [("B", "alpha beta gamma delta epsilon zeta")]
+    got = _scrub(
+        spark,
+        [
+            # quotes the benchmark's first 6 words mid-document
+            ("Q", "intro words here alpha beta gamma delta epsilon zeta outro tail"),
+            # corpus-internal duplicate pair, zero benchmark overlap
+            ("D1", "one two three four five six seven"),
+            ("D2", "one two three four five six seven"),
+            ("C", "totally unrelated clean words only here"),
+        ],
+        bench,
+    )
+    q = got["Q"]
+    assert q["n_dup_spans"] == 1
+    assert q["n_dup_tokens"] == 6
+    assert q["cleaned_text"] == "intro words here outro tail"
+    for d in ("D1", "D2", "C"):
+        assert got[d]["n_dup_spans"] == 0, d
+        assert got[d]["cleaned_text"] == got[d]["cleaned_text"].lower()
+        assert got[d]["n_dup_tokens"] == 0
+
+
+def test_benchmark_scrub_property_vs_python_reference(spark):
+    """Deterministic pseudo-random corpora vs a brute-force Python
+    reference of the definition: mark every k-window whose gram appears
+    anywhere in the benchmark, union the windows, cut covered tokens."""
+    import random
+
+    rng = random.Random(421)
+    vocab = [f"w{i}" for i in range(30)]
+    bench_rows = [
+        (f"b{j}", " ".join(rng.choice(vocab) for _ in range(12))) for j in range(4)
+    ]
+    bench_grams = set()
+    for _, t_ in bench_rows:
+        toks = t_.split()
+        for i in range(len(toks) - K + 1):
+            bench_grams.add(" ".join(toks[i : i + K]))
+
+    corpus_rows = []
+    expect = {}
+    for d in range(40):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        # splice a benchmark fragment into some docs
+        if d % 3 == 0 and toks:
+            src = bench_rows[d % 4][1].split()
+            start = rng.randint(0, 6)
+            frag = src[start : start + rng.randint(3, 9)]
+            at = rng.randint(0, len(toks))
+            toks = toks[:at] + frag + toks[at:]
+        text = " ".join(toks)
+        corpus_rows.append((f"d{d}", text))
+        covered = set()
+        for i in range(max(len(toks) - K + 1, 0)):
+            if " ".join(toks[i : i + K]) in bench_grams:
+                covered.update(range(i, i + K))
+        kept = [w for i, w in enumerate(toks) if i not in covered]
+        expect[f"d{d}"] = (len(toks), len(covered), " ".join(kept))
+
+    got = _scrub(spark, corpus_rows, bench_rows)
+    assert set(got) == set(expect)
+    for d, (n_tok, n_cut, cleaned) in expect.items():
+        assert got[d]["n_tokens"] == n_tok, d
+        assert got[d]["n_dup_tokens"] == n_cut, d
+        assert got[d]["cleaned_text"] == cleaned, d
