@@ -107,11 +107,15 @@ def contaminated_span_stats(
     broadcast semi join on the gram key — the corpus never shuffles
     until the per-document interval merge, whose frame is bounded by the
     document's own gram count. Same output surface as
-    :func:`duplicated_span_stats`."""
+    :func:`duplicated_span_stats`. The benchmark side needs only its
+    text column — just the distinct gram SET is kept, so no id column is
+    required of it (r7 review: demanding the corpus's id_col there was a
+    hidden precondition the computation never used)."""
     base = _tokenized(df, id_col, text_col)
+    bench_toks = benchmark.select(tokens(F.col(bench_text_col)).alias("__toks"))
     bench_grams = (
-        _positional_grams(_tokenized(benchmark, id_col, bench_text_col), id_col, k)
-        .select("gram")
+        bench_toks.filter(F.size("__toks") >= k)
+        .select(F.explode(gram_seq_pretokenized(F.col("__toks"), k)).alias("gram"))
         .distinct()
     )
     dup_starts = (

@@ -25,6 +25,7 @@ from dynamic_etl_spark.ops.sample import sql_assign_shard, sql_uniform_affine
 from dynamic_etl_spark.ops.text import winnow_fingerprints
 from dynamic_etl_spark.registry.core import Query, QueryRegistry, t
 from dynamic_etl_spark.registry.llm import _SQL_NORM  # shared fingerprint twin
+from dynamic_etl_spark.registry.llm import sql_positional_grams, sql_span_tail
 from dynamic_etl_spark.registry.llm import _SQL_TOKENS  # shared tokenizer twin
 from dynamic_etl_spark.session import ensure_fanout_parallelism
 
@@ -84,8 +85,9 @@ _SQL_GRAMS_5 = """list_distinct(list_transform(
            i -> array_to_string(toks[i + 1 : i + 5], ' ')
          ))"""
 
-DECONTAMINATION_ORACLE = f"""
-WITH bench AS (
+#: Planted-fixture CTEs (bench + leaked corpus) shared verbatim by every
+#: decontamination oracle — one definition of the moduli/fragment recipe.
+_PLANTED_FIXTURE_CTES = """WITH bench AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 41 = 0
 ),
 corpus AS (
@@ -99,7 +101,10 @@ corpus AS (
   ) c
   LEFT JOIN (SELECT doc_id AS bid, substr(text, 1, 80) AS frag FROM bench) b
   USING (bid)
-),
+),"""
+
+DECONTAMINATION_ORACLE = f"""
+{_PLANTED_FIXTURE_CTES}
 bgrams AS (
   SELECT DISTINCT unnest({_SQL_GRAMS_5}) AS g
   FROM (SELECT {_SQL_TOKENS} AS toks FROM bench)
@@ -143,21 +148,7 @@ def benchmark_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BENCH_SPAN_SCRUB_ORACLE = f"""
-WITH bench AS (
-  SELECT doc_id, text FROM documents WHERE doc_id % 41 = 0
-),
-corpus AS (
-  SELECT c.doc_id,
-         CASE WHEN b.frag IS NOT NULL THEN c.text || ' ' || b.frag
-              ELSE c.text END AS text
-  FROM (
-    SELECT doc_id, text,
-           CASE WHEN doc_id % 17 = 3 THEN (doc_id % 13) * 41 END AS bid
-    FROM documents WHERE doc_id % 41 <> 0
-  ) c
-  LEFT JOIN (SELECT doc_id AS bid, substr(text, 1, 80) AS frag FROM bench) b
-  USING (bid)
-),
+{_PLANTED_FIXTURE_CTES}
 base AS (
   SELECT doc_id, {_SQL_TOKENS} AS toks FROM corpus
 ),
@@ -167,43 +158,10 @@ bgr AS (
   FROM (SELECT {_SQL_TOKENS} AS toks FROM bench)
   WHERE len(toks) >= 5
 ),
-g AS (
-  SELECT doc_id,
-         unnest(range(0, len(toks) - 5 + 1)) AS gpos,
-         unnest(list_transform(range(0, len(toks) - 5 + 1),
-                i -> array_to_string(toks[i + 1 : i + 5], ' '))) AS gram
-  FROM base WHERE len(toks) >= 5
+g AS ({sql_positional_grams(5)}
 ),
 d AS (SELECT g.doc_id, g.gpos FROM g JOIN bgr USING (gram)),
-isl AS (
-  SELECT doc_id, gpos,
-         CASE WHEN lag(gpos) OVER w IS NULL
-                OR gpos > lag(gpos) OVER w + 4 THEN 1 ELSE 0 END AS brk
-  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY gpos)
-),
-spans AS (
-  SELECT doc_id, island, MIN(gpos) AS s, MAX(gpos) + 4 AS e
-  FROM (
-    SELECT doc_id, gpos,
-           SUM(brk) OVER (PARTITION BY doc_id ORDER BY gpos
-                          ROWS UNBOUNDED PRECEDING) AS island
-    FROM isl
-  ) GROUP BY doc_id, island
-),
-st AS (
-  SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS n_cut FROM spans
-  GROUP BY doc_id
-),
-cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM spans),
-tp AS (
-  SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS w
-  FROM base
-),
-cl AS (
-  SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.pos) AS cleaned_text
-  FROM tp t ANTI JOIN cov USING (doc_id, pos)
-  GROUP BY t.doc_id
-)
+{sql_span_tail(5)}
 SELECT b.doc_id,
        CAST(len(b.toks) AS BIGINT) AS n_tokens,
        CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_contam_spans,

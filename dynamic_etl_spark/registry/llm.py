@@ -30,6 +30,59 @@ _SQL_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> ''
 _SQL_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 
 
+def sql_positional_grams(k: int, src: str = "base") -> str:
+    """Shared CTE body: (doc_id, gpos, gram) for every k-token window of
+    ``src(doc_id, toks)`` — the DuckDB twin of ops/lsh.gram_seq_pretokenized
+    with positions, single-sourced so the span-removal family's oracles
+    track one definition (r7 review: the scrub oracle had hand-expanded
+    copies of this and the tail below)."""
+    return f"""
+  SELECT doc_id,
+         unnest(range(0, len(toks) - {k} + 1)) AS gpos,
+         unnest(list_transform(range(0, len(toks) - {k} + 1),
+                i -> array_to_string(toks[i + 1 : i + {k}], ' '))) AS gram
+  FROM {src} WHERE len(toks) >= {k}"""
+
+
+def sql_span_tail(k: int) -> str:
+    """Shared CTE chain for the span-removal family's oracles: given
+    upstream CTEs ``base(doc_id, toks)`` and ``d(doc_id, gpos)`` (the
+    marked window starts — corpus-repetition or benchmark membership,
+    the ONE thing the operators differ in), overlap-merge the
+    [gpos, gpos+k-1] windows, profile them (st: n_spans, n_cut), and
+    re-assemble the cleaned text (cl) — the SQL twin of
+    ops/spans.span_stats_from_starts."""
+    return f"""isl AS (
+  SELECT doc_id, gpos,
+         CASE WHEN lag(gpos) OVER w IS NULL
+                OR gpos > lag(gpos) OVER w + {k - 1} THEN 1 ELSE 0 END AS brk
+  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY gpos)
+),
+spans AS (
+  SELECT doc_id, island, MIN(gpos) AS s, MAX(gpos) + {k - 1} AS e
+  FROM (
+    SELECT doc_id, gpos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY gpos
+                          ROWS UNBOUNDED PRECEDING) AS island
+    FROM isl
+  ) GROUP BY doc_id, island
+),
+st AS (
+  SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS n_cut FROM spans
+  GROUP BY doc_id
+),
+cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM spans),
+tp AS (
+  SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS w
+  FROM base
+),
+cl AS (
+  SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.pos) AS cleaned_text
+  FROM tp t ANTI JOIN cov USING (doc_id, pos)
+  GROUP BY t.doc_id
+)"""
+
+
 # ==========================================================================
 # Text analysis (native exprs; F.regexp_count twins len(regexp_extract_all))
 # ==========================================================================

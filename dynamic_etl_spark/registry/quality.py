@@ -16,6 +16,7 @@ from dynamic_etl_spark.ops import quality as Q
 from dynamic_etl_spark.ops import text as TX
 from dynamic_etl_spark.registry.core import Query, QueryRegistry, t
 from dynamic_etl_spark.registry.llm import _SQL_TOKENS  # shared tokenizer twin
+from dynamic_etl_spark.registry.llm import sql_positional_grams, sql_span_tail
 from dynamic_etl_spark.session import ensure_fanout_parallelism
 
 
@@ -256,50 +257,17 @@ SPAN_REMOVAL_ORACLE = f"""
 WITH base AS (
   SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
 ),
-g AS (
-  SELECT doc_id,
-         unnest(range(0, len(toks) - {_SPAN_K} + 1)) AS gpos,
-         unnest(list_transform(range(0, len(toks) - {_SPAN_K} + 1),
-                i -> array_to_string(toks[i + 1 : i + {_SPAN_K}], ' '))) AS gram
-  FROM base WHERE len(toks) >= {_SPAN_K}
+g AS ({sql_positional_grams(_SPAN_K)}
 ),
 c AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
 d AS (SELECT g.doc_id, g.gpos FROM g JOIN c USING (gram)),
-isl AS (
-  SELECT doc_id, gpos,
-         CASE WHEN lag(gpos) OVER w IS NULL
-                OR gpos > lag(gpos) OVER w + {_SPAN_K - 1} THEN 1 ELSE 0 END AS brk
-  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY gpos)
-),
-spans AS (
-  SELECT doc_id, island, MIN(gpos) AS s, MAX(gpos) + {_SPAN_K - 1} AS e
-  FROM (
-    SELECT doc_id, gpos,
-           SUM(brk) OVER (PARTITION BY doc_id ORDER BY gpos
-                          ROWS UNBOUNDED PRECEDING) AS island
-    FROM isl
-  ) GROUP BY doc_id, island
-),
-st AS (
-  SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS n_dup FROM spans
-  GROUP BY doc_id
-),
-cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM spans),
-tp AS (
-  SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS w
-  FROM base
-),
-cl AS (
-  SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.pos) AS cleaned_text
-  FROM tp t ANTI JOIN cov USING (doc_id, pos)
-  GROUP BY t.doc_id
-)
+{sql_span_tail(_SPAN_K)}
 SELECT b.doc_id,
        CAST(len(b.toks) AS BIGINT) AS n_tokens,
        CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_dup_spans,
-       CAST(COALESCE(st.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+       CAST(COALESCE(st.n_cut, 0) AS BIGINT) AS n_dup_tokens,
        CASE WHEN len(b.toks) = 0 THEN CAST(0.0 AS DOUBLE)
-            ELSE round(CAST(COALESCE(st.n_dup, 0) AS DOUBLE) / len(b.toks), 6)
+            ELSE round(CAST(COALESCE(st.n_cut, 0) AS DOUBLE) / len(b.toks), 6)
        END AS dup_token_frac,
        COALESCE(cl.cleaned_text, '') AS cleaned_text
 FROM base b

@@ -562,14 +562,18 @@ def test_benchmark_span_scrub_million_docs_broadcast_shape(spark):
             ],
         ).alias("text"),
     )
+    # cycle through ALL 200 bench docs: planted ids are multiples of 500,
+    # so id % 200 would only ever hit bench docs {0, 100} (gcd(500,200) =
+    # 100 — r7 review); floor(id/500) % 200 visits every one
     bench_frag = F.concat_ws(
         " ",
         *[
             F.concat(
                 F.lit("b"),
-                F.pmod(F.xxhash64(F.col("id") % 200, F.lit(900 + p)), F.lit(50_000)).cast(
-                    "string"
-                ),
+                F.pmod(
+                    F.xxhash64(F.floor(F.col("id") / 500) % 200, F.lit(900 + p)),
+                    F.lit(50_000),
+                ).cast("string"),
             )
             for p in range(6)
         ],
@@ -588,19 +592,19 @@ def test_benchmark_span_scrub_million_docs_broadcast_shape(spark):
 
     start = time.time()
     out = contaminated_span_stats(corpus, bench, k=5)
-    planted = out.filter(F.col("doc_id") % 500 == 0)
-    agg = planted.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum((F.col("n_dup_spans") >= 1).cast("int")).alias("hit"),
-        F.min("n_dup_tokens").alias("min_cut"),
+    # ONE aggregation pass over a planted flag: a second action would
+    # recompute the whole 1M-doc pipeline inside the wall bound
+    planted = F.col("doc_id") % 500 == 0
+    agg = out.agg(
+        F.sum(planted.cast("int")).alias("n"),
+        F.sum((planted & (F.col("n_dup_spans") >= 1)).cast("int")).alias("hit"),
+        F.min(F.when(planted, F.col("n_dup_tokens"))).alias("min_cut"),
+        F.sum((~planted & (F.col("n_dup_spans") > 0)).cast("int")).alias("clean_hits"),
     ).collect()[0]
-    clean_hits = out.filter(
-        (F.col("doc_id") % 500 != 0) & (F.col("n_dup_spans") > 0)
-    ).count()
     elapsed = time.time() - start
     assert agg["n"] == n // 500 and agg["hit"] == agg["n"]
     assert agg["min_cut"] >= 6  # at least the spliced 6-word run
     # hash-random 'w' words can collide into a bench gram only by a
     # 5-in-a-row accident across disjoint vocabularies: none expected
-    assert clean_hits == 0
+    assert agg["clean_hits"] == 0
     assert elapsed < 240, f"span scrub stress took {elapsed:.0f}s"
