@@ -43,6 +43,8 @@ _WINDOW_ORDER = (
     "events_ks_drift",
     # new r7: its fixed-grid scale path (VERDICT r6 #2)
     "events_ks_drift_binned",
+    # new r7: its range-adaptive twin for unknown-scale domains
+    "events_ks_drift_autogrid",
     "events_value_trend",
     "fk_integrity_report",
     "leakage_safe_split",
@@ -76,7 +78,6 @@ _WINDOW_ORDER = (
     # cleaning
     "clean_store_feed",
     "clean_product_feed",
-    "coercion_failure_profile",
     # dates
     "date_dimension_build",
     # merge / SCD
@@ -131,6 +132,7 @@ _ROTATED_OUT = (
     "rollup_totals",
     "date_gap_fill_incremental",
     "mini_dim_upsert",
+    "coercion_failure_profile",
     "winnowing_fingerprint",
     "events_range_interval_join",
     # r5 window, confirmed green in CORRECTNESS_r05

@@ -61,6 +61,7 @@ def test_driver_window_holds_the_r7_rotation():
         "multimodal_feature_extract",
         # every r7 addition ships with a hard-signal slot of its own
         "events_ks_drift_binned",
+        "events_ks_drift_autogrid",
         "curation_pipeline_accounting",
         "ks_drift_maintenance",
         "split_leakage_audit",

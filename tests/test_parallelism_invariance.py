@@ -51,6 +51,7 @@ SWEEP = (
     "events_ks_drift",
     "events_ks_drift_binned",
     "ks_drift_maintenance",
+    "events_ks_drift_autogrid",
     "split_leakage_audit",
     "dedup_impact_forecast",
     "benchmark_span_scrub",

@@ -223,6 +223,8 @@ SHUFFLE_BUDGET = {
     "count_min_maintenance": 6,     # 3 slice builds + merge fold + probe/exact aggs
     "events_ks_drift": 3,           # per-value collapse + CDF window + final fold
     "events_ks_drift_binned": 3,    # same fold, grid-bounded sort frame
+    "events_ks_drift_autogrid": 5,  # min/max agg (broadcast back) + the
+    # shared grid-bounded fold
     "ks_drift_maintenance": 6,      # 3 slice builds + 2 monoid folds share
     # exchanges under AQE; CDF window + final fold on the state
     "fk_integrity_report": 14,      # 7 edges x (parent distinct + agg); joins broadcast

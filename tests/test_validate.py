@@ -181,3 +181,35 @@ def test_ks_maintenance_counts_null_ts_like_the_one_shot(spark, tmp_path):
     # the NULL-ts row is really in there: type 'a' counts 2 after-rows
     a = [r for r in one_shot if r[0] == "a"][0]
     assert (a[1], a[2]) == (1, 2)
+
+
+def test_ks_autogrid_resolves_scales_the_fixed_grid_cannot(spark, tmp_path):
+    """The discriminating case for the range-adaptive grid: values live
+    in [1e-6, 5e-5], where the fixed KS_BIN_WIDTH=5.0 grid collapses the
+    whole domain into ONE bucket (KS statistic 0 — drift invisible)
+    while the autogrid's per-type min/max spreads them over up to 64
+    bins and sees the planted location shift."""
+    import datetime
+
+    from dynamic_etl_spark.registry.validation import (
+        events_ks_drift_autogrid,
+        events_ks_drift_binned,
+    )
+
+    rows = [
+        ("micro", datetime.datetime(2024, 1, 2), 1e-6 + i * 1e-7) for i in range(200)
+    ] + [
+        ("micro", datetime.datetime(2024, 2, 2), 2.5e-5 + i * 1e-7) for i in range(200)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_type string, ts timestamp_ntz, value double"
+    ).coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    fixed = events_ks_drift_binned(spark, sf_dir).collect()[0]
+    auto = events_ks_drift_autogrid(spark, sf_dir).collect()[0]
+    assert fixed["n_bins"] == 1 and fixed["ks_statistic"] == 0.0  # blind
+    assert auto["n_bins"] > 30
+    # true KS of the disjoint-ish shift is ~0.57 (overlap region shares
+    # mass); the grid must land within one bin's resolution of it
+    assert auto["ks_statistic"] > 0.5
