@@ -153,8 +153,7 @@ base AS (
   SELECT doc_id, {_SQL_TOKENS} AS toks FROM corpus
 ),
 bgr AS (
-  SELECT DISTINCT unnest(list_transform(range(0, len(toks) - 5 + 1),
-           i -> array_to_string(toks[i + 1 : i + 5], ' '))) AS gram
+  SELECT DISTINCT unnest({_SQL_GRAMS_5}) AS gram
   FROM (SELECT {_SQL_TOKENS} AS toks FROM bench)
   WHERE len(toks) >= 5
 ),

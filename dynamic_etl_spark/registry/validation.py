@@ -387,7 +387,13 @@ def _ks_side_counts(events: DataFrame, key) -> DataFrame:
     expression — the raw double value (exact) or its fixed-grid bucket
     (binned scale path). Takes the events frame directly so stress tests
     can feed synthesized million-row corpora without a file hop."""
-    ev = events.filter(F.col("value").isNotNull())
+    # NaN is excluded with NULL: it has no place on a CDF, and the two
+    # engines disagree on where a NaN bucket lands (Spark floor(NaN) is
+    # long 0; DuckDB floor(NaN) is NaN, which least()/CAST route to the
+    # TOP bucket or an error — r7 review, confirmed by execution). One
+    # shared filter so every KS shape has the same row universe.
+    v = F.col("value").cast("double")
+    ev = events.filter(F.col("value").isNotNull() & ~F.isnan(v))
     split = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
     # when/otherwise, NOT a bare boolean cast: a NULL ts must land in
     # the 'after' side on BOTH engines (the oracle's CASE does; a cast
@@ -494,6 +500,39 @@ def events_ks_drift_binned(
 KS_AUTOGRID_BINS = 64
 
 
+def sql_ks_fold(with_bins: bool) -> str:
+    """Shared SQL tail of the KS family (the DuckDB twin of
+    :func:`_ks_fold`): given an upstream CTE ``per_value(event_type, v,
+    ca, cb)``, build the cumulative CDF steps and the final max-|F_a-F_b|
+    fold with the one-sided guard — single-sourced so the exact, fixed-
+    grid, and autogrid oracles track one definition (r7 review: three
+    hand-expanded copies had crept in)."""
+    bins = ',\n       CAST(COUNT(*) AS BIGINT) AS n_bins' if with_bins else ""
+    return f"""stepped AS (
+  SELECT event_type,
+         SUM(ca) OVER (PARTITION BY event_type ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(cb) OVER (PARTITION BY event_type ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+         SUM(ca) OVER (PARTITION BY event_type) AS na,
+         SUM(cb) OVER (PARTITION BY event_type) AS nb
+  FROM per_value
+)
+SELECT event_type,
+       CAST(MAX(na) AS BIGINT) AS n_before,
+       CAST(MAX(nb) AS BIGINT) AS n_after,
+       round(MAX(CASE WHEN na = 0 OR nb = 0 THEN 1.0
+                 ELSE abs(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
+                          - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE))
+                 END), 6)
+         AS ks_statistic{bins}
+FROM stepped
+GROUP BY event_type
+ORDER BY event_type"""
+
+
+
+
 def events_ks_drift_autogrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-adaptive twin of :func:`events_ks_drift_binned` for domains
     whose SCALE is unknown up front (where a fixed KS_BIN_WIDTH is a
@@ -512,8 +551,12 @@ def events_ks_drift_autogrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain concentrates mass in few buckets (resolution degrades where
     the data bunches) — the trade for never needing the width guess;
     both variants share the fold, pick per domain."""
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     v = F.col("value").cast("double")
+    # NaN excluded HERE too, not just in the shared side counts: one NaN
+    # reaching MAX poisons hi (and hence every bucket) to NaN
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan(v)
+    )
     ranges = ev.groupBy("event_type").agg(
         F.min(v).alias("__lo"), F.max(v).alias("__hi")
     )
@@ -534,7 +577,7 @@ def events_ks_drift_autogrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 KS_AUTOGRID_ORACLE = f"""
 WITH ev AS (
   SELECT event_type, ts, CAST(value AS DOUBLE) AS v
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
 ),
 ranges AS (
   SELECT event_type, MIN(v) AS lo, MAX(v) AS hi FROM ev GROUP BY event_type
@@ -550,28 +593,7 @@ per_value AS (
   FROM ev JOIN ranges USING (event_type)
   GROUP BY 1, 2
 ),
-stepped AS (
-  SELECT event_type,
-         SUM(ca) OVER (PARTITION BY event_type ORDER BY v
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
-         SUM(cb) OVER (PARTITION BY event_type ORDER BY v
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
-         SUM(ca) OVER (PARTITION BY event_type) AS na,
-         SUM(cb) OVER (PARTITION BY event_type) AS nb
-  FROM per_value
-)
-SELECT event_type,
-       CAST(MAX(na) AS BIGINT) AS n_before,
-       CAST(MAX(nb) AS BIGINT) AS n_after,
-       round(MAX(CASE WHEN na = 0 OR nb = 0 THEN 1.0
-                 ELSE abs(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
-                          - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE))
-                 END), 6)
-         AS ks_statistic,
-       CAST(COUNT(*) AS BIGINT) AS n_bins
-FROM stepped
-GROUP BY event_type
-ORDER BY event_type
+{sql_ks_fold(with_bins=True)}
 """
 
 
@@ -710,35 +732,15 @@ ORDER BY relationship
 )
 
 
-KS_DRIFT_ORACLE = """
+KS_DRIFT_ORACLE = f"""
 WITH per_value AS (
   SELECT event_type, CAST(value AS DOUBLE) AS v,
          SUM(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS ca,
          SUM(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 0 ELSE 1 END) AS cb
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
   GROUP BY event_type, CAST(value AS DOUBLE)
 ),
-stepped AS (
-  SELECT event_type,
-         SUM(ca) OVER (PARTITION BY event_type ORDER BY v
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
-         SUM(cb) OVER (PARTITION BY event_type ORDER BY v
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
-         SUM(ca) OVER (PARTITION BY event_type) AS na,
-         SUM(cb) OVER (PARTITION BY event_type) AS nb
-  FROM per_value
-)
-SELECT event_type,
-       CAST(MAX(na) AS BIGINT) AS n_before,
-       CAST(MAX(nb) AS BIGINT) AS n_after,
-       round(MAX(CASE WHEN na = 0 OR nb = 0 THEN 1.0
-                 ELSE abs(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
-                          - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE))
-                 END), 6)
-         AS ks_statistic
-FROM stepped
-GROUP BY event_type
-ORDER BY event_type
+{sql_ks_fold(with_bins=False)}
 """
 
 
@@ -748,31 +750,10 @@ WITH per_value AS (
          CAST(floor(CAST(value AS DOUBLE) / {KS_BIN_WIDTH}) AS BIGINT) AS v,
          SUM(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS ca,
          SUM(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 0 ELSE 1 END) AS cb
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
   GROUP BY event_type, CAST(floor(CAST(value AS DOUBLE) / {KS_BIN_WIDTH}) AS BIGINT)
 ),
-stepped AS (
-  SELECT event_type,
-         SUM(ca) OVER (PARTITION BY event_type ORDER BY v
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
-         SUM(cb) OVER (PARTITION BY event_type ORDER BY v
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
-         SUM(ca) OVER (PARTITION BY event_type) AS na,
-         SUM(cb) OVER (PARTITION BY event_type) AS nb
-  FROM per_value
-)
-SELECT event_type,
-       CAST(MAX(na) AS BIGINT) AS n_before,
-       CAST(MAX(nb) AS BIGINT) AS n_after,
-       round(MAX(CASE WHEN na = 0 OR nb = 0 THEN 1.0
-                 ELSE abs(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
-                          - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE))
-                 END), 6)
-         AS ks_statistic,
-       CAST(COUNT(*) AS BIGINT) AS n_bins
-FROM stepped
-GROUP BY event_type
-ORDER BY event_type
+{sql_ks_fold(with_bins=True)}
 """
 
 

@@ -196,10 +196,14 @@ def test_ks_autogrid_resolves_scales_the_fixed_grid_cannot(spark, tmp_path):
         events_ks_drift_binned,
     )
 
+    # OVERLAPPING uniform samples (r7 review: a disjoint pair has true
+    # KS exactly 1.0, which even a CDF-mangling bug can reproduce):
+    # before on [1e-6, 2.09e-5], after on [1e-5, 2.99e-5] — 90 of 200
+    # before-points sit below the after-support, so the true KS is 0.45
     rows = [
         ("micro", datetime.datetime(2024, 1, 2), 1e-6 + i * 1e-7) for i in range(200)
     ] + [
-        ("micro", datetime.datetime(2024, 2, 2), 2.5e-5 + i * 1e-7) for i in range(200)
+        ("micro", datetime.datetime(2024, 2, 2), 1e-5 + i * 1e-7) for i in range(200)
     ]
     sf_dir = str(tmp_path)
     spark.createDataFrame(
@@ -210,6 +214,45 @@ def test_ks_autogrid_resolves_scales_the_fixed_grid_cannot(spark, tmp_path):
     auto = events_ks_drift_autogrid(spark, sf_dir).collect()[0]
     assert fixed["n_bins"] == 1 and fixed["ks_statistic"] == 0.0  # blind
     assert auto["n_bins"] > 30
-    # true KS of the disjoint-ish shift is ~0.57 (overlap region shares
-    # mass); the grid must land within one bin's resolution of it
-    assert auto["ks_statistic"] > 0.5
+    # true KS = 0.45; each bin holds ~4.5 of 200 points per side, so the
+    # grid's discretization error is bounded by ~one bin's CDF mass
+    assert abs(auto["ks_statistic"] - 0.45) <= 0.05, auto["ks_statistic"]
+
+
+def test_ks_variants_exclude_nan_identically(spark, tmp_path):
+    """r7 review (confirmed by execution): Spark floor(NaN) is long 0
+    while DuckDB floor(NaN) is NaN (least/CAST route it to the TOP
+    bucket or an error), so a NaN value bucketing differently per engine
+    would hash-diverge — and one NaN reaching MAX poisons the autogrid's
+    hi to NaN for the whole type. All KS shapes therefore exclude NaN
+    with NULL in their shared row universe; totals must not count it."""
+    import datetime
+
+    from dynamic_etl_spark.registry.validation import (
+        events_ks_drift,
+        events_ks_drift_autogrid,
+        events_ks_drift_binned,
+        ks_drift_maintenance,
+    )
+
+    rows = (
+        [("t", datetime.datetime(2024, 1, 2), float(i)) for i in range(10)]
+        + [("t", datetime.datetime(2024, 2, 2), float(i + 3)) for i in range(10)]
+        + [("t", datetime.datetime(2024, 1, 5), float("nan"))]
+        + [("t", datetime.datetime(2024, 2, 5), float("nan"))]
+        + [("t", None, None)]
+    )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_type string, ts timestamp_ntz, value double"
+    ).coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    for fn in (
+        events_ks_drift,
+        events_ks_drift_binned,
+        events_ks_drift_autogrid,
+        ks_drift_maintenance,
+    ):
+        row = fn(spark, sf_dir).collect()[0]
+        assert (row["n_before"], row["n_after"]) == (10, 10), fn.__name__
+        assert 0.0 < row["ks_statistic"] < 1.0, fn.__name__
