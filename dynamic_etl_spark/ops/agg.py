@@ -639,6 +639,15 @@ def build_cm_state(
     if (eps is None) != (delta is None):
         raise ValueError("build_cm_state: pass BOTH eps and delta, or neither")
     if eps is not None and delta is not None:
+        # refuse mixed sizing, matching the pass-both-or-neither rule: a
+        # caller handing eps/delta AND explicit depth/width would get the
+        # accuracy-contract sizing with their raw knobs silently ignored —
+        # a weaker sketch than they thought they configured (ADVICE r7 #2)
+        if (depth, width) != (4, 256):
+            raise ValueError(
+                "build_cm_state: eps/delta sizing and explicit depth/width "
+                "are mutually exclusive — pass one sizing, not both"
+            )
         depth, width = cm_params(eps, delta)
     buckets = F.array(*[cm_bucket(F.col(item), d, width) for d in range(depth)])
     return (

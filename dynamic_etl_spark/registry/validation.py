@@ -552,10 +552,19 @@ def events_ks_drift_autogrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     the data bunches) — the trade for never needing the width guess;
     both variants share the fold, pick per domain."""
     v = F.col("value").cast("double")
-    # NaN excluded HERE too, not just in the shared side counts: one NaN
-    # reaching MAX poisons hi (and hence every bucket) to NaN
+    # NaN AND +/-Infinity excluded HERE, not just in the shared side
+    # counts: one NaN reaching MAX poisons hi (and hence every bucket) to
+    # NaN, and one Infinity makes hi=inf, so width=inf collapses every
+    # finite value to bucket 0 while the v==hi row computes
+    # floor(inf/inf)=floor(NaN) — which Spark casts to 0 but DuckDB's
+    # least() routes to the top bucket: engine-divergent (ADVICE r7 #1).
+    # Range predicates double as the isfinite Spark lacks (NaN compares
+    # false anyway; the isnan guard keeps the intent explicit).
     ev = t(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull() & ~F.isnan(v)
+        F.col("value").isNotNull()
+        & ~F.isnan(v)
+        & (v > float("-inf"))
+        & (v < float("inf"))
     )
     ranges = ev.groupBy("event_type").agg(
         F.min(v).alias("__lo"), F.max(v).alias("__hi")
@@ -577,7 +586,7 @@ def events_ks_drift_autogrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 KS_AUTOGRID_ORACLE = f"""
 WITH ev AS (
   SELECT event_type, ts, CAST(value AS DOUBLE) AS v
-  FROM events WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+  FROM events WHERE value IS NOT NULL AND isfinite(CAST(value AS DOUBLE))
 ),
 ranges AS (
   SELECT event_type, MIN(v) AS lo, MAX(v) AS hi FROM ev GROUP BY event_type

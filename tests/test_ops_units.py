@@ -912,6 +912,12 @@ def test_count_min_eps_delta_api_and_bound(spark):
     n = df.count()
     with pytest.raises(ValueError, match="BOTH eps and delta"):
         build_cm_state(df, [], "item", eps=eps)
+    # mixed sizing refused: eps/delta would silently override the raw
+    # knobs the caller thought they set (ADVICE r7 #2)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        build_cm_state(df, [], "item", width=16, eps=eps, delta=delta)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        build_cm_state(df, [], "item", depth=2, eps=eps, delta=delta)
     state = build_cm_state(df, [], "item", eps=eps, delta=delta)
     depth, width = cm_params(eps, delta)
     assert state.agg(F.max("state_width")).collect()[0][0] == width

@@ -592,6 +592,16 @@ def test_benchmark_span_scrub_million_docs_broadcast_shape(spark):
 
     start = time.time()
     out = contaminated_span_stats(corpus, bench, k=5)
+    # PRIMARY check (ADVICE r7 #3): the plan shape itself — the benchmark
+    # gram set must arrive as the build side of a broadcast LEFT SEMI
+    # join, i.e. the corpus never shuffles to meet the benchmark. The
+    # wall bound below stays as a generous secondary backstop only,
+    # because timings flake on a loaded machine while the plan cannot.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi, BuildRight" in plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "LeftSemi" not in line, line  # gram join fell off broadcast
     # ONE aggregation pass over a planted flag: a second action would
     # recompute the whole 1M-doc pipeline inside the wall bound
     planted = F.col("doc_id") % 500 == 0
@@ -607,4 +617,6 @@ def test_benchmark_span_scrub_million_docs_broadcast_shape(spark):
     # hash-random 'w' words can collide into a bench gram only by a
     # 5-in-a-row accident across disjoint vocabularies: none expected
     assert agg["clean_hits"] == 0
-    assert elapsed < 240, f"span scrub stress took {elapsed:.0f}s"
+    # secondary, deliberately generous: a plan regression is caught above;
+    # this only trips on a pathological (non-linear) blowup
+    assert elapsed < 480, f"span scrub stress took {elapsed:.0f}s"

@@ -256,3 +256,33 @@ def test_ks_variants_exclude_nan_identically(spark, tmp_path):
         row = fn(spark, sf_dir).collect()[0]
         assert (row["n_before"], row["n_after"]) == (10, 10), fn.__name__
         assert 0.0 < row["ks_statistic"] < 1.0, fn.__name__
+
+
+def test_ks_autogrid_excludes_infinities(spark, tmp_path):
+    """ADVICE r7 #1: an Infinity reaching the autogrid's MAX makes
+    hi=inf, so width=inf collapses every finite value to bucket 0 (drift
+    invisible) and the v==hi row computes floor(inf/inf)=floor(NaN) —
+    Spark casts that to 0 while DuckDB's least() routes it to the top
+    bucket: engine-divergent. The autogrid row universe therefore
+    excludes +/-inf alongside NaN; finite rows must still resolve."""
+    import datetime
+
+    from dynamic_etl_spark.registry.validation import events_ks_drift_autogrid
+
+    rows = (
+        [("t", datetime.datetime(2024, 1, 2), float(i)) for i in range(10)]
+        + [("t", datetime.datetime(2024, 2, 2), float(i + 3)) for i in range(10)]
+        + [("t", datetime.datetime(2024, 1, 5), float("inf"))]
+        + [("t", datetime.datetime(2024, 2, 5), float("-inf"))]
+    )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_type string, ts timestamp_ntz, value double"
+    ).coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    row = events_ks_drift_autogrid(spark, sf_dir).collect()[0]
+    # inf rows out of the totals; the finite domain still spreads over
+    # multiple buckets (hi poisoned to inf would collapse it to one)
+    assert (row["n_before"], row["n_after"]) == (10, 10)
+    assert row["n_bins"] > 1
+    assert 0.0 < row["ks_statistic"] < 1.0
