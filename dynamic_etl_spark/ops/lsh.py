@@ -166,6 +166,43 @@ def lsh_candidate_pairs(
     )
 
 
+def base_shingle_hash(s: Column, hash_mode: str = "xxhash") -> Column:
+    """Per-shingle base hash folded into the affine field.
+
+    - ``"xxhash"`` (default): one JVM xxhash64 — the fast production
+      path, engine-specific (rows-only at the driver).
+    - ``"md5"``: the first 8 hex chars of md5, the one hash family BOTH
+      engines evaluate identically (Spark ``conv(substr(md5,..),16,10)``
+      == DuckDB ``('0x'||substr)::BIGINT``, the Count-Min / winnowing
+      precedent, ops/agg.cm_bucket) — signatures, bands, and the
+      candidate-pair set become SQL-reproducible, so the LSH dedup
+      family carries a DuckDB oracle outright (VERDICT r7 #2). ~2-3x
+      the hash cost of xxhash64; same distribution quality for MinHash
+      purposes (md5 is closer to uniform than the estimator needs).
+    """
+    if hash_mode == "xxhash":
+        return F.pmod(F.xxhash64(s), F.lit(_MINHASH_P))
+    if hash_mode == "md5":
+        return F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+            F.lit(_MINHASH_P),
+        )
+    raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+
+
+def band_hash_expr(slots: list[Column], b: int, hash_mode: str = "xxhash") -> Column:
+    """One band's bucket key from its signature slots. xxhash mode emits
+    a 64-bit long; md5 mode emits the md5 hex of the ':'-joined slots —
+    a string key, but fixed 32 chars and exactly reproducible as DuckDB
+    ``md5(concat_ws(':', b, m0, ...))`` (BIGINT-to-string rendering is
+    identical on both engines)."""
+    if hash_mode == "xxhash":
+        return F.xxhash64(F.lit(b), *slots)
+    if hash_mode == "md5":
+        return F.md5(F.concat_ws(":", F.lit(b), *slots))
+    raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+
+
 def minhash_banded_rows(
     docs: DataFrame,
     id_col: str,
@@ -173,6 +210,7 @@ def minhash_banded_rows(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """(id, band_idx, band_hash) rows of a banded MinHash signature — the
     codegen hot path shared by ``minhash_near_dup_pairs`` and exposed for
@@ -188,7 +226,7 @@ def minhash_banded_rows(
     """
     exploded = docs.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("__s")
-    ).select(F.col(id_col), F.pmod(F.xxhash64("__s"), F.lit(_MINHASH_P)).alias("__h"))
+    ).select(F.col(id_col), base_shingle_hash(F.col("__s"), hash_mode).alias("__h"))
 
     def slot(i: int) -> Column:
         a_i, b_i = _affine_params(i)
@@ -200,7 +238,9 @@ def minhash_banded_rows(
     rows = num_hashes // bands
     bands_arr = F.array(
         *[
-            F.xxhash64(F.lit(b), *[F.col(f"__mh{b * rows + j}") for j in range(rows)])
+            band_hash_expr(
+                [F.col(f"__mh{b * rows + j}") for j in range(rows)], b, hash_mode
+            )
             for b in range(bands)
         ]
     )
@@ -218,6 +258,7 @@ def minhash_near_dup_pairs(
     bands: int = 8,
     shingle_k: int = 3,
     verify_scope: str = "corpus",
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """Near-dup pipeline: word shingles -> MinHash -> banded LSH candidates
     -> exact-Jaccard verify >= threshold. Output (id_a, id_b, jaccard_sim).
@@ -258,7 +299,9 @@ def minhash_near_dup_pairs(
     # shingling + signatures dwarf a raw-row shuffle; no-op on well-split
     # inputs (see session.ensure_fanout_parallelism — measured 3.5x here)
     docs = ensure_fanout_parallelism(docs)
-    banded = minhash_banded_rows(docs, id_col, text_col, num_hashes, bands, shingle_k)
+    banded = minhash_banded_rows(
+        docs, id_col, text_col, num_hashes, bands, shingle_k, hash_mode
+    )
     pairs = (
         banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
         .join(

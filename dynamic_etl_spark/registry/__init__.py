@@ -259,6 +259,9 @@ _TAIL_ORDER = (
     # training-shard export audit (oracle-backed)
     # rows-only (iterative per-round argmax; reference-BPE-checked in
     # pytest)
+    # r8 NEW, oracle-backed (md5-slice LSH) — promoted to the r8 window
+    # in the final rotation; parked here until the window reshuffle
+    "minhash_near_dup_exacthash",
     "bpe_merge_training",
     # rows-only (encode of the iteratively-trained table; reference-encode
     # equality pytest)

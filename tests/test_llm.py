@@ -57,6 +57,31 @@ def test_minhash_lsh_finds_planted_near_dups(spark, docs_with_near_dups):
     assert recall >= 0.9, f"LSH recall on planted near-dups {recall:.2f} < 0.9"
 
 
+def test_minhash_md5_mode_matches_family_guarantees(spark, docs_with_near_dups):
+    """The md5-slice hash mode (the oracle-checkable variant, VERDICT r7
+    #2) must honor the SAME family guarantees as the xxhash default:
+    zero false positives (exact-Jaccard verify is hash-agnostic) and
+    >= 0.9 recall on the planted near-dups. The two modes draw
+    independent hash families, so their candidate sets may differ at the
+    S-curve margin — the guarantees, not the pair lists, are the
+    contract."""
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in L.minhash_near_dup_pairs(
+            docs_with_near_dups, "doc_id", "text", threshold=0.5, hash_mode="md5"
+        ).collect()
+    }
+    truth = _brute_force_pairs(spark, docs_with_near_dups, 0.5)
+    planted = {(d, d + 2000000) for (d, d2) in truth if d2 == d + 2000000}
+    assert found <= truth
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"md5-mode LSH recall {recall:.2f} < 0.9"
+    with pytest.raises(ValueError, match="hash_mode"):
+        L.minhash_near_dup_pairs(
+            docs_with_near_dups, "doc_id", "text", hash_mode="sha9"
+        ).collect()
+
+
 def test_minhash_verify_scopes_agree(spark, docs_with_near_dups):
     """The corpus-wide and candidate-restricted verify strategies are
     required to produce identical pairs and jaccard values — verify_scope

@@ -251,6 +251,9 @@ SHUFFLE_BUDGET = {
     "bpe_encode_stats": 5,
     "approx_distinct_profile": 1,
     "minhash_near_dup": 6,
+    # md5-slice hash mode: identical plan shape to the xxhash twin (the
+    # hash family changes, the exchanges don't)
+    "minhash_near_dup_exacthash": 6,
     "incremental_near_dup": 13,
     "simhash_near_dup": 2,
     "embedding_ann_lsh": 2,
