@@ -262,6 +262,7 @@ _TAIL_ORDER = (
     # r8 NEW, oracle-backed (md5-slice LSH) — promoted to the r8 window
     # in the final rotation; parked here until the window reshuffle
     "minhash_near_dup_exacthash",
+    "curation_pipeline_lsh",
     "bpe_merge_training",
     # rows-only (encode of the iteratively-trained table; reference-encode
     # equality pytest)

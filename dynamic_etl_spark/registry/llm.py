@@ -631,11 +631,16 @@ def minhash_near_dup_exacthash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_exacthash_oracle(num_hashes: int = 32, bands: int = 8) -> str:
-    """Generate the DuckDB twin of the md5-mode MinHash-LSH pipeline from
-    the SAME affine constants the Spark side uses (ops/lsh._affine_params)
-    — one definition drives both engines, so a constant change cannot
-    silently fork the oracle."""
+def sql_minhash_cand_ctes(
+    src: str = "sh", num_hashes: int = 32, bands: int = 8
+) -> str:
+    """h/sig/bands/cand CTE chain — the DuckDB twin of the md5-mode
+    banded-MinHash candidate generation over ``src(doc_id, grams)``,
+    generated from the SAME affine constants the Spark side uses
+    (ops/lsh._affine_params), so one definition drives both engines and
+    a constant change cannot silently fork the oracle. Shared by the
+    standalone exacthash query and the LSH-configured curation cascade
+    (registry/curation.py)."""
     P = L._MINHASH_P
     rows_per = num_hashes // bands
     mins = ",\n         ".join(
@@ -648,7 +653,27 @@ def _minhash_exacthash_oracle(num_hashes: int = 32, bands: int = 8) -> str:
         + ")) AS band_hash FROM sig"
         for b in range(bands)
     )
-    return f"""
+    return f"""h AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % {P} AS h
+  FROM (SELECT doc_id, unnest(grams) AS g FROM {src})
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM h GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)"""
+
+
+MINHASH_EXACTHASH_ORACLE = f"""
 WITH feed AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -664,24 +689,7 @@ sh AS (
               ELSE [array_to_string(toks, ' ')] END AS grams
   FROM base
 ),
-h AS (
-  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % {P} AS h
-  FROM (SELECT doc_id, unnest(grams) AS g FROM sh)
-),
-sig AS (
-  SELECT doc_id,
-         {mins}
-  FROM h GROUP BY doc_id
-),
-bands AS (
-{band_selects}
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-   AND a.doc_id < b.doc_id
-),
+{sql_minhash_cand_ctes("sh")},
 j AS (
   SELECT c.id_a, c.id_b,
          CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
@@ -694,9 +702,6 @@ j AS (
 )
 SELECT id_a, id_b, round(jac, 6) AS jaccard_sim FROM j WHERE jac >= 0.5
 """
-
-
-MINHASH_EXACTHASH_ORACLE = _minhash_exacthash_oracle()
 
 
 def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -36,6 +36,9 @@ REGISTRY = all_queries()
 JOB_BUDGETS = {
     "curation_pipeline_accounting": 41,  # 5 tier checkpoints + their chains
     # + the eval-set take(1) guard + the accounting tail (measured 38)
+    "curation_pipeline_lsh": 45,  # the exact cascade's chains + the banded
+    # LSH tier's extra signature/verify stages behind the s3 checkpoint
+    # (measured 42; sibling wobble band +-3)
     "incremental_near_dup": 45,
     "semantic_dedup_survivors": 43,
     "embedding_knn_join": 32,

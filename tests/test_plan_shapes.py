@@ -81,6 +81,8 @@ _CROSS_JOIN_WHITELIST = (
     "semantic_decontamination",         # 1-row eval-set broadcast anchor
     "curation_pipeline_accounting",     # tier 5 IS semantic_decontamination's
                                         # 1-row eval-set broadcast anchor
+    "curation_pipeline_lsh",            # same tier-5 anchor (the pair-source
+                                        # swap lives behind the s3 checkpoint)
 )
 
 
@@ -91,6 +93,54 @@ def test_no_cartesian_anywhere(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_cascade_lsh_pair_source_has_no_all_pairs_join(spark):
+    """VERDICT r7 #1 done-condition: the LSH-configured cascade's tier-3
+    pair source compiles with ZERO all-pairs joins — every join is keyed
+    on ids or (band_idx, band_hash), never on the (lang, source) block
+    keys alone (the O(block²) shape). The exact source must still show
+    that shape (it is the ground-truth twin and the detector's positive
+    control). Asserted on the pair-source plans directly because the
+    cascade's tiers run eagerly behind localCheckpoints and vanish from
+    the composed query's final plan."""
+    from dynamic_etl_spark.catalog import load_table
+    from dynamic_etl_spark.registry.curation import (
+        exact_blocked_pair_source,
+        lsh_pair_source,
+    )
+
+    frame = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+
+    def join_lines(src):
+        plan = src(frame)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        return plan, [
+            line
+            for line in plan.splitlines()
+            if any(
+                j in line
+                for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+            )
+        ]
+
+    lsh_plan, lsh_joins = join_lines(lsh_pair_source)
+    assert "band_hash" in lsh_plan  # candidates meet on band buckets
+    # block keys may appear WITH an id key (Catalyst folding the
+    # same-block filter into an id-keyed join is fine); what must never
+    # appear is a join keyed on the block columns alone
+    for line in lsh_joins:
+        assert not (
+            ("lang#" in line or "__la#" in line) and "id_" not in line
+        ), f"all-pairs block join in LSH pair source: {line.strip()}"
+
+    _, exact_joins = join_lines(exact_blocked_pair_source)
+    assert any(
+        "lang#" in line and "id_" not in line.split("],")[0] for line in exact_joins
+    ), "positive control: the exact source's block join should be visible"
 
 
 def test_line_dedup_counts_partial_aggregate_and_quota_rank_pushdown(spark):

@@ -214,6 +214,10 @@ SHUFFLE_BUDGET = {
     # localCheckpoint anchors + 6-row union/window + the s5 anti join);
     # the tier work itself runs eagerly at checkpoint time and is pinned
     # by tests/test_job_budget.py (measured 9)
+    "curation_pipeline_lsh": 10,    # same lazy tail as the exact cascade:
+    # the pair-source swap lives entirely behind the s3 checkpoint
+    # (measured 9); tier-3's banded shape is pinned by the pair-source
+    # plan test + job budget
     "semantic_decontamination": 1,  # eval-set collect_list fold; corpus never shuffles
     "quasi_identifier_risk": 3,     # class groupBy + threshold fold + output sort
     "source_diversity_profile": 3,  # word-count groupBy + per-source fold + output sort
