@@ -39,7 +39,10 @@ JOB_BUDGETS = {
     "curation_pipeline_lsh": 45,  # the exact cascade's chains + the banded
     # LSH tier's extra signature/verify stages behind the s3 checkpoint
     # (measured 42; sibling wobble band +-3)
-    "incremental_near_dup": 45,
+    # r8: the count-then-collect pair fused into ONE take(threshold+1)
+    # (VERDICT r7 #4) — the 38-44 observed band shifts down a job; the
+    # rejected r4 fold experiment (47) stays well above the ceiling
+    "incremental_near_dup": 44,
     "semantic_dedup_survivors": 43,
     "embedding_knn_join": 32,
     "heavy_hitter_maintenance": 13,
