@@ -263,6 +263,79 @@ def strip_markup(c: Column) -> Column:
     return F.trim(F.regexp_replace(out, r"\s+", " "))
 
 
+def _mojibake(s: str) -> str:
+    """The UTF-8 bytes of ``s`` mis-decoded as cp1252 — exactly how the
+    artifact is born in a real feed (a UTF-8 file read with a legacy
+    codec, then re-encoded), so the repair table is COMPUTED from the
+    phenomenon, never hand-typed (a typo'd artifact would silently never
+    match)."""
+    return s.encode("utf-8").decode("cp1252")
+
+
+#: Smart-punctuation normalization targets (ASCII): applied both to the
+#: mojibake artifact of each char and to the char itself when it appears
+#: natively.
+_SMART_PUNCT = {
+    "‘": "'",
+    "’": "'",
+    "“": '"',
+    "”": '"',
+    "–": "-",
+    "—": "-",
+    "…": "...",
+}
+
+#: (artifact, repaired) pairs. ORDER IS LOAD-BEARING three times over:
+#: (1) 3-char punctuation mojibake first — the en/em-dash artifacts END
+#: in native smart-quote chars (cp1252 0x93/0x94 are U+201C/U+201D), so
+#: the bare smart-quote rules would mangle them if they ran first;
+#: (2) the a-grave artifact ends in U+00A0, so accent repairs run before
+#: the bare-nbsp rule; (3) bare nbsp last. U+201D's artifact is skipped:
+#: its third byte (0x9D) is undefined in cp1252 — that artifact cannot
+#: arise from a cp1252 round-trip (the native char is still normalized).
+#: Repairs are idempotent by construction: no repaired output contains
+#: any artifact (pinned by the pytest repair(repair(x)) == repair(x)).
+ENCODING_REPAIR_PAIRS: tuple[tuple[str, str], ...] = tuple(
+    [
+        (_mojibake(ch), ascii_)
+        for ch, ascii_ in _SMART_PUNCT.items()
+        if ch != "”"
+    ]
+    + [(_mojibake(ch), ch) for ch in "éèäöüñçáóúà"]
+    + [(_mojibake("\u00a0"), " ")]
+    + list(_SMART_PUNCT.items())
+    + [("\u00a0", " ")]
+)
+
+
+def repair_encoding(c: Column) -> Column:
+    """Mojibake / encoding repair (ADVICE r7 next-round #5): undo
+    double-encoded UTF-8 (cp1252 mis-decode artifacts: ``Ã©`` -> ``é``,
+    ``â€œ`` -> ``"``), normalize smart punctuation to ASCII, and collapse
+    non-breaking spaces — the common real-corpus cleaning gate before
+    tokenization. A pure codegen ``replace`` chain over the pinned
+    ordered pair table (the strip_markup convention), mirrored verbatim
+    in SQL by :func:`sql_repair_encoding` so the profile query is fully
+    oracle-checkable."""
+    out = c
+    for bad, good in ENCODING_REPAIR_PAIRS:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
+def sql_repair_encoding(expr: str) -> str:
+    """DuckDB twin of :func:`repair_encoding`: the same ordered replace
+    chain generated from the same pair table (single-source, like the
+    MinHash affine constants)."""
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    for bad, good in ENCODING_REPAIR_PAIRS:
+        expr = f"replace({expr}, '{q(bad)}', '{q(good)}')"
+    return expr
+
+
 def markup_profile(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, clean_text, n_tags, had_markup) — the strip plus what was
     removed, for cleaning-rate monitoring."""

@@ -263,6 +263,7 @@ _TAIL_ORDER = (
     # in the final rotation; parked here until the window reshuffle
     "minhash_near_dup_exacthash",
     "curation_pipeline_lsh",
+    "encoding_repair_profile",
     "bpe_merge_training",
     # rows-only (encode of the iteratively-trained table; reference-encode
     # equality pytest)

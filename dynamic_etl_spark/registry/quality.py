@@ -341,7 +341,97 @@ ORDER BY source
 """.format(tokens=_SQL_TOKENS)
 
 
+# ==========================================================================
+# Encoding repair (mojibake) — VERDICT r7 next-round #5: the one common
+# real-corpus cleaning gate the text family lacked. Artifacts are planted
+# by the key-modulo convention from the SAME computed pair table the
+# repair chain uses (ops/text.ENCODING_REPAIR_PAIRS), so fixture, Spark
+# chain, and SQL chain can never drift apart.
+# ==========================================================================
+
+_M = TX._mojibake
+#: Double-encoded accents + a broken non-breaking space ("Â\xa0").
+_ACCENT_SUFFIX = (
+    f" caf{_M('é')} cr{_M('è')}me {_M('ü')}ber d{_M('é')}j{_M('à')} vu"
+    f" no{_M(chr(0xA0))}break"
+)
+#: Double-encoded smart punctuation (quote, apostrophe, ellipsis, dash).
+_PUNCT_SUFFIX = f" {_M('“')}well{_M('’')}s{_M('…')} {_M('–')} done"
+#: Natively-present smart punctuation + a bare non-breaking space.
+_NATIVE_SUFFIX = " ‘native’ “quotes” – and — plus…" + chr(0xA0) + "end"
+
+
+def encoding_repair_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake/encoding repair over a deterministically dirtied corpus:
+    every 9th doc gets double-encoded accents (``Ã©``-class + a broken
+    nbsp), every 12th (+1) double-encoded smart punctuation
+    (``â€œ``-class), every 15th (+2) native smart quotes/dashes/ellipsis
+    and a bare nbsp. Output: one row per REPAIRED document with both
+    lengths and the repaired text itself — the strongest hashable
+    surface (the full repaired string, not just counts). The repair is
+    a pure codegen replace chain (ops/text.repair_encoding) mirrored
+    verbatim in SQL; idempotence (repair∘repair == repair) is pinned in
+    tests/test_ops_units.py."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    m = F.col("doc_id")
+    feed = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(m % 9 == 0, F.lit(_ACCENT_SUFFIX)).otherwise(F.lit("")),
+            F.when(m % 12 == 1, F.lit(_PUNCT_SUFFIX)).otherwise(F.lit("")),
+            F.when(m % 15 == 2, F.lit(_NATIVE_SUFFIX)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return (
+        feed.withColumn("text_repaired", TX.repair_encoding(F.col("text")))
+        .filter(F.col("text_repaired") != F.col("text"))
+        .select(
+            "doc_id",
+            "lang",
+            F.length("text").alias("len_raw"),
+            F.length("text_repaired").alias("len_repaired"),
+            "text_repaired",
+        )
+    )
+
+
+def _sql_lit(s: str) -> str:
+    return s.replace("'", "''")
+
+
+ENCODING_REPAIR_ORACLE = f"""
+WITH feed AS (
+  SELECT doc_id, lang,
+         text
+         || CASE WHEN doc_id % 9 = 0 THEN '{_sql_lit(_ACCENT_SUFFIX)}' ELSE '' END
+         || CASE WHEN doc_id % 12 = 1 THEN '{_sql_lit(_PUNCT_SUFFIX)}' ELSE '' END
+         || CASE WHEN doc_id % 15 = 2 THEN '{_sql_lit(_NATIVE_SUFFIX)}' ELSE '' END
+           AS text
+  FROM documents
+),
+rep AS (
+  SELECT doc_id, lang, text,
+         {TX.sql_repair_encoding("text")} AS text_repaired
+  FROM feed
+)
+SELECT doc_id, lang,
+       CAST(len(text) AS INT) AS len_raw,
+       CAST(len(text_repaired) AS INT) AS len_repaired,
+       text_repaired
+FROM rep WHERE text_repaired <> text
+"""
+
+
 QUERIES: QueryRegistry = {
+    "encoding_repair_profile": Query(
+        encoding_repair_profile,
+        ENCODING_REPAIR_ORACLE,
+        "mojibake repair: double-encoded UTF-8 / cp1252 artifacts undone, "
+        "smart punctuation normalized, nbsp collapsed — full repaired "
+        "text hash-checked over a computed-pair-table fixture",
+    ),
     "duplicated_span_removal": Query(
         duplicated_span_removal,
         SPAN_REMOVAL_ORACLE,

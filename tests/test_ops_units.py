@@ -510,6 +510,55 @@ def test_strip_markup_escaped_entities_not_double_decoded(spark):
     assert got[3] == "t & u v"
 
 
+def test_encoding_repair_ground_truth_and_idempotence(spark):
+    """The repair chain must (a) invert the cp1252 mis-decode it models:
+    for every pair-table char, repair(mojibake(x)) == normalized(x) —
+    checked against Python's encode/decode as independent ground truth,
+    not the table itself; (b) be idempotent: repair(repair(x)) ==
+    repair(x) for artifact-dense text (no repaired output re-matches an
+    artifact); (c) leave clean ASCII untouched."""
+    from dynamic_etl_spark.ops.text import (
+        _SMART_PUNCT,
+        _mojibake,
+        repair_encoding,
+    )
+
+    dirty = (
+        "caf" + _mojibake("é") + " says " + _mojibake("“") + "h"
+        + _mojibake("’") + "s" + _mojibake("…") + " – tail" + chr(0xA0) + "x"
+    )
+    rows = [
+        (1, dirty),
+        (2, "plain ascii, untouched."),
+        # ground truth per accent char, independent of the pair table:
+        # the artifact is re-derived here via encode/decode
+        *[(10 + i, _mojibake(ch)) for i, ch in enumerate("éèäöüñçáóúà")],
+        *[
+            (30 + i, _mojibake(ch))
+            for i, ch in enumerate(k for k in _SMART_PUNCT if k != "”")
+        ],
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    once = {
+        r["id"]: r["r"]
+        for r in df.select("id", repair_encoding(F.col("text")).alias("r")).collect()
+    }
+    assert once[1] == 'café says "h\'s... - tail x'
+    assert once[2] == "plain ascii, untouched."
+    for i, ch in enumerate("éèäöüñçáóúà"):
+        assert once[10 + i] == ch, (ch, once[10 + i])
+    for i, ch in enumerate(k for k in _SMART_PUNCT if k != "”"):
+        assert once[30 + i] == _SMART_PUNCT[ch], (ch, once[30 + i])
+    # idempotence: a second pass changes nothing
+    twice = {
+        r["id"]: r["r2"]
+        for r in df.select(
+            "id", repair_encoding(repair_encoding(F.col("text"))).alias("r2")
+        ).collect()
+    }
+    assert twice == once
+
+
 def test_resample_linear_span_without_grid_point_and_null_values(spark):
     """(review r4) A key whose span contains no grid point yields zero
     rows (not a sequence-bounds crash), and null-valued observations are

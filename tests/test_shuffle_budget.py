@@ -218,6 +218,7 @@ SHUFFLE_BUDGET = {
     # the pair-source swap lives entirely behind the s3 checkpoint
     # (measured 9); tier-3's banded shape is pinned by the pair-source
     # plan test + job budget
+    "encoding_repair_profile": 0,   # pure codegen replace chain; map-side only
     "semantic_decontamination": 1,  # eval-set collect_list fold; corpus never shuffles
     "quasi_identifier_risk": 3,     # class groupBy + threshold fold + output sort
     "source_diversity_profile": 3,  # word-count groupBy + per-source fold + output sort
