@@ -264,6 +264,7 @@ _TAIL_ORDER = (
     "minhash_near_dup_exacthash",
     "curation_pipeline_lsh",
     "encoding_repair_profile",
+    "fk_orphan_attribution",
     "bpe_merge_training",
     # rows-only (encode of the iteratively-trained table; reference-encode
     # equality pytest)

@@ -645,15 +645,29 @@ def ks_drift_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Every FK edge in the TPC-H-ish schema: (name, child table, child key,
-#: parent table, parent key). One definition drives BOTH engine sides.
+#: parent table, parent key(s)). One definition drives BOTH engine
+#: sides. Keys are TUPLES (r8, VERDICT r7 #6): the reference's fact
+#: MERGE keys on a multi-part natural key
+#: (/root/reference/scripts2/load_fact_sales_dw.py:390-416), so the
+#: audit must cover composite edges too — the last edge checks the
+#: implied part-supplier pairing (child pairs dirtied, parent = the
+#: clean distinct pairs of the same table, the partsupp dim this
+#: schema implies but does not materialize).
 _FK_EDGES = (
-    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
-    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
-    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
-    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
-    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
-    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
-    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders->customer", "orders", ("o_custkey",), "customer", ("c_custkey",)),
+    ("lineitem->orders", "lineitem", ("l_orderkey",), "orders", ("o_orderkey",)),
+    ("lineitem->part", "lineitem", ("l_partkey",), "part", ("p_partkey",)),
+    ("lineitem->supplier", "lineitem", ("l_suppkey",), "supplier", ("s_suppkey",)),
+    ("customer->nation", "customer", ("c_nationkey",), "nation", ("n_nationkey",)),
+    ("supplier->nation", "supplier", ("s_nationkey",), "nation", ("n_nationkey",)),
+    ("nation->region", "nation", ("n_regionkey",), "region", ("r_regionkey",)),
+    (
+        "lineitem->partsupp(implied)",
+        "lineitem",
+        ("l_partkey", "l_suppkey"),
+        "lineitem",
+        ("l_partkey", "l_suppkey"),
+    ),
 )
 
 
@@ -679,19 +693,26 @@ def fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     can never silently re-enter the parent domain the way a fixed
     +offset would at sf >= 1; % 101 == 1 goes NULL, counted as an
     orphan: an unresolvable reference either way), and every edge
-    reports a nonzero mixed PASS/FAIL row like validation_report."""
+    reports a nonzero mixed PASS/FAIL row like validation_report.
+
+    Composite edges (r8): every key PART gets the dirty rule
+    independently, the join equates all parts (a NULL part never
+    matches — unresolvable either way), and the parent side is the
+    DISTINCT clean key tuples. Worst-offender attribution lives in the
+    sibling :func:`fk_orphan_attribution`."""
     per_edge = []
-    for name, child, ck, parent, pk in _FK_EDGES:
-        k = F.col(ck)
-        dirty = (
-            F.when(k % 97 == 0, -(k + 1))
-            .when(k % 101 == 1, F.lit(None))
-            .otherwise(k)
+    for name, child, cks, parent, pks in _FK_EDGES:
+        c = t(spark, sf_dir, child).select(
+            *[_fk_dirty(ck).alias(f"__k{i}") for i, ck in enumerate(cks)]
         )
-        c = t(spark, sf_dir, child).select(dirty.alias("__k"))
-        p = t(spark, sf_dir, parent).select(F.col(pk).alias("__k")).distinct()
+        p = (
+            t(spark, sf_dir, parent)
+            .select(*[F.col(pk).alias(f"__k{i}") for i, pk in enumerate(pks)])
+            .distinct()
+        )
+        keys = [f"__k{i}" for i in range(len(cks))]
         per_edge.append(
-            c.join(p.withColumn("__hit", F.lit(1)), "__k", "left").agg(
+            c.join(p.withColumn("__hit", F.lit(1)), keys, "left").agg(
                 F.lit(name).alias("relationship"),
                 F.count(F.lit(1)).alias("child_rows"),
                 F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias(
@@ -713,18 +734,96 @@ def fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("relationship")
 
 
-def _fk_edge_sql(name: str, child: str, ck: str, parent: str, pk: str) -> str:
-    dirty = (
+def _fk_dirty(ck: str):
+    """The shared key-modulo dirty plant, applied per key part."""
+    k = F.col(ck)
+    return (
+        F.when(k % 97 == 0, -(k + 1))
+        .when(k % 101 == 1, F.lit(None))
+        .otherwise(k)
+    )
+
+
+def fk_orphan_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst-offender sample for the FK audit (VERDICT r7 #6): the top-5
+    orphan KEY VALUES per edge by orphan count — the row an operator
+    acts on ('which supplier id is flooding the load with unresolvable
+    references'). Key tuples render as '|'-joined strings with NULL
+    parts as '∅', so the NULL-plant bucket surfaces as its own (usually
+    dominant) offender. Rank is total-ordered (count DESC, key ASC) and
+    LIMITED to 5 per edge — bounded output regardless of corpus size.
+    Scale shape: the top-5 cut is orderBy+limit, which compiles to
+    TakeOrderedAndProject (each partition keeps its own top-5, the
+    driver merges 5 x partitions rows) — a global rank window here
+    would single-partition-sort every distinct orphan key instead
+    (measured: Spark does NOT push WindowGroupLimit into an
+    unpartitioned window); the row_number that labels the final rank
+    runs AFTER the limit, over at most 5 rows per edge."""
+    per_edge = []
+    for name, child, cks, parent, pks in _FK_EDGES:
+        c = t(spark, sf_dir, child).select(
+            *[_fk_dirty(ck).alias(f"__k{i}") for i, ck in enumerate(cks)]
+        )
+        p = (
+            t(spark, sf_dir, parent)
+            .select(*[F.col(pk).alias(f"__k{i}") for i, pk in enumerate(pks)])
+            .distinct()
+        )
+        keys = [f"__k{i}" for i in range(len(cks))]
+        orphan_key = F.concat_ws(
+            "|", *[F.coalesce(F.col(k).cast("string"), F.lit("∅")) for k in keys]
+        )
+        top5 = (
+            c.join(p.withColumn("__hit", F.lit(1)), keys, "left")
+            .filter(F.col("__hit").isNull())
+            .groupBy(orphan_key.alias("orphan_key"))
+            .agg(F.count(F.lit(1)).alias("orphan_count"))
+            .orderBy(F.col("orphan_count").desc(), F.col("orphan_key"))
+            .limit(5)
+        )
+        w = Window.orderBy(F.col("orphan_count").desc(), F.col("orphan_key"))
+        per_edge.append(
+            top5.withColumn("rnk", F.row_number().over(w)).select(
+                F.lit(name).alias("relationship"),
+                "orphan_key",
+                "orphan_count",
+                "rnk",
+            )
+        )
+    report = per_edge[0]
+    for e in per_edge[1:]:
+        report = report.unionByName(e)
+    return report.orderBy("relationship", "rnk")
+
+
+def _sql_fk_dirty(ck: str) -> str:
+    return (
         f"CASE WHEN {ck} % 97 = 0 THEN -({ck} + 1)"
         f" WHEN {ck} % 101 = 1 THEN NULL ELSE {ck} END"
     )
+
+
+def _fk_join_sql(child: str, cks: tuple, parent: str, pks: tuple) -> str:
+    """Shared FROM/LEFT JOIN clause: dirtied child key parts vs the
+    distinct clean parent tuples, equated part-by-part."""
+    c_sel = ", ".join(
+        f"{_sql_fk_dirty(ck)} AS __c{i}" for i, ck in enumerate(cks)
+    )
+    p_sel = ", ".join(f"{pk} AS __k{i}" for i, pk in enumerate(pks))
+    on = " AND ".join(f"c.__c{i} = p.__k{i}" for i in range(len(cks)))
+    return (
+        f"FROM (SELECT {c_sel} FROM {child}) c\n"
+        f"  LEFT JOIN (SELECT DISTINCT {p_sel} FROM {parent}) p ON {on}"
+    )
+
+
+def _fk_edge_sql(name: str, child: str, cks: tuple, parent: str, pks: tuple) -> str:
     return f"""
   SELECT '{name}' AS relationship,
          count(*) AS child_rows,
-         CAST(SUM(CASE WHEN p.__k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         CAST(SUM(CASE WHEN p.__k0 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS orphan_rows
-  FROM (SELECT {dirty} AS __c FROM {child}) c
-  LEFT JOIN (SELECT DISTINCT {pk} AS __k FROM {parent}) p ON c.__c = p.__k"""
+  {_fk_join_sql(child, cks, parent, pks)}"""
 
 
 FK_INTEGRITY_ORACLE = (
@@ -737,6 +836,36 @@ SELECT relationship, child_rows, orphan_rows,
          AS orphan_ratio
 FROM edges
 ORDER BY relationship
+"""
+)
+
+
+def _fk_attr_edge_sql(
+    name: str, child: str, cks: tuple, parent: str, pks: tuple
+) -> str:
+    key = " || '|' || ".join(
+        f"COALESCE(CAST(c.__c{i} AS VARCHAR), '∅')" for i in range(len(cks))
+    )
+    return f"""
+  SELECT '{name}' AS relationship, orphan_key, orphan_count,
+         CAST(ROW_NUMBER() OVER (ORDER BY orphan_count DESC, orphan_key)
+              AS INT) AS rnk
+  FROM (
+    SELECT {key} AS orphan_key, count(*) AS orphan_count
+    {_fk_join_sql(child, cks, parent, pks)}
+    WHERE p.__k0 IS NULL
+    GROUP BY 1
+  ) QUALIFY rnk <= 5"""
+
+
+FK_ATTRIBUTION_ORACLE = (
+    "WITH ranked AS ("
+    + "\n  UNION ALL".join(_fk_attr_edge_sql(*e) for e in _FK_EDGES)
+    + """
+)
+SELECT relationship, orphan_key, CAST(orphan_count AS BIGINT) AS orphan_count, rnk
+FROM ranked
+ORDER BY relationship, rnk
 """
 )
 
@@ -900,6 +1029,12 @@ QUERIES: QueryRegistry = {
     "fk_integrity_report": Query(
         fk_integrity_report, FK_INTEGRITY_ORACLE,
         "warehouse-wide referential-integrity audit: child/orphan rows "
-        "and orphan ratio per FK edge of the schema",
+        "and orphan ratio per FK edge of the schema, incl. a composite "
+        "(part, supplier) natural-key edge",
+    ),
+    "fk_orphan_attribution": Query(
+        fk_orphan_attribution, FK_ATTRIBUTION_ORACLE,
+        "FK audit worst offenders: top-5 orphan key values per edge "
+        "(NULL parts bucketed), total-ordered rank, bounded output",
     ),
 }
