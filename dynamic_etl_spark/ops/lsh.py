@@ -406,6 +406,7 @@ def incremental_near_dup_merge(
     bands: int = 8,
     shingle_k: int = 3,
     existing_banded: DataFrame | None = None,
+    hash_mode: str = "xxhash",
 ) -> dict[str, DataFrame]:
     """Incremental near-dup admission: check a NEW batch against an
     already-deduplicated corpus without re-LSHing the corpus.
@@ -434,9 +435,24 @@ def incremental_near_dup_merge(
     (id_new, id_matched, jaccard_sim, scope∈{existing,batch}),
     "new_banded": banded signature rows of the admitted docs — append
     them to the signature store for the next batch}``.
+
+    ``hash_mode`` follows :func:`minhash_banded_rows`; a signature
+    store is MODE-SPECIFIC — probing an xxhash store with md5 bands
+    would silently collide on nothing (the join would null-cast the
+    mismatched key types), so a passed ``existing_banded`` whose
+    band_hash dtype disagrees with the mode is refused loudly.
     """
     from dynamic_etl_spark.ops.graph import connected_components
 
+    if existing_banded is not None:
+        want = "string" if hash_mode == "md5" else "bigint"
+        got = existing_banded.schema["band_hash"].dataType.simpleString()
+        if got != want:
+            raise ValueError(
+                f"incremental_near_dup_merge: hash_mode={hash_mode!r} expects "
+                f"a {want} band_hash store, got {got} — the signature store "
+                "was built in a different hash mode"
+            )
     new_docs = ensure_fanout_parallelism(new_docs)
     # No persist/checkpoint on the BATCH-sized intermediates (banded_new,
     # sh_new): a persist leaks per call (CacheManager pins plans until an
@@ -448,11 +464,11 @@ def incremental_near_dup_merge(
     # STORE is the state). Only the two delta-sized, lineage-critical
     # frames below (dup_pairs, comps) checkpoint.
     banded_new = minhash_banded_rows(
-        new_docs, id_col, text_col, num_hashes, bands, shingle_k
+        new_docs, id_col, text_col, num_hashes, bands, shingle_k, hash_mode
     )
     if existing_banded is None:
         existing_banded = minhash_banded_rows(
-            existing_docs, id_col, text_col, num_hashes, bands, shingle_k
+            existing_docs, id_col, text_col, num_hashes, bands, shingle_k, hash_mode
         )
 
     cand_cross = (

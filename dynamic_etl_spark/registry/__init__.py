@@ -265,6 +265,7 @@ _TAIL_ORDER = (
     "curation_pipeline_lsh",
     "encoding_repair_profile",
     "fk_orphan_attribution",
+    "incremental_near_dup_exacthash",
     "bpe_merge_training",
     # rows-only (encode of the iteratively-trained table; reference-encode
     # equality pytest)

@@ -165,6 +165,40 @@ def test_incremental_matches_bruteforce_and_state_reuse(spark):
     assert accA == accB == expect2 == {202}
 
 
+def test_incremental_md5_mode_matches_bruteforce_and_refuses_mixed_store(spark):
+    """The md5-slice hash mode (the oracle-checkable admission variant)
+    must admit per the same brute-force rule, and a signature store
+    built in one mode must be REFUSED in the other — mixed-mode probing
+    would silently collide on nothing (the band_hash dtypes differ)."""
+    existing = {i: _sentence(i) for i in range(40)}
+    batch = {
+        100: _sentence(3) + " extra",
+        101: _sentence(60),
+        102: _sentence(61) + " a",
+        103: _sentence(61) + " b",
+        104: _sentence(62),
+    }
+    e_df, b_df = _df(spark, list(existing.items())), _df(spark, list(batch.items()))
+    out = L.incremental_near_dup_merge(
+        e_df, b_df, "doc_id", "text", threshold=THRESHOLD, hash_mode="md5"
+    )
+    acc = {r["doc_id"] for r in out["accepted"].collect()}
+    assert acc == _brute_admit(existing, batch) == {101, 102, 104}
+
+    xx_store = L.minhash_banded_rows(e_df, "doc_id", "text")
+    with pytest.raises(ValueError, match="different hash mode"):
+        L.incremental_near_dup_merge(
+            e_df, b_df, "doc_id", "text", threshold=THRESHOLD,
+            existing_banded=xx_store, hash_mode="md5",
+        )
+    md5_store = L.minhash_banded_rows(e_df, "doc_id", "text", hash_mode="md5")
+    with pytest.raises(ValueError, match="different hash mode"):
+        L.incremental_near_dup_merge(
+            e_df, b_df, "doc_id", "text", threshold=THRESHOLD,
+            existing_banded=md5_store,
+        )
+
+
 def test_incremental_distributed_cc_fallback_matches_driver_path(spark, monkeypatch):
     """Past the pair threshold the within-batch components run as
     distributed pointer-jumping CC; both paths must admit identically."""

@@ -43,6 +43,8 @@ JOB_BUDGETS = {
     # (VERDICT r7 #4) — the 38-44 observed band shifts down a job; the
     # rejected r4 fold experiment (47) stays well above the ceiling
     "incremental_near_dup": 44,
+    "incremental_near_dup_exacthash": 46,  # xxhash twin's band + the md5
+    # signature chain's extra sub-jobs (measured 42)
     "semantic_dedup_survivors": 43,
     "embedding_knn_join": 32,
     "heavy_hitter_maintenance": 13,

@@ -263,6 +263,8 @@ SHUFFLE_BUDGET = {
     # hash family changes, the exchanges don't)
     "minhash_near_dup_exacthash": 6,
     "incremental_near_dup": 13,
+    # md5-slice mode: identical plan shape to the xxhash admission twin
+    "incremental_near_dup_exacthash": 13,
     "simhash_near_dup": 2,
     "embedding_ann_lsh": 2,
     # r5: two searches share ONE prebuilt index (reuse made load-bearing);
