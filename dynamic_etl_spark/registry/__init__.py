@@ -28,114 +28,57 @@ from dynamic_etl_spark.registry.core import Query, QueryRegistry
 #: checked in tests/test_llm.py) go last.
 DRIVER_WINDOW = 50
 
-#: Positions 1-50 — the r7 rotation (VERDICT r6 #1): the 13 r6
-#: post-window additions that have never carried the driver's hash take
-#: the head slots, closing the cumulative ledger at 138/138 oracle-backed
-#: queries; next comes the one confirmed query whose code path changed
-#: this round (multimodal_feature_extract's numpy decode rewrite must
-#: re-earn its hash). The remaining slots re-confirm r1–r6-green
-#: representatives across every family.
+#: Positions 1-50 — the r8 rotation (VERDICT r7 #3 + this round's new
+#: queries): every query that ships or changes code this round takes a
+#: hard-signal slot first, then ALL 28 queries whose latest driver
+#: confirmation predates r5 (rotation hygiene: no confirmation older
+#: than 3 rounds), then the oldest r5-era confirmations as backfill.
 _WINDOW_ORDER = (
-    # ---- the 13 never-driver-confirmed r6 post-window additions ----
-    "count_min_maintenance",
-    "duplicated_span_removal",
-    "events_compaction_plan",
-    "events_ks_drift",
-    # new r7: its fixed-grid scale path (VERDICT r6 #2)
-    "events_ks_drift_binned",
-    # new r7: its range-adaptive twin for unknown-scale domains
-    "events_ks_drift_autogrid",
-    "events_value_trend",
-    "fk_integrity_report",
-    "leakage_safe_split",
-    "length_bucketed_batching",
-    "quasi_identifier_risk",
-    "rollup_slice_rebuild",
-    "semantic_decontamination",
-    "semantic_decontamination_vectorized",
-    "source_diversity_profile",
-    # changed code path this round: vectorized media decode (VERDICT r6 #4)
-    "multimodal_feature_extract",
-    # new r7: the composed curation cascade with per-stage removal
-    # accounting (VERDICT r6 #6)
-    "curation_pipeline_accounting",
-    # new r7: maintained KS drift, leakage audit, dedup forecast,
-    # surgical span decontamination — in-window so NOTHING ships this
-    # round without a driver hash
-    "ks_drift_maintenance",
-    "split_leakage_audit",
-    "dedup_impact_forecast",
-    "benchmark_span_scrub",
-    # ---- backfill: r1–r6-green representatives across families ----
-    # relational scans / joins / aggregates
-    "flagship_star_join",
-    "scan_projection_filter",
-    "pricing_summary",
-    "duplicate_detection",
-    "fallback_key_resolution",
-    # windows / dedup
-    "surrogate_key_assignment",
-    # cleaning
-    "clean_store_feed",
-    "clean_product_feed",
-    # dates
-    "date_dimension_build",
-    # merge / SCD
-    "change_detection_classification",
-    "scd1_merge_orders",
-    "scd2_merge_customers",
-    # events
-    "events_tumbling_window",
-    "events_sessionization",
-    "events_asof_last_purchase",
-    # LLM-data-pipeline layer
-    "text_stats_profile",
-    "language_id_profile",
-    "exact_dedup_fingerprint",
-    "ngram_jaccard_similarity",
-    "gopher_repetition_gates",
-    "pii_detect_redact",
-    "benchmark_decontamination",
-    "line_dedup_profile",
-    "near_dup_components",
-    "dedup_survivors",
-    "sequence_packing",
-    "embedding_near_dup",
-    # generators + validation
-    "generator_fact_day",
-    "validation_report",
-)
-
-#: Rotated out after earning their driver-green (r1–r6); the local
-#: pytest parity harness still hash-checks each against the same oracle
-#: every run.
-_ROTATED_OUT = (
-    # r6 window heads, confirmed green in CORRECTNESS_r06 — swapped out
-    # to hand every remaining hard-signal slot to the never-confirmed 13
-    "heavy_hitter_maintenance",
-    "rank_sketch_finalize_exact",
-    "document_gram_exposure",
-    "grouping_sets_order_totals",
-    "value_anomaly_mad",
-    "dedup_keep_last_line_agg",
-    "events_hourly_heatmap",
-    "generator_products",
-    "generator_distributors",
-    "embedding_dim_spread",
-    # r6-green backfill that ceded its slot to the r7 rotation (family
-    # coverage stays in-window via siblings: flagship/fallback joins,
-    # exact/ngram/line dedup, tumbling/sessionization/asof events)
-    "salted_skew_join",
-    "drop_unresolved_keys",
-    "embedding_topk_bruteforce",
-    "null_count_profile",
-    "rollup_totals",
-    "date_gap_fill_incremental",
-    "mini_dim_upsert",
-    "coercion_failure_profile",
-    "winnowing_fingerprint",
-    "events_range_interval_join",
-    # r5 window, confirmed green in CORRECTNESS_r05
+    # ---- NEW r8, never driver-confirmed ----
+    # md5-slice MinHash: the first oracle-backed LSH pipeline
+    "minhash_near_dup_exacthash",
+    # the cascade in production (LSH tier) configuration
+    "curation_pipeline_lsh",
+    # mojibake repair over the computed pair table
+    "encoding_repair_profile",
+    # FK worst-offender attribution (incl. composite edge)
+    "fk_orphan_attribution",
+    # the persistent-store admission pipeline, md5 mode
+    "incremental_near_dup_exacthash",
+    # ---- changed code/surface this round: must re-earn the hash ----
+    "fk_integrity_report",          # +composite partsupp(implied) edge
+    "events_ks_drift_autogrid",     # +/-inf excluded from the row universe
+    "curation_pipeline_accounting", # tier 3 behind the pair_source seam
+    # ---- the 28 stale confirmations (last green r2-r4) ----
+    "point_and_flag_filter",
+    "customers_with_orders",
+    "customers_without_orders",
+    "dedup_keep_first_line",
+    "duplicate_group_members",
+    "cube_order_totals",
+    "natural_key_concat",
+    "date_backfill_initial",
+    "events_sliding_window",
+    "events_rate_profile",
+    "high_water_mark",
+    "numeric_profile",
+    "nation_key_set_ops",
+    "latest_order_per_customer",
+    "freshness_watermark",
+    "clean_distributor_feed",
+    "insert_only_merge",
+    "events_json_extract",
+    "distinct_profile",
+    "top_part_types",
+    "customer_order_sequence",
+    "dedup_keep_last_line",
+    "alias_header_resolution",
+    "tiered_discount_pricing",
+    "date_key_lookup",
+    "snowflake_extraction",
+    "corpus_stratified_sample",
+    "embedding_topk_vectorized",
+    # ---- backfill: oldest (r5) confirmations, family-diverse ----
     "scd2_point_in_time_lookup",
     "orders_snapshot_diff",
     "incremental_rollup_maintenance",
@@ -146,152 +89,137 @@ _ROTATED_OUT = (
     "knn_label_vote",
     "benchmark_decontamination_bloom",
     "embedding_label_centroids",
-    "embedding_int8_quant",
-    "corpus_split_assignment",
-    "corpus_mixture_sample",
-    "shard_assignment_profile",
-    "source_quota_cap",
-    "tfidf_top_terms",
-    "bigram_novelty_profile",
-    "document_chunking",
-    "vocabulary_build",
-    "pmi_collocations_top",
-    "markup_strip_clean",
-    "quality_rank_calibration",
-    "source_concentration_profile",
-    "value_outlier_gate",
-    "events_key_skew_profile",
     "events_funnel_conversion",
     "events_retention_cohorts",
-    "events_type_drift_profile",
-    "events_value_percentiles",
-    "events_type_pivot",
-    "events_type_unpivot",
-    "events_rolling_user_value",
-    "events_interarrival_profile",
-    "events_rolling_distinct_users",
-    "events_value_histogram",
-    "events_equidepth_deciles",
-    "events_fill_forward",
-    "events_hourly_resample",
-    "events_transition_matrix",
-    "events_minmax_scaled",
-    "events_value_zscore",
-    "orders_above_customer_avg",
-    "order_price_distribution_ranks",
-    "customer_rfm_segmentation",
-    "nation_segment_listagg",
-    "fuzzy_brand_match",
-    "generator_stores",
-    # r1–r4-green twins that ceded their backfill slot this round
-    "corpus_stratified_sample",
-    "customer_order_sequence",
-    "distinct_profile",
-    "top_part_types",
-    "dedup_keep_last_line",
-    "alias_header_resolution",
-    "tiered_discount_pricing",
-    "date_key_lookup",
-    "snowflake_extraction",
-    "embedding_topk_vectorized",
+    "tfidf_top_terms",
+    "source_quota_cap",
 )
 
-#: Positions 51+: previously driver-confirmed queries rotated out in
-#: earlier rounds, oracle-backed twins of windowed/confirmed
-#: operators (all still locally hash-checked every run by
-#: tests/test_oracle_parity.py), then the rows-only queries.
+#: Rotated out after earning their driver-green (r1-r7); the local
+#: pytest parity harness still hash-checks each against the same oracle
+#: every run. Alphabetical — position past 50 carries no signal.
+_ROTATED_OUT = (
+    "benchmark_decontamination",
+    "benchmark_span_scrub",
+    "bigram_novelty_profile",
+    "change_detection_classification",
+    "clean_product_feed",
+    "clean_store_feed",
+    "coercion_failure_profile",
+    "corpus_mixture_sample",
+    "corpus_split_assignment",
+    "count_min_maintenance",
+    "customer_rfm_segmentation",
+    "date_dimension_build",
+    "date_gap_fill_incremental",
+    "dedup_impact_forecast",
+    "dedup_keep_last_line_agg",
+    "dedup_survivors",
+    "document_chunking",
+    "document_gram_exposure",
+    "drop_unresolved_keys",
+    "duplicate_detection",
+    "duplicated_span_removal",
+    "embedding_dim_spread",
+    "embedding_int8_quant",
+    "embedding_near_dup",
+    "embedding_topk_bruteforce",
+    "events_asof_last_purchase",
+    "events_compaction_plan",
+    "events_equidepth_deciles",
+    "events_fill_forward",
+    "events_hourly_heatmap",
+    "events_hourly_resample",
+    "events_interarrival_profile",
+    "events_key_skew_profile",
+    "events_ks_drift",
+    "events_ks_drift_binned",
+    "events_minmax_scaled",
+    "events_range_interval_join",
+    "events_rolling_distinct_users",
+    "events_rolling_user_value",
+    "events_sessionization",
+    "events_transition_matrix",
+    "events_tumbling_window",
+    "events_type_drift_profile",
+    "events_type_pivot",
+    "events_type_unpivot",
+    "events_value_histogram",
+    "events_value_percentiles",
+    "events_value_trend",
+    "events_value_zscore",
+    "exact_dedup_fingerprint",
+    "fallback_key_resolution",
+    "flagship_star_join",
+    "fuzzy_brand_match",
+    "generator_distributors",
+    "generator_fact_day",
+    "generator_products",
+    "generator_stores",
+    "gopher_repetition_gates",
+    "grouping_sets_order_totals",
+    "heavy_hitter_maintenance",
+    "ks_drift_maintenance",
+    "language_id_profile",
+    "leakage_safe_split",
+    "length_bucketed_batching",
+    "line_dedup_profile",
+    "markup_strip_clean",
+    "mini_dim_upsert",
+    "multimodal_feature_extract",
+    "nation_segment_listagg",
+    "near_dup_components",
+    "ngram_jaccard_similarity",
+    "null_count_profile",
+    "order_price_distribution_ranks",
+    "orders_above_customer_avg",
+    "pii_detect_redact",
+    "pmi_collocations_top",
+    "pricing_summary",
+    "quality_rank_calibration",
+    "quasi_identifier_risk",
+    "rank_sketch_finalize_exact",
+    "rollup_slice_rebuild",
+    "rollup_totals",
+    "salted_skew_join",
+    "scan_projection_filter",
+    "scd1_merge_orders",
+    "scd2_merge_customers",
+    "semantic_decontamination",
+    "semantic_decontamination_vectorized",
+    "sequence_packing",
+    "shard_assignment_profile",
+    "source_concentration_profile",
+    "source_diversity_profile",
+    "split_leakage_audit",
+    "surrogate_key_assignment",
+    "text_stats_profile",
+    "validation_report",
+    "value_anomaly_mad",
+    "value_outlier_gate",
+    "vocabulary_build",
+    "winnowing_fingerprint",
+)
+
+#: Positions past the rotated-out block: the rows-only queries
+#: (engine-hash/libm-specific; each carries a brute-force or property
+#: pytest — and since r8 the MinHash/incremental families ALSO carry
+#: oracle-backed md5-mode twins inside the window).
 _TAIL_ORDER = (
-    # r4 rotation: driver-confirmed green in CORRECTNESS_r03 — swapped out
-    # of the window to hand the hard signal to never-driver-checked
-    # families; the local harness still hash-checks them every run.
-    "high_water_mark",             # A1, green r03
-    "numeric_profile",             # A6, green r03
-    "nation_key_set_ops",          # set-ops, green r03
-    "freshness_watermark",         # A3, green r03
-    "latest_order_per_customer",   # W3, green r03
-    "clean_distributor_feed",      # F31 twin, green r03
-    "insert_only_merge",           # U4, green r03
-    "events_json_extract",         # events twin, green r03
-    "point_and_flag_filter",       # P-coverage subsumed by scan_projection_filter
-    "customers_with_orders",       # J6 semi twin of the windowed J7 anti (P11)
-    "customers_without_orders",    # J7 anti; 0-row result — weak driver signal,
-                                   # anti coverage stays via drop_unresolved_keys
-    "events_sliding_window",       # W twin of events_tumbling_window
-    "events_rate_profile",         # bounded agg twin of the events family
-    "cube_order_totals",           # A9 subsumed by rollup_totals
-    "dedup_keep_first_line",       # D2 twin of dedup_keep_last_line (+ clean_store_feed)
-    "duplicate_group_members",     # D3 sibling of duplicate_detection (A7)
-    "natural_key_concat",          # F9 concat also exercised in the clean feeds
-    "date_backfill_initial",       # U5 twin of date_gap_fill_incremental
-    # document-quality layer (oracle-backed)
-    # quota capping, percentile profiles (oracle-backed)
-    # SCD-2 read side: point-in-time attribution (oracle-backed)
-    # version-to-version table diff with per-column attribution
-    # (oracle-backed)
-    # training-mix assembly (oracle-backed)
-    # embedding aggregation + quantization audit (oracle-backed)
-    # rolling / inter-arrival event analytics (oracle-backed)
-    # robust-statistics DQ gate (oracle-backed)
-    # shuffle-key skew diagnostics (oracle-backed)
-    # Z-order layout: Morton-tile locality audit (oracle-backed)
-    # mergeable aggregation state: merge tree == one-shot (oracle-backed)
-    # mergeable Misra-Gries heavy-hitter summaries (oracle-backed)
-    # mergeable per-key uniform reservoir: merge tree == one-shot
-    # (oracle-backed)
-    # mergeable quantile histograms: maintained P50/P90/P99
-    # (oracle-backed)
-    # snapshot distribution drift (oracle-backed)
-    # long->wide pivot and its melt inverse (oracle-backed)
-    # retention cohort triangle (oracle-backed)
-    # blocked edit-distance lookup (oracle-backed)
-    # correlated-aggregate filter + distribution ranks (oracle-backed)
-    # string aggregation (oracle-backed)
-    # windowed distinct count + binned histogram (oracle-backed)
-    # LOCF gap repair + linear regridding + Markov transitions
-    # (oracle-backed)
-    # feature scaling: min-max + z-score (oracle-backed)
-    # context-window chunking + vocabulary + collocations + markup strip
-    # (oracle-backed)
-    # semantic dedup + kNN label propagation (oracle-backed)
-    # decontamination scale path: bloom prefilter + exact verify, equals
-    # the windowed exact query (oracle-backed twin)
-    # corpus-LM quality gate (oracle-backed)
-    # training-shard export audit (oracle-backed)
-    # rows-only (iterative per-round argmax; reference-BPE-checked in
-    # pytest)
-    # r8 NEW, oracle-backed (md5-slice LSH) — promoted to the r8 window
-    # in the final rotation; parked here until the window reshuffle
-    "minhash_near_dup_exacthash",
-    "curation_pipeline_lsh",
-    "encoding_repair_profile",
-    "fk_orphan_attribution",
-    "incremental_near_dup_exacthash",
     "bpe_merge_training",
-    # rows-only (encode of the iteratively-trained table; reference-encode
-    # equality pytest)
     "bpe_encode_stats",
-    # rows-only (IEEE rank sums; numpy power-iteration-checked in pytest)
     "events_type_pagerank",
-    # rows-only (engine-hash-specific; brute-force-checked in pytest)
     "approx_distinct_profile",
     "minhash_near_dup",
     "incremental_near_dup",
     "simhash_near_dup",
     "embedding_ann_lsh",
     "embedding_ann_ivf",
-    # rows-only (k-means cells engine-specific; exact-equality pytest at
-    # n_probe==n_cells + 100k recall gate in test_scale_stress)
     "embedding_knn_join",
-    # rows-only (knn_join consumer; full-probe == brute-force pytest)
     "embedding_density_profile",
-    # rows-only (libm log2 is engine-specific; numpy-checked in pytest)
     "bigram_perplexity_profile",
-    # rows-only (HLL sketch bytes are engine-specific; tolerance pytest)
     "distinct_sketch_maintenance",
-    # rows-only (KLL compactor content is merge-tree-dependent within its
-    # rank-error bound; bound/merge/stream pytests in tests/test_kll.py)
     "rank_sketch_maintenance",
-    # rows-only (A-ES rank key uses libm pow; distribution pytest)
     "corpus_weighted_sample",
 )
 

@@ -32,41 +32,36 @@ def test_rows_only_query_runs(spark, name):
     assert len(df.columns) > 0
 
 
-def test_driver_window_holds_the_r7_rotation():
+def test_driver_window_holds_the_r8_rotation():
     """The driver hash-checks only the first DRIVER_WINDOW registered
-    queries. The r7 window closes the driver-signal ledger (VERDICT r6
-    #1): all 13 never-driver-confirmed r6 post-window additions sit
-    in-window, plus the one confirmed query whose code path changed this
-    round; every windowed query is oracle-backed; everything rotated out
-    stays hash-checked by this local harness."""
+    queries. The r8 window (VERDICT r7 #3): every query that ships or
+    changes code this round takes a hard-signal slot first, then the 28
+    queries whose latest driver confirmation predates r5 (rotation
+    hygiene: no confirmation older than 3 rounds); every windowed query
+    is oracle-backed; everything rotated out stays hash-checked by this
+    local harness."""
     from dynamic_etl_spark.registry import DRIVER_WINDOW, _ROTATED_OUT
 
     window = list(REGISTRY)[:DRIVER_WINDOW]
     for name in (
-        # the 13 r6 post-window additions, never driver-confirmed
-        "count_min_maintenance",
-        "duplicated_span_removal",
-        "events_compaction_plan",
-        "events_ks_drift",
-        "events_value_trend",
+        # new r8, never driver-confirmed
+        "minhash_near_dup_exacthash",
+        "curation_pipeline_lsh",
+        "encoding_repair_profile",
+        "fk_orphan_attribution",
+        "incremental_near_dup_exacthash",
+        # changed code/surface this round: must re-earn the hash
         "fk_integrity_report",
-        "leakage_safe_split",
-        "length_bucketed_batching",
-        "quasi_identifier_risk",
-        "rollup_slice_rebuild",
-        "semantic_decontamination",
-        "semantic_decontamination_vectorized",
-        "source_diversity_profile",
-        # numpy decode rewrite this round (VERDICT r6 #4)
-        "multimodal_feature_extract",
-        # every r7 addition ships with a hard-signal slot of its own
-        "events_ks_drift_binned",
         "events_ks_drift_autogrid",
         "curation_pipeline_accounting",
-        "ks_drift_maintenance",
-        "split_leakage_audit",
-        "dedup_impact_forecast",
-        "benchmark_span_scrub",
+        # representatives of the 28 stale (r2-r4-era) confirmations
+        "date_key_lookup",
+        "cube_order_totals",
+        "tiered_discount_pricing",
+        "customer_order_sequence",
+        "events_sliding_window",
+        "point_and_flag_filter",
+        "high_water_mark",
     ):
         assert name in window, f"{name} fell outside the driver correctness window"
     # a rows-only query in the window would waste a hash slot
