@@ -487,6 +487,7 @@ def lsh_ann_topk(
     bits: int = 16,
     bands: int = 4,
     query_id_col: str | None = None,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """Approximate top-k: candidates are corpus rows sharing at least one
     signature band with the query; exact cosine ranks the candidates.
@@ -505,8 +506,8 @@ def lsh_ann_topk(
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
     cands = (
-        srp_banded_rows(q, "query_id", vec_col, bits, bands)
-        .join(srp_banded_rows(c, "neighbor_id", vec_col, bits, bands),
+        srp_banded_rows(q, "query_id", vec_col, bits, bands, hash_mode=hash_mode)
+        .join(srp_banded_rows(c, "neighbor_id", vec_col, bits, bands, hash_mode=hash_mode),
               ["band_idx", "band_hash"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
@@ -529,6 +530,7 @@ def srp_banded_rows(
     bits: int = 32,
     bands: int = 4,
     seed: int = 0,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """(id, band_idx, band_hash) rows of a sign-random-projection signature,
     computed the codegen way: the vector EXPLODES to (id, pos, value) rows
@@ -537,11 +539,42 @@ def srp_banded_rows(
     codegen, no interpreted array lambdas (the higher-order-function
     formulation in ``_srp_bit`` runs interpreted and was measured ~10x
     slower per corpus pass; same trade-off as MinHash in ops/lsh.py).
-    Hyperplane component j of bit b is ±1 from xxhash64(seed, b, j) parity
-    — deterministic across runs, partitions, and cluster sizes.
+
+    ``hash_mode`` picks the hyperplane family (the ops/lsh.py convention):
+
+    - ``"xxhash"`` (default): component j of bit b is ±1 from
+      xxhash64(seed, b, j) parity, projections sum in double — the fast
+      production path, engine-specific (rows-only at the driver).
+    - ``"md5"``: signs come from md5-slice parity
+      (``conv(substr(md5('seed:b:j'),1,8),16,10) % 2`` == DuckDB
+      ``('0x'||substr(..))::BIGINT % 2``) and projections sum as
+      decimal(38,30) — ORDER-FREE within each engine, so the sign test
+      ``p > 0`` is partition-invariant and the whole signature → band →
+      candidate pipeline is SQL-reproducible. Cross-engine the scale-30
+      cast is exact for |x| >= 2^-7 and near-exact below (the
+      embedding_label_centroids bound, ~1e-27·n); a bit flip would need a
+      projection within that sliver of 0 — accepted, verified at both
+      driver scales. ~2-3x the hash cost; same sign-distribution quality.
+
+    Both modes are deterministic across runs, partitions, cluster sizes.
     """
 
     def proj(b: int) -> Column:
+        if hash_mode == "md5":
+            parity = (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit(seed), F.lit(b), F.col("__j"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            )
+            xd = F.col("__x").cast("decimal(38,30)")
+            return F.sum(F.when(parity == 0, xd).otherwise(-xd)).alias(f"__p{b}")
+        if hash_mode != "xxhash":
+            raise ValueError(f"unknown hash_mode: {hash_mode!r}")
         sign = F.lit(1.0) - 2.0 * (
             F.xxhash64(F.lit(seed), F.lit(b), F.col("__j")).bitwiseAND(F.lit(1))
         ).cast("double")
@@ -557,12 +590,22 @@ def srp_banded_rows(
     def bit(b: int) -> Column:
         return F.when(F.col(f"__p{b}") > 0, 1).otherwise(0)
 
-    bands_arr = F.array(
-        *[
-            F.xxhash64(F.lit(b), *[bit(b * rows + j) for j in range(rows)])
-            for b in range(bands)
-        ]
-    )
+    if hash_mode == "md5":
+        # string band key, md5('band:b0:b1:...') — fixed 32 chars, exactly
+        # DuckDB md5(band_idx || ':' || string_agg(bit, ':' ORDER BY b))
+        bands_arr = F.array(
+            *[
+                F.md5(F.concat_ws(":", F.lit(b), *[bit(b * rows + j) for j in range(rows)]))
+                for b in range(bands)
+            ]
+        )
+    else:
+        bands_arr = F.array(
+            *[
+                F.xxhash64(F.lit(b), *[bit(b * rows + j) for j in range(rows)])
+                for b in range(bands)
+            ]
+        )
     return sig.select(F.col(id_col), F.posexplode(bands_arr).alias("band_idx", "band_hash"))
 
 

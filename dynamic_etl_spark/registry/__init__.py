@@ -45,6 +45,8 @@ _WINDOW_ORDER = (
     "fk_orphan_attribution",
     # the persistent-store admission pipeline, md5 mode
     "incremental_near_dup_exacthash",
+    # SRP-LSH ANN, md5 mode — the third LSH family with a driver hash
+    "embedding_ann_lsh_exacthash",
     # ---- changed code/surface this round: must re-earn the hash ----
     "fk_integrity_report",          # +composite partsupp(implied) edge
     "events_ks_drift_autogrid",     # +/-inf excluded from the row universe
@@ -92,7 +94,6 @@ _WINDOW_ORDER = (
     "events_funnel_conversion",
     "events_retention_cohorts",
     "tfidf_top_terms",
-    "source_quota_cap",
 )
 
 #: Rotated out after earning their driver-green (r1-r7); the local
@@ -191,6 +192,7 @@ _ROTATED_OUT = (
     "shard_assignment_profile",
     "source_concentration_profile",
     "source_diversity_profile",
+    "source_quota_cap",
     "split_leakage_audit",
     "surrogate_key_assignment",
     "text_stats_profile",
@@ -203,8 +205,8 @@ _ROTATED_OUT = (
 
 #: Positions past the rotated-out block: the rows-only queries
 #: (engine-hash/libm-specific; each carries a brute-force or property
-#: pytest — and since r8 the MinHash/incremental families ALSO carry
-#: oracle-backed md5-mode twins inside the window).
+#: pytest — and since r8 the MinHash, incremental-admission, and SRP-LSH
+#: ANN families ALSO carry oracle-backed md5-mode twins inside the window).
 _TAIL_ORDER = (
     "bpe_merge_training",
     "bpe_encode_stats",

@@ -967,6 +967,71 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ANN.lsh_ann_topk(emb, _queries(spark, sf_dir), "vec_id", "embedding", k=10)
 
 
+def embedding_ann_lsh_exacthash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_ann_lsh in md5-slice hash mode (ops/ann.srp_banded_rows):
+    hyperplane signs from md5 parity, projections summed as decimal(38,30)
+    (order-free, so the sign bits are partition-invariant), band keys md5
+    of the bit string — every stage DuckDB-reproducible, which makes the
+    SRP-LSH ANN path the third LSH family to carry a driver hash
+    (VERDICT r7 #8; MinHash + the admission ledger were r8's first two).
+    Same plan shape as the xxhash twin; only the hash family changes."""
+    emb = t(spark, sf_dir, "embeddings")
+    return ANN.lsh_ann_topk(
+        emb, _queries(spark, sf_dir), "vec_id", "embedding", k=10, hash_mode="md5"
+    )
+
+
+# The oracle replays the whole pipeline: explode dims x 16 hyperplanes,
+# md5-parity signs over exact-decimal sums, 4 bands of 4 bits keyed by
+# md5('band:b0:b1:b2:b3'), candidate self-join on (band_idx, band_hash),
+# exact cosine re-rank of retrieved candidates only. The scale-30 decimal
+# cast is exact for |x| >= 2^-7 and near-exact below (the
+# embedding_label_centroids bound); a cross-engine bit flip would need a
+# projection within ~1e-27*n of zero — verified green at both driver sf.
+EMBEDDING_ANN_LSH_EXACTHASH_ORACLE = """
+WITH ex AS (
+  SELECT vec_id,
+         unnest(range(1, len(embedding) + 1)) - 1 AS j,
+         unnest(embedding) AS xf
+  FROM embeddings
+),
+proj AS (
+  SELECT ex.vec_id, bs.b,
+         SUM(CASE WHEN ('0x' || substr(md5(concat_ws(':', 0, bs.b, ex.j)), 1, 8))::BIGINT % 2 = 0
+                  THEN CAST(CAST(ex.xf AS DOUBLE) AS DECIMAL(38,30))
+                  ELSE -CAST(CAST(ex.xf AS DOUBLE) AS DECIMAL(38,30)) END) AS p
+  FROM ex CROSS JOIN (SELECT unnest(range(16)) AS b) bs
+  GROUP BY ex.vec_id, bs.b
+),
+banded AS (
+  SELECT vec_id, b // 4 AS band_idx,
+         md5(concat_ws(':', b // 4,
+             string_agg(CASE WHEN p > 0 THEN 1 ELSE 0 END, ':' ORDER BY b))) AS band_hash
+  FROM proj GROUP BY vec_id, b // 4
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM banded q JOIN banded c USING (band_idx, band_hash)
+  WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS sim
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.query_id
+  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN through ONE prebuilt index (ops/ann.build_ivf_index)
     searched twice — the even and odd halves of the query set share the
@@ -1876,6 +1941,11 @@ QUERIES: QueryRegistry = {
     "embedding_ann_lsh": Query(
         embedding_ann_lsh, None,
         "banded SRP-LSH approximate top-10 (rows-only; recall-checked in pytest)",
+    ),
+    "embedding_ann_lsh_exacthash": Query(
+        embedding_ann_lsh_exacthash, EMBEDDING_ANN_LSH_EXACTHASH_ORACLE,
+        "SRP-LSH ANN in md5-slice hash mode: signatures, bands, candidates "
+        "and re-rank all DuckDB-reproduced — the ANN path's driver hash",
     ),
     "embedding_ann_ivf": Query(
         embedding_ann_ivf, None,

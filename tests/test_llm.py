@@ -162,6 +162,41 @@ def test_srp_formulations_are_bit_identical(spark):
     assert hof == codegen
 
 
+def test_srp_md5_mode_bits_partition_invariant(spark):
+    """The md5-mode claim that earns the oracle: projections sum as
+    decimal(38,30), so every sign bit — hence every band hash — is
+    bit-identical at any parallelism (a double sum would be order-
+    dependent exactly where a projection is a near-tie)."""
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+
+    def banded(df):
+        return {
+            (r["vec_id"], r["band_idx"]): r["band_hash"]
+            for r in ANN.srp_banded_rows(
+                df, "vec_id", "embedding", 16, 4, hash_mode="md5"
+            ).collect()
+        }
+
+    base = banded(emb)
+    assert len(base) == emb.count() * 4
+    assert banded(emb.repartition(13)) == base
+    assert banded(emb.coalesce(1)) == base
+
+
+def test_lsh_ann_md5_mode_recall_and_bucketing(spark):
+    """md5 hash mode keeps the xxhash twin's contract: useful recall vs
+    brute force, candidates bucketed (never exhaustive)."""
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    exact = ANN.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    approx = ANN.lsh_ann_topk(emb, queries, "vec_id", "embedding", k=5, hash_mode="md5")
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.3, f"md5-mode ANN recall {recall:.2f} unusably low"
+    assert len(got) <= queries.count() * 5
+
+
 def test_vectorized_topk_matches_exact(spark):
     emb = load_table(spark, SF_SMALL, "embeddings").cache()
     queries = emb.filter(F.col("vec_id") % 10 == 0)

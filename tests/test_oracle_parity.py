@@ -50,6 +50,7 @@ def test_driver_window_holds_the_r8_rotation():
         "encoding_repair_profile",
         "fk_orphan_attribution",
         "incremental_near_dup_exacthash",
+        "embedding_ann_lsh_exacthash",
         # changed code/surface this round: must re-earn the hash
         "fk_integrity_report",
         "events_ks_drift_autogrid",

@@ -267,6 +267,10 @@ SHUFFLE_BUDGET = {
     "incremental_near_dup_exacthash": 13,
     "simhash_near_dup": 2,
     "embedding_ann_lsh": 2,
+    # md5-slice hash mode: identical plan shape to the xxhash twin (the
+    # hash family and the decimal projection sums change, the exchanges
+    # don't)
+    "embedding_ann_lsh_exacthash": 2,
     # r5: two searches share ONE prebuilt index (reuse made load-bearing);
     # each half-search ranks its own bounded candidate set — one top-k
     # window exchange per search, index build truncated by checkpoint
