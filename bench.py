@@ -137,31 +137,53 @@ def main() -> None:
     # attributable signal wall-time noise hides. Each run gets its own
     # job group; the count is read back from the status tracker
     # immediately after the action, before UI retention can evict it.
+    # Per-query SHUFFLE-exchange counts ride along too (VERDICT r7 #8):
+    # wall time on a shared host is noisy, the plan is not — a lost
+    # broadcast or a new repartition shows up as a +1 here across BENCH
+    # diffs even when seconds hide it. Same counting rule as
+    # tests/test_shuffle_budget.py (shuffle exchanges only; Broadcast/
+    # ReusedExchange excluded so a broadcast-join degradation can't mask
+    # itself), measured on the pre-execution physical plan.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     jobs: dict[str, int] = {}
+    shuffles: dict[str, int] = {}
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     run_seq = iter(range(10**9))
 
-    def run_once(name: str) -> tuple[float, int]:
+    def plan_shuffles(df) -> int:
+        # the timed noop write clones its own QueryExecution, so df's is
+        # still unexecuted here — this reads the AQE-INITIAL plan, the
+        # same deterministic convention the budget harness records
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return (
+            plan.count("Exchange hashpartitioning")
+            + plan.count("Exchange rangepartitioning")
+            + plan.count("Exchange SinglePartition")
+            + plan.count("Exchange RoundRobinPartitioning")
+        )
+
+    def run_once(name: str) -> tuple[float, int, "object"]:
         group = f"bench:{name}:{next(run_seq)}"
         sc.setJobGroup(group, name)
         try:
             start = time.perf_counter()
-            registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            df = registry[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
             elapsed = round(time.perf_counter() - start, 4)
         finally:
             sc.setLocalProperty("spark.jobGroup.id", None)
-        return elapsed, len(tracker.getJobIdsForGroup(group))
+        return elapsed, len(tracker.getJobIdsForGroup(group)), df
 
     for name in names:
-        cold[name], jobs[name] = run_once(name)
-        w1, j1 = run_once(name)
-        w2, j2 = run_once(name)
+        cold[name], jobs[name], _ = run_once(name)
+        w1, j1, _ = run_once(name)
+        w2, j2, df2 = run_once(name)
         timings[name] = min(w1, w2)
         # steady-state job count (cold may pay extra one-time jobs)
         jobs[name] = j2
+        shuffles[name] = plan_shuffles(df2)
 
     total = round(sum(timings.values()), 4)
     detail = {
@@ -172,6 +194,7 @@ def main() -> None:
         "cold_queries": cold,
         "cold_total": round(sum(cold.values()), 4),
         "jobs": jobs,
+        "shuffles": shuffles,
         "sf": sf,
     }
     # Full per-query detail (cold timings, job counts) goes to a sidecar
@@ -192,6 +215,7 @@ def main() -> None:
         "queries": {n: round(s, 3) for n, s in timings.items()},
         "cold_total": round(sum(cold.values()), 4),
         "jobs_total": sum(jobs.values()),
+        "shuffles_total": sum(shuffles.values()),
         "detail": "bench_detail.json",
         "sf": sf,
     }
