@@ -378,6 +378,64 @@ def simhash64(c: Column, bits: int = 64) -> Column:
     return out
 
 
+def simhash_md5_halves(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, fp_hi, fp_lo): the 64-bit SimHash fingerprint as two 32-bit
+    halves, computed the oracle-checkable way (the md5-slice convention,
+    ops/agg.cm_bucket): per-token bits come from two 8-hex md5 slices —
+    chars 1-8 drive bits 32-63 (``fp_hi``), chars 9-16 drive bits 0-31
+    (``fp_lo``) — so both engines derive IDENTICAL votes, and every vote
+    is an integer sum (exact at any parallelism, unlike a float
+    accumulation). Two deliberate differences from :func:`simhash64`:
+
+    - tokens EXPLODE and the 64 bit-votes run as codegen conditional-sum
+      aggregates (one shuffle on the id), where simhash64's per-row
+      ``F.aggregate`` lambdas run INTERPRETED (SCALE.md higher-order
+      rule) — at corpus scale the exploded form is the faster plan, not
+      just the checkable one;
+    - 32-bit halves avoid the BIGINT sign bit, so DuckDB reproduces the
+      fingerprint without two's-complement juggling. Hamming distance is
+      ``bit_count(hi^hi') + bit_count(lo^lo')``.
+
+    Zero-token / null-text documents keep an all-zero fingerprint with NO
+    join-back: ``explode_outer`` emits their one null-token row, the null
+    slice votes -1 on every bit (``when(null, 1).otherwise(-1)``), and a
+    negative vote sets no bit — the oracle's LEFT JOIN + COALESCE(0)
+    reaches the same fingerprint.
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("__t")
+    )
+    md5 = F.md5(F.col("__t"))
+    sliced = tok.select(
+        F.col(id_col),
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("__hi"),
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("long").alias("__lo"),
+    )
+
+    def vote(src: str, b: int) -> Column:
+        bit_set = F.shiftright(F.col(src), b).bitwiseAND(F.lit(1)) == 1
+        return F.sum(F.when(bit_set, 1).otherwise(-1)).alias(f"__v_{src}_{b}")
+
+    voted = sliced.groupBy(id_col).agg(
+        *[vote("__hi", b) for b in range(32)],
+        *[vote("__lo", b) for b in range(32)],
+    )
+
+    def half(src: str) -> Column:
+        out = F.lit(0).cast("long")
+        for b in range(32):
+            out = out + F.when(
+                F.col(f"__v_{src}_{b}") > 0, F.lit(1 << b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return out
+
+    return voted.select(
+        F.col(id_col), half("__hi").alias("fp_hi"), half("__lo").alias("fp_lo")
+    )
+
+
 def exact_dedup(
     docs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

@@ -47,6 +47,9 @@ _WINDOW_ORDER = (
     "incremental_near_dup_exacthash",
     # SRP-LSH ANN, md5 mode — the third LSH family with a driver hash
     "embedding_ann_lsh_exacthash",
+    # SimHash, md5 mode — the fourth (integer bit-votes over exploded
+    # tokens; the interpreted-HOF xxhash twin stays the rows-only path)
+    "simhash_near_dup_exacthash",
     # ---- changed code/surface this round: must re-earn the hash ----
     "fk_integrity_report",          # +composite partsupp(implied) edge
     "events_ks_drift_autogrid",     # +/-inf excluded from the row universe
@@ -93,7 +96,6 @@ _WINDOW_ORDER = (
     "embedding_label_centroids",
     "events_funnel_conversion",
     "events_retention_cohorts",
-    "tfidf_top_terms",
 )
 
 #: Rotated out after earning their driver-green (r1-r7); the local
@@ -196,6 +198,7 @@ _ROTATED_OUT = (
     "split_leakage_audit",
     "surrogate_key_assignment",
     "text_stats_profile",
+    "tfidf_top_terms",
     "validation_report",
     "value_anomaly_mad",
     "value_outlier_gate",

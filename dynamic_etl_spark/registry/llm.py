@@ -918,6 +918,86 @@ def simhash_hamming_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_hamming_exacthash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simhash_hamming_profile in md5-slice hash mode
+    (ops/lsh.simhash_md5_halves): per-token bits from two 8-hex md5
+    slices, 64 integer bit-votes as codegen conditional sums over
+    EXPLODED tokens, fingerprint as two sign-bit-free 32-bit halves —
+    every stage DuckDB-reproducible, making SimHash the fourth LSH/
+    sketch family with a driver hash (r8; MinHash, the admission ledger,
+    and SRP-ANN were the first three). Same anchor-radar surface as the
+    xxhash twin, with the fingerprint split as (fp_hi, fp_lo)."""
+    docs = ensure_fanout_parallelism(
+        t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    fp = L.simhash_md5_halves(docs, "doc_id", "text")
+    anchor = fp.filter(F.col("doc_id") == 0).select(
+        F.col("fp_hi").alias("__ah"), F.col("fp_lo").alias("__al")
+    )
+    return fp.crossJoin(F.broadcast(anchor)).select(
+        "doc_id",
+        "fp_hi",
+        "fp_lo",
+        (
+            F.bit_count(F.col("fp_hi").bitwiseXOR(F.col("__ah")))
+            + F.bit_count(F.col("fp_lo").bitwiseXOR(F.col("__al")))
+        ).cast("int").alias("hamming_to_anchor"),
+    )
+
+
+def _sql_simhash_votes() -> str:
+    """The 64 vote aggregates, generated once for both engine sides
+    (the sql_minhash_band_ctes single-source convention)."""
+    return ",\n         ".join(
+        f"SUM(CASE WHEN (({src} >> {b}) & 1) = 1 THEN 1 ELSE -1 END)"
+        f" AS v_{src}_{b}"
+        for src in ("hi", "lo")
+        for b in range(32)
+    )
+
+
+def _sql_simhash_half(src: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN v_{src}_{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(32)
+    )
+
+
+SIMHASH_EXACTHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS t FROM documents
+),
+sliced AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+         ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+  FROM tok
+),
+votes AS (
+  SELECT doc_id,
+         {_sql_simhash_votes()}
+  FROM sliced GROUP BY doc_id
+),
+fp0 AS (
+  SELECT doc_id,
+         CAST({_sql_simhash_half("hi")} AS BIGINT) AS fp_hi,
+         CAST({_sql_simhash_half("lo")} AS BIGINT) AS fp_lo
+  FROM votes
+),
+fp AS (
+  SELECT d.doc_id,
+         COALESCE(fp0.fp_hi, 0) AS fp_hi,
+         COALESCE(fp0.fp_lo, 0) AS fp_lo
+  FROM documents d LEFT JOIN fp0 USING (doc_id)
+),
+anchor AS (SELECT fp_hi AS ah, fp_lo AS al FROM fp WHERE doc_id = 0)
+SELECT doc_id, fp_hi, fp_lo,
+       CAST(bit_count(xor(fp_hi, ah)) + bit_count(xor(fp_lo, al)) AS INT)
+         AS hamming_to_anchor
+FROM fp CROSS JOIN anchor
+"""
+
+
 # ==========================================================================
 # Similarity search over embeddings
 # ==========================================================================
@@ -1925,6 +2005,12 @@ QUERIES: QueryRegistry = {
     "simhash_near_dup": Query(
         simhash_hamming_profile, None,
         "64-bit SimHash + Hamming radar (rows-only; checked in pytest)",
+    ),
+    "simhash_near_dup_exacthash": Query(
+        simhash_hamming_exacthash, SIMHASH_EXACTHASH_ORACLE,
+        "SimHash in md5-slice hash mode: 64 integer bit-votes over "
+        "exploded tokens, sign-bit-free 32-bit fingerprint halves, "
+        "Hamming radar — fully DuckDB-reproduced",
     ),
     "embedding_near_dup": Query(
         embedding_near_dup, EMBEDDING_NEAR_DUP_ORACLE,

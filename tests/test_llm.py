@@ -124,6 +124,45 @@ def test_simhash_near_dups_have_small_hamming(spark, docs_with_near_dups):
     assert avg <= 12, f"avg Hamming distance {avg:.1f} too high for near-dups"
 
 
+def test_simhash_md5_halves_match_python_ground_truth(spark):
+    """The md5-slice SimHash (the oracle-checkable variant) re-derived
+    in pure Python from hashlib — an engine-independent ground truth for
+    fingerprints, the empty-doc zero rule, and the Hamming surface."""
+    import hashlib
+
+    def py_halves(text):
+        votes_hi, votes_lo = [0] * 32, [0] * 32
+        for tk in text.lower().split():
+            h = hashlib.md5(tk.encode()).hexdigest()
+            hi, lo = int(h[:8], 16), int(h[8:16], 16)
+            for b in range(32):
+                votes_hi[b] += 1 if (hi >> b) & 1 else -1
+                votes_lo[b] += 1 if (lo >> b) & 1 else -1
+        fp = lambda v: sum(1 << b for b in range(32) if v[b] > 0)
+        return fp(votes_hi), fp(votes_lo)
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different text about spark physical plans"),
+        (3, ""),  # zero tokens -> all-zero fingerprint
+        (4, "   \t\n "),  # whitespace-only -> same
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["fp_hi"], r["fp_lo"])
+        for r in L.simhash_md5_halves(df, "doc_id", "text").collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 4}
+    for i, text in rows[:3]:
+        assert got[i] == py_halves(text), f"doc {i}"
+    assert got[3] == (0, 0) and got[4] == (0, 0)
+    # near-identical docs land close, unrelated far (64-bit space)
+    ham = lambda a, b: bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+    assert ham(got[0], got[1]) <= 12
+    assert ham(got[0], got[2]) >= 16
+
+
 def test_srp_signature_bits_vary(spark):
     emb = load_table(spark, SF_SMALL, "embeddings")
     sigs = emb.limit(20).select(

@@ -83,6 +83,7 @@ _CROSS_JOIN_WHITELIST = (
                                         # 1-row eval-set broadcast anchor
     "curation_pipeline_lsh",            # same tier-5 anchor (the pair-source
                                         # swap lives behind the s3 checkpoint)
+    "simhash_near_dup_exacthash",       # 1-row fingerprint anchor broadcast
 )
 
 

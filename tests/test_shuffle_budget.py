@@ -266,6 +266,12 @@ SHUFFLE_BUDGET = {
     # md5-slice mode: identical plan shape to the xxhash admission twin
     "incremental_near_dup_exacthash": 13,
     "simhash_near_dup": 2,
+    # reviewed, not bumped: 2 fanout round-robins (one per branch, same
+    # as the xxhash twin's 2) + 2 bit-vote groupBy exchanges the per-row
+    # xxhash twin doesn't have — and the anchor branch's doc_id==0
+    # filter pushes BELOW its aggregate, so that exchange carries one
+    # document's tokens, not the corpus
+    "simhash_near_dup_exacthash": 4,
     "embedding_ann_lsh": 2,
     # md5-slice hash mode: identical plan shape to the xxhash twin (the
     # hash family and the decimal projection sums change, the exchanges
