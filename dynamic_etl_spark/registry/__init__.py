@@ -50,6 +50,11 @@ _WINDOW_ORDER = (
     # SimHash, md5 mode — the fourth (integer bit-votes over exploded
     # tokens; the interpreted-HOF xxhash twin stays the rows-only path)
     "simhash_near_dup_exacthash",
+    # HLL, md5-register form — the fifth ("structurally impossible" per
+    # VERDICT r7; the registers and the one-division estimate aren't)
+    "approx_distinct_exacthash",
+    # the maintained HLL: MAX-folded slice registers vs a one-shot twin
+    "distinct_sketch_maintenance_exacthash",
     # ---- changed code/surface this round: must re-earn the hash ----
     "fk_integrity_report",          # +composite partsupp(implied) edge
     "events_ks_drift_autogrid",     # +/-inf excluded from the row universe
@@ -94,8 +99,6 @@ _WINDOW_ORDER = (
     "knn_label_vote",
     "benchmark_decontamination_bloom",
     "embedding_label_centroids",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
 )
 
 #: Rotated out after earning their driver-green (r1-r7); the local
@@ -131,6 +134,7 @@ _ROTATED_OUT = (
     "events_compaction_plan",
     "events_equidepth_deciles",
     "events_fill_forward",
+    "events_funnel_conversion",
     "events_hourly_heatmap",
     "events_hourly_resample",
     "events_interarrival_profile",
@@ -139,6 +143,7 @@ _ROTATED_OUT = (
     "events_ks_drift_binned",
     "events_minmax_scaled",
     "events_range_interval_join",
+    "events_retention_cohorts",
     "events_rolling_distinct_users",
     "events_rolling_user_value",
     "events_sessionization",

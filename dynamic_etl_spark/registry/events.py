@@ -1163,6 +1163,47 @@ def distinct_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_distinct_sketch_state(merged).orderBy("event_type")
 
 
+def distinct_sketch_maintenance_exacthash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct_sketch_maintenance in md5-register HLL form (ops/agg.
+    build/merge/finalize_hll_md5_state): the same three date slices,
+    each sketched into (event_type, bucket, max_rho) register rows,
+    folded by the MAX monoid, finalized to the one-division raw
+    estimate. Unlike the DataSketches twin this IS oracle-checkable —
+    registers are integers both engines derive identically and MAX-merge
+    is associative/commutative/idempotent, so the DuckDB twin sketches
+    ONE-SHOT (the count_min_maintenance convention) and hash equality
+    proves the maintenance tree lossless."""
+    from dynamic_etl_spark.ops.agg import (
+        build_hll_md5_state,
+        finalize_hll_md5_state,
+        merge_hll_md5_state,
+    )
+
+    ev = t(spark, sf_dir, "events").select("event_type", "user_id", "ts")
+    merged = _three_slice(
+        ev,
+        lambda df: build_hll_md5_state(df, ["event_type"], "user_id"),
+        merge_hll_md5_state,
+    )
+    return finalize_hll_md5_state(merged).orderBy("event_type")
+
+
+def _distinct_sketch_exacthash_oracle() -> str:
+    from dynamic_etl_spark.registry.relational import (
+        sql_hll_finalize,
+        sql_hll_registers,
+    )
+
+    return f"""
+WITH regs AS {sql_hll_registers("events", "event_type", "user_id")},
+final AS ({sql_hll_finalize("regs", "event_type")})
+SELECT * FROM final ORDER BY event_type
+"""
+
+
+DISTINCT_SKETCH_EXACTHASH_ORACLE = _distinct_sketch_exacthash_oracle()
+
+
 def heavy_hitter_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintained per-event-type heavy hitters (ops/agg.build/merge/
     finalize_heavy_hitter_state — Misra-Gries mergeable summaries,
@@ -1817,6 +1858,13 @@ QUERIES: QueryRegistry = {
         None,
         "maintained HLL distinct state: slices sketched independently "
         "and folded (rows-only; tolerance pytest)",
+    ),
+    "distinct_sketch_maintenance_exacthash": Query(
+        distinct_sketch_maintenance_exacthash,
+        DISTINCT_SKETCH_EXACTHASH_ORACLE,
+        "the maintained distinct sketch in md5-register form: slice "
+        "registers MAX-folded, one-shot DuckDB twin proves the merge "
+        "tree lossless (the count_min_maintenance convention)",
     ),
     "rank_sketch_maintenance": Query(
         rank_sketch_maintenance,

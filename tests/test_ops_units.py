@@ -439,6 +439,35 @@ def test_distinct_sketch_state_merge_tolerance(spark):
         assert abs(est[k] - n) <= max(2, 0.05 * n), (k, est[k], n)
 
 
+def test_hll_md5_state_accuracy_merge_and_idempotence(spark):
+    """The md5-register HLL (the oracle-checkable variant): (a) in the
+    raw-estimate regime (n >> 2.5m) the uncorrected estimate lands
+    within ~3x the theoretical standard error of exact; (b) the MAX
+    merge tree equals the one-shot build register-for-register (the
+    lossless-maintenance claim the oracle proves cross-engine); (c)
+    re-merging a duplicate slice changes nothing (idempotence — the
+    property addition-based sketches like CM do NOT have)."""
+    from dynamic_etl_spark.ops.agg import (
+        build_hll_md5_state,
+        finalize_hll_md5_state,
+        merge_hll_md5_state,
+    )
+
+    n, p = 60_000, 8  # m=256 -> n/m ~ 234, deep in the raw regime
+    df = spark.range(n).select(F.col("id").alias("v"))
+    one_shot = build_hll_md5_state(df, [], "v", p=p)
+    est = finalize_hll_md5_state(one_shot, p=p).collect()[0]["raw_estimate"]
+    se = 1.04 / (1 << (p // 2))  # ~6.5% at m=256
+    assert abs(est - n) <= 3 * se * n, est
+
+    halves = [df.filter(F.col("v") % 2 == i) for i in (0, 1)]
+    states = [build_hll_md5_state(h, [], "v", p=p) for h in halves]
+    merged = merge_hll_md5_state(states[0], states[1])
+    regs = lambda s: {(r["bucket"], r["max_rho"]) for r in s.collect()}
+    assert regs(merged) == regs(one_shot)
+    assert regs(merge_hll_md5_state(merged, states[0])) == regs(one_shot)
+
+
 def test_resample_linear_hand_example(spark):
     """Grid on an observation takes the exact value; interior points
     interpolate; leading-edge points (before the first obs) are null;

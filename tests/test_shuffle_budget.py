@@ -258,6 +258,13 @@ SHUFFLE_BUDGET = {
     # groupBy + sort
     "bpe_encode_stats": 5,
     "approx_distinct_profile": 1,
+    # one register groupBy for all 3 stacked columns (explode is
+    # map-side; partial MAX bounds the exchange at <= 3072 rows per
+    # partition) + the per-column finalize fold + the output sort
+    "approx_distinct_exacthash": 3,
+    # 3 slice register builds + 2 merge folds (AQE shares exchanges
+    # where slices align) + finalize fold + output sort
+    "distinct_sketch_maintenance_exacthash": 7,
     "minhash_near_dup": 6,
     # md5-slice hash mode: identical plan shape to the xxhash twin (the
     # hash family changes, the exchanges don't)
