@@ -328,3 +328,124 @@ def pagerank(
     flagged.unpersist()
     trans.unpersist()
     return out
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 12,
+    unit: int = 10**12,
+) -> DataFrame:
+    """Deterministic integer fixed-point PageRank — the oracle-checkable
+    twin of :func:`pagerank` (whose IEEE rank sums are partition-order-
+    sensitive at the ulp, hence rows-only). Every quantity is BIGINT and
+    every division floors, so the recurrence is bit-exactly reproducible
+    by a SQL recursive CTE and invariant to partitioning:
+
+        n        = |vertices|
+        rank0(v) = unit div n
+        base     = (unit * 15) div (n * 100)
+        flow(u,v)= (rank(u) * w(u,v)) div W(u)        W(u) = total out-weight
+        dshare   = D div n                            D = sum of dangling ranks
+        rank'(v) = base + ((contrib(v) + dshare) * 85) div 100
+
+    i.e. damping 0.85 as exact 85/100 integer arithmetic. Floor drift
+    leaks at most a few units per vertex per round, so ranks sum to
+    slightly under ``unit`` — deterministic, and at unit=1e12 the drift
+    is ~1e-9 relative: far below any ranking-relevant difference.
+    FIXED iteration count (no float tolerance probe) keeps the plan a
+    pure function of the data.
+
+    Overflow headroom: rank*w must fit BIGINT, so with unit=1e12 edge
+    weights (transition counts) up to ~9e6 are safe; drop unit to 1e9
+    for heavier edges. Weights must be positive integers (zero/negative
+    edges are dropped BEFORE W, the :func:`pagerank` convention).
+
+    Scale shape: intended for SMALL VERTEX DOMAINS (event types,
+    categories, sources — state tables, not web graphs). The rank frame
+    is vertex-sized; the dangling sum runs as a single-partition window
+    over it BY DESIGN, and each round localCheckpoints it (eager,
+    iterative-op rule), so cost is ~iters scheduler round-trips over a
+    tiny frame. For web-scale vertex sets use :func:`pagerank`, whose
+    contrib joins distribute.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            (F.col(weight) if weight else F.lit(1)).cast("long").alias("w"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull() & (F.col("w") > 0))
+        .localCheckpoint()  # referenced every round — truncate once
+    )
+    # fresh top-level exprIds after every checkpoint: localCheckpoint
+    # PRESERVES output attribute ids, so e's and outw's LogicalRDDs would
+    # otherwise both carry src#N and trip the ambiguous-self-join check
+    # when they meet in one join tree
+    def _fresh(df: DataFrame) -> DataFrame:
+        return df.select(*[F.col(c).alias(c) for c in df.columns])
+
+    e = _fresh(e)
+    outw = _fresh(
+        e.groupBy("src").agg(F.sum("w").alias("__ow")).localCheckpoint()
+    ).withColumnRenamed("src", "__osrc")
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    r = (
+        verts.withColumn("__n", F.count(F.lit(1)).over(wall))
+        .select(
+            "v",
+            "__n",
+            F.expr(f"CAST({unit} AS BIGINT) div __n").alias("rank"),
+        )
+        .localCheckpoint()
+    )
+    r = _fresh(r)
+    for _ in range(iters):
+        # ONE reference to the (checkpointed) rank frame per round keeps
+        # lineage linear; rw's double use below re-runs only a broadcast
+        # join over the checkpoint scan
+        rw = (
+            r.join(outw, r["v"] == outw["__osrc"], "left")
+            .select("v", "__n", "rank", "__ow")
+            .withColumn(
+                "__dang",
+                F.sum(
+                    F.when(F.col("__ow").isNull(), F.col("rank")).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ).over(wall),
+            )
+        )
+        contrib = (
+            rw.join(e, F.col("v") == F.col("src"))
+            .select(F.col("dst").alias("v"), F.expr("(rank * w) div __ow").alias("__flow"))
+            .groupBy("v")
+            .agg(F.sum("__flow").alias("__contrib"))
+        )
+        r = (
+            rw.select("v", "__n", "__dang")
+            .join(contrib, "v", "left")
+            .select(
+                "v",
+                "__n",
+                (
+                    F.expr(f"(CAST({unit} AS BIGINT) * 15) div (__n * 100)")
+                    + F.expr(
+                        "((coalesce(__contrib, CAST(0 AS BIGINT))"
+                        " + (__dang div __n)) * 85) div 100"
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        r = _fresh(r)
+    return r.select("v", F.col("rank").alias("rank_fp"))

@@ -55,6 +55,9 @@ _WINDOW_ORDER = (
     "approx_distinct_exacthash",
     # the maintained HLL: MAX-folded slice registers vs a one-shot twin
     "distinct_sketch_maintenance_exacthash",
+    # PageRank, integer fixed-point — the sixth (the IEEE sums VERDICT
+    # r7 named are sidestepped by BIGINT floor arithmetic)
+    "events_type_pagerank_exacthash",
     # ---- changed code/surface this round: must re-earn the hash ----
     "fk_integrity_report",          # +composite partsupp(implied) edge
     "events_ks_drift_autogrid",     # +/-inf excluded from the row universe
@@ -98,7 +101,6 @@ _WINDOW_ORDER = (
     "semantic_dedup_survivors",
     "knn_label_vote",
     "benchmark_decontamination_bloom",
-    "embedding_label_centroids",
 )
 
 #: Rotated out after earning their driver-green (r1-r7); the local
@@ -128,6 +130,7 @@ _ROTATED_OUT = (
     "duplicated_span_removal",
     "embedding_dim_spread",
     "embedding_int8_quant",
+    "embedding_label_centroids",
     "embedding_near_dup",
     "embedding_topk_bruteforce",
     "events_asof_last_purchase",

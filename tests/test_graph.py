@@ -196,3 +196,60 @@ def test_pagerank_zero_weight_edges_are_dangling(spark):
     }
     for v in (1, 2, 3):
         assert abs(dist[v] - got[v]) < 1e-9
+
+
+def test_pagerank_fixed_point_python_ground_truth_and_float_agreement(spark):
+    """The integer fixed-point PageRank (the oracle-checkable twin):
+    (a) matches an independent pure-Python replay of the same integer
+    recurrence exactly (incl. a dangling vertex and weighted edges);
+    (b) lands within float tolerance of the double pagerank at the same
+    iteration count (the floor drift is ~1e-9 relative at unit=1e12);
+    (c) conserves mass: ranks sum to unit minus bounded floor drift."""
+    from dynamic_etl_spark.ops.graph import pagerank, pagerank_fixed_point
+
+    UNIT, ITERS = 10**12, 12
+    edges = [(1, 2, 3), (2, 1, 1), (2, 3, 2), (1, 3, 1)]  # 3 is dangling
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+
+    def py_fixed_point(edge_list, iters, unit):
+        verts = sorted({s for s, _, _ in edge_list} | {d for _, d, _ in edge_list})
+        n = len(verts)
+        outw = {}
+        for s, _, w in edge_list:
+            outw[s] = outw.get(s, 0) + w
+        rank = {v: unit // n for v in verts}
+        base = (unit * 15) // (n * 100)
+        for _ in range(iters):
+            dang = sum(rank[v] for v in verts if v not in outw)
+            contrib = {v: 0 for v in verts}
+            for s, d, w in edge_list:
+                contrib[d] += (rank[s] * w) // outw[s]
+            rank = {
+                v: base + ((contrib[v] + dang // n) * 85) // 100 for v in verts
+            }
+        return rank
+
+    got = {
+        r["v"]: r["rank_fp"]
+        for r in pagerank_fixed_point(df, weight="w", iters=ITERS, unit=UNIT).collect()
+    }
+    ref = py_fixed_point(edges, ITERS, UNIT)
+    assert got == ref
+
+    total = sum(got.values())
+    # floor drift: a few units per vertex per round, never inflation
+    assert UNIT - 3 * ITERS * 10 <= total <= UNIT
+
+    flt = {
+        r["v"]: r["rank"]
+        for r in pagerank(
+            spark.createDataFrame(
+                [(s, d, float(w)) for s, d, w in edges], "src long, dst long, w double"
+            ),
+            weight="w",
+            max_iter=ITERS,
+            tol=0.0,
+        ).collect()
+    }
+    for v, fp in got.items():
+        assert abs(fp / UNIT - flt[v]) < 1e-6, (v, fp / UNIT, flt[v])

@@ -46,6 +46,10 @@ JOB_BUDGETS = {
     "incremental_near_dup_exacthash": 46,  # xxhash twin's band + the md5
     # signature chain's extra sub-jobs (measured 42)
     "semantic_dedup_survivors": 43,
+    "events_type_pagerank_exacthash": 104,  # 12 fixed rounds x ~8 AQE-stage
+    # jobs per vertex-frame checkpoint + edge/outw/init setup (measured
+    # 96); frames are vertex-sized (event types) so this is scheduler
+    # time, not data volume — the iteration count is the semantics
     "embedding_knn_join": 32,
     "heavy_hitter_maintenance": 13,
     "rank_sketch_maintenance": 10,

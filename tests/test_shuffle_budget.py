@@ -265,6 +265,10 @@ SHUFFLE_BUDGET = {
     # 3 slice register builds + 2 merge folds (AQE shares exchanges
     # where slices align) + finalize fold + output sort
     "distinct_sketch_maintenance_exacthash": 7,
+    # final lazy surface only (the output sort): the 12 integer power
+    # rounds run eagerly behind per-round localCheckpoints, pinned by
+    # the job budget (the curation-cascade convention)
+    "events_type_pagerank_exacthash": 1,
     "minhash_near_dup": 6,
     # md5-slice hash mode: identical plan shape to the xxhash twin (the
     # hash family changes, the exchanges don't)
