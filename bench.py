@@ -94,6 +94,13 @@ HEADLINE = (
     # story) gets a tracked number; the binned KS gate stays out (a
     # sub-100ms grid-bounded agg, no signal to track)
     "curation_pipeline_accounting",
+    # round 8: the cascade in PRODUCTION (banded-LSH tier) shape — the
+    # number that matters at 100 TB — plus the mojibake repair gate
+    # (the text family's newest codegen replace chain); the md5-slice
+    # exacthash twins stay out (same plan shapes as their tracked
+    # xxhash siblings, only the hash family differs)
+    "curation_pipeline_lsh",
+    "encoding_repair_profile",
 )
 
 
@@ -154,15 +161,12 @@ def main() -> None:
 
     def plan_shuffles(df) -> int:
         # the timed noop write clones its own QueryExecution, so df's is
-        # still unexecuted here — this reads the AQE-INITIAL plan, the
-        # same deterministic convention the budget harness records
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        return (
-            plan.count("Exchange hashpartitioning")
-            + plan.count("Exchange rangepartitioning")
-            + plan.count("Exchange SinglePartition")
-            + plan.count("Exchange RoundRobinPartitioning")
-        )
+        # still unexecuted here — physical_plan reads the AQE-INITIAL
+        # plan and count_shuffle_exchanges is the SAME function the
+        # budget harness uses (shared in dynamic_etl_spark/plan.py)
+        from dynamic_etl_spark.plan import count_shuffle_exchanges, physical_plan
+
+        return count_shuffle_exchanges(physical_plan(df))
 
     def run_once(name: str) -> tuple[float, int, "object"]:
         group = f"bench:{name}:{next(run_seq)}"

@@ -716,8 +716,8 @@ def build_cm_state(
     df: DataFrame,
     keys: Sequence[str],
     item: str,
-    depth: int = 4,
-    width: int = 256,
+    depth: int | None = None,
+    width: int | None = None,
     *,
     eps: float | None = None,
     delta: float | None = None,
@@ -746,20 +746,25 @@ def build_cm_state(
     Pass ``eps``/``delta`` (both, keyword-only) to size the grid from
     the accuracy contract instead of raw knobs: :func:`cm_params` gives
     ``est <= true + eps*n`` with probability ``>= 1 - delta``. Raw
-    width/depth remain the low-level override when neither is given."""
+    width/depth (default 4 x 256) remain the low-level override when
+    neither is given."""
     if (eps is None) != (delta is None):
         raise ValueError("build_cm_state: pass BOTH eps and delta, or neither")
     if eps is not None and delta is not None:
         # refuse mixed sizing, matching the pass-both-or-neither rule: a
         # caller handing eps/delta AND explicit depth/width would get the
         # accuracy-contract sizing with their raw knobs silently ignored —
-        # a weaker sketch than they thought they configured (ADVICE r7 #2)
-        if (depth, width) != (4, 256):
+        # a weaker sketch than they thought they configured (ADVICE r7 #2).
+        # None-sentinel defaults (review r8) so EVERY explicit raw knob is
+        # caught, including depth=4/width=256 spelled out.
+        if depth is not None or width is not None:
             raise ValueError(
                 "build_cm_state: eps/delta sizing and explicit depth/width "
                 "are mutually exclusive — pass one sizing, not both"
             )
         depth, width = cm_params(eps, delta)
+    depth = 4 if depth is None else depth
+    width = 256 if width is None else width
     buckets = F.array(*[cm_bucket(F.col(item), d, width) for d in range(depth)])
     return (
         df.select(*keys, F.posexplode(buckets).alias("state_depth", "state_bucket"))

@@ -986,11 +986,11 @@ def curation_pipeline_accounting(
 
 _CURATION_TOKLEN = f"len({_SQL_TOKENS})"
 
-#: Tier-3 CTE block, exact configuration: (lang, source)-blocked
-#: all-pairs Jaccard — the twin of exact_blocked_pair_source. Both
-#: configurations share the ``sh`` grams CTE; they differ ONLY in how
-#: the losers set is derived, mirroring the pluggable pair_source.
-_EXACT_TIER3_CTES = f"""sh AS (
+#: The ONE tier-3 grams CTE both cascade configurations interpolate
+#: (review r8: it was copy-pasted into each; an edit to the gram
+#: definition would have forked the two driver-windowed oracles'
+#: tier-3 semantics silently).
+_TIER3_SH_CTE = f"""sh AS (
   SELECT doc_id, lang, source,
          list_distinct(list_transform(
            range(0, greatest(len(toks) - 3, 0) + 1),
@@ -998,7 +998,14 @@ _EXACT_TIER3_CTES = f"""sh AS (
          )) AS grams
   FROM (SELECT *, {_SQL_TOKENS} AS toks FROM s2)
   WHERE len(toks) >= 3
-),
+)"""
+
+#: Tier-3 CTE block, exact configuration: (lang, source)-blocked
+#: all-pairs Jaccard — the twin of exact_blocked_pair_source. Both
+#: configurations share the ``sh`` grams CTE (_TIER3_SH_CTE); they
+#: differ ONLY in how the losers set is derived, mirroring the
+#: pluggable pair_source.
+_EXACT_TIER3_CTES = f"""{_TIER3_SH_CTE},
 losers AS (
   SELECT DISTINCT b.doc_id
   FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
@@ -1019,15 +1026,7 @@ def _lsh_tier3_ctes() -> str:
     round-then-compare is its own historical boundary)."""
     from dynamic_etl_spark.registry.llm import sql_minhash_cand_ctes
 
-    return f"""sh AS (
-  SELECT doc_id, lang, source,
-         list_distinct(list_transform(
-           range(0, greatest(len(toks) - 3, 0) + 1),
-           i -> array_to_string(toks[i + 1 : i + 3], ' ')
-         )) AS grams
-  FROM (SELECT *, {_SQL_TOKENS} AS toks FROM s2)
-  WHERE len(toks) >= 3
-),
+    return f"""{_TIER3_SH_CTE},
 {sql_minhash_cand_ctes("sh")},
 losers AS (
   SELECT DISTINCT c.id_b AS doc_id

@@ -38,17 +38,9 @@ def clear_cache(spark):
     yield
 
 
-def _shuffles(plan: str) -> int:
-    """Count SHUFFLE exchanges only: hash/range/single-partition.
-    A bare ``plan.count("Exchange")`` also counts BroadcastExchange and
-    ReusedExchange, which can mask a broadcast-join degradation — the
-    exact regression this harness exists to catch (review r4 pass 2)."""
-    return (
-        plan.count("Exchange hashpartitioning")
-        + plan.count("Exchange rangepartitioning")
-        + plan.count("Exchange SinglePartition")
-        + plan.count("Exchange RoundRobinPartitioning")
-    )
+from dynamic_etl_spark.plan import count_shuffle_exchanges as _shuffles  # noqa: E402
+# the counting convention lives in dynamic_etl_spark/plan.py, shared with
+# bench.py's shuffle sidecar so the two surfaces can never drift apart
 
 #: Upper bounds recorded round 4. A new query MUST add its entry (the
 #: completeness test below fails otherwise) — record the measured count,
