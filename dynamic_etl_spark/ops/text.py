@@ -336,6 +336,43 @@ def sql_repair_encoding(expr: str) -> str:
     return expr
 
 
+#: URL matcher, written in the Java-regex ∩ RE2 subset (no lookaround,
+#: no backrefs) so Spark and DuckDB match IDENTICAL spans.
+URL_PATTERN = r"https?://[^\s]+|www\.[^\s]+"
+
+#: Host part of a URL: optional scheme, then everything up to the first
+#: /, ?, or #. Also in the common regex subset.
+_HOST_PATTERN = r"^(?:https?://)?([^/?#]+)"
+
+
+def extract_urls(c: Column) -> Column:
+    """All URL spans in a text column (scheme'd or bare www.)."""
+    return F.regexp_extract_all(c, F.lit(URL_PATTERN), 0)
+
+
+def url_domain(u: Column) -> Column:
+    """Registrable-ish domain of one URL: lowercased host with a leading
+    ``www.`` stripped — the key a blocklist matches on."""
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(u, _HOST_PATTERN, 1)), r"^www\.", ""
+    )
+
+
+def blocked_url_pattern(domains: tuple[str, ...]) -> str:
+    """ONE scrub regex matching any URL whose domain is blocklisted,
+    generated from the same domain tuple the counting side uses (the
+    encoding-repair single-source rule). Anchored on the scheme/www
+    prefix instead of lookbehind (RE2 — hence DuckDB — has none), which
+    every URL_PATTERN match has by construction. Case-insensitive
+    (``(?i)``, in both Java regex and RE2) because the counting side
+    lowercases the host — a mixed-case blocked URL must scrub exactly
+    when it counts (caught by the hand-example pytest)."""
+    import re as _re
+
+    alts = "|".join(_re.escape(d) for d in domains)
+    return rf"(?i)(?:https?://|www\.)(?:www\.)?(?:{alts})[^\s]*"
+
+
 def markup_profile(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, clean_text, n_tags, had_markup) — the strip plus what was
     removed, for cleaning-rate monitoring."""

@@ -58,6 +58,9 @@ _WINDOW_ORDER = (
     # PageRank, integer fixed-point — the sixth (the IEEE sums VERDICT
     # r7 named are sidestepped by BIGINT floor arithmetic)
     "events_type_pagerank_exacthash",
+    # URL/domain blocklist gate — the web-corpus curation filter the
+    # text family lacked (generated scrub regex, full clean-text hash)
+    "url_filter_profile",
     # ---- changed code/surface this round: must re-earn the hash ----
     "fk_integrity_report",          # +composite partsupp(implied) edge
     "events_ks_drift_autogrid",     # +/-inf excluded from the row universe
@@ -100,7 +103,6 @@ _WINDOW_ORDER = (
     "events_zorder_tiles",
     "semantic_dedup_survivors",
     "knn_label_vote",
-    "benchmark_decontamination_bloom",
 )
 
 #: Rotated out after earning their driver-green (r1-r7); the local
@@ -108,6 +110,7 @@ _WINDOW_ORDER = (
 #: every run. Alphabetical — position past 50 carries no signal.
 _ROTATED_OUT = (
     "benchmark_decontamination",
+    "benchmark_decontamination_bloom",
     "benchmark_span_scrub",
     "bigram_novelty_profile",
     "change_detection_classification",

@@ -424,7 +424,111 @@ FROM rep WHERE text_repaired <> text
 """
 
 
+# ==========================================================================
+# URL / domain blocklist gate (r8) — the standard web-corpus curation
+# filter (Dolma/CCNet-style): extract URLs, resolve their domains, count
+# and scrub the blocklisted ones. Planted by the key-modulo convention;
+# the scrub regex is GENERATED from the same blocklist tuple the
+# counting side matches on, so they can never drift apart.
+# ==========================================================================
+
+_URL_BLOCKLIST = ("ads.tracker.example", "spam-mart.example")
+_URL_ADS = " see http://ads.tracker.example/x?id=123 and https://good.site.org/page"
+_URL_SPAM = " visit www.spam-mart.example/deals now"
+_URL_SCRUB = TX.blocked_url_pattern(_URL_BLOCKLIST)
+
+
+def url_filter_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain blocklist gate over a deterministically dirtied corpus:
+    every 6th doc gets a blocked tracker URL plus a benign one, every
+    10th (+3) a bare-www blocked URL. Per URL-bearing document: URL and
+    blocked counts, the sorted blocked-domain list, and the text with
+    blocked URLs scrubbed (whitespace-normalized). URLs EXPLODE to rows
+    (the per-element-work rule — no interpreted array lambdas); the
+    scrub is one generated codegen regexp_replace. All regexes live in
+    the Java∩RE2 subset so both engines match identical spans."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id")
+    feed = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(m % 6 == 0, F.lit(_URL_ADS)).otherwise(F.lit("")),
+            F.when(m % 10 == 3, F.lit(_URL_SPAM)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    ex = feed.select(
+        "doc_id", "text", F.explode_outer(TX.extract_urls(F.col("text"))).alias("__u")
+    ).withColumn("__d", TX.url_domain(F.col("__u")))
+    blocked = F.col("__d").isin(*_URL_BLOCKLIST)
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _URL_SCRUB, ""), r"\s+", " "
+        )
+    )
+    return (
+        ex.groupBy("doc_id", "text")
+        .agg(
+            F.count("__u").alias("n_urls"),
+            F.sum(F.when(blocked, 1).otherwise(0)).alias("n_blocked"),
+            F.array_join(
+                F.array_sort(F.collect_set(F.when(blocked, F.col("__d")))), ","
+            ).alias("blocked_domains"),
+        )
+        .filter(F.col("n_urls") > 0)
+        .select(
+            "doc_id", "n_urls", "n_blocked", "blocked_domains",
+            clean.alias("clean_text"),
+        )
+    )
+
+
+def _sql_q(s: str) -> str:
+    return s.replace("'", "''")
+
+
+URL_FILTER_ORACLE = f"""
+WITH feed AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 6 = 0 THEN '{_sql_q(_URL_ADS)}' ELSE '' END
+         || CASE WHEN doc_id % 10 = 3 THEN '{_sql_q(_URL_SPAM)}' ELSE '' END
+           AS text
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, text,
+         unnest(regexp_extract_all(text, '{TX.URL_PATTERN}')) AS u
+  FROM feed
+),
+dom AS (
+  SELECT doc_id, text, u,
+         regexp_replace(lower(regexp_extract(u, '^(?:https?://)?([^/?#]+)', 1)),
+                        '^www\\.', '') AS d
+  FROM ex
+)
+SELECT doc_id,
+       CAST(COUNT(u) AS BIGINT) AS n_urls,
+       CAST(SUM(CASE WHEN d IN ('{_URL_BLOCKLIST[0]}', '{_URL_BLOCKLIST[1]}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       COALESCE(string_agg(DISTINCT CASE WHEN d IN ('{_URL_BLOCKLIST[0]}',
+                '{_URL_BLOCKLIST[1]}') THEN d END, ',' ORDER BY
+                CASE WHEN d IN ('{_URL_BLOCKLIST[0]}', '{_URL_BLOCKLIST[1]}')
+                THEN d END), '') AS blocked_domains,
+       trim(regexp_replace(regexp_replace(text, '{_sql_q(_URL_SCRUB)}', '', 'g'),
+                           '\\s+', ' ', 'g')) AS clean_text
+FROM dom
+GROUP BY doc_id, text
+"""
+
+
 QUERIES: QueryRegistry = {
+    "url_filter_profile": Query(
+        url_filter_profile, URL_FILTER_ORACLE,
+        "URL/domain blocklist gate: extract, resolve domains, count + "
+        "scrub blocklisted URLs — generated scrub regex, full clean "
+        "text hash-checked",
+    ),
     "encoding_repair_profile": Query(
         encoding_repair_profile,
         ENCODING_REPAIR_ORACLE,

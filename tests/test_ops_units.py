@@ -439,6 +439,61 @@ def test_distinct_sketch_state_merge_tolerance(spark):
         assert abs(est[k] - n) <= max(2, 0.05 * n), (k, est[k], n)
 
 
+def test_url_extract_domain_and_scrub_hand_examples(spark):
+    """URL gate ground truth: domain resolution strips scheme + www and
+    lowercases; the generated scrub regex removes blocked URLs only when
+    they stand as URLs (scheme/www-prefixed), leaves benign URLs and
+    lookalike hosts (notads..., subdomains) alone — consistent with the
+    exact-match counting side, which skips those too."""
+    from dynamic_etl_spark.ops.text import (
+        blocked_url_pattern,
+        extract_urls,
+        url_domain,
+    )
+
+    blocklist = ("ads.tracker.example", "spam-mart.example")
+    scrub = blocked_url_pattern(blocklist)
+    rows = [
+        (1, "x http://Ads.Tracker.example/p?q=1 y https://good.site.org/a z"),
+        (2, "bare www.spam-mart.example/deal here"),
+        (3, "prefixed http://notads.tracker.example/p stays"),
+        (4, "sub http://evil.ads.tracker.example/p stays"),
+        (5, "double http://www.ads.tracker.example/p goes"),
+        (6, "no urls at all"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    doms = {
+        r["id"]: sorted(r["d"])
+        for r in df.select(
+            "id",
+            F.transform(extract_urls(F.col("text")), url_domain).alias("d"),
+        ).collect()
+    }
+    assert doms[1] == ["ads.tracker.example", "good.site.org"]
+    assert doms[2] == ["spam-mart.example"]
+    assert doms[3] == ["notads.tracker.example"]
+    assert doms[4] == ["evil.ads.tracker.example"]
+    assert doms[5] == ["ads.tracker.example"]
+    assert doms[6] == []
+    cleaned = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id",
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("text"), scrub, ""), r"\s+", " "
+                )
+            ).alias("c"),
+        ).collect()
+    }
+    assert cleaned[1] == "x y https://good.site.org/a z"
+    assert cleaned[2] == "bare here"
+    assert cleaned[3] == rows[2][1]  # lookalike host untouched
+    assert cleaned[4] == rows[3][1]  # subdomain untouched (exact-match list)
+    assert cleaned[5] == "double goes"
+    assert cleaned[6] == rows[5][1]
+
+
 def test_hll_md5_state_accuracy_merge_and_idempotence(spark):
     """The md5-register HLL (the oracle-checkable variant): (a) in the
     raw-estimate regime (n >> 2.5m) the uncorrected estimate lands

@@ -211,6 +211,8 @@ SHUFFLE_BUDGET = {
     # (measured 9); tier-3's banded shape is pinned by the pair-source
     # plan test + job budget
     "encoding_repair_profile": 0,   # pure codegen replace chain; map-side only
+    "url_filter_profile": 1,        # explode -> per-doc groupBy; scrub is a
+    # generated codegen regexp_replace, no second pass
     "semantic_decontamination": 1,  # eval-set collect_list fold; corpus never shuffles
     "quasi_identifier_risk": 3,     # class groupBy + threshold fold + output sort
     "source_diversity_profile": 3,  # word-count groupBy + per-source fold + output sort
