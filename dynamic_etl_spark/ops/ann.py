@@ -999,3 +999,147 @@ def semantic_dedup(
             ),
         )
     )
+
+
+def ivf_exacthash_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    iters: int = 5,
+    scale: int = 1 << 16,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF top-k with an INTEGER-QUANTIZED Lloyd iteration — the
+    oracle-checkable twin of :func:`ivf_topk` (whose MLlib k-means sums
+    IEEE doubles in partition order, hence rows-only). Every stage is
+    deterministic and SQL-replayable:
+
+    - coordinates quantize as floor(x * scale) — float->double cast and
+      the power-of-two scaling are exact, floor is floor in both
+      engines, so both hold IDENTICAL integers;
+    - init: the ``n_cells`` corpus vectors with the smallest ids;
+    - assignment: argmin of the exact BIGINT squared L2 distance,
+      ties to the lower cell id;
+    - update: per-dimension floor-divided integer mean; an emptied cell
+      keeps its previous centroid;
+    - FIXED ``iters`` Lloyd rounds (no float convergence probe);
+    - search: each query probes its ``n_probe`` nearest final cells
+      (same integer distance, same tie rule) and the candidates rank by
+      the repo's exact cosine convention (sequential double dot
+      product + IEEE-correctly-rounded sqrt — the brute-force oracle's
+      proven parity surface).
+
+    Quantization at scale 2^16 moves each coordinate < 2^-16, far
+    below any cell-boundary effect the fixture could notice — and
+    irrelevant to correctness anyway, since the oracle replays the SAME
+    quantized recurrence. Distances fit BIGINT up to ~2^21 dims at
+    unit-normalized inputs.
+
+    Scale shape: centroid state is (n_cells x dims) rows; per round one
+    join of the exploded corpus to the broadcast centroid rows + two
+    bounded aggregations, localCheckpointed (iterative-op rule). The
+    MLlib twin remains the production path for large n_cells; this one
+    is the proof-carrying variant.
+    """
+    from pyspark.sql import Window as W
+
+    query_id_col = query_id_col or id_col
+
+    def _fresh(df: DataFrame) -> DataFrame:
+        # localCheckpoint preserves exprIds; re-alias to keep repeated
+        # checkpoint outputs out of ambiguous-self-join territory
+        return df.select(*[F.col(c).alias(c) for c in df.columns])
+
+    def qrows(df: DataFrame, ident: str) -> DataFrame:
+        return df.select(
+            F.col(ident),
+            F.posexplode(F.col(vec_col)).alias("j", "__x"),
+        ).select(
+            ident,
+            "j",
+            F.floor(F.col("__x").cast("double") * F.lit(float(scale)))
+            .cast("long")
+            .alias("q"),
+        )
+
+    cv = _fresh(qrows(corpus, id_col).localCheckpoint())
+
+    seed_ids = corpus.select(id_col).orderBy(id_col).limit(n_cells)
+    seed_rank = seed_ids.withColumn(
+        "cell", (F.row_number().over(W.orderBy(id_col)) - 1).cast("int")
+    )
+    cent = _fresh(
+        cv.join(seed_rank, id_col)
+        .select("cell", "j", F.col("q").alias("c"))
+        .localCheckpoint()
+    )
+
+    def assign(vec_rows: DataFrame, cent_rows: DataFrame) -> DataFrame:
+        """(id, cell, dist): exact integer squared L2 per (vector, cell)."""
+        d = F.col("q") - F.col("c")
+        return (
+            vec_rows.join(F.broadcast(cent_rows), "j")
+            .groupBy(id_col, "cell")
+            .agg(F.sum(d * d).alias("dist"))
+        )
+
+    argmin_w = W.partitionBy(id_col).orderBy("dist", "cell")
+    for _ in range(iters):
+        members = (
+            assign(cv, cent)
+            .withColumn("__rn", F.row_number().over(argmin_w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, "cell")
+        )
+        upd = (
+            cv.join(members, id_col)
+            .groupBy("cell", "j")
+            .agg(F.sum("q").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .select("cell", "j", F.expr("__s div __n").alias("__newc"))
+        )
+        cent = _fresh(
+            cent.join(upd, ["cell", "j"], "left")
+            .select(
+                "cell", "j", F.coalesce("__newc", F.col("c")).alias("c")
+            )
+            .localCheckpoint()
+        )
+
+    assigned = (
+        assign(cv, cent)
+        .withColumn("__rn", F.row_number().over(argmin_w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col).alias("__nid"), "cell")
+    )
+    qv = qrows(
+        queries.select(F.col(query_id_col).alias("__qid"), F.col(vec_col)), "__qid"
+    )
+    probe_w = W.partitionBy("__qid").orderBy("dist", "cell")
+    probed = (
+        qv.join(F.broadcast(cent), "j")
+        .groupBy("__qid", "cell")
+        .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("dist"))
+        .withColumn("__rn", F.row_number().over(probe_w))
+        .filter(F.col("__rn") <= n_probe)
+        .select("__qid", "cell")
+    )
+    cand = probed.join(assigned, "cell").select(
+        F.col("__qid").alias("query_id"), F.col("__nid").alias("neighbor_id")
+    )
+    qfull = queries.select(
+        F.col(query_id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("__qv")
+    )
+    cfull = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("__cv")
+    )
+    scored = (
+        cand.join(F.broadcast(qfull), "query_id")
+        .join(cfull, "neighbor_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__sim", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    return _rank_topk(scored, k)

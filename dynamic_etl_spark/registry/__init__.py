@@ -61,6 +61,9 @@ _WINDOW_ORDER = (
     # URL/domain blocklist gate — the web-corpus curation filter the
     # text family lacked (generated scrub regex, full clean-text hash)
     "url_filter_profile",
+    # IVF, integer-quantized Lloyd iteration — the seventh and last
+    # float/hash-blocked family converted (recursive-CTE k-means twin)
+    "embedding_ann_ivf_exacthash",
     # ---- changed code/surface this round: must re-earn the hash ----
     "fk_integrity_report",          # +composite partsupp(implied) edge
     "events_ks_drift_autogrid",     # +/-inf excluded from the row universe
@@ -102,7 +105,6 @@ _WINDOW_ORDER = (
     "quantile_hist_maintenance",
     "events_zorder_tiles",
     "semantic_dedup_survivors",
-    "knn_label_vote",
 )
 
 #: Rotated out after earning their driver-green (r1-r7); the local
@@ -173,6 +175,7 @@ _ROTATED_OUT = (
     "gopher_repetition_gates",
     "grouping_sets_order_totals",
     "heavy_hitter_maintenance",
+    "knn_label_vote",
     "ks_drift_maintenance",
     "language_id_profile",
     "leakage_safe_split",

@@ -1132,6 +1132,120 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return halves[0].unionByName(halves[1])
 
 
+_IVF_EH_CELLS, _IVF_EH_PROBE, _IVF_EH_ITERS, _IVF_EH_SCALE = 8, 2, 5, 1 << 16
+
+
+def embedding_ann_ivf_exacthash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_ann_ivf with an INTEGER-QUANTIZED Lloyd iteration
+    (ops/ann.ivf_exacthash_topk): coordinates floor to 1/2^16 grid
+    points (exact in both engines), centroids update by floor-divided
+    integer means over exact BIGINT distances, init and ties are
+    deterministic, and the round count is fixed — so the ENTIRE k-means
+    fit, the cell assignment, the n_probe selection, and the final
+    cosine re-rank replay bit-for-bit in a DuckDB recursive CTE: the
+    seventh and last hash/float-blocked family converted this round
+    (after MinHash, the admission ledger, SRP-ANN, SimHash, HLL, and
+    PageRank). The MLlib twin stays the production path for large cell
+    counts; this is the proof-carrying variant."""
+    emb = t(spark, sf_dir, "embeddings")
+    return ANN.ivf_exacthash_topk(
+        emb, _queries(spark, sf_dir), "vec_id", "embedding",
+        k=10, n_cells=_IVF_EH_CELLS, n_probe=_IVF_EH_PROBE,
+        iters=_IVF_EH_ITERS, scale=_IVF_EH_SCALE,
+    )
+
+
+def _ivf_exacthash_oracle() -> str:
+    cells, probe, iters, scale = (
+        _IVF_EH_CELLS, _IVF_EH_PROBE, _IVF_EH_ITERS, _IVF_EH_SCALE
+    )
+    return f"""
+WITH RECURSIVE cv AS (
+  SELECT vec_id,
+         unnest(range(1, len(embedding) + 1)) - 1 AS j,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {float(scale)!r}) AS BIGINT) AS q
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {cells})
+),
+init AS (SELECT s.cell, v.j, v.q AS c FROM seeds s JOIN cv v USING (vec_id)),
+cent(it, cell, j, c) AS (
+  SELECT 0, cell, j, c FROM init
+  UNION ALL
+  SELECT p.it + 1, p.cell, p.j, CAST(COALESCE(u.newc, p.c) AS BIGINT)
+  FROM cent p
+  LEFT JOIN (
+    SELECT m.cell, v.j, CAST(SUM(v.q) // COUNT(*) AS BIGINT) AS newc
+    FROM (
+      SELECT vec_id, cell FROM (
+        SELECT d.vec_id, d.cell,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                                  ORDER BY d.dist, d.cell) AS rn
+        FROM (
+          SELECT v2.vec_id, c2.cell,
+                 SUM((v2.q - c2.c) * (v2.q - c2.c)) AS dist
+          FROM cv v2 JOIN cent c2 ON v2.j = c2.j
+          GROUP BY v2.vec_id, c2.cell
+        ) d
+      ) WHERE rn = 1
+    ) m
+    JOIN cv v USING (vec_id)
+    GROUP BY m.cell, v.j
+  ) u ON u.cell = p.cell AND u.j = p.j
+  WHERE p.it < {iters}
+),
+fcent AS (SELECT cell, j, c FROM cent WHERE it = {iters}),
+assigned AS (
+  SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT d.vec_id, d.cell,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.dist, d.cell) AS rn
+    FROM (
+      SELECT v.vec_id, c.cell, SUM((v.q - c.c) * (v.q - c.c)) AS dist
+      FROM cv v JOIN fcent c ON v.j = c.j
+      GROUP BY v.vec_id, c.cell
+    ) d
+  ) WHERE rn = 1
+),
+probed AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT d.vec_id, d.cell,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.dist, d.cell) AS rn
+    FROM (
+      SELECT v.vec_id, c.cell, SUM((v.q - c.c) * (v.q - c.c)) AS dist
+      FROM cv v JOIN fcent c ON v.j = c.j
+      WHERE v.vec_id % 100 = 0
+      GROUP BY v.vec_id, c.cell
+    ) d
+  ) WHERE rn <= {probe}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id
+  FROM probed p JOIN assigned a USING (cell)
+  WHERE a.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS sim
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.query_id
+  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+EMBEDDING_ANN_IVF_EXACTHASH_ORACLE = _ivf_exacthash_oracle()
+
+
 def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus x corpus kNN join (ops/ann.knn_join): every vector gets
     its 5 nearest corpus neighbors by cosine through one reusable IVF
@@ -2036,6 +2150,12 @@ QUERIES: QueryRegistry = {
     "embedding_ann_ivf": Query(
         embedding_ann_ivf, None,
         "IVF (k-means cells, nprobe) approximate top-10 (rows-only; recall-checked in pytest)",
+    ),
+    "embedding_ann_ivf_exacthash": Query(
+        embedding_ann_ivf_exacthash, EMBEDDING_ANN_IVF_EXACTHASH_ORACLE,
+        "IVF with integer-quantized Lloyd iteration: the whole k-means "
+        "fit, assignment, probing, and cosine re-rank replayed by a "
+        "DuckDB recursive CTE — the last float-blocked family converted",
     ),
     "embedding_knn_join": Query(
         embedding_knn_join, None,

@@ -46,6 +46,9 @@ JOB_BUDGETS = {
     "incremental_near_dup_exacthash": 46,  # xxhash twin's band + the md5
     # signature chain's extra sub-jobs (measured 42)
     "semantic_dedup_survivors": 43,
+    "embedding_ann_ivf_exacthash": 64,  # 5 Lloyd rounds x ~10 AQE-stage jobs
+    # over (n_cells x dims)-row centroid checkpoints + quantize/seed setup
+    # (measured 56); the lazy probe/rank tail is pinned by shuffle budget
     "events_type_pagerank_exacthash": 104,  # 12 fixed rounds x ~8 AQE-stage
     # jobs per vertex-frame checkpoint + edge/outw/init setup (measured
     # 96); frames are vertex-sized (event types) so this is scheduler

@@ -785,3 +785,80 @@ def test_max_cosine_vs_queries_both_twins_refuse_empty_query_set(spark):
         ANN.max_cosine_vs_queries(corpus, empty, "vec_id", "embedding")
     with pytest.raises(ValueError, match="empty query set"):
         ANN.max_cosine_vs_queries_vectorized(corpus, empty, "vec_id", "embedding")
+
+
+def test_ivf_exacthash_matches_python_replay_and_recall(spark):
+    """The integer-quantized IVF (the oracle-checkable variant): the
+    final top-k set must equal an independent pure-Python replay of the
+    same quantized Lloyd recurrence + probing + cosine re-rank (exact
+    (query, rank) -> neighbor equality), and recall vs brute force must
+    be usable at 8 cells / 2 probes."""
+    import math
+
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+    rows = sorted(
+        ((r["vec_id"], list(r["embedding"])) for r in emb.collect()),
+        key=lambda t: t[0],
+    )
+    SCALE, CELLS, PROBE, ITERS, K = 1 << 16, 8, 2, 5, 10
+    qv = {i: [math.floor(float(x) * SCALE) for x in v] for i, v in rows}
+    cent = {c: list(qv[rows[c][0]]) for c in range(CELLS)}
+
+    def argmin_cell(v, cents):
+        best = min(
+            (sum((a - b) * (a - b) for a, b in zip(v, cents[c])), c)
+            for c in cents
+        )
+        return best[1]
+
+    for _ in range(ITERS):
+        members = {c: [] for c in cent}
+        for i, _ in rows:
+            members[argmin_cell(qv[i], cent)].append(i)
+        for c, ids in members.items():
+            if ids:
+                dims = len(cent[c])
+                cent[c] = [
+                    sum(qv[i][j] for i in ids) // len(ids) for j in range(dims)
+                ]
+    assigned = {i: argmin_cell(qv[i], cent) for i, _ in rows}
+    vecs = dict(rows)
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        return d / (na * nb)
+
+    expect = {}
+    for qid, _ in rows:
+        if qid % 100 != 0:
+            continue
+        dists = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv[qid], cent[c])), c)
+            for c in cent
+        )
+        cells = {c for _, c in dists[:PROBE]}
+        cands = [i for i, _ in rows if assigned[i] in cells and i != qid]
+        ranked = sorted(cands, key=lambda i: (-cos(vecs[qid], vecs[i]), i))[:K]
+        for rank, nid in enumerate(ranked, 1):
+            expect[(qid, rank)] = nid
+
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ANN.ivf_exacthash_topk(
+            emb, emb.filter(F.col("vec_id") % 100 == 0), "vec_id", "embedding",
+            k=K, n_cells=CELLS, n_probe=PROBE, iters=ITERS,
+        ).collect()
+    }
+    assert got == expect
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ANN.cosine_topk(
+            emb, emb.filter(F.col("vec_id") % 100 == 0), "vec_id", "embedding", k=K
+        ).collect()
+    }
+    found = {(q, n) for (q, _), n in got.items()}
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.3, f"integer-IVF recall {recall:.2f} unusably low"

@@ -51,6 +51,15 @@ def test_driver_window_holds_the_r8_rotation():
         "fk_orphan_attribution",
         "incremental_near_dup_exacthash",
         "embedding_ann_lsh_exacthash",
+        # r8 continuation: the remaining never-oracle-backed families
+        # converted (SimHash, HLL x2, PageRank, integer-Lloyd IVF) plus
+        # the URL blocklist gate
+        "simhash_near_dup_exacthash",
+        "approx_distinct_exacthash",
+        "distinct_sketch_maintenance_exacthash",
+        "events_type_pagerank_exacthash",
+        "url_filter_profile",
+        "embedding_ann_ivf_exacthash",
         # changed code/surface this round: must re-earn the hash
         "fk_integrity_report",
         "events_ks_drift_autogrid",

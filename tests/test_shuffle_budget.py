@@ -282,6 +282,10 @@ SHUFFLE_BUDGET = {
     # hash family and the decimal projection sums change, the exchanges
     # don't)
     "embedding_ann_lsh_exacthash": 2,
+    # integer-Lloyd IVF: final lazy surface only (query probe groupBy +
+    # probe window + candidate join/rank windows); the 5 Lloyd rounds run
+    # eagerly behind per-round localCheckpoints, pinned by the job budget
+    "embedding_ann_ivf_exacthash": 8,
     # r5: two searches share ONE prebuilt index (reuse made load-bearing);
     # each half-search ranks its own bounded candidate set — one top-k
     # window exchange per search, index build truncated by checkpoint
