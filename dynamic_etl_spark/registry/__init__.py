@@ -61,9 +61,14 @@ _WINDOW_ORDER = (
     # URL/domain blocklist gate — the web-corpus curation filter the
     # text family lacked (generated scrub regex, full clean-text hash)
     "url_filter_profile",
-    # IVF, integer-quantized Lloyd iteration — the seventh and last
-    # float/hash-blocked family converted (recursive-CTE k-means twin)
+    # IVF, integer-quantized Lloyd iteration — the seventh float/hash-
+    # blocked family converted (recursive-CTE k-means twin)
     "embedding_ann_ivf_exacthash",
+    # BPE train + encode, converted IN PLACE (the loop was always
+    # deterministic; the recursive-CTE replay makes it SQL-expressible
+    # after all — the eighth and ninth conversions)
+    "bpe_merge_training",
+    "bpe_encode_stats",
     # ---- changed code/surface this round: must re-earn the hash ----
     "fk_integrity_report",          # +composite partsupp(implied) edge
     "events_ks_drift_autogrid",     # +/-inf excluded from the row universe
@@ -103,8 +108,6 @@ _WINDOW_ORDER = (
     "incremental_rollup_maintenance",
     "reservoir_sample_maintenance",
     "quantile_hist_maintenance",
-    "events_zorder_tiles",
-    "semantic_dedup_survivors",
 )
 
 #: Rotated out after earning their driver-green (r1-r7); the local
@@ -164,6 +167,7 @@ _ROTATED_OUT = (
     "events_value_percentiles",
     "events_value_trend",
     "events_value_zscore",
+    "events_zorder_tiles",
     "exact_dedup_fingerprint",
     "fallback_key_resolution",
     "flagship_star_join",
@@ -199,6 +203,7 @@ _ROTATED_OUT = (
     "rollup_slice_rebuild",
     "rollup_totals",
     "salted_skew_join",
+    "semantic_dedup_survivors",
     "scan_projection_filter",
     "scd1_merge_orders",
     "scd2_merge_customers",
@@ -225,8 +230,6 @@ _ROTATED_OUT = (
 #: pytest — and since r8 the MinHash, incremental-admission, and SRP-LSH
 #: ANN families ALSO carry oracle-backed md5-mode twins inside the window).
 _TAIL_ORDER = (
-    "bpe_merge_training",
-    "bpe_encode_stats",
     "events_type_pagerank",
     "approx_distinct_profile",
     "minhash_near_dup",

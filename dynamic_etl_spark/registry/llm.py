@@ -1496,14 +1496,114 @@ ORDER BY c.vec_id
 def bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (ops/bpe.train_bpe, Sennrich et
     al. 2016): 16 merge rounds over the documents word-frequency table.
-    Rows-only: training is iterative with per-round argmax — not
-    SQL-expressible — but bit-deterministic at any parallelism (total-
-    ordered argmax), and pinned against a pure-Python reference BPE in
-    tests/test_llm.py."""
+    Oracle-backed since r8 (previously 'not SQL-expressible'): training
+    is bit-deterministic (total-ordered argmax, greedy-leftmost apply),
+    so a DuckDB recursive CTE replays the ENTIRE loop — per-round
+    weighted pair counts, the argmax, and the merge application, whose
+    greedy-leftmost semantics re-express as a window-function run-parity
+    rule: within each island of consecutive candidate positions, merges
+    start at even offsets (overlap only occurs for left==right chains;
+    proven equal to ops/bpe.merge_word in the prototype pinned by
+    tests/test_llm.py's reference-BPE equality). Also pinned against a
+    pure-Python reference BPE in tests/test_llm.py."""
     from dynamic_etl_spark.ops.bpe import train_bpe
 
     docs = ensure_fanout_parallelism(t(spark, sf_dir, "documents").select("text"))
     return train_bpe(docs, "text", n_merges=16, min_count=2).orderBy("rank")
+
+
+def _sql_bpe_vt_cte(n_merges: int = 16, min_count: int = 2) -> str:
+    """The recursive vocab-trajectory CTE chain shared by BOTH BPE
+    oracles: ``vt(it, word, freq, syms)`` holds the word-frequency
+    table's symbol state after each merge round. The encode oracle reads
+    the FINAL state (priority-loop encode == sequential rank application
+    for training-vocab words: a rank-k merge cannot create a pair of
+    rank < k, because that pair's symbols would postdate it in training
+    order); the training oracle recomputes each round's argmax from the
+    state it was chosen against."""
+    return f"""w AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents)
+  WHERE length(word) > 0 GROUP BY word
+),
+v0 AS (
+  SELECT word, freq,
+         list_append(list_transform(range(1, length(word) + 1), i -> word[i]),
+                     '</w>') AS syms
+  FROM w
+),
+vt(it, word, freq, syms) AS (
+  SELECT 0, word, freq, syms FROM v0
+  UNION ALL
+  SELECT * FROM (
+    WITH base AS (
+      SELECT it, word, freq, generate_subscripts(syms, 1) AS pos, unnest(syms) AS sym
+      FROM vt WHERE it < {n_merges}
+    ),
+    best AS (
+      SELECT l, r FROM (
+        SELECT a.sym AS l, b.sym AS r, SUM(a.freq) AS cnt,
+               ROW_NUMBER() OVER (ORDER BY SUM(a.freq) DESC, a.sym, b.sym) AS rn
+        FROM base a JOIN base b ON a.word = b.word AND b.pos = a.pos + 1
+        GROUP BY a.sym, b.sym
+      ) WHERE rn = 1 AND cnt >= {min_count}
+    ),
+    marked AS (
+      SELECT p.it, p.word, p.freq, p.pos, p.sym,
+             lead(p.sym) OVER (PARTITION BY p.word ORDER BY p.pos) AS nxt
+      FROM base p
+    ),
+    cand AS (
+      SELECT m.*, (m.sym = b.l AND m.nxt IS NOT DISTINCT FROM b.r) AS is_cand
+      FROM marked m CROSS JOIN best b
+    ),
+    isl AS (
+      SELECT *, CASE WHEN is_cand THEN pos - ROW_NUMBER() OVER
+               (PARTITION BY word, is_cand ORDER BY pos) END AS grp
+      FROM cand
+    ),
+    st AS (
+      SELECT *, CASE WHEN is_cand THEN
+               (ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) - 1) % 2 = 0
+               ELSE FALSE END AS strt
+      FROM isl
+    ),
+    fin AS (
+      SELECT *, COALESCE(lag(strt) OVER (PARTITION BY word ORDER BY pos), FALSE)
+                  AS consumed
+      FROM st
+    )
+    SELECT it + 1 AS it, word, freq,
+           list(CASE WHEN strt THEN sym || nxt ELSE sym END ORDER BY pos)
+             FILTER (NOT consumed) AS syms
+    FROM fin
+    GROUP BY it, word, freq
+  )
+)"""
+
+
+BPE_TRAINING_ORACLE = f"""
+WITH RECURSIVE {_sql_bpe_vt_cte()},
+ex AS (
+  SELECT it, word, freq, generate_subscripts(syms, 1) AS pos, unnest(syms) AS sym
+  FROM vt
+),
+paircnt AS (
+  SELECT a.it, a.sym AS l, b.sym AS r, CAST(SUM(a.freq) AS BIGINT) AS cnt
+  FROM ex a JOIN ex b ON a.it = b.it AND a.word = b.word AND b.pos = a.pos + 1
+  GROUP BY a.it, a.sym, b.sym
+),
+picked AS (
+  SELECT it, l, r, cnt,
+         ROW_NUMBER() OVER (PARTITION BY it ORDER BY cnt DESC, l, r) AS rn
+  FROM paircnt
+)
+SELECT CAST(it AS BIGINT) AS rank, l AS "left", r AS "right",
+       l || r AS merged, cnt AS pair_count
+FROM picked
+WHERE rn = 1 AND cnt >= 2 AND it < 16
+ORDER BY rank
+"""
 
 
 def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1511,9 +1611,12 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (ops/bpe.bpe_encode_profile): 16 merges trained on documents,
     then per-doc token counts + compression ratio. Python touches only
     the distinct-word table (Zipf-bounded); the corpus side is explode +
-    join + one codegen aggregate. Rows-only (training is iterative);
-    pinned against the pure-Python reference encode in
-    tests/test_llm.py."""
+    join + one codegen aggregate. Oracle-backed since r8: every corpus
+    word is in the training vocab, and the priority-loop encode equals
+    sequential rank application there (see _sql_bpe_vt_cte), so the
+    DuckDB twin reads per-word piece counts straight off the trained
+    trajectory's FINAL state. Also pinned against the pure-Python
+    reference encode in tests/test_llm.py."""
     from dynamic_etl_spark.ops.bpe import bpe_encode_profile, train_bpe
 
     docs = ensure_fanout_parallelism(t(spark, sf_dir, "documents")).select(
@@ -1521,6 +1624,28 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = train_bpe(docs, "text", n_merges=16, min_count=2).localCheckpoint()
     return bpe_encode_profile(docs, merges, "doc_id", "text").orderBy("doc_id")
+
+
+BPE_ENCODE_ORACLE = f"""
+WITH RECURSIVE {_sql_bpe_vt_cte()},
+finstate AS (
+  SELECT word, CAST(len(syms) AS INT) AS n_pieces
+  FROM vt WHERE it = (SELECT MAX(it) FROM vt)
+),
+wordsx AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word FROM documents
+  ) WHERE length(word) > 0
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_pieces) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(length(word)) AS BIGINT) AS n_chars_tokenized,
+       round(CAST(SUM(length(word)) AS DOUBLE) / SUM(n_pieces), 6) AS chars_per_token
+FROM wordsx JOIN finstate USING (word)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
 
 
 def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2085,15 +2210,16 @@ QUERIES: QueryRegistry = {
         "kNN majority-vote label propagation from a labeled seed to held-out vectors",
     ),
     "bpe_merge_training": Query(
-        bpe_merge_training, None,
-        "distributed BPE tokenizer training: 16 merges on the word-frequency table "
-        "(rows-only; reference-BPE-checked in pytest)",
+        bpe_merge_training, BPE_TRAINING_ORACLE,
+        "distributed BPE tokenizer training: 16 merges on the word-frequency "
+        "table, the whole train loop replayed by a DuckDB recursive CTE "
+        "(run-parity greedy apply) — plus the reference-BPE pytest",
     ),
     "bpe_encode_stats": Query(
-        bpe_encode_stats, None,
+        bpe_encode_stats, BPE_ENCODE_ORACLE,
         "corpus BPE encode with the trained merges: distinct-word-memoized "
-        "segmentation + codegen per-doc stats (rows-only; reference-encode "
-        "equality pytest)",
+        "segmentation + codegen per-doc stats; oracle reads piece counts "
+        "off the trained trajectory's final state (+ reference pytest)",
     ),
     "minhash_near_dup": Query(
         minhash_near_dup, None,

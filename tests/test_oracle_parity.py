@@ -60,6 +60,10 @@ def test_driver_window_holds_the_r8_rotation():
         "events_type_pagerank_exacthash",
         "url_filter_profile",
         "embedding_ann_ivf_exacthash",
+        # converted IN PLACE (deterministic all along; the recursive-CTE
+        # replay made them SQL-expressible after all)
+        "bpe_merge_training",
+        "bpe_encode_stats",
         # changed code/surface this round: must re-earn the hash
         "fk_integrity_report",
         "events_ks_drift_autogrid",
