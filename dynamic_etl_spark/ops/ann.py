@@ -1048,81 +1048,26 @@ def ivf_exacthash_topk(
     from pyspark.sql import Window as W
 
     query_id_col = query_id_col or id_col
-
-    def _fresh(df: DataFrame) -> DataFrame:
-        # localCheckpoint preserves exprIds; re-alias to keep repeated
-        # checkpoint outputs out of ambiguous-self-join territory
-        return df.select(*[F.col(c).alias(c) for c in df.columns])
-
-    def qrows(df: DataFrame, ident: str) -> DataFrame:
-        return df.select(
-            F.col(ident),
-            F.posexplode(F.col(vec_col)).alias("j", "__x"),
-        ).select(
-            ident,
-            "j",
-            F.floor(F.col("__x").cast("double") * F.lit(float(scale)))
-            .cast("long")
-            .alias("q"),
-        )
-
-    cv = _fresh(qrows(corpus, id_col).localCheckpoint())
-
-    seed_ids = corpus.select(id_col).orderBy(id_col).limit(n_cells)
-    seed_rank = seed_ids.withColumn(
-        "cell", (F.row_number().over(W.orderBy(id_col)) - 1).cast("int")
-    )
-    cent = _fresh(
-        cv.join(seed_rank, id_col)
-        .select("cell", "j", F.col("q").alias("c"))
-        .localCheckpoint()
-    )
-
-    def assign(vec_rows: DataFrame, cent_rows: DataFrame) -> DataFrame:
-        """(id, cell, dist): exact integer squared L2 per (vector, cell)."""
-        d = F.col("q") - F.col("c")
-        return (
-            vec_rows.join(F.broadcast(cent_rows), "j")
-            .groupBy(id_col, "cell")
-            .agg(F.sum(d * d).alias("dist"))
-        )
-
-    argmin_w = W.partitionBy(id_col).orderBy("dist", "cell")
-    for _ in range(iters):
-        members = (
-            assign(cv, cent)
-            .withColumn("__rn", F.row_number().over(argmin_w))
-            .filter(F.col("__rn") == 1)
-            .select(id_col, "cell")
-        )
-        upd = (
-            cv.join(members, id_col)
-            .groupBy("cell", "j")
-            .agg(F.sum("q").alias("__s"), F.count(F.lit(1)).alias("__n"))
-            .select("cell", "j", F.expr("__s div __n").alias("__newc"))
-        )
-        cent = _fresh(
-            cent.join(upd, ["cell", "j"], "left")
-            .select(
-                "cell", "j", F.coalesce("__newc", F.col("c")).alias("c")
-            )
-            .localCheckpoint()
-        )
+    cv, cent = _integer_lloyd(corpus, id_col, vec_col, n_cells, iters, scale)
 
     assigned = (
-        assign(cv, cent)
-        .withColumn("__rn", F.row_number().over(argmin_w))
+        _int_cell_dists(cv, cent, id_col)
+        .withColumn(
+            "__rn",
+            F.row_number().over(W.partitionBy(id_col).orderBy("dist", "cell")),
+        )
         .filter(F.col("__rn") == 1)
         .select(F.col(id_col).alias("__nid"), "cell")
     )
-    qv = qrows(
-        queries.select(F.col(query_id_col).alias("__qid"), F.col(vec_col)), "__qid"
+    qv = _quantized_rows(
+        queries.select(F.col(query_id_col).alias("__qid"), F.col(vec_col)),
+        "__qid",
+        vec_col,
+        scale,
     )
     probe_w = W.partitionBy("__qid").orderBy("dist", "cell")
     probed = (
-        qv.join(F.broadcast(cent), "j")
-        .groupBy("__qid", "cell")
-        .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("dist"))
+        _int_cell_dists(qv, cent, "__qid")
         .withColumn("__rn", F.row_number().over(probe_w))
         .filter(F.col("__rn") <= n_probe)
         .select("__qid", "cell")
@@ -1138,6 +1083,134 @@ def ivf_exacthash_topk(
     )
     scored = (
         cand.join(F.broadcast(qfull), "query_id")
+        .join(cfull, "neighbor_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__sim", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    return _rank_topk(scored, k)
+
+
+def _quantized_rows(df: DataFrame, ident: str, vec_col: str, scale: int) -> DataFrame:
+    """(ident, j, q): the vector exploded to integer-quantized
+    coordinate rows, q = floor(x * scale) — exact in both engines
+    (float->double cast + power-of-two scaling + floor)."""
+    return df.select(
+        F.col(ident), F.posexplode(F.col(vec_col)).alias("j", "__x")
+    ).select(
+        ident,
+        "j",
+        F.floor(F.col("__x").cast("double") * F.lit(float(scale)))
+        .cast("long")
+        .alias("q"),
+    )
+
+
+def _int_cell_dists(vec_rows: DataFrame, cent_rows: DataFrame, ident: str) -> DataFrame:
+    """(ident, cell, dist): exact BIGINT squared L2 per (vector, cell)
+    against the broadcast centroid rows."""
+    d = F.col("q") - F.col("c")
+    return (
+        vec_rows.join(F.broadcast(cent_rows), "j")
+        .groupBy(ident, "cell")
+        .agg(F.sum(d * d).alias("dist"))
+    )
+
+
+def _integer_lloyd(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    iters: int,
+    scale: int,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared deterministic integer k-means fit behind
+    :func:`ivf_exacthash_topk` and :func:`knn_join_exacthash` — see the
+    former's docstring for the recurrence and parity argument. Returns
+    (cv, cent): the quantized corpus coordinate rows (checkpointed,
+    reusable) and the final centroid rows."""
+    from pyspark.sql import Window as W
+
+    def _fresh(df: DataFrame) -> DataFrame:
+        # localCheckpoint preserves exprIds; re-alias to keep repeated
+        # checkpoint outputs out of ambiguous-self-join territory
+        return df.select(*[F.col(c).alias(c) for c in df.columns])
+
+    cv = _fresh(_quantized_rows(corpus, id_col, vec_col, scale).localCheckpoint())
+    seed_rank = (
+        corpus.select(id_col)
+        .orderBy(id_col)
+        .limit(n_cells)
+        .withColumn("cell", (F.row_number().over(W.orderBy(id_col)) - 1).cast("int"))
+    )
+    cent = _fresh(
+        cv.join(seed_rank, id_col)
+        .select("cell", "j", F.col("q").alias("c"))
+        .localCheckpoint()
+    )
+    argmin_w = W.partitionBy(id_col).orderBy("dist", "cell")
+    for _ in range(iters):
+        members = (
+            _int_cell_dists(cv, cent, id_col)
+            .withColumn("__rn", F.row_number().over(argmin_w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, "cell")
+        )
+        upd = (
+            cv.join(members, id_col)
+            .groupBy("cell", "j")
+            .agg(F.sum("q").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .select("cell", "j", F.expr("__s div __n").alias("__newc"))
+        )
+        cent = _fresh(
+            cent.join(upd, ["cell", "j"], "left")
+            .select("cell", "j", F.coalesce("__newc", F.col("c")).alias("c"))
+            .localCheckpoint()
+        )
+    return cv, cent
+
+
+def knn_join_exacthash(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 4,
+    iters: int = 5,
+    scale: int = 1 << 16,
+) -> DataFrame:
+    """Corpus x corpus kNN join through the integer-quantized Lloyd fit
+    (:func:`_integer_lloyd`) — the oracle-checkable twin of
+    :func:`knn_join`. Every vector probes its ``n_probe`` nearest final
+    cells (exact BIGINT distance, ties to the lower cell); candidates
+    are the cell members under the same fit's argmin assignment; exact
+    cosine ranks them (the proven parity surface). No driver collect,
+    no all-pairs: candidate volume ~ corpus x n_probe / n_cells.
+    Output: (query_id, neighbor_id, rank, cosine_sim)."""
+    from pyspark.sql import Window as W
+
+    cv, cent = _integer_lloyd(corpus, id_col, vec_col, n_cells, iters, scale)
+    dists = _int_cell_dists(cv, cent, id_col)
+    rn_w = W.partitionBy(id_col).orderBy("dist", "cell")
+    ranked = dists.withColumn("__rn", F.row_number().over(rn_w))
+    assigned = ranked.filter(F.col("__rn") == 1).select(
+        F.col(id_col).alias("__nid"), "cell"
+    )
+    probed = ranked.filter(F.col("__rn") <= n_probe).select(
+        F.col(id_col).alias("__qid"), "cell"
+    )
+    cand = probed.join(assigned, "cell").select(
+        F.col("__qid").alias("query_id"), F.col("__nid").alias("neighbor_id")
+    )
+    qfull = corpus.select(
+        F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("__qv")
+    )
+    cfull = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("__cv")
+    )
+    scored = (
+        cand.join(qfull, "query_id")
         .join(cfull, "neighbor_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("__sim", cosine(F.col("__qv"), F.col("__cv")))

@@ -64,6 +64,8 @@ _WINDOW_ORDER = (
     # IVF, integer-quantized Lloyd iteration — the seventh float/hash-
     # blocked family converted (recursive-CTE k-means twin)
     "embedding_ann_ivf_exacthash",
+    # corpus x corpus kNN join through the shared integer-Lloyd fit
+    "embedding_knn_join_exacthash",
     # BPE train + encode, converted IN PLACE (the loop was always
     # deterministic; the recursive-CTE replay makes it SQL-expressible
     # after all — the eighth and ninth conversions)
@@ -107,7 +109,6 @@ _WINDOW_ORDER = (
     "orders_snapshot_diff",
     "incremental_rollup_maintenance",
     "reservoir_sample_maintenance",
-    "quantile_hist_maintenance",
 )
 
 #: Rotated out after earning their driver-green (r1-r7); the local
@@ -195,6 +196,7 @@ _ROTATED_OUT = (
     "order_price_distribution_ranks",
     "orders_above_customer_avg",
     "pii_detect_redact",
+    "quantile_hist_maintenance",
     "pmi_collocations_top",
     "pricing_summary",
     "quality_rank_calibration",

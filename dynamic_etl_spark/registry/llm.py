@@ -1155,12 +1155,11 @@ def embedding_ann_ivf_exacthash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_exacthash_oracle() -> str:
-    cells, probe, iters, scale = (
-        _IVF_EH_CELLS, _IVF_EH_PROBE, _IVF_EH_ITERS, _IVF_EH_SCALE
-    )
-    return f"""
-WITH RECURSIVE cv AS (
+def _sql_integer_lloyd_ctes(cells: int, iters: int, scale: int) -> str:
+    """cv/seeds/init/cent/fcent CTE chain — the DuckDB twin of
+    ops/ann._integer_lloyd, shared by the IVF and kNN-join oracles so
+    the fit definition lives once per engine side."""
+    return f"""cv AS (
   SELECT vec_id,
          unnest(range(1, len(embedding) + 1)) - 1 AS j,
          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {float(scale)!r}) AS BIGINT) AS q
@@ -1197,28 +1196,24 @@ cent(it, cell, j, c) AS (
   WHERE p.it < {iters}
 ),
 fcent AS (SELECT cell, j, c FROM cent WHERE it = {iters}),
-assigned AS (
-  SELECT vec_id AS neighbor_id, cell FROM (
-    SELECT d.vec_id, d.cell,
-           ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.dist, d.cell) AS rn
-    FROM (
-      SELECT v.vec_id, c.cell, SUM((v.q - c.c) * (v.q - c.c)) AS dist
-      FROM cv v JOIN fcent c ON v.j = c.j
-      GROUP BY v.vec_id, c.cell
-    ) d
-  ) WHERE rn = 1
+ranked_cells AS (
+  SELECT d.vec_id, d.cell,
+         ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.dist, d.cell) AS rn
+  FROM (
+    SELECT v.vec_id, c.cell, SUM((v.q - c.c) * (v.q - c.c)) AS dist
+    FROM cv v JOIN fcent c ON v.j = c.j
+    GROUP BY v.vec_id, c.cell
+  ) d
 ),
-probed AS (
-  SELECT vec_id AS query_id, cell FROM (
-    SELECT d.vec_id, d.cell,
-           ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.dist, d.cell) AS rn
-    FROM (
-      SELECT v.vec_id, c.cell, SUM((v.q - c.c) * (v.q - c.c)) AS dist
-      FROM cv v JOIN fcent c ON v.j = c.j
-      WHERE v.vec_id % 100 = 0
-      GROUP BY v.vec_id, c.cell
-    ) d
-  ) WHERE rn <= {probe}
+assigned AS (SELECT vec_id AS neighbor_id, cell FROM ranked_cells WHERE rn = 1)"""
+
+
+def _sql_cand_topk(probe_filter: str, n_probe: int, k: int) -> str:
+    """probed/cand/scored + the final rank-k projection, over the Lloyd
+    chain's ranked_cells/assigned — shared by the IVF and kNN oracles."""
+    return f"""probed AS (
+  SELECT vec_id AS query_id, cell FROM ranked_cells
+  WHERE rn <= {n_probe}{probe_filter}
 ),
 cand AS (
   SELECT DISTINCT p.query_id, a.neighbor_id
@@ -1239,11 +1234,14 @@ FROM (
   SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                     ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
   FROM scored
-) WHERE rank <= 10
+) WHERE rank <= {k}
 """
 
 
-EMBEDDING_ANN_IVF_EXACTHASH_ORACLE = _ivf_exacthash_oracle()
+EMBEDDING_ANN_IVF_EXACTHASH_ORACLE = f"""
+WITH RECURSIVE {_sql_integer_lloyd_ctes(_IVF_EH_CELLS, _IVF_EH_ITERS, _IVF_EH_SCALE)},
+{_sql_cand_topk(" AND vec_id % 100 = 0", _IVF_EH_PROBE, 10)}
+"""
 
 
 def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1257,6 +1255,26 @@ def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stress gate (tests/test_scale_stress.py)."""
     emb = t(spark, sf_dir, "embeddings")
     return ANN.knn_join(emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=4)
+
+
+def embedding_knn_join_exacthash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_knn_join through the integer-quantized Lloyd fit
+    (ops/ann.knn_join_exacthash): every vector probes its 4 nearest
+    cells of the same deterministic 8-cell fit the IVF twin proves,
+    candidates meet on the cell id, exact cosine ranks top-5 — the
+    corpus x corpus retrieval primitive with a driver hash. Same
+    (k, n_cells, n_probe) as the MLlib twin."""
+    emb = t(spark, sf_dir, "embeddings")
+    return ANN.knn_join_exacthash(
+        emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=4,
+        iters=_IVF_EH_ITERS, scale=_IVF_EH_SCALE,
+    )
+
+
+EMBEDDING_KNN_JOIN_EXACTHASH_ORACLE = f"""
+WITH RECURSIVE {_sql_integer_lloyd_ctes(8, _IVF_EH_ITERS, _IVF_EH_SCALE)},
+{_sql_cand_topk("", 4, 5)}
+"""
 
 
 def embedding_density_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2288,6 +2306,12 @@ QUERIES: QueryRegistry = {
         "corpus x corpus kNN join over one reusable IVF index — distributed "
         "multi-probe + per-cell blockwise BLAS (rows-only; exact-equality "
         "and 100k recall pytests)",
+    ),
+    "embedding_knn_join_exacthash": Query(
+        embedding_knn_join_exacthash, EMBEDDING_KNN_JOIN_EXACTHASH_ORACLE,
+        "the corpus x corpus kNN join through the integer-quantized Lloyd "
+        "fit: probing, assignment, and cosine top-5 all replayed by the "
+        "shared recursive-CTE twin",
     ),
     "embedding_density_profile": Query(
         embedding_density_profile, None,

@@ -46,6 +46,8 @@ JOB_BUDGETS = {
     "incremental_near_dup_exacthash": 46,  # xxhash twin's band + the md5
     # signature chain's extra sub-jobs (measured 42)
     "semantic_dedup_survivors": 43,
+    "embedding_knn_join_exacthash": 64,  # the same shared 5-round integer
+    # Lloyd fit as the IVF twin; only the lazy probe/rank tail differs
     "embedding_ann_ivf_exacthash": 64,  # 5 Lloyd rounds x ~10 AQE-stage jobs
     # over (n_cells x dims)-row centroid checkpoints + quantize/seed setup
     # (measured 56); the lazy probe/rank tail is pinned by shuffle budget

@@ -862,3 +862,32 @@ def test_ivf_exacthash_matches_python_replay_and_recall(spark):
     found = {(q, n) for (q, _), n in got.items()}
     recall = len(found & truth) / len(truth)
     assert recall >= 0.3, f"integer-IVF recall {recall:.2f} unusably low"
+
+
+def test_knn_join_exacthash_exhaustive_probe_equals_bruteforce(spark):
+    """With n_probe == n_cells every vector probes every cell, so the
+    integer-Lloyd kNN join must reproduce the brute-force corpus x
+    corpus top-k bit-for-bit (the knn_join exact-equality convention);
+    at the production 4/8 setting recall stays usable."""
+    emb = load_table(spark, SF_SMALL, "embeddings").cache()
+    exhaustive = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in ANN.knn_join_exacthash(
+            emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=8, iters=3
+        ).collect()
+    }
+    brute = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in ANN.cosine_topk(emb, emb, "vec_id", "embedding", k=5).collect()
+    }
+    assert exhaustive == brute
+
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ANN.knn_join_exacthash(
+            emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=4, iters=5
+        ).collect()
+    }
+    truth = {(q, n) for (q, _), (n, _) in brute.items()}
+    recall = len(approx & truth) / len(truth)
+    assert recall >= 0.5, f"integer-Lloyd kNN-join recall {recall:.2f}"

@@ -286,6 +286,9 @@ SHUFFLE_BUDGET = {
     # probe window + candidate join/rank windows); the 5 Lloyd rounds run
     # eagerly behind per-round localCheckpoints, pinned by the job budget
     "embedding_ann_ivf_exacthash": 8,
+    # same shape, corpus-as-queries: one ranked-cells subtree feeds both
+    # the assignment and the probe cut, then candidate join + rank window
+    "embedding_knn_join_exacthash": 8,
     # r5: two searches share ONE prebuilt index (reuse made load-bearing);
     # each half-search ranks its own bounded candidate set — one top-k
     # window exchange per search, index build truncated by checkpoint
