@@ -66,6 +66,8 @@ _WINDOW_ORDER = (
     "embedding_ann_ivf_exacthash",
     # corpus x corpus kNN join through the shared integer-Lloyd fit
     "embedding_knn_join_exacthash",
+    # density scoring over it (rank-pivoted fixed-order mean)
+    "embedding_density_exacthash",
     # BPE train + encode, converted IN PLACE (the loop was always
     # deterministic; the recursive-CTE replay makes it SQL-expressible
     # after all — the eighth and ninth conversions)
@@ -108,7 +110,6 @@ _WINDOW_ORDER = (
     "scd2_point_in_time_lookup",
     "orders_snapshot_diff",
     "incremental_rollup_maintenance",
-    "reservoir_sample_maintenance",
 )
 
 #: Rotated out after earning their driver-green (r1-r7); the local
@@ -197,6 +198,7 @@ _ROTATED_OUT = (
     "orders_above_customer_avg",
     "pii_detect_redact",
     "quantile_hist_maintenance",
+    "reservoir_sample_maintenance",
     "pmi_collocations_top",
     "pricing_summary",
     "quality_rank_calibration",

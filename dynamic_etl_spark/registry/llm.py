@@ -1208,9 +1208,10 @@ ranked_cells AS (
 assigned AS (SELECT vec_id AS neighbor_id, cell FROM ranked_cells WHERE rn = 1)"""
 
 
-def _sql_cand_topk(probe_filter: str, n_probe: int, k: int) -> str:
-    """probed/cand/scored + the final rank-k projection, over the Lloyd
-    chain's ranked_cells/assigned — shared by the IVF and kNN oracles."""
+def _sql_cand_topk_ctes(probe_filter: str, n_probe: int, k: int) -> str:
+    """probed/cand/scored/topk CTEs over the Lloyd chain's
+    ranked_cells/assigned — shared by the IVF, kNN-join, and density
+    oracles; consumers select from ``topk``."""
     return f"""probed AS (
   SELECT vec_id AS query_id, cell FROM ranked_cells
   WHERE rn <= {n_probe}{probe_filter}
@@ -1228,13 +1229,20 @@ scored AS (
   FROM cand
   JOIN embeddings a ON a.vec_id = cand.query_id
   JOIN embeddings b ON b.vec_id = cand.neighbor_id
-)
-SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim
-FROM (
-  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                    ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
-  FROM scored
-) WHERE rank <= {k}
+),
+topk AS (
+  SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim
+  FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+  ) WHERE rank <= {k}
+)"""
+
+
+def _sql_cand_topk(probe_filter: str, n_probe: int, k: int) -> str:
+    return f"""{_sql_cand_topk_ctes(probe_filter, n_probe, k)}
+SELECT query_id, neighbor_id, rank, cosine_sim FROM topk
 """
 
 
@@ -1297,6 +1305,60 @@ def embedding_density_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_dense", F.col("mean_topk_sim") > 0.45)
         .orderBy("vec_id")
     )
+
+
+def embedding_density_exacthash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_density_profile over the integer-Lloyd kNN join
+    (ops/ann.knn_join_exacthash): the mean top-5 cosine per vector, with
+    the ONE float-parity twist a maintained mean needs — the <= 5
+    rounded similarities pivot to rank slots (MAX over a single value
+    per slot, exact) and sum in a FIXED left-to-right expression tree,
+    so the mean is one deterministic IEEE chain instead of an
+    order-dependent AVG fold. Same surface and 0.45 dense-flag config
+    as the rows-only twin."""
+    emb = t(spark, sf_dir, "embeddings")
+    topk = ANN.knn_join_exacthash(
+        emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=4,
+        iters=_IVF_EH_ITERS, scale=_IVF_EH_SCALE,
+    )
+    slots = [
+        F.max(F.when(F.col("rank") == i, F.col("cosine_sim"))).alias(f"__s{i}")
+        for i in range(1, 6)
+    ]
+    piv = topk.groupBy(F.col("query_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_neighbors"), *slots
+    )
+    total = F.lit(0.0)
+    for i in range(1, 6):
+        total = total + F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+    mean = F.round(total / F.col("n_neighbors").cast("double"), 6)
+    return piv.select(
+        "vec_id",
+        "n_neighbors",
+        mean.alias("mean_topk_sim"),
+        (mean > 0.45).alias("is_dense"),
+    ).orderBy("vec_id")
+
+
+def _density_ordered_mean_sql() -> str:
+    coalesced = " + ".join(
+        f"COALESCE(MAX(CASE WHEN rank = {i} THEN cosine_sim END), 0.0)"
+        for i in range(1, 6)
+    )
+    return f"round((0.0 + {coalesced}) / CAST(COUNT(*) AS DOUBLE), 6)"
+
+
+EMBEDDING_DENSITY_EXACTHASH_ORACLE = f"""
+WITH RECURSIVE {_sql_integer_lloyd_ctes(8, _IVF_EH_ITERS, _IVF_EH_SCALE)},
+{_sql_cand_topk_ctes("", 4, 5)}
+SELECT query_id AS vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+       {_density_ordered_mean_sql()} AS mean_topk_sim,
+       {_density_ordered_mean_sql()} > 0.45 AS is_dense
+FROM topk
+GROUP BY query_id
+ORDER BY vec_id
+"""
 
 
 def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2317,6 +2379,12 @@ QUERIES: QueryRegistry = {
         embedding_density_profile, None,
         "kNN local-density scoring for dedup-aware mixture weighting "
         "(rows-only; full-probe == brute-force pytest)",
+    ),
+    "embedding_density_exacthash": Query(
+        embedding_density_exacthash, EMBEDDING_DENSITY_EXACTHASH_ORACLE,
+        "density scoring over the integer-Lloyd kNN join: rank-pivoted "
+        "fixed-order mean (no order-dependent AVG fold) — the density "
+        "signal with a driver hash",
     ),
     "multimodal_feature_extract": Query(
         multimodal_feature_extract, MULTIMODAL_ORACLE,

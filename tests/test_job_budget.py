@@ -48,6 +48,8 @@ JOB_BUDGETS = {
     "semantic_dedup_survivors": 43,
     "embedding_knn_join_exacthash": 64,  # the same shared 5-round integer
     # Lloyd fit as the IVF twin; only the lazy probe/rank tail differs
+    "embedding_density_exacthash": 64,  # the same fit again; the density
+    # fold is part of the lazy tail
     "embedding_ann_ivf_exacthash": 64,  # 5 Lloyd rounds x ~10 AQE-stage jobs
     # over (n_cells x dims)-row centroid checkpoints + quantize/seed setup
     # (measured 56); the lazy probe/rank tail is pinned by shuffle budget

@@ -61,6 +61,7 @@ def test_driver_window_holds_the_r8_rotation():
         "url_filter_profile",
         "embedding_ann_ivf_exacthash",
         "embedding_knn_join_exacthash",
+        "embedding_density_exacthash",
         # converted IN PLACE (deterministic all along; the recursive-CTE
         # replay made them SQL-expressible after all)
         "bpe_merge_training",

@@ -289,6 +289,8 @@ SHUFFLE_BUDGET = {
     # same shape, corpus-as-queries: one ranked-cells subtree feeds both
     # the assignment and the probe cut, then candidate join + rank window
     "embedding_knn_join_exacthash": 8,
+    # the kNN tail + the per-vector rank-pivot fold + output sort
+    "embedding_density_exacthash": 10,
     # r5: two searches share ONE prebuilt index (reuse made load-bearing);
     # each half-search ranks its own bounded candidate set — one top-k
     # window exchange per search, index build truncated by checkpoint
