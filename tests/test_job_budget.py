@@ -60,6 +60,11 @@ JOB_BUDGETS = {
     "embedding_knn_join": 32,
     "heavy_hitter_maintenance": 13,
     "rank_sketch_maintenance": 10,
+    # r8 (window entrants must pin like every eager loop): 16 merge
+    # rounds x (argmax collect + apply materialization) + the word-count
+    # pass; encode adds the segment/join tail over the trained table
+    "bpe_merge_training": 88,   # measured 80
+    "bpe_encode_stats": 95,     # measured 87
 }
 
 _group_seq = itertools.count()
