@@ -93,3 +93,45 @@ def test_driver_window_is_fully_oracle_backed():
     window = list(REGISTRY.items())[:DRIVER_WINDOW]
     missing = [n for n, q in window if q.oracle is None]
     assert not missing, f"windowed queries without oracles: {missing}"
+
+
+#: The r8 policy: a rows-only query exists ONLY as the cheaper
+#: engine-hash/float PRODUCTION twin of an oracle-backed sibling, or
+#: because its accumulation is genuinely cross-engine-irreproducible
+#: (libm transcendentals; merge-tree-dependent sketch content). A new
+#: rows-only query must either name its oracle-backed twin here or
+#: document why no twin can exist — "rows-only because oracles are
+#: hard" stopped being a reason this round.
+_ROWS_ONLY_TWINS = {
+    "minhash_near_dup": "minhash_near_dup_exacthash",
+    "incremental_near_dup": "incremental_near_dup_exacthash",
+    "simhash_near_dup": "simhash_near_dup_exacthash",
+    "embedding_ann_lsh": "embedding_ann_lsh_exacthash",
+    "embedding_ann_ivf": "embedding_ann_ivf_exacthash",
+    "embedding_knn_join": "embedding_knn_join_exacthash",
+    "embedding_density_profile": "embedding_density_exacthash",
+    "approx_distinct_profile": "approx_distinct_exacthash",
+    "distinct_sketch_maintenance": "distinct_sketch_maintenance_exacthash",
+    "events_type_pagerank": "events_type_pagerank_exacthash",
+    # the KLL content is merge-tree-dependent by design, but its
+    # deterministic finalize arithmetic is carved out and oracle-backed
+    "rank_sketch_maintenance": "rank_sketch_finalize_exact",
+}
+_ROWS_ONLY_BLOCKED = {
+    # ln() over per-bigram probabilities accumulates in libm territory
+    "bigram_perplexity_profile",
+    # A-ES priorities are u^(1/w): pow() in the accumulation itself
+    "corpus_weighted_sample",
+}
+
+
+def test_every_rows_only_query_has_a_twin_or_a_documented_block():
+    """Pin the exacthash policy: the rows-only set must exactly equal
+    the declared production twins + the documented libm blocks, and
+    every named twin must itself be oracle-backed."""
+    assert set(ROWS_ONLY) == set(_ROWS_ONLY_TWINS) | _ROWS_ONLY_BLOCKED, (
+        "rows-only set drifted — a new rows-only query needs an "
+        "oracle-backed twin or a documented cross-engine blocker"
+    )
+    for prod, twin in _ROWS_ONLY_TWINS.items():
+        assert REGISTRY[twin].oracle is not None, (prod, twin)
