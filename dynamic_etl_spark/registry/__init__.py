@@ -68,6 +68,8 @@ _WINDOW_ORDER = (
     "embedding_knn_join_exacthash",
     # density scoring over it (rank-pivoted fixed-order mean)
     "embedding_density_exacthash",
+    # quality-ranked dedup survivor (argmax per component)
+    "dedup_survivors_best_quality",
     # BPE train + encode, converted IN PLACE (the loop was always
     # deterministic; the recursive-CTE replay makes it SQL-expressible
     # after all — the eighth and ninth conversions)
@@ -109,7 +111,6 @@ _WINDOW_ORDER = (
     # ---- backfill: oldest (r5) confirmations, family-diverse ----
     "scd2_point_in_time_lookup",
     "orders_snapshot_diff",
-    "incremental_rollup_maintenance",
 )
 
 #: Rotated out after earning their driver-green (r1-r7); the local
@@ -181,6 +182,7 @@ _ROTATED_OUT = (
     "gopher_repetition_gates",
     "grouping_sets_order_totals",
     "heavy_hitter_maintenance",
+    "incremental_rollup_maintenance",
     "knn_label_vote",
     "ks_drift_maintenance",
     "language_id_profile",

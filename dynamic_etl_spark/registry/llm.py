@@ -109,6 +109,21 @@ def text_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ALL_STOPWORDS = tuple(sorted({w for _, ws in TX.LANG_STOPWORDS for w in ws}))
 _SQL_STOPLIST = "[" + ", ".join(f"'{w}'" for w in _ALL_STOPWORDS) + "]"
 
+def _sql_quality_expr(text: str = "text", toks: str = "toks") -> str:
+    """The quality_score twin over (text, tokens) refs — factored so the
+    text-stats profile and the quality-ranked dedup survivor share ONE
+    definition (the ops/text.quality_score weights live here once per
+    engine side)."""
+    return f"""round(0.4 * least(CAST(len({toks}) AS DOUBLE) / 100.0, 1.0)
+           + 0.4 * (CASE WHEN len({toks}) > 0
+                    THEN CAST(len(list_filter({toks}, t -> list_contains({_SQL_STOPLIST}, t))) AS DOUBLE)
+                         / len({toks}) ELSE 0.0 END)
+           + 0.2 * (1.0 - least(
+               (CASE WHEN length({text}) > 0
+                THEN CAST(len(regexp_extract_all({text}, '[.,!?;:]')) AS DOUBLE) / length({text})
+                ELSE 0.0 END) * 10.0, 1.0)), 6)"""
+
+
 TEXT_STATS_ORACLE = f"""
 WITH base AS (
   SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents
@@ -124,14 +139,7 @@ SELECT doc_id,
        round(CASE WHEN len(toks) > 0
              THEN CAST(len(list_filter(toks, t -> list_contains({_SQL_STOPLIST}, t))) AS DOUBLE)
                   / len(toks) ELSE 0.0 END, 6) AS stopword_ratio,
-       round(0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
-           + 0.4 * (CASE WHEN len(toks) > 0
-                    THEN CAST(len(list_filter(toks, t -> list_contains({_SQL_STOPLIST}, t))) AS DOUBLE)
-                         / len(toks) ELSE 0.0 END)
-           + 0.2 * (1.0 - least(
-               (CASE WHEN length(text) > 0
-                THEN CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text)
-                ELSE 0.0 END) * 10.0, 1.0)), 6) AS quality_score
+       {_sql_quality_expr()} AS quality_score
 FROM base
 """
 
@@ -432,6 +440,55 @@ FROM labeled l
 JOIN sizes USING (component_id)
 JOIN documents d USING (doc_id)
 WHERE l.doc_id = l.component_id
+"""
+
+
+def dedup_survivors_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked survivor selection (r8): keep the HIGHEST-quality
+    member of each near-dup component instead of the min-id one — what a
+    production curation pipeline actually keeps (the min-id rule is an
+    arbitrary canonical; the quality rule keeps the most complete /
+    least boilerplate capture). Survivor = argmax (quality_score,
+    lowest doc_id on FP-equal ties) per component, via one total-ordered
+    window over component-labeled docs; the payload join moves surviving
+    rows only, same 100 TB shape as dedup_survivors."""
+    comp = near_dup_components(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source",
+        TX.quality_score(F.col("text")).alias("quality_score"),
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        comp.join(docs, "doc_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "doc_id", "component_id", "component_size",
+            "lang", "source", "quality_score",
+        )
+    )
+
+
+DEDUP_SURVIVORS_QUALITY_ORACLE = f"""
+WITH RECURSIVE {_COMPONENT_CTES},
+q AS (
+  SELECT doc_id, {_sql_quality_expr("text", _SQL_TOKENS)} AS quality_score
+  FROM documents
+),
+ranked AS (
+  SELECT l.doc_id, l.component_id, sizes.component_size,
+         d.lang, d.source, q.quality_score,
+         ROW_NUMBER() OVER (PARTITION BY l.component_id
+                            ORDER BY q.quality_score DESC, l.doc_id ASC) AS rn
+  FROM labeled l
+  JOIN sizes USING (component_id)
+  JOIN documents d USING (doc_id)
+  JOIN q USING (doc_id)
+)
+SELECT doc_id, component_id, component_size, lang, source, quality_score
+FROM ranked WHERE rn = 1
 """
 
 
@@ -2236,6 +2293,12 @@ QUERIES: QueryRegistry = {
     "dedup_survivors": Query(
         dedup_survivors, DEDUP_SURVIVORS_ORACLE,
         "canonical-survivor corpus: one MIN-id doc per near-dup component",
+    ),
+    "dedup_survivors_best_quality": Query(
+        dedup_survivors_best_quality, DEDUP_SURVIVORS_QUALITY_ORACLE,
+        "quality-ranked survivor selection: keep each near-dup "
+        "component's highest-quality member (total-ordered argmax) — "
+        "what a production curation pipeline actually retains",
     ),
     "corpus_stratified_sample": Query(
         corpus_stratified_sample, STRATIFIED_SAMPLE_ORACLE,

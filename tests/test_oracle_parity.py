@@ -62,6 +62,7 @@ def test_driver_window_holds_the_r8_rotation():
         "embedding_ann_ivf_exacthash",
         "embedding_knn_join_exacthash",
         "embedding_density_exacthash",
+        "dedup_survivors_best_quality",
         # converted IN PLACE (deterministic all along; the recursive-CTE
         # replay made them SQL-expressible after all)
         "bpe_merge_training",

@@ -99,6 +99,9 @@ SHUFFLE_BUDGET = {
     "line_dedup_profile": 6,
     "near_dup_components": 1,
     "dedup_survivors": 1,
+    # components (eager CC behind checkpoint, as dedup_survivors) + the
+    # quality-payload join + the per-component argmax window
+    "dedup_survivors_best_quality": 2,
     "corpus_stratified_sample": 0,
     "sequence_packing": 1,
     "embedding_near_dup": 2,
