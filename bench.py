@@ -96,9 +96,12 @@ HEADLINE = (
     "curation_pipeline_accounting",
     # round 8: the cascade in PRODUCTION (banded-LSH tier) shape — the
     # number that matters at 100 TB — plus the mojibake repair gate
-    # (the text family's newest codegen replace chain); the md5-slice
-    # exacthash twins stay out (same plan shapes as their tracked
-    # xxhash siblings, only the hash family differs)
+    # (the text family's newest codegen replace chain). The exacthash
+    # twins stay out: the md5-slice ones share their tracked xxhash
+    # siblings' plan shapes (only the hash family differs), and the
+    # eager replay ones (integer Lloyd, fixed-point PageRank, BPE) pin
+    # their cost in tests/test_job_budget.py — fixed scheduling rounds
+    # would drown the other signals here (the BPE precedent, r4)
     "curation_pipeline_lsh",
     "encoding_repair_profile",
 )

@@ -1128,7 +1128,16 @@ def _integer_lloyd(
     :func:`ivf_exacthash_topk` and :func:`knn_join_exacthash` — see the
     former's docstring for the recurrence and parity argument. Returns
     (cv, cent): the quantized corpus coordinate rows (checkpointed,
-    reusable) and the final centroid rows."""
+    reusable) and the final centroid rows.
+
+    Scale note: cv's localCheckpoint materializes corpus x dims rows to
+    executor-local disk — right for the proof-carrying fixture sizes
+    this variant targets, wrong at petabyte corpora (there you want the
+    re-scannable parquet lineage and the MLlib path, ops/ann.ivf_topk /
+    knn_join, which never materializes coordinates). The checkpoint is
+    what keeps the per-round double reference (members + update both
+    read cv) out of exponential-lineage and ambiguous-self-join
+    territory on the proof path."""
     from pyspark.sql import Window as W
 
     def _fresh(df: DataFrame) -> DataFrame:
