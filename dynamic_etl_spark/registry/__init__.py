@@ -75,6 +75,8 @@ _WINDOW_ORDER = (
     # after all — the eighth and ninth conversions)
     "bpe_merge_training",
     "bpe_encode_stats",
+    # per-language tokenizer fertility off the same trained trajectory
+    "bpe_fertility_by_lang",
     # ---- changed code/surface this round: must re-earn the hash ----
     "fk_integrity_report",          # +composite partsupp(implied) edge
     "events_ks_drift_autogrid",     # +/-inf excluded from the row universe
@@ -110,7 +112,6 @@ _WINDOW_ORDER = (
     "embedding_topk_vectorized",
     # ---- backfill: oldest (r5) confirmations, family-diverse ----
     "scd2_point_in_time_lookup",
-    "orders_snapshot_diff",
 )
 
 #: Rotated out after earning their driver-green (r1-r7); the local
@@ -196,6 +197,7 @@ _ROTATED_OUT = (
     "near_dup_components",
     "ngram_jaccard_similarity",
     "null_count_profile",
+    "orders_snapshot_diff",
     "order_price_distribution_ranks",
     "orders_above_customer_avg",
     "pii_detect_redact",

@@ -1785,6 +1785,71 @@ ORDER BY doc_id
 """
 
 
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — the standard tokenizer-eval
+    metric (tokens per word / chars per token, per language): a
+    tokenizer trained on a mixed corpus over-fragments under-represented
+    languages, and THIS is the table that shows it. Rides the same
+    16-merge training + distinct-word encode as bpe_encode_stats;
+    per-language integer sums divide LAST (the divide-last parity
+    rule), 6dp."""
+    from dynamic_etl_spark.ops.bpe import bpe_encode_words, train_bpe
+
+    docs = ensure_fanout_parallelism(t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "text"
+    )
+    merges = train_bpe(docs, "text", n_merges=16, min_count=2).localCheckpoint()
+    words = docs.select(
+        "lang", F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    ).filter(F.length("word") > 0)
+    encoded = bpe_encode_words(words, merges, "word")
+    return (
+        words.join(encoded, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_bpe_tokens",
+            "n_chars",
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 6
+            ).alias("tokens_per_word"),
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_bpe_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+BPE_FERTILITY_ORACLE = f"""
+WITH RECURSIVE {_sql_bpe_vt_cte()},
+finstate AS (
+  SELECT word, CAST(len(syms) AS INT) AS n_pieces
+  FROM vt WHERE it = (SELECT MAX(it) FROM vt)
+),
+wordsx AS (
+  SELECT lang, word FROM (
+    SELECT lang, unnest(string_split_regex(text, '\\s+')) AS word FROM documents
+  ) WHERE length(word) > 0
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_pieces) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+       round(CAST(SUM(n_pieces) AS DOUBLE) / COUNT(*), 6) AS tokens_per_word,
+       round(CAST(SUM(length(word)) AS DOUBLE) / SUM(n_pieces), 6) AS chars_per_token
+FROM wordsx JOIN finstate USING (word)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN majority-vote classification over the embedding column: every
     100th vector is held out, its label predicted from the 10 nearest
@@ -2363,6 +2428,12 @@ QUERIES: QueryRegistry = {
         "corpus BPE encode with the trained merges: distinct-word-memoized "
         "segmentation + codegen per-doc stats; oracle reads piece counts "
         "off the trained trajectory's final state (+ reference pytest)",
+    ),
+    "bpe_fertility_by_lang": Query(
+        bpe_fertility_by_lang, BPE_FERTILITY_ORACLE,
+        "tokenizer fertility per language (tokens/word, chars/token): "
+        "the eval table that shows a mixed-corpus tokenizer "
+        "over-fragmenting under-represented languages",
     ),
     "minhash_near_dup": Query(
         minhash_near_dup, None,

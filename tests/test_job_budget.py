@@ -65,6 +65,8 @@ JOB_BUDGETS = {
     # pass; encode adds the segment/join tail over the trained table
     "bpe_merge_training": 88,   # measured 80
     "bpe_encode_stats": 95,     # measured 87
+    "bpe_fertility_by_lang": 96,  # the same train loop + the per-lang
+    # encode tail (measured 88)
 }
 
 _group_seq = itertools.count()

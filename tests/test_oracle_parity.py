@@ -67,6 +67,7 @@ def test_driver_window_holds_the_r8_rotation():
         # replay made them SQL-expressible after all)
         "bpe_merge_training",
         "bpe_encode_stats",
+        "bpe_fertility_by_lang",
         # changed code/surface this round: must re-earn the hash
         "fk_integrity_report",
         "events_ks_drift_autogrid",

@@ -214,6 +214,9 @@ SHUFFLE_BUDGET = {
     # (measured 9); tier-3's banded shape is pinned by the pair-source
     # plan test + job budget
     "encoding_repair_profile": 0,   # pure codegen replace chain; map-side only
+    # lazy tail after the eager train loop: word explode + distinct-word
+    # segment + join-back + per-lang agg + output sort (measured 5)
+    "bpe_fertility_by_lang": 5,
     "url_filter_profile": 1,        # explode -> per-doc groupBy; scrub is a
     # generated codegen regexp_replace, no second pass
     "semantic_decontamination": 1,  # eval-set collect_list fold; corpus never shuffles
