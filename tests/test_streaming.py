@@ -819,3 +819,53 @@ def test_streaming_summary_maintains_ks_drift_state(spark, scratch):
     }
     assert finalized == one_shot
     assert all(v[2] > 0 for v in finalized.values())  # drift actually present
+
+
+def test_streaming_summary_maintains_md5_hll(spark, scratch):
+    """run_streaming_summary with the md5-HLL register builders (the
+    oracle-checkable distinct sketch, r8): MAX-merge is associative,
+    commutative, AND idempotent, so the streamed register state equals
+    the one-shot build register-for-register — and because the state is
+    plain integer rows, the maintained sketch keeps its DuckDB-
+    reproducibility through the exactly-once versioned-commit protocol
+    (the Count-Min sibling above proves the addition-monoid case)."""
+    import os
+
+    from dynamic_etl_spark.io.versioned import read_versioned
+    from dynamic_etl_spark.ops.agg import (
+        build_hll_md5_state,
+        finalize_hll_md5_state,
+        merge_hll_md5_state,
+    )
+    from dynamic_etl_spark.streaming import file_stream, run_streaming_summary
+
+    src = os.path.join(scratch, "src")
+    state = os.path.join(scratch, "state")
+    ckpt = os.path.join(scratch, "ckpt")
+    os.makedirs(src)
+    all_rows = []
+    for part in range(3):
+        rows = [((i * 13 + part * 200) % 500,) for i in range(150)]
+        all_rows += rows
+        spark.createDataFrame(rows, "item long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run_streaming_summary(
+            file_stream(spark, src, "item long", fmt="parquet"),
+            state,
+            ckpt,
+            build=lambda b: build_hll_md5_state(b, [], "item", p=8),
+            merge=merge_hll_md5_state,
+        )
+
+    one_shot = build_hll_md5_state(
+        spark.createDataFrame(all_rows, "item long"), [], "item", p=8
+    )
+    maintained_df = read_versioned(spark, state)
+    regs = lambda df: {(r["bucket"], r["max_rho"]) for r in df.collect()}
+    assert regs(maintained_df) == regs(one_shot)
+
+    # the finalized estimate off the streamed state is the one-shot
+    # estimate (identical registers -> identical deterministic division)
+    est = lambda df: finalize_hll_md5_state(df, p=8).collect()[0]["raw_estimate"]
+    assert est(maintained_df) == est(one_shot)
