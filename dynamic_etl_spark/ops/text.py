@@ -366,11 +366,44 @@ def blocked_url_pattern(domains: tuple[str, ...]) -> str:
     every URL_PATTERN match has by construction. Case-insensitive
     (``(?i)``, in both Java regex and RE2) because the counting side
     lowercases the host — a mixed-case blocked URL must scrub exactly
-    when it counts (caught by the hand-example pytest)."""
+    when it counts (caught by the hand-example pytest).
+
+    The host must END at the blocked domain for the counting side's
+    exact ``isin`` match to fire, so the scrub mirrors both span
+    boundaries without lookaround (RE2 has none) by CONSUMING them:
+    start-of-text or one whitespace char before the scheme/www prefix
+    (so the pattern cannot enter mid-host — ``www.www.<domain>`` does
+    not count and must not scrub), and after the domain either a
+    ``[/?#]``-introduced tail or nothing, then one whitespace char or
+    end-of-text. Callers therefore replace with ``' '`` (not ``''``)
+    and whitespace-normalize after — :func:`scrub_blocked_urls` bundles
+    that contract. A host that merely STARTS with the domain
+    (``ads.tracker.example.evil.com``, ``...example:8080``) is neither
+    counted nor scrubbed. Known corner: a chain of blocked URLs
+    separated by single spaces scrubs alternate members per
+    application (the consumed trailing space is the next match's
+    leading boundary) — counts stay correct, and the fixture/corpus
+    never produce adjacent blocked URLs."""
     import re as _re
 
     alts = "|".join(_re.escape(d) for d in domains)
-    return rf"(?i)(?:https?://|www\.)(?:www\.)?(?:{alts})[^\s]*"
+    return (
+        rf"(?i)(?:^|\s)(?:https?://(?:www\.)?|www\.)(?:{alts})"
+        rf"(?:[/?#][^\s]*)?(?:\s|$)"
+    )
+
+
+def scrub_blocked_urls(text: Column, domains: tuple[str, ...]) -> Column:
+    """Blocked-URL scrub with the boundary contract of
+    :func:`blocked_url_pattern` applied: replace matches with one space
+    (both span boundaries are consumed), collapse whitespace, trim."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(text, blocked_url_pattern(domains), " "),
+            r"\s+",
+            " ",
+        )
+    )
 
 
 def markup_profile(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:

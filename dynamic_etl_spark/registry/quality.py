@@ -461,11 +461,7 @@ def url_filter_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", F.explode_outer(TX.extract_urls(F.col("text"))).alias("__u")
     ).withColumn("__d", TX.url_domain(F.col("__u")))
     blocked = F.col("__d").isin(*_URL_BLOCKLIST)
-    clean = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), _URL_SCRUB, ""), r"\s+", " "
-        )
-    )
+    clean = TX.scrub_blocked_urls(F.col("text"), _URL_BLOCKLIST)
     return (
         ex.groupBy("doc_id", "text")
         .agg(
@@ -515,7 +511,7 @@ SELECT doc_id,
                 '{_URL_BLOCKLIST[1]}') THEN d END, ',' ORDER BY
                 CASE WHEN d IN ('{_URL_BLOCKLIST[0]}', '{_URL_BLOCKLIST[1]}')
                 THEN d END), '') AS blocked_domains,
-       trim(regexp_replace(regexp_replace(text, '{_sql_q(_URL_SCRUB)}', '', 'g'),
+       trim(regexp_replace(regexp_replace(text, '{_sql_q(_URL_SCRUB)}', ' ', 'g'),
                            '\\s+', ' ', 'g')) AS clean_text
 FROM dom
 GROUP BY doc_id, text

@@ -446,13 +446,12 @@ def test_url_extract_domain_and_scrub_hand_examples(spark):
     lookalike hosts (notads..., subdomains) alone — consistent with the
     exact-match counting side, which skips those too."""
     from dynamic_etl_spark.ops.text import (
-        blocked_url_pattern,
         extract_urls,
+        scrub_blocked_urls,
         url_domain,
     )
 
     blocklist = ("ads.tracker.example", "spam-mart.example")
-    scrub = blocked_url_pattern(blocklist)
     rows = [
         (1, "x http://Ads.Tracker.example/p?q=1 y https://good.site.org/a z"),
         (2, "bare www.spam-mart.example/deal here"),
@@ -460,6 +459,15 @@ def test_url_extract_domain_and_scrub_hand_examples(spark):
         (4, "sub http://evil.ads.tracker.example/p stays"),
         (5, "double http://www.ads.tracker.example/p goes"),
         (6, "no urls at all"),
+        # ADVICE r8: hosts that merely START with a blocked domain must
+        # neither count nor scrub — suffix lookalike and explicit port
+        (7, "suffix http://ads.tracker.example.evil.com/p stays"),
+        (8, "port http://ads.tracker.example:8080/p stays"),
+        # blocked URL at end-of-text exercises the (?:\s|$) terminator
+        (9, "trailing http://ads.tracker.example/x"),
+        # bare double-www does NOT count (url_domain strips one www.)
+        # so it must not scrub either
+        (10, "deep www.www.ads.tracker.example/p stays"),
     ]
     df = spark.createDataFrame(rows, "id int, text string")
     doms = {
@@ -475,15 +483,14 @@ def test_url_extract_domain_and_scrub_hand_examples(spark):
     assert doms[4] == ["evil.ads.tracker.example"]
     assert doms[5] == ["ads.tracker.example"]
     assert doms[6] == []
+    assert doms[7] == ["ads.tracker.example.evil.com"]  # suffix lookalike
+    assert doms[8] == ["ads.tracker.example:8080"]  # port stays in host
+    assert doms[9] == ["ads.tracker.example"]
+    assert doms[10] == ["www.ads.tracker.example"]  # one www. stripped
     cleaned = {
         r["id"]: r["c"]
         for r in df.select(
-            "id",
-            F.trim(
-                F.regexp_replace(
-                    F.regexp_replace(F.col("text"), scrub, ""), r"\s+", " "
-                )
-            ).alias("c"),
+            "id", scrub_blocked_urls(F.col("text"), blocklist).alias("c")
         ).collect()
     }
     assert cleaned[1] == "x y https://good.site.org/a z"
@@ -492,6 +499,10 @@ def test_url_extract_domain_and_scrub_hand_examples(spark):
     assert cleaned[4] == rows[3][1]  # subdomain untouched (exact-match list)
     assert cleaned[5] == "double goes"
     assert cleaned[6] == rows[5][1]
+    assert cleaned[7] == rows[6][1]  # suffix lookalike untouched
+    assert cleaned[8] == rows[7][1]  # ported host untouched
+    assert cleaned[9] == "trailing"  # end-of-text URL scrubbed
+    assert cleaned[10] == rows[9][1]  # bare double-www untouched
 
 
 def test_hll_md5_state_accuracy_merge_and_idempotence(spark):
