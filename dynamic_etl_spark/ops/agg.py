@@ -366,12 +366,32 @@ def build_hll_md5_state(
         .select(*keys, (bucket % m).alias("bucket"), rho.alias("rho"))
         .groupBy(*keys, "bucket")
         .agg(F.max("rho").alias("max_rho"))
+        # The precision rides IN the state (ADVICE r8): finalize/merge
+        # validate it instead of trusting the caller to repeat the same
+        # p — a mismatched p would silently mis-pad the empty buckets
+        # and embed the wrong alpha_m*m^2 constant.
+        .withColumn("hll_p", F.lit(p).cast("int"))
     )
 
 
 def merge_hll_md5_state(state: DataFrame, delta: DataFrame) -> DataFrame:
     """Fold a delta into the stored state: union + MAX per register.
-    Key-count-bounded shuffle, same contract as the sketch-bytes twin."""
+    Key-count-bounded shuffle, same contract as the sketch-bytes twin.
+
+    Both sides must carry the ``hll_p`` precision column
+    (:func:`build_hll_md5_state` stamps it) — a state built before that
+    contract is refused loudly, the band_hash dtype guard pattern
+    (ops/lsh.incremental_near_dup_merge). ``hll_p`` participates in the
+    grouping keys, so registers from states built at DIFFERENT p never
+    cross-merge; :func:`finalize_hll_md5_state` then refuses the mixed
+    state instead of estimating from it."""
+    for side, df in (("state", state), ("delta", delta)):
+        if "hll_p" not in df.columns:
+            raise ValueError(
+                f"merge_hll_md5_state: {side} has no hll_p column — it was "
+                "built before the precision-in-state contract; rebuild it "
+                "with build_hll_md5_state"
+            )
     keys = [c for c in state.columns if c != "max_rho"]
     return (
         state.unionByName(delta)
@@ -395,9 +415,21 @@ def finalize_hll_md5_state(state: DataFrame, p: int = 10) -> DataFrame:
     standard linear-counting correction needs ln(), which is libm
     territory — consumers in that regime have buckets_used (= m - V) in
     the surface to apply their own correction; the registers, not the
-    headline number, are the maintained product."""
+    headline number, are the maintained product.
+
+    ``p`` is cross-checked against the ``hll_p`` the state carries
+    (ADVICE r8): a state built at a different precision — or a mix of
+    precisions surviving a hand-rolled merge — raises at evaluation
+    instead of mis-padding the (m - V) empty buckets and embedding the
+    wrong alpha_m*m^2 constant into a plausible-looking estimate."""
+    if "hll_p" not in state.columns:
+        raise ValueError(
+            "finalize_hll_md5_state: state has no hll_p column — it was "
+            "built before the precision-in-state contract; rebuild it "
+            "with build_hll_md5_state"
+        )
     m = 1 << p
-    keys = [c for c in state.columns if c not in ("bucket", "max_rho")]
+    keys = [c for c in state.columns if c not in ("bucket", "max_rho", "hll_p")]
     # 2^(RMAX - rho) by 1-based array lookup — Spark's shiftleft only
     # takes literal shift amounts, and pow() is banned (libm)
     inv = F.element_at(
@@ -407,9 +439,22 @@ def finalize_hll_md5_state(state: DataFrame, p: int = 10) -> DataFrame:
     per_key = state.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("buckets_used"),
         F.sum(inv).alias("__sum_used"),
+        F.min("hll_p").alias("__p_lo"),
+        F.max("hll_p").alias("__p_hi"),
     )
+    checked_sum = F.when(
+        (F.col("__p_lo") != p) | (F.col("__p_hi") != p),
+        F.raise_error(
+            F.format_string(
+                "finalize_hll_md5_state: state built at p in [%s, %s] "
+                f"but finalized at p={p}",
+                F.col("__p_lo"),
+                F.col("__p_hi"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("__sum_used"))
     full_sum = (
-        F.col("__sum_used")
+        checked_sum
         + (F.lit(m) - F.col("buckets_used")) * F.lit(1 << _HLL_MD5_RMAX)
     ).cast("long")
     return per_key.select(

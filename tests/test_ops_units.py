@@ -534,6 +534,44 @@ def test_hll_md5_state_accuracy_merge_and_idempotence(spark):
     assert regs(merge_hll_md5_state(merged, states[0])) == regs(one_shot)
 
 
+def test_hll_md5_precision_rides_in_the_state(spark):
+    """ADVICE r8: a state finalized (or merged) at a different p than it
+    was built with must refuse loudly, not mis-pad the empty buckets
+    into a plausible-looking estimate. The precision column also keeps
+    mixed-p registers apart in merge so finalize catches the mix."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from dynamic_etl_spark.ops.agg import (
+        build_hll_md5_state,
+        finalize_hll_md5_state,
+        merge_hll_md5_state,
+    )
+
+    df = spark.range(1000).select(F.col("id").alias("v"))
+    s8 = build_hll_md5_state(df, [], "v", p=8)
+    assert "hll_p" in s8.columns
+    # wrong finalize precision -> evaluation-time raise_error
+    with _pytest.raises((PySparkException, Py4JJavaError)) as exc:
+        finalize_hll_md5_state(s8, p=10).collect()
+    assert "finalize_hll_md5_state" in str(exc.value)
+    # mixed-p merge: registers stay apart, finalize refuses the mix
+    s10 = build_hll_md5_state(df, [], "v", p=10)
+    mixed = merge_hll_md5_state(s8, s10)
+    with _pytest.raises((PySparkException, Py4JJavaError)):
+        finalize_hll_md5_state(mixed, p=10).collect()
+    # a pre-contract state (no hll_p column) is refused at plan time
+    legacy = s8.drop("hll_p")
+    with _pytest.raises(ValueError, match="hll_p"):
+        finalize_hll_md5_state(legacy, p=8)
+    with _pytest.raises(ValueError, match="hll_p"):
+        merge_hll_md5_state(legacy, s8)
+    # the happy path is unchanged by the guard
+    est = finalize_hll_md5_state(s8, p=8).collect()[0]["raw_estimate"]
+    assert abs(est - 1000) <= 0.3 * 1000
+
+
 def test_resample_linear_hand_example(spark):
     """Grid on an observation takes the exact value; interior points
     interpolate; leading-edge points (before the first obs) are null;
