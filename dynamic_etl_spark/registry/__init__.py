@@ -28,154 +28,147 @@ from dynamic_etl_spark.registry.core import Query, QueryRegistry
 #: checked in tests/test_llm.py) go last.
 DRIVER_WINDOW = 50
 
-#: Positions 1-50 — the r8 rotation (VERDICT r7 #3 + this round's new
-#: queries): every query that ships or changes code this round takes a
-#: hard-signal slot first, then ALL 28 queries whose latest driver
-#: confirmation predates r5 (rotation hygiene: no confirmation older
-#: than 3 rounds), then the oldest r5-era confirmations as backfill.
+#: Positions 1-50 — the r9 rotation (VERDICT r8 #1): every query that
+#: ships or changes code this round takes a hard-signal slot first,
+#: then the r5-era confirmations (rotation hygiene: no confirmation
+#: older than 3 rounds; 46 were due, 45 fit — the deferred one leads
+#: the r10 window).
 _WINDOW_ORDER = (
-    # ---- NEW r8, never driver-confirmed ----
-    # md5-slice MinHash: the first oracle-backed LSH pipeline
-    "minhash_near_dup_exacthash",
-    # the cascade in production (LSH tier) configuration
-    "curation_pipeline_lsh",
-    # mojibake repair over the computed pair table
-    "encoding_repair_profile",
-    # FK worst-offender attribution (incl. composite edge)
-    "fk_orphan_attribution",
-    # the persistent-store admission pipeline, md5 mode
-    "incremental_near_dup_exacthash",
-    # SRP-LSH ANN, md5 mode — the third LSH family with a driver hash
-    "embedding_ann_lsh_exacthash",
-    # SimHash, md5 mode — the fourth (integer bit-votes over exploded
-    # tokens; the interpreted-HOF xxhash twin stays the rows-only path)
-    "simhash_near_dup_exacthash",
-    # HLL, md5-register form — the fifth ("structurally impossible" per
-    # VERDICT r7; the registers and the one-division estimate aren't)
-    "approx_distinct_exacthash",
-    # the maintained HLL: MAX-folded slice registers vs a one-shot twin
-    "distinct_sketch_maintenance_exacthash",
-    # PageRank, integer fixed-point — the sixth (the IEEE sums VERDICT
-    # r7 named are sidestepped by BIGINT floor arithmetic)
-    "events_type_pagerank_exacthash",
-    # URL/domain blocklist gate — the web-corpus curation filter the
-    # text family lacked (generated scrub regex, full clean-text hash)
-    "url_filter_profile",
-    # IVF, integer-quantized Lloyd iteration — the seventh float/hash-
-    # blocked family converted (recursive-CTE k-means twin)
-    "embedding_ann_ivf_exacthash",
-    # corpus x corpus kNN join through the shared integer-Lloyd fit
-    "embedding_knn_join_exacthash",
-    # density scoring over it (rank-pivoted fixed-order mean)
-    "embedding_density_exacthash",
-    # quality-ranked dedup survivor (argmax per component)
-    "dedup_survivors_best_quality",
-    # BPE train + encode, converted IN PLACE (the loop was always
-    # deterministic; the recursive-CTE replay makes it SQL-expressible
-    # after all — the eighth and ninth conversions)
-    "bpe_merge_training",
-    "bpe_encode_stats",
-    # per-language tokenizer fertility off the same trained trajectory
-    "bpe_fertility_by_lang",
+    # ---- NEW r9, never driver-confirmed ----
+    # incremental SEMANTIC admission — the SemDeDup sibling of the
+    # lexical admission ledger (VERDICT r8 #4): frozen k-means fit,
+    # cell-cogrouped BLAS candidates, sequential-cosine verify, the
+    # shared ops/graph.admit_batch rule; all-pairs DuckDB twin
+    "incremental_semantic_dedup",
     # ---- changed code/surface this round: must re-earn the hash ----
-    "fk_integrity_report",          # +composite partsupp(implied) edge
-    "events_ks_drift_autogrid",     # +/-inf excluded from the row universe
-    "curation_pipeline_accounting", # tier 3 behind the pair_source seam
-    # ---- the 28 stale confirmations (last green r2-r4) ----
-    "point_and_flag_filter",
-    "customers_with_orders",
-    "customers_without_orders",
-    "dedup_keep_first_line",
-    "duplicate_group_members",
-    "cube_order_totals",
-    "natural_key_concat",
-    "date_backfill_initial",
-    "events_sliding_window",
-    "events_rate_profile",
-    "high_water_mark",
-    "numeric_profile",
-    "nation_key_set_ops",
-    "latest_order_per_customer",
-    "freshness_watermark",
-    "clean_distributor_feed",
-    "insert_only_merge",
-    "events_json_extract",
-    "distinct_profile",
-    "top_part_types",
-    "customer_order_sequence",
-    "dedup_keep_last_line",
-    "alias_header_resolution",
-    "tiered_discount_pricing",
-    "date_key_lookup",
-    "snowflake_extraction",
-    "corpus_stratified_sample",
-    "embedding_topk_vectorized",
-    # ---- backfill: oldest (r5) confirmations, family-diverse ----
-    "scd2_point_in_time_lookup",
+    # blocked-URL scrub boundary fix (ADVICE r8 #1): suffix lookalikes
+    # and ported hosts no longer scrub; replacement ' ' + both span
+    # boundaries consumed, regenerated on both engine sides
+    "url_filter_profile",
+    # HLL precision-in-state (ADVICE r8 #2): hll_p column + merge/
+    # finalize validation — same surfaces, changed build/merge/finalize
+    "approx_distinct_exacthash",
+    "distinct_sketch_maintenance_exacthash",
+    # the admission rule factored to ops/graph.admit_batch (shared with
+    # the semantic tier) — identical semantics, changed code path
+    "incremental_near_dup_exacthash",
+    # ---- the 46 r5-era confirmations (45 fit; generator_stores defers
+    # to r10 — its invariants are also property-pytested every run) ----
+    "benchmark_decontamination_bloom",
+    "bigram_novelty_profile",
+    "corpus_mixture_sample",
+    "corpus_split_assignment",
+    "customer_rfm_segmentation",
+    "document_chunking",
+    "embedding_int8_quant",
+    "embedding_label_centroids",
+    "events_equidepth_deciles",
+    "events_fill_forward",
+    "events_funnel_conversion",
+    "events_hourly_resample",
+    "events_interarrival_profile",
+    "events_key_skew_profile",
+    "events_minmax_scaled",
+    "events_retention_cohorts",
+    "events_rolling_distinct_users",
+    "events_rolling_user_value",
+    "events_transition_matrix",
+    "events_type_drift_profile",
+    "events_type_pivot",
+    "events_type_unpivot",
+    "events_value_histogram",
+    "events_value_percentiles",
+    "events_value_zscore",
+    "events_zorder_tiles",
+    "fuzzy_brand_match",
+    "incremental_rollup_maintenance",
+    "knn_label_vote",
+    "markup_strip_clean",
+    "nation_segment_listagg",
+    "order_price_distribution_ranks",
+    "orders_above_customer_avg",
+    "orders_snapshot_diff",
+    "pmi_collocations_top",
+    "quality_rank_calibration",
+    "quantile_hist_maintenance",
+    "reservoir_sample_maintenance",
+    "semantic_dedup_survivors",
+    "shard_assignment_profile",
+    "source_concentration_profile",
+    "source_quota_cap",
+    "tfidf_top_terms",
+    "value_outlier_gate",
+    "vocabulary_build",
 )
 
 #: Rotated out after earning their driver-green (r1-r7); the local
 #: pytest parity harness still hash-checks each against the same oracle
 #: every run. Alphabetical — position past 50 carries no signal.
 _ROTATED_OUT = (
+    "alias_header_resolution",
     "benchmark_decontamination",
-    "benchmark_decontamination_bloom",
     "benchmark_span_scrub",
-    "bigram_novelty_profile",
+    "bpe_encode_stats",
+    "bpe_fertility_by_lang",
+    "bpe_merge_training",
     "change_detection_classification",
+    "clean_distributor_feed",
     "clean_product_feed",
     "clean_store_feed",
     "coercion_failure_profile",
-    "corpus_mixture_sample",
-    "corpus_split_assignment",
+    "corpus_stratified_sample",
     "count_min_maintenance",
-    "customer_rfm_segmentation",
+    "cube_order_totals",
+    "curation_pipeline_accounting",
+    "curation_pipeline_lsh",
+    "customer_order_sequence",
+    "customers_with_orders",
+    "customers_without_orders",
+    "date_backfill_initial",
     "date_dimension_build",
     "date_gap_fill_incremental",
+    "date_key_lookup",
     "dedup_impact_forecast",
+    "dedup_keep_first_line",
+    "dedup_keep_last_line",
     "dedup_keep_last_line_agg",
     "dedup_survivors",
-    "document_chunking",
+    "dedup_survivors_best_quality",
+    "distinct_profile",
     "document_gram_exposure",
     "drop_unresolved_keys",
     "duplicate_detection",
+    "duplicate_group_members",
     "duplicated_span_removal",
+    "embedding_ann_ivf_exacthash",
+    "embedding_ann_lsh_exacthash",
+    "embedding_density_exacthash",
     "embedding_dim_spread",
-    "embedding_int8_quant",
-    "embedding_label_centroids",
+    "embedding_knn_join_exacthash",
     "embedding_near_dup",
     "embedding_topk_bruteforce",
+    "embedding_topk_vectorized",
+    "encoding_repair_profile",
     "events_asof_last_purchase",
     "events_compaction_plan",
-    "events_equidepth_deciles",
-    "events_fill_forward",
-    "events_funnel_conversion",
     "events_hourly_heatmap",
-    "events_hourly_resample",
-    "events_interarrival_profile",
-    "events_key_skew_profile",
+    "events_json_extract",
     "events_ks_drift",
+    "events_ks_drift_autogrid",
     "events_ks_drift_binned",
-    "events_minmax_scaled",
     "events_range_interval_join",
-    "events_retention_cohorts",
-    "events_rolling_distinct_users",
-    "events_rolling_user_value",
+    "events_rate_profile",
     "events_sessionization",
-    "events_transition_matrix",
+    "events_sliding_window",
     "events_tumbling_window",
-    "events_type_drift_profile",
-    "events_type_pivot",
-    "events_type_unpivot",
-    "events_value_histogram",
-    "events_value_percentiles",
+    "events_type_pagerank_exacthash",
     "events_value_trend",
-    "events_value_zscore",
-    "events_zorder_tiles",
     "exact_dedup_fingerprint",
     "fallback_key_resolution",
+    "fk_integrity_report",
+    "fk_orphan_attribution",
     "flagship_star_join",
-    "fuzzy_brand_match",
+    "freshness_watermark",
     "generator_distributors",
     "generator_fact_day",
     "generator_products",
@@ -183,53 +176,48 @@ _ROTATED_OUT = (
     "gopher_repetition_gates",
     "grouping_sets_order_totals",
     "heavy_hitter_maintenance",
-    "incremental_rollup_maintenance",
-    "knn_label_vote",
+    "high_water_mark",
+    "insert_only_merge",
     "ks_drift_maintenance",
     "language_id_profile",
+    "latest_order_per_customer",
     "leakage_safe_split",
     "length_bucketed_batching",
     "line_dedup_profile",
-    "markup_strip_clean",
+    "minhash_near_dup_exacthash",
     "mini_dim_upsert",
     "multimodal_feature_extract",
-    "nation_segment_listagg",
+    "nation_key_set_ops",
+    "natural_key_concat",
     "near_dup_components",
     "ngram_jaccard_similarity",
     "null_count_profile",
-    "orders_snapshot_diff",
-    "order_price_distribution_ranks",
-    "orders_above_customer_avg",
+    "numeric_profile",
     "pii_detect_redact",
-    "quantile_hist_maintenance",
-    "reservoir_sample_maintenance",
-    "pmi_collocations_top",
+    "point_and_flag_filter",
     "pricing_summary",
-    "quality_rank_calibration",
     "quasi_identifier_risk",
     "rank_sketch_finalize_exact",
     "rollup_slice_rebuild",
     "rollup_totals",
     "salted_skew_join",
-    "semantic_dedup_survivors",
     "scan_projection_filter",
     "scd1_merge_orders",
     "scd2_merge_customers",
+    "scd2_point_in_time_lookup",
     "semantic_decontamination",
     "semantic_decontamination_vectorized",
     "sequence_packing",
-    "shard_assignment_profile",
-    "source_concentration_profile",
+    "simhash_near_dup_exacthash",
+    "snowflake_extraction",
     "source_diversity_profile",
-    "source_quota_cap",
     "split_leakage_audit",
     "surrogate_key_assignment",
     "text_stats_profile",
-    "tfidf_top_terms",
+    "tiered_discount_pricing",
+    "top_part_types",
     "validation_report",
     "value_anomaly_mad",
-    "value_outlier_gate",
-    "vocabulary_build",
     "winnowing_fingerprint",
 )
 

@@ -812,24 +812,27 @@ def _incremental_fixture(spark: SparkSession, sf_dir: str):
     return corpus, fresh.unionByName(copies_of_corpus).unionByName(copies_in_batch)
 
 
-def _incremental_surface(batch: DataFrame, out: dict) -> DataFrame:
-    """One row per batch doc: admitted flag + match count/scope."""
-    admitted = out["accepted"].select("doc_id", F.lit(True).alias("admitted"))
-    matched = out["dup_pairs"].groupBy(F.col("id_new").alias("doc_id")).agg(
+def _incremental_surface(
+    batch: DataFrame, out: dict, id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per batch doc: admitted flag + match count/scope —
+    shared by the lexical and semantic admission queries."""
+    admitted = out["accepted"].select(id_col, F.lit(True).alias("admitted"))
+    matched = out["dup_pairs"].groupBy(F.col("id_new").alias(id_col)).agg(
         F.count(F.lit(1)).alias("n_matches"),
         F.max(F.col("scope")).alias("match_scope"),
     )
     return (
-        batch.select("doc_id")
-        .join(admitted, "doc_id", "left")
-        .join(matched, "doc_id", "left")
+        batch.select(id_col)
+        .join(admitted, id_col, "left")
+        .join(matched, id_col, "left")
         .select(
-            "doc_id",
+            id_col,
             F.coalesce(F.col("admitted"), F.lit(False)).alias("admitted"),
             F.coalesce(F.col("n_matches"), F.lit(0)).alias("n_matches"),
             F.coalesce(F.col("match_scope"), F.lit("none")).alias("match_scope"),
         )
-        .orderBy("doc_id")
+        .orderBy(id_col)
     )
 
 
@@ -1627,6 +1630,134 @@ SELECT c.vec_id,
        COALESCE(comp.component, c.vec_id) = c.vec_id AS is_survivor
 FROM corpus c LEFT JOIN comp ON comp.v = c.vec_id
 ORDER BY c.vec_id
+"""
+
+
+def _incremental_semantic_fixture(spark: SparkSession, sf_dir: str):
+    """(corpus, batch) over embeddings — the semantic mirror of
+    :func:`_incremental_fixture`: even-id vectors are the deduplicated
+    store, the odd-id vectors plus planted near-copies of both sides
+    (the repo's index-keyed ±0.0005 perturbation, cosine ≈ 0.99999 vs
+    their source; natural max pairwise cosine ≈ 0.51) arrive as a
+    batch. The 2-arg transform lambda receives the ELEMENT INDEX (the
+    CLAUDE.md lambda-arity note) — the index drives the perturbation."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def perturbed(src: DataFrame, offset: int) -> DataFrame:
+        return src.select(
+            (F.col("vec_id") + offset).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: (x.cast("double") + F.lit(0.0005) * ((i % 3) - 1)),
+            ).cast("array<float>").alias("embedding"),
+        )
+
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    fresh = emb.filter(F.col("vec_id") % 2 == 1)
+    copies_of_corpus = perturbed(corpus.filter(F.col("vec_id") % 10 == 0), 3000000)
+    copies_in_batch = perturbed(fresh.filter(F.col("vec_id") % 9 == 1), 4000000)
+    return corpus, fresh.unionByName(copies_of_corpus).unionByName(copies_in_batch)
+
+
+def incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC admission (ops/ann.incremental_semantic_merge
+    — VERDICT r8 #4): the even-id embeddings are the deduplicated store,
+    the odd-id embeddings plus planted near-copies of both sides arrive
+    as a batch; a batch vector at cosine >= 0.95 to the store is
+    rejected, within-batch near-dup components admit their MIN id
+    (ops/graph.admit_batch — the lexical tier's rule). One row per batch
+    doc: admitted flag + match count/scope.
+
+    Oracle-checkable DESPITE the k-means cells being engine-specific —
+    the semantic_dedup_survivors argument: this corpus' true >= 0.95
+    pair set is exactly the planted pairs (cosine ≈ 0.99999; natural max
+    ≈ 0.51), each a tiny perturbation of one point that no clustering
+    can separate, so the cell-bucketed pair set equals the global
+    all-pairs set the DuckDB twin computes (verified at sf0.001 and
+    sf0.01). Surfaced sims come from the sequential-fold cosine, and
+    the admission rule is pure min/threshold algebra — deterministic at
+    any parallelism."""
+    corpus, batch = _incremental_semantic_fixture(spark, sf_dir)
+    out = ANN.incremental_semantic_merge(
+        corpus, batch, "vec_id", "embedding",
+        threshold=0.95, n_cells=8, n_probe=2,
+    )
+    return _incremental_surface(batch, out, id_col="vec_id")
+
+
+_SQL_PERTURB = """list_transform(range(1, len(embedding) + 1),
+           i -> CAST(CAST(embedding[i] AS DOUBLE)
+                     + 0.0005 * (((i - 1) % 3) - 1) AS REAL))"""
+
+_SQL_COS = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+INCREMENTAL_SEMANTIC_ORACLE = f"""
+WITH RECURSIVE corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+),
+fresh AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+batch AS (
+  SELECT vec_id, embedding FROM fresh
+  UNION ALL
+  SELECT vec_id + 3000000, {_SQL_PERTURB} AS embedding
+  FROM corpus WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT vec_id + 4000000, {_SQL_PERTURB} AS embedding
+  FROM fresh WHERE vec_id % 9 = 1
+),
+cross_pairs AS (
+  SELECT a.vec_id AS id_new, b.vec_id AS id_matched, 'existing' AS scope
+  FROM batch a, corpus b
+  WHERE {_SQL_COS} >= 0.95
+),
+within_pairs AS (
+  SELECT b.vec_id AS id_new, a.vec_id AS id_matched, 'batch' AS scope
+  FROM batch a, batch b
+  WHERE a.vec_id < b.vec_id AND {_SQL_COS} >= 0.95
+),
+dup_pairs AS (
+  SELECT * FROM cross_pairs UNION ALL SELECT * FROM within_pairs
+),
+cross_hit AS (SELECT DISTINCT id_new AS vec_id FROM cross_pairs),
+edges AS (
+  SELECT id_matched AS src, id_new AS dst FROM within_pairs
+  UNION
+  SELECT id_new, id_matched FROM within_pairs
+),
+reach AS (
+  SELECT src AS v, src AS l FROM edges
+  UNION
+  SELECT e.dst AS v, r.l FROM reach r JOIN edges e ON e.src = r.v
+),
+comp AS (SELECT v AS vec_id, MIN(l) AS component FROM reach GROUP BY v),
+labeled AS (
+  SELECT b.vec_id, COALESCE(c.component, b.vec_id) AS comp
+  FROM batch b LEFT JOIN comp c USING (vec_id)
+),
+flagged AS (
+  SELECT l.comp,
+         MAX(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS any_hit
+  FROM labeled l LEFT JOIN cross_hit h USING (vec_id)
+  GROUP BY l.comp
+),
+matched AS (
+  SELECT id_new AS vec_id,
+         CAST(COUNT(*) AS BIGINT) AS n_matches,
+         MAX(scope) AS match_scope
+  FROM dup_pairs GROUP BY id_new
+)
+SELECT l.vec_id,
+       (f.any_hit = 0 AND l.comp = l.vec_id) AS admitted,
+       COALESCE(m.n_matches, 0) AS n_matches,
+       COALESCE(m.match_scope, 'none') AS match_scope
+FROM labeled l
+JOIN flagged f ON l.comp = f.comp
+LEFT JOIN matched m ON l.vec_id = m.vec_id
+ORDER BY l.vec_id
 """
 
 
@@ -2455,6 +2586,13 @@ QUERIES: QueryRegistry = {
         "the admission pipeline in md5-slice hash mode: store, banded "
         "joins, verify, recursive-CTE components, and the admission rule "
         "all DuckDB-reproduced — the persistent-store path's driver hash",
+    ),
+    "incremental_semantic_dedup": Query(
+        incremental_semantic_dedup, INCREMENTAL_SEMANTIC_ORACLE,
+        "incremental SEMANTIC admission against a persistent embedding "
+        "store: frozen k-means fit, cell-cogrouped BLAS candidates, "
+        "sequential-cosine verify, the shared component admission rule — "
+        "all-pairs DuckDB twin via the planted-pair recall argument",
     ),
     "simhash_near_dup": Query(
         simhash_hamming_profile, None,

@@ -45,6 +45,9 @@ JOB_BUDGETS = {
     "incremental_near_dup": 44,
     "incremental_near_dup_exacthash": 46,  # xxhash twin's band + the md5
     # signature chain's extra sub-jobs (measured 42)
+    "incremental_semantic_dedup": 55,  # r9: one MLlib fit on the corpus
+    # (clamp count + sampled init + capped iterations) + the dup_pairs
+    # checkpoint + admit_batch's take + the surface tail (measured 51)
     "semantic_dedup_survivors": 43,
     "embedding_knn_join_exacthash": 64,  # the same shared 5-round integer
     # Lloyd fit as the IVF twin; only the lazy probe/rank tail differs

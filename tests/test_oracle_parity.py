@@ -32,54 +32,35 @@ def test_rows_only_query_runs(spark, name):
     assert len(df.columns) > 0
 
 
-def test_driver_window_holds_the_r8_rotation():
+def test_driver_window_holds_the_r9_rotation():
     """The driver hash-checks only the first DRIVER_WINDOW registered
-    queries. The r8 window (VERDICT r7 #3): every query that ships or
-    changes code this round takes a hard-signal slot first, then the 28
-    queries whose latest driver confirmation predates r5 (rotation
-    hygiene: no confirmation older than 3 rounds); every windowed query
-    is oracle-backed; everything rotated out stays hash-checked by this
-    local harness."""
+    queries. The r9 window (VERDICT r8 #1): every query that ships or
+    changes code this round takes a hard-signal slot first, then 45 of
+    the 46 queries whose latest driver confirmation is r5-era (rotation
+    hygiene: no confirmation older than 3 rounds; generator_stores
+    defers to r10); every windowed query is oracle-backed; everything
+    rotated out stays hash-checked by this local harness."""
     from dynamic_etl_spark.registry import DRIVER_WINDOW, _ROTATED_OUT
 
     window = list(REGISTRY)[:DRIVER_WINDOW]
     for name in (
-        # new r8, never driver-confirmed
-        "minhash_near_dup_exacthash",
-        "curation_pipeline_lsh",
-        "encoding_repair_profile",
-        "fk_orphan_attribution",
-        "incremental_near_dup_exacthash",
-        "embedding_ann_lsh_exacthash",
-        # r8 continuation: the remaining never-oracle-backed families
-        # converted (SimHash, HLL x2, PageRank, integer-Lloyd IVF) plus
-        # the URL blocklist gate
-        "simhash_near_dup_exacthash",
-        "approx_distinct_exacthash",
-        "distinct_sketch_maintenance_exacthash",
-        "events_type_pagerank_exacthash",
-        "url_filter_profile",
-        "embedding_ann_ivf_exacthash",
-        "embedding_knn_join_exacthash",
-        "embedding_density_exacthash",
-        "dedup_survivors_best_quality",
-        # converted IN PLACE (deterministic all along; the recursive-CTE
-        # replay made them SQL-expressible after all)
-        "bpe_merge_training",
-        "bpe_encode_stats",
-        "bpe_fertility_by_lang",
+        # new r9, never driver-confirmed
+        "incremental_semantic_dedup",
         # changed code/surface this round: must re-earn the hash
-        "fk_integrity_report",
-        "events_ks_drift_autogrid",
-        "curation_pipeline_accounting",
-        # representatives of the 28 stale (r2-r4-era) confirmations
-        "date_key_lookup",
-        "cube_order_totals",
-        "tiered_discount_pricing",
-        "customer_order_sequence",
-        "events_sliding_window",
-        "point_and_flag_filter",
-        "high_water_mark",
+        "url_filter_profile",                      # scrub boundary fix
+        "approx_distinct_exacthash",               # hll_p in state
+        "distinct_sketch_maintenance_exacthash",   # hll_p in state
+        "incremental_near_dup_exacthash",          # admit_batch factored
+        # representatives of the 45 freshened r5-era confirmations
+        "benchmark_decontamination_bloom",
+        "events_funnel_conversion",
+        "embedding_int8_quant",
+        "corpus_mixture_sample",
+        "document_chunking",
+        "events_rolling_user_value",
+        "semantic_dedup_survivors",
+        "tfidf_top_terms",
+        "vocabulary_build",
     ):
         assert name in window, f"{name} fell outside the driver correctness window"
     # a rows-only query in the window would waste a hash slot

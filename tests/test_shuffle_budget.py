@@ -276,6 +276,11 @@ SHUFFLE_BUDGET = {
     "incremental_near_dup": 13,
     # md5-slice mode: identical plan shape to the xxhash admission twin
     "incremental_near_dup_exacthash": 13,
+    # r9 semantic admission: two cogroup exchanges (batch probes x store,
+    # probes x probes) + the pair verify/surface joins over checkpointed
+    # leaves; the MLlib fit's shuffles are behind the eager boundary and
+    # ride the job budget instead (measured 13)
+    "incremental_semantic_dedup": 13,
     "simhash_near_dup": 2,
     # reviewed, not bumped: 2 fanout round-robins (one per branch, same
     # as the xxhash twin's 2) + 2 bit-vote groupBy exchanges the per-row
