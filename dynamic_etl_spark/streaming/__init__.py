@@ -9,6 +9,7 @@ from dynamic_etl_spark.streaming.sink import (  # noqa: F401
     run_streaming_dedup,
     run_streaming_merge,
     run_streaming_rollup,
+    run_streaming_semantic_dedup,
     run_streaming_summary,
 )
 from dynamic_etl_spark.streaming.stateful import running_user_stats  # noqa: F401

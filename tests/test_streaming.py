@@ -494,6 +494,162 @@ def test_streaming_dedup_bootstrap_crash_and_empty_docs(spark, scratch):
     assert latest_version(store_root) == 1  # heal commit, then batch commit
 
 
+def test_streaming_semantic_dedup_admits_and_heals(spark, scratch):
+    """run_streaming_semantic_dedup (VERDICT r8 #4): bootstrap from
+    batch 1 freezes the centroid fit + dedups within the batch, batch 2
+    rejects against the store under the SAME fit, zero-norm vectors are
+    dropped, and a corpus-committed/store-crashed window self-heals on
+    the next drain."""
+    import numpy as np
+
+    from dynamic_etl_spark.io.versioned import (
+        latest_version,
+        read_versioned,
+        write_versioned,
+    )
+    from dynamic_etl_spark.streaming import file_stream, run_streaming_semantic_dedup
+
+    corpus_root = str(scratch / "semcorpus")
+    store_root = str(scratch / "semstore")
+    centers_root = str(scratch / "semcenters")
+    feed = scratch / "vecfeed"
+    feed.mkdir()
+
+    def vec(seed):
+        rng = np.random.RandomState(seed)
+        return [float(x) for x in rng.uniform(-1.0, 1.0, 16)]
+
+    def near(v):
+        return [float(x + 1e-3 * ((i % 3) - 1)) for i, x in enumerate(v)]
+
+    b1 = spark.createDataFrame(
+        [
+            (1, vec(1)),
+            (2, vec(2)),
+            (3, near(vec(1))),      # within-batch dup of 1 -> rejected
+            (4, [0.0] * 16),        # zero-norm -> dropped
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    b1.coalesce(1).write.parquet(str(feed / "b1.parquet"))
+    run_streaming_semantic_dedup(
+        file_stream(spark, str(feed / "*.parquet"), b1.schema),
+        corpus_root, store_root, centers_root, str(scratch / "ckpt_sem"),
+        id_col="vec_id", vec_col="embedding", n_cells=2,
+    )
+    assert latest_version(corpus_root) == 0
+    assert latest_version(centers_root) == 0
+    assert {r["vec_id"] for r in read_versioned(spark, corpus_root).collect()} == {1, 2}
+
+    frozen = {
+        (r["cell"], tuple(r["center"]))
+        for r in read_versioned(spark, centers_root).collect()
+    }
+
+    # batch 2: a near-copy of an admitted doc + a genuinely new one
+    b2 = spark.createDataFrame(
+        [(10, near(vec(2))), (11, vec(99))],
+        "vec_id long, embedding array<double>",
+    )
+    b2.coalesce(1).write.parquet(str(feed / "b2.parquet"))
+    run_streaming_semantic_dedup(
+        file_stream(spark, str(feed / "*.parquet"), b1.schema),
+        corpus_root, store_root, centers_root, str(scratch / "ckpt_sem"),
+        id_col="vec_id", vec_col="embedding", n_cells=2,
+    )
+    corpus = {r["vec_id"] for r in read_versioned(spark, corpus_root).collect()}
+    assert corpus == {1, 2, 11}
+    assert latest_version(corpus_root) == 1
+    # the fit stayed FROZEN across batches
+    assert {
+        (r["cell"], tuple(r["center"]))
+        for r in read_versioned(spark, centers_root).collect()
+    } == frozen
+
+    # crash window: corpus advances without its store rows (doc 50)
+    extra = spark.createDataFrame(
+        [(50, vec(50))], "vec_id long, embedding array<double>"
+    )
+    write_versioned(
+        read_versioned(spark, corpus_root).unionByName(extra), corpus_root
+    )
+    # next drain heals the store, so a near-copy of doc 50 is REJECTED
+    b3 = spark.createDataFrame(
+        [(60, near(vec(50)))], "vec_id long, embedding array<double>"
+    )
+    b3.coalesce(1).write.parquet(str(feed / "b3.parquet"))
+    run_streaming_semantic_dedup(
+        file_stream(spark, str(feed / "*.parquet"), b1.schema),
+        corpus_root, store_root, centers_root, str(scratch / "ckpt_sem"),
+        id_col="vec_id", vec_col="embedding", n_cells=2,
+    )
+    corpus = {r["vec_id"] for r in read_versioned(spark, corpus_root).collect()}
+    assert corpus == {1, 2, 11, 50}  # 60 rejected against the healed store
+    store_ids = {
+        r["vec_id"]
+        for r in read_versioned(spark, store_root).select("vec_id").distinct().collect()
+    }
+    assert store_ids == {1, 2, 11, 50}
+
+
+def test_streaming_semantic_dedup_bootstrap_crash_heals_fit(spark, scratch):
+    """A corpus seeded OUTSIDE the sink (no centers, no store — the
+    widest crash window) must not wedge the stream: the next drain
+    refits deterministically from the committed corpus, heals the
+    store, and admission proceeds under the frozen fit."""
+    import numpy as np
+
+    from dynamic_etl_spark.io.versioned import (
+        latest_version,
+        read_versioned,
+        write_versioned,
+    )
+    from dynamic_etl_spark.streaming import file_stream, run_streaming_semantic_dedup
+
+    corpus_root = str(scratch / "semcorpus_bc")
+    store_root = str(scratch / "semstore_bc")
+    centers_root = str(scratch / "semcenters_bc")
+    feed = scratch / "vecfeed_bc"
+    feed.mkdir()
+
+    def vec(seed):
+        rng = np.random.RandomState(seed)
+        return [float(x) for x in rng.uniform(-1.0, 1.0, 16)]
+
+    def near(v):
+        return [float(x + 1e-3 * ((i % 3) - 1)) for i, x in enumerate(v)]
+
+    seeded = spark.createDataFrame(
+        [(1, vec(1)), (2, vec(2))], "vec_id long, embedding array<double>"
+    )
+    write_versioned(seeded, corpus_root)
+
+    b1 = spark.createDataFrame(
+        [
+            (10, near(vec(1))),   # near corpus doc 1 -> must be rejected
+            (11, vec(77)),        # fresh -> admitted
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    b1.coalesce(1).write.parquet(str(feed / "b1.parquet"))
+    run_streaming_semantic_dedup(
+        file_stream(spark, str(feed / "*.parquet"), b1.schema),
+        corpus_root, store_root, centers_root, str(scratch / "ckpt_sem_bc"),
+        id_col="vec_id", vec_col="embedding", n_cells=2,
+    )
+    corpus = {r["vec_id"] for r in read_versioned(spark, corpus_root).collect()}
+    assert corpus == {1, 2, 11}
+    # the heal rebuilt store rows for the pre-crash corpus docs too,
+    # and the refit-from-corpus froze a centers table
+    store_ids = {
+        r["vec_id"]
+        for r in read_versioned(spark, store_root).select("vec_id").distinct().collect()
+    }
+    assert store_ids == {1, 2, 11}
+    assert latest_version(centers_root) == 0
+    assert latest_version(store_root) == 1  # heal commit, then batch commit
+
+
 def test_streaming_rollup_exactly_once_fold(spark, scratch):
     """run_streaming_rollup: the maintained state equals the one-shot
     aggregate over everything, survives a second drain (no pending
