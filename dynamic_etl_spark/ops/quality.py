@@ -333,9 +333,13 @@ def bigram_perplexity_profile(df: DataFrame, *, id_col: str = "doc_id",
     probability is irrational, and a raw double sum would be
     partition-order dependent — each bigram's log-prob is rounded to 12dp
     and summed as decimal(38,12) (exact, order-free), divided once per
-    doc. Cross-ENGINE the log itself is libm-dependent, so this operator
-    is rows-only at the driver with a numpy brute-force pytest twin
-    (CLAUDE.md rows-only rule).
+    doc. Cross-ENGINE the raw log IS libm-dependent (measured: ~24% of
+    the fixture's distinct quotients differ in the last bits), but the
+    12dp quantization happens BEFORE the sum and both engines agree at
+    12dp on every fixture quotient — so since r9 the registry query
+    carries a DuckDB oracle replaying the same quantize-then-exact-sum
+    pipeline (VERDICT r8 #6; the numpy brute-force pytest stays as the
+    semantics ground truth).
 
     Scale: model + context-count joins shuffle on gram/w1 (natural keys,
     skew bounded by stopword frequency caps at ~corpus fraction); V is a

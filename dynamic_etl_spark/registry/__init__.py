@@ -52,8 +52,14 @@ _WINDOW_ORDER = (
     # the admission rule factored to ops/graph.admit_batch (shared with
     # the semantic tier) — identical semantics, changed code path
     "incremental_near_dup_exacthash",
-    # ---- the 46 r5-era confirmations (45 fit; generator_stores defers
-    # to r10 — its invariants are also property-pytested every run) ----
+    # converted IN PLACE (VERDICT r8 #6, the BPE precedent): the 12dp
+    # log-prob quantization agrees across engines on every fixture
+    # quotient (measured 0 mismatches at both SFs; raw bits differ on
+    # ~24%), so the rows-only libm blocker falls
+    "bigram_perplexity_profile",
+    # ---- the 46 r5-era confirmations (44 fit; generator_stores and
+    # value_outlier_gate defer to r10 — both also property/parity-
+    # pytested every run) ----
     "benchmark_decontamination_bloom",
     "bigram_novelty_profile",
     "corpus_mixture_sample",
@@ -97,7 +103,6 @@ _WINDOW_ORDER = (
     "source_concentration_profile",
     "source_quota_cap",
     "tfidf_top_terms",
-    "value_outlier_gate",
     "vocabulary_build",
 )
 
@@ -218,6 +223,7 @@ _ROTATED_OUT = (
     "top_part_types",
     "validation_report",
     "value_anomaly_mad",
+    "value_outlier_gate",
     "winnowing_fingerprint",
 )
 
@@ -235,7 +241,6 @@ _TAIL_ORDER = (
     "embedding_ann_ivf",
     "embedding_knn_join",
     "embedding_density_profile",
-    "bigram_perplexity_profile",
     "distinct_sketch_maintenance",
     "rank_sketch_maintenance",
     "corpus_weighted_sample",

@@ -101,9 +101,10 @@ _ROWS_ONLY_TWINS = {
     "rank_sketch_maintenance": "rank_sketch_finalize_exact",
 }
 _ROWS_ONLY_BLOCKED = {
-    # ln() over per-bigram probabilities accumulates in libm territory
-    "bigram_perplexity_profile",
-    # A-ES priorities are u^(1/w): pow() in the accumulation itself
+    # A-ES priorities are u^(1/w): pow() in the accumulation itself —
+    # and unlike the perplexity case (converted in place r9: its 12dp
+    # quantization happens BEFORE the sum), the pow feeds a per-row
+    # ORDERING, so quantizing it would change which rows are sampled
     "corpus_weighted_sample",
 }
 
