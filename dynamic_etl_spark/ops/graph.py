@@ -143,34 +143,27 @@ def admit_batch(
 
     HYBRID execution: the pair set tracks duplicate structure (the
     banded-LSH / cell-bucketing guarantee), so it is usually
-    mini-dim-sized — a driver union-find over the already-materialized
-    pairs replaces ~10 tiny iterative Spark jobs (measured ~2x on the
-    whole lexical op at sf0.1). Past ``small_cc_threshold`` pairs it
-    falls back to the distributed pointer-jumping CC, whose iterative
-    lineage is checkpoint-truncated as usual. ONE driver action decides
-    the path AND fetches the edges (VERDICT r7 #4: a separate
-    count-then-collect spent two jobs per batch): take(threshold+1)
-    ships at most threshold+1 rows — a mass-duplicate batch headed for
-    the distributed fallback never materializes its full pair set on
-    the driver.
+    mini-dim-sized — ONE driver action (take(threshold+1) over the
+    checkpointed pairs: a mass-duplicate batch headed for the
+    distributed fallback never materializes its full pair set on the
+    driver) fetches BOTH scopes, a union-find labels the within-batch
+    components, and the whole admission rule collapses to a driver-built
+    REJECTED id set (every cross-hit doc, every member of a hit
+    component, every non-min member of a clean component — bounded by
+    2x the pair count) anti-joined broadcast-style against the batch.
+    That replaces the lazy labeled/flagged/filter join chain the
+    downstream consumer used to replay as ~6 AQE stage-jobs per batch
+    (VERDICT r8 #3; the r7 #4 count-then-collect fusion was the same
+    hunt). Past ``small_cc_threshold`` pairs it falls back to the
+    distributed pointer-jumping CC + the join-chain rule, whose
+    iterative lineage is checkpoint-truncated as usual.
     """
-    cross_hit = dup_pairs.filter(F.col("scope") == "existing").select(
-        F.col("id_new").alias(id_col)
-    ).distinct()
-    comp_edges = dup_pairs.filter(F.col("scope") == "batch").select(
-        F.col("id_matched").alias("src"), F.col("id_new").alias("dst")
-    )
-    # Component label = MIN member id; batch docs in no within-pair keep
-    # their own id (left join + coalesce, the near_dup_components shape).
     id_type = new_docs.schema[id_col].dataType
-    edge_rows = comp_edges.take(small_cc_threshold + 1)
-    if not edge_rows:
-        comps = new_docs.sparkSession.createDataFrame(
-            [], T.StructType([
-                T.StructField("v", id_type), T.StructField("component", id_type),
-            ])
-        )
-    elif len(edge_rows) <= small_cc_threshold:
+    pair_rows = dup_pairs.select("scope", "id_matched", "id_new").take(
+        small_cc_threshold + 1
+    )
+    if len(pair_rows) <= small_cc_threshold:
+        hits = {r["id_new"] for r in pair_rows if r["scope"] == "existing"}
         parent: dict = {}
 
         def find(x):
@@ -179,22 +172,42 @@ def admit_batch(
                 x = parent[x]
             return x
 
-        for r in edge_rows:
-            a, b = r["src"], r["dst"]
+        for r in pair_rows:
+            if r["scope"] != "batch":
+                continue
+            a, b = r["id_matched"], r["id_new"]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-        comps = new_docs.sparkSession.createDataFrame(
-            [(v, find(v)) for v in parent],
-            T.StructType([
-                T.StructField("v", id_type), T.StructField("component", id_type),
-            ]),
+        members: dict = {}
+        for v in parent:
+            members.setdefault(find(v), set()).add(v)
+        rejected = set(hits)
+        for root, comp in members.items():
+            if comp & hits:
+                rejected |= comp
+            else:
+                rejected |= comp - {min(comp)}
+        if not rejected:
+            return new_docs
+        rej_df = new_docs.sparkSession.createDataFrame(
+            [(x,) for x in rejected],
+            T.StructType([T.StructField(id_col, id_type)]),
         )
-    else:
-        # connected_components returns a checkpointed leaf (cache released)
-        comps = connected_components(comp_edges)
+        return new_docs.join(F.broadcast(rej_df), id_col, "left_anti")
+
+    cross_hit = dup_pairs.filter(F.col("scope") == "existing").select(
+        F.col("id_new").alias(id_col)
+    ).distinct()
+    comp_edges = dup_pairs.filter(F.col("scope") == "batch").select(
+        F.col("id_matched").alias("src"), F.col("id_new").alias("dst")
+    )
+    # Component label = MIN member id; batch docs in no within-pair keep
+    # their own id (left join + coalesce, the near_dup_components shape).
+    # connected_components returns a checkpointed leaf (cache released).
+    comps = connected_components(comp_edges)
     labeled = new_docs.join(
         comps.withColumnRenamed("v", id_col), id_col, "left"
     ).withColumn("__comp", F.coalesce(F.col("component"), F.col(id_col)))

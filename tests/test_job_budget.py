@@ -39,15 +39,18 @@ JOB_BUDGETS = {
     "curation_pipeline_lsh": 45,  # the exact cascade's chains + the banded
     # LSH tier's extra signature/verify stages behind the s3 checkpoint
     # (measured 42; sibling wobble band +-3)
-    # r8: the count-then-collect pair fused into ONE take(threshold+1)
-    # (VERDICT r7 #4) — the 38-44 observed band shifts down a job; the
-    # rejected r4 fold experiment (47) stays well above the ceiling
-    "incremental_near_dup": 44,
-    "incremental_near_dup_exacthash": 46,  # xxhash twin's band + the md5
-    # signature chain's extra sub-jobs (measured 42)
-    "incremental_semantic_dedup": 55,  # r9: one MLlib fit on the corpus
+    # r9 (VERDICT r8 #3): the small-path admission rule collapsed to a
+    # driver-built rejected set + ONE broadcast anti-join — the lazy
+    # labeled/flagged join chain's ~6-9 AQE stage-jobs per consumer are
+    # gone (measured 41->32 at sf0.001, 31 at sf0.1; the rejected r4
+    # fold experiment's 47 stays far above)
+    "incremental_near_dup": 35,
+    "incremental_near_dup_exacthash": 37,  # xxhash twin's band + the md5
+    # signature chain's extra sub-jobs (measured 33 after the r9 cut)
+    "incremental_semantic_dedup": 47,  # r9: one MLlib fit on the corpus
     # (clamp count + sampled init + capped iterations) + the dup_pairs
-    # checkpoint + admit_batch's take + the surface tail (measured 51)
+    # checkpoint + admit_batch's take + the surface tail (measured 44
+    # after the same admission-rule cut)
     "semantic_dedup_survivors": 43,
     "embedding_knn_join_exacthash": 64,  # the same shared 5-round integer
     # Lloyd fit as the IVF twin; only the lazy probe/rank tail differs

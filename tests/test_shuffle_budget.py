@@ -273,14 +273,17 @@ SHUFFLE_BUDGET = {
     # md5-slice hash mode: identical plan shape to the xxhash twin (the
     # hash family changes, the exchanges don't)
     "minhash_near_dup_exacthash": 6,
-    "incremental_near_dup": 13,
+    # r9: the driver-path admission rule returns a broadcast anti-join
+    # over the batch — the surfaced plan keeps only the surface joins
+    # over checkpointed leaves (13 -> 4 measured); the heavy banded/
+    # verify shuffles sit behind the eager dup_pairs checkpoint and are
+    # pinned by the job budget instead
+    "incremental_near_dup": 4,
     # md5-slice mode: identical plan shape to the xxhash admission twin
-    "incremental_near_dup_exacthash": 13,
-    # r9 semantic admission: two cogroup exchanges (batch probes x store,
-    # probes x probes) + the pair verify/surface joins over checkpointed
-    # leaves; the MLlib fit's shuffles are behind the eager boundary and
-    # ride the job budget instead (measured 13)
-    "incremental_semantic_dedup": 13,
+    "incremental_near_dup_exacthash": 4,
+    # r9 semantic admission: same surfaced shape as the lexical twin
+    # (the cogroup/BLAS exchanges are behind the eager boundary)
+    "incremental_semantic_dedup": 4,
     "simhash_near_dup": 2,
     # reviewed, not bumped: 2 fanout round-robins (one per branch, same
     # as the xxhash twin's 2) + 2 bit-vote groupBy exchanges the per-row
