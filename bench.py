@@ -132,6 +132,13 @@ COHORTS["r8"] = (
     "curation_pipeline_lsh",
     "encoding_repair_profile",
 )
+COHORTS["r9"] = (
+    # incremental SEMANTIC admission — the maintained-dedup story's new
+    # production path (frozen fit + store cogroup); tracked like its
+    # lexical sibling. The all-pairs oracle replay stays out (it is the
+    # proof, not the plan).
+    "incremental_semantic_dedup",
+)
 
 HEADLINE = tuple(n for cohort in COHORTS.values() for n in cohort)
 

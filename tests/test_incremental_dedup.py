@@ -199,6 +199,28 @@ def test_incremental_md5_mode_matches_bruteforce_and_refuses_mixed_store(spark):
         )
 
 
+def test_admit_batch_cross_hits_only_both_paths(spark):
+    """A pair set with ONLY 'existing'-scope hits (zero within-batch
+    edges) must admit identically on the driver path and the forced
+    distributed path — the r9 rewrite routes on the TOTAL pair count,
+    so the distributed CC can now see an empty edge set."""
+    from dynamic_etl_spark.ops import graph as G
+
+    new_docs = _df(spark, [(1, "a"), (2, "b"), (3, "c")])
+    dup_pairs = spark.createDataFrame(
+        [(1, 100, 0.9, "existing"), (2, 101, 0.8, "existing")],
+        "id_new long, id_matched long, jaccard_sim double, scope string",
+    ).localCheckpoint()
+    for thresh in (0, 100):  # distributed, driver
+        acc = G.admit_batch(new_docs, "doc_id", dup_pairs, small_cc_threshold=thresh)
+        assert sorted(r["doc_id"] for r in acc.collect()) == [3], thresh
+    empty = spark.createDataFrame(
+        [], "id_new long, id_matched long, jaccard_sim double, scope string"
+    ).localCheckpoint()
+    acc = G.admit_batch(new_docs, "doc_id", empty, small_cc_threshold=100)
+    assert sorted(r["doc_id"] for r in acc.collect()) == [1, 2, 3]
+
+
 def test_incremental_distributed_cc_fallback_matches_driver_path(spark, monkeypatch):
     """Past the pair threshold the within-batch components run as
     distributed pointer-jumping CC; both paths must admit identically."""
