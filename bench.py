@@ -294,6 +294,10 @@ def main() -> None:
         compact["noisy"] = sorted(noisy)
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
+        # first degrade: 1dp per-query seconds (full set, cohorts intact)
+        compact["queries"] = {n: round(s, 1) for n, s in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
         worst = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
         compact["queries"] = {n: round(s, 2) for n, s in worst.items()}
         compact["queries_shown"] = f"worst {len(worst)} of {len(timings)}"

@@ -620,3 +620,85 @@ def test_benchmark_span_scrub_million_docs_broadcast_shape(spark):
     # secondary, deliberately generous: a plan regression is caught above;
     # this only trips on a pathological (non-linear) blowup
     assert elapsed < 480, f"span scrub stress took {elapsed:.0f}s"
+
+
+def test_incremental_semantic_admission_fifty_k_store(spark):
+    """Incremental SEMANTIC admission at a 50k-vector store x 25k-vector
+    batch (r9): every planted store copy is rejected with its exact
+    source named, every fresh vector admits, the store delta covers
+    exactly the admitted set, and the probe stage fans out. Candidates
+    exist ONLY within probed cells (cell-cogrouped BLAS), so this also
+    exercises the recall claim the fixture-sized oracle rides on —
+    identical vectors cannot be separated by the fit."""
+    import numpy as np
+
+    from dynamic_etl_spark.ops.ann import (
+        _probe_cells,
+        fit_semantic_centers,
+        incremental_semantic_merge,
+        semantic_store_rows,
+    )
+
+    STORE_N, BATCH_N, COPY_EVERY, DIM = 50_000, 25_000, 50, 16
+
+    def emb(seed_col):
+        return F.array(
+            *[
+                (F.pmod(F.xxhash64(seed_col, F.lit(j)), F.lit(2001)) - 1000) / 1000.0
+                for j in range(DIM)
+            ]
+        )
+
+    store_docs = (
+        spark.range(STORE_N)
+        .repartition(64)
+        .select(F.col("id").alias("vec_id"), emb(F.col("id")).alias("emb"))
+    )
+    # batch ids live at +1M; every COPY_EVERY-th copies store vector 2*i
+    # (identical coordinates -> cosine exactly 1.0), the rest are fresh
+    seed = F.when(F.col("id") % COPY_EVERY == 0, F.col("id") * 2).otherwise(
+        F.col("id") + 1_000_000
+    )
+    batch_docs = (
+        spark.range(BATCH_N)
+        .repartition(64)
+        .select((F.col("id") + 1_000_000).alias("vec_id"), emb(seed).alias("emb"))
+    )
+
+    start = time.perf_counter()
+    centers = fit_semantic_centers(store_docs, "vec_id", "emb", n_cells=32, max_iter=4)
+    store = semantic_store_rows(store_docs, "vec_id", "emb", centers).localCheckpoint()
+    out = incremental_semantic_merge(
+        store_docs, batch_docs, "vec_id", "emb",
+        threshold=0.99, n_cells=32, n_probe=4,
+        centers=centers, existing_assigned=store,
+    )
+    pairs = out["dup_pairs"]
+    n_pairs = pairs.count()
+    n_accepted = out["accepted"].count()
+    n_delta = out["new_assigned"].count()
+    elapsed = time.perf_counter() - start
+
+    n_planted = BATCH_N // COPY_EVERY  # 500
+    assert n_pairs == n_planted, n_pairs
+    # every pair is (1M + 50k', matched = 2*(id_new - 1M)), scope existing
+    bad = pairs.filter(
+        (F.col("scope") != "existing")
+        | ((F.col("id_new") - 1_000_000) % COPY_EVERY != 0)
+        | (F.col("id_matched") != (F.col("id_new") - 1_000_000) * 2)
+        | (F.col("cosine_sim") != 1.0)
+    ).count()
+    assert bad == 0
+    assert n_accepted == BATCH_N - n_planted
+    assert n_delta == n_accepted
+
+    # the distributed probe stage fans out across the partitioning
+    cores = spark.sparkContext.defaultParallelism
+    spread = (
+        _probe_cells(batch_docs, "vec_id", "emb", centers, 4)
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert spread >= cores, f"probe stage ran in only {spread} partitions"
+    assert elapsed < 240, f"50k-store semantic admission took {elapsed:.0f}s"
