@@ -138,6 +138,9 @@ COHORTS["r9"] = (
     # lexical sibling. The all-pairs oracle replay stays out (it is the
     # proof, not the plan).
     "incremental_semantic_dedup",
+    # the composed admission gate — the maintained form of the curation
+    # cascade flagship; cost ~ sum of the single-tier admission queries
+    "incremental_curation_admission",
 )
 
 HEADLINE = tuple(n for cohort in COHORTS.values() for n in cohort)

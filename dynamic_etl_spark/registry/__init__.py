@@ -31,7 +31,7 @@ DRIVER_WINDOW = 50
 #: Positions 1-50 — the r9 rotation (VERDICT r8 #1): every query that
 #: ships or changes code this round takes a hard-signal slot first,
 #: then the r5-era confirmations (rotation hygiene: no confirmation
-#: older than 3 rounds; 46 were due, 45 fit — the deferred one leads
+#: older than 3 rounds; 46 were due, 43 fit — the three deferred lead
 #: the r10 window).
 _WINDOW_ORDER = (
     # ---- NEW r9, never driver-confirmed ----
@@ -57,9 +57,13 @@ _WINDOW_ORDER = (
     # quotient (measured 0 mismatches at both SFs; raw bits differ on
     # ~24%), so the rows-only libm blocker falls
     "bigram_perplexity_profile",
-    # ---- the 46 r5-era confirmations (44 fit; generator_stores and
-    # value_outlier_gate defer to r10 — both also property/parity-
-    # pytested every run) ----
+    # the maintained curation gate — the three admission tiers composed
+    # over a persistent curated corpus (the incremental form of the r7/r8
+    # cascade flagship), every tier DuckDB-reproduced
+    "incremental_curation_admission",
+    # ---- the 46 r5-era confirmations (43 fit; generator_stores,
+    # value_outlier_gate, and nation_segment_listagg defer to r10 — all
+    # three also property/parity-pytested every run) ----
     "benchmark_decontamination_bloom",
     "bigram_novelty_profile",
     "corpus_mixture_sample",
@@ -90,7 +94,6 @@ _WINDOW_ORDER = (
     "incremental_rollup_maintenance",
     "knn_label_vote",
     "markup_strip_clean",
-    "nation_segment_listagg",
     "order_price_distribution_ranks",
     "orders_above_customer_avg",
     "orders_snapshot_diff",
@@ -193,6 +196,7 @@ _ROTATED_OUT = (
     "mini_dim_upsert",
     "multimodal_feature_extract",
     "nation_key_set_ops",
+    "nation_segment_listagg",
     "natural_key_concat",
     "near_dup_components",
     "ngram_jaccard_similarity",

@@ -1185,7 +1185,334 @@ def curation_pipeline_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_pipeline_accounting(spark, sf_dir, pair_source=lsh_pair_source)
 
 
+# ==========================================================================
+# Incremental (maintained) curation admission — the composed cascade of
+# the three ADMISSION tiers (r9): exact fingerprints, banded MinHash
+# lexical, SemDeDup semantic, each against its persistent store. The
+# batch cascade above curates a CORPUS; this admits a BATCH into an
+# already-curated corpus — the maintained form a daily ingest runs.
+# ==========================================================================
+
+def _incremental_curation_fixture(spark: SparkSession, sf_dir: str):
+    """(corpus_docs, corpus_emb, batch_docs, batch_emb): even-id docs +
+    embeddings are the curated store; the batch is the odd ids plus one
+    plant per tier (key-modulo, mirrored verbatim in SQL):
+
+    - +5.0M case/whitespace copies of every 20th corpus doc  -> exact, store
+    - +5.5M upper copies of fresh %15==1                     -> exact, batch
+    - +6.0M ' tail' near-copies of every 10th corpus doc     -> lexical, store
+    - +6.5M ' coda' near-copies of fresh %9==1               -> lexical, batch
+    - +7.0M REVERSED-word texts of every 50th corpus doc with
+      index-perturbed copies of that doc's embedding — lexically
+      invisible (reversed 3-shingles share nothing at 10+ tokens),
+      caught only by the semantic tier                       -> semantic, store
+    - +7.5M the same trick on fresh %45==2                   -> semantic, batch
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    corpus_emb = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    fresh = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def rekey(src: DataFrame, offset: int, text_expr) -> DataFrame:
+        return src.select(
+            (F.col("doc_id") + offset).alias("doc_id"), text_expr.alias("text")
+        )
+
+    upper_pad = F.upper(F.concat(F.lit("  "), F.col("text"), F.lit("  ")))
+    reversed_words = F.array_join(F.reverse(F.split(F.col("text"), " ")), " ")
+    batch_docs = (
+        fresh
+        .unionByName(rekey(corpus_docs.filter(F.col("doc_id") % 20 == 0), 5_000_000, upper_pad))
+        .unionByName(rekey(fresh.filter(F.col("doc_id") % 15 == 1), 5_500_000, F.upper(F.col("text"))))
+        .unionByName(rekey(corpus_docs.filter(F.col("doc_id") % 10 == 0), 6_000_000, F.concat(F.col("text"), F.lit(" tail"))))
+        .unionByName(rekey(fresh.filter(F.col("doc_id") % 9 == 1), 6_500_000, F.concat(F.col("text"), F.lit(" coda"))))
+        .unionByName(rekey(corpus_docs.filter(F.col("doc_id") % 50 == 0), 7_000_000, reversed_words))
+        .unionByName(rekey(fresh.filter(F.col("doc_id") % 45 == 2), 7_500_000, reversed_words))
+    )
+
+    perturb = F.transform(
+        "embedding",
+        lambda x, i: (x.cast("double") + F.lit(0.0005) * ((i % 3) - 1)),
+    ).cast("array<float>")
+    batch_emb = (
+        emb.filter(F.col("vec_id") % 2 == 1).select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        .unionByName(
+            emb.filter(F.col("vec_id") % 50 == 0).select(
+                (F.col("vec_id") + 7_000_000).alias("doc_id"),
+                perturb.alias("embedding"),
+            )
+        )
+        .unionByName(
+            emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") % 45 == 2)).select(
+                (F.col("vec_id") + 7_500_000).alias("doc_id"),
+                perturb.alias("embedding"),
+            )
+        )
+    )
+    return corpus_docs, corpus_emb, batch_docs, batch_emb
+
+
+def incremental_curation_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three admission tiers composed into ONE maintained curation
+    gate (the incremental form of curation_pipeline_accounting): a batch
+    runs exact-fingerprint admission against the corpus fingerprint
+    store, its survivors run banded-MinHash lexical admission
+    (ops/lsh.incremental_near_dup_merge, md5 mode — the oracle-proven
+    configuration; hash_mode='xxhash' is the cheaper production flip),
+    and THEIR survivors run SemDeDup semantic admission
+    (ops/ann.incremental_semantic_merge) against the embedding store.
+    Each tier applies the shared rule (ops/graph.admit_batch): reject on
+    any store hit, keep the MIN id of every within-batch duplicate
+    group. Output: one row per batch doc — (doc_id, admitted,
+    rejected_by in {exact, lexical, semantic, none}), the tier
+    attribution a daily-ingest operator reads.
+
+    Oracle-checkable end to end: the exact tier is md5-of-normalized-
+    text algebra; the lexical tier is the INCREMENTAL_EXACTHASH
+    recurrence over tier-1 survivors (a plain CTE in SQL); the semantic
+    tier rides the planted-pair recall argument (reversed-word texts
+    with perturbed embeddings sit at cosine ~0.99999 vs their source,
+    natural max ~0.51 — no clustering separates them). Survivors
+    lacking an embedding pass the semantic tier through (the batch
+    cascade's tier-5 convention; none exist in this fixture).
+
+    Scale shape: tier costs equal the single-tier admission queries'
+    costs on shrinking inputs — composition adds attribution joins over
+    checkpointed leaves, not shuffles. Each tier's store delta for a
+    production caller is the existing ops' outputs filtered to the
+    final admitted set (tests/test_incremental_semantic.py and
+    test_incremental_dedup.py pin the single-tier delta contracts)."""
+    from dynamic_etl_spark.ops import ann as ANN
+    from dynamic_etl_spark.ops import lsh as L
+    from dynamic_etl_spark.ops.text import fingerprint_md5
+
+    corpus_docs, corpus_emb, batch_docs, batch_emb = _incremental_curation_fixture(
+        spark, sf_dir
+    )
+    batch_docs = ensure_fanout_parallelism(batch_docs).localCheckpoint()
+
+    # tier 1 — exact fingerprints vs the store, keep-min within batch
+    store_fp = corpus_docs.select(
+        fingerprint_md5(F.col("text")).alias("__fp")
+    ).distinct()
+    bfp = batch_docs.select("doc_id", fingerprint_md5(F.col("text")).alias("__fp"))
+    keep1 = (
+        bfp.join(store_fp, "__fp", "left_anti")
+        .groupBy("__fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = batch_docs.join(keep1, "doc_id", "leftsemi").localCheckpoint()
+
+    # tier 2 — banded MinHash lexical admission over tier-1 survivors
+    out2 = L.incremental_near_dup_merge(
+        corpus_docs, s1, "doc_id", "text", threshold=0.5, hash_mode="md5"
+    )
+    s2 = out2["accepted"].localCheckpoint()
+
+    # tier 3 — semantic admission over tier-2 survivors' embeddings;
+    # survivors without an embedding pass through
+    s2e = s2.join(batch_emb, "doc_id").select("doc_id", "embedding")
+    out3 = ANN.incremental_semantic_merge(
+        corpus_emb, s2e, "doc_id", "embedding",
+        threshold=0.95, n_cells=8, n_probe=2,
+    )
+    no_emb = s2.join(batch_emb, "doc_id", "left_anti").select("doc_id")
+    admitted = out3["accepted"].select("doc_id").unionByName(no_emb)
+
+    flag = lambda df, name: df.select("doc_id", F.lit(True).alias(name))
+    return (
+        batch_docs.select("doc_id")
+        .join(flag(s1, "__t1"), "doc_id", "left")
+        .join(flag(s2, "__t2"), "doc_id", "left")
+        .join(flag(admitted, "__adm"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__adm"), F.lit(False)).alias("admitted"),
+            F.when(F.coalesce(F.col("__adm"), F.lit(False)), F.lit("none"))
+            .when(F.coalesce(F.col("__t2"), F.lit(False)), F.lit("semantic"))
+            .when(F.coalesce(F.col("__t1"), F.lit(False)), F.lit("lexical"))
+            .otherwise(F.lit("exact"))
+            .alias("rejected_by"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_incremental_curation_oracle() -> str:
+    from dynamic_etl_spark.registry.llm import _sql_grams, sql_minhash_band_ctes
+
+    jac = (
+        "CASE WHEN len(list_distinct(list_concat({a}, {b}))) > 0 "
+        "THEN CAST(len(list_intersect({a}, {b})) AS DOUBLE) "
+        "/ len(list_distinct(list_concat({a}, {b}))) ELSE 0.0 END"
+    )
+    cos = (
+        "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+    )
+    perturb = """list_transform(range(1, len(embedding) + 1),
+           i -> CAST(CAST(embedding[i] AS DOUBLE)
+                     + 0.0005 * (((i - 1) % 3) - 1) AS REAL))"""
+    rev = "array_to_string(list_reverse(string_split(text, ' ')), ' ')"
+    return f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+),
+fresh AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+batch AS (
+  SELECT doc_id, text FROM fresh
+  UNION ALL
+  SELECT doc_id + 5000000, upper('  ' || text || '  ') FROM corpus WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 5500000, upper(text) FROM fresh WHERE doc_id % 15 = 1
+  UNION ALL
+  SELECT doc_id + 6000000, text || ' tail' FROM corpus WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 6500000, text || ' coda' FROM fresh WHERE doc_id % 9 = 1
+  UNION ALL
+  SELECT doc_id + 7000000, {rev} FROM corpus WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 7500000, {rev} FROM fresh WHERE doc_id % 45 = 2
+),
+sfp AS (SELECT DISTINCT md5({_SQL_NORM}) AS fp FROM corpus),
+bfp AS (SELECT doc_id, md5({_SQL_NORM}) AS fp FROM batch),
+keep1 AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM bfp ANTI JOIN sfp USING (fp)
+  GROUP BY fp
+),
+s1 AS MATERIALIZED (SELECT b.doc_id, b.text FROM batch b JOIN keep1 USING (doc_id)),
+{_sql_grams("corpus", "cg")},
+{_sql_grams("s1", "bg")},
+{sql_minhash_band_ctes("cg", "c")},
+{sql_minhash_band_ctes("bg", "b")},
+cand_cross AS (
+  SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+  FROM bbands n JOIN cbands o
+    ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+),
+cand_within AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bbands x JOIN bbands y
+    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+   AND x.doc_id < y.doc_id
+),
+hit2 AS (
+  SELECT DISTINCT c.id_new AS doc_id
+  FROM cand_cross c
+  JOIN bg a ON c.id_new = a.doc_id
+  JOIN cg o ON c.id_old = o.doc_id
+  WHERE {jac.format(a="a.grams", b="o.grams")} >= 0.5
+),
+edges2src AS (
+  SELECT c.id_a, c.id_b FROM cand_within c
+  JOIN bg a ON c.id_a = a.doc_id
+  JOIN bg b ON c.id_b = b.doc_id
+  WHERE {jac.format(a="a.grams", b="b.grams")} >= 0.5
+),
+edges2 AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM edges2src
+  UNION
+  SELECT id_b, id_a FROM edges2src
+),
+reach2 AS (
+  SELECT src AS v, src AS l FROM edges2
+  UNION
+  SELECT e.dst AS v, r.l FROM reach2 r JOIN edges2 e ON e.src = r.v
+),
+comp2 AS (SELECT v AS doc_id, MIN(l) AS component FROM reach2 GROUP BY v),
+lab2 AS (
+  SELECT s1.doc_id, COALESCE(c.component, s1.doc_id) AS comp
+  FROM s1 LEFT JOIN comp2 c USING (doc_id)
+),
+flag2 AS (
+  SELECT l.comp, MAX(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS any_hit
+  FROM lab2 l LEFT JOIN hit2 h USING (doc_id)
+  GROUP BY l.comp
+),
+s2 AS MATERIALIZED (
+  SELECT l.doc_id FROM lab2 l JOIN flag2 f ON l.comp = f.comp
+  WHERE f.any_hit = 0 AND l.comp = l.doc_id
+),
+bemb AS MATERIALIZED (
+  SELECT vec_id AS doc_id, embedding FROM embeddings WHERE vec_id % 2 = 1
+  UNION ALL
+  SELECT vec_id + 7000000, {perturb} FROM embeddings WHERE vec_id % 50 = 0
+  UNION ALL
+  SELECT vec_id + 7500000, {perturb} FROM embeddings
+  WHERE vec_id % 2 = 1 AND vec_id % 45 = 2
+),
+cemb AS (SELECT vec_id AS doc_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+s2e AS MATERIALIZED (SELECT e.doc_id, e.embedding FROM bemb e JOIN s2 USING (doc_id)),
+hit3 AS (
+  SELECT DISTINCT a.doc_id
+  FROM s2e a, cemb b
+  WHERE {cos} >= 0.95
+),
+edges3src AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s2e a, s2e b
+  WHERE a.doc_id < b.doc_id AND {cos} >= 0.95
+),
+edges3 AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM edges3src
+  UNION
+  SELECT id_b, id_a FROM edges3src
+),
+reach3 AS (
+  SELECT src AS v, src AS l FROM edges3
+  UNION
+  SELECT e.dst AS v, r.l FROM reach3 r JOIN edges3 e ON e.src = r.v
+),
+comp3 AS (SELECT v AS doc_id, MIN(l) AS component FROM reach3 GROUP BY v),
+lab3 AS (
+  SELECT s2e.doc_id, COALESCE(c.component, s2e.doc_id) AS comp
+  FROM s2e LEFT JOIN comp3 c USING (doc_id)
+),
+flag3 AS (
+  SELECT l.comp, MAX(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS any_hit
+  FROM lab3 l LEFT JOIN hit3 h USING (doc_id)
+  GROUP BY l.comp
+),
+adm3 AS (
+  SELECT l.doc_id FROM lab3 l JOIN flag3 f ON l.comp = f.comp
+  WHERE f.any_hit = 0 AND l.comp = l.doc_id
+),
+no_emb AS (SELECT s2.doc_id FROM s2 ANTI JOIN bemb USING (doc_id)),
+admitted AS (SELECT doc_id FROM adm3 UNION ALL SELECT doc_id FROM no_emb)
+SELECT b.doc_id,
+       (a.doc_id IS NOT NULL) AS admitted,
+       CASE WHEN a.doc_id IS NOT NULL THEN 'none'
+            WHEN t2.doc_id IS NOT NULL THEN 'semantic'
+            WHEN t1.doc_id IS NOT NULL THEN 'lexical'
+            ELSE 'exact' END AS rejected_by
+FROM batch b
+LEFT JOIN keep1 t1 ON b.doc_id = t1.doc_id
+LEFT JOIN s2 t2 ON b.doc_id = t2.doc_id
+LEFT JOIN admitted a ON b.doc_id = a.doc_id
+ORDER BY b.doc_id
+"""
+
+
+INCREMENTAL_CURATION_ORACLE = _sql_incremental_curation_oracle()
+
+
 QUERIES: QueryRegistry = {
+    "incremental_curation_admission": Query(
+        incremental_curation_admission,
+        INCREMENTAL_CURATION_ORACLE,
+        "the maintained curation gate: exact-fingerprint, banded-MinHash "
+        "lexical, and SemDeDup semantic admission composed over a "
+        "persistent curated corpus — per-doc tier attribution, every "
+        "tier DuckDB-reproduced",
+    ),
     "curation_pipeline_accounting": Query(
         curation_pipeline_accounting,
         CURATION_PIPELINE_ORACLE,

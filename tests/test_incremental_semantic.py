@@ -245,3 +245,60 @@ def test_semantic_cell_overflow_raises(spark):
             _df(spark, existing), _df(spark, batch), "vec_id", "embedding",
             threshold=THRESHOLD, n_cells=1, n_probe=1, max_cell_rows=3,
         )
+
+
+def test_incremental_curation_tier_attribution(spark, monkeypatch):
+    """The composed admission gate (registry/curation.
+    incremental_curation_admission) on a hand-built corpus: each tier
+    rejects exactly its planted artifact class and attribution names
+    the FIRST tier that fired; a tier-2 survivor without an embedding
+    passes the semantic tier through."""
+    import dynamic_etl_spark.registry.curation as C
+
+    def sentence(seed, n=12):
+        return " ".join(f"w{(seed * 31 + p * 7) % 997}" for p in range(n))
+
+    corpus_docs = spark.createDataFrame(
+        [(i, sentence(i)) for i in range(0, 8, 2)], "doc_id long, text string"
+    )
+    corpus_emb = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(0, 8, 2)], "doc_id long, embedding array<double>"
+    )
+    batch_rows = {
+        101: sentence(101),                      # fresh -> admitted
+        102: "  " + sentence(2).upper() + " ",   # exact copy of corpus 2
+        103: sentence(4) + " zz",                # lexical near corpus 4
+        104: " ".join(reversed(sentence(6).split())),  # semantic vs corpus 6
+        105: sentence(105),                      # fresh, NO embedding -> pass-through
+        106: sentence(101) + " qq",              # within-batch lexical pair w/ 101
+    }
+    batch_docs = spark.createDataFrame(
+        sorted(batch_rows.items()), "doc_id long, text string"
+    )
+    batch_emb = spark.createDataFrame(
+        [
+            (101, _vec(101)),
+            (103, _vec(103)),
+            (104, _near(_vec(6))),  # near store embedding of corpus 6
+            (106, _vec(106)),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+
+    monkeypatch.setattr(
+        C,
+        "_incremental_curation_fixture",
+        lambda spark_, sf_dir: (corpus_docs, corpus_emb, batch_docs, batch_emb),
+    )
+    rows = {
+        r["doc_id"]: (r["admitted"], r["rejected_by"])
+        for r in C.incremental_curation_admission(spark, "unused").collect()
+    }
+    assert rows == {
+        101: (True, "none"),
+        102: (False, "exact"),
+        103: (False, "lexical"),
+        104: (False, "semantic"),
+        105: (True, "none"),      # no embedding: semantic tier passes through
+        106: (False, "lexical"),  # within-batch pair keeps min id 101
+    }

@@ -47,6 +47,10 @@ JOB_BUDGETS = {
     "incremental_near_dup": 35,
     "incremental_near_dup_exacthash": 37,  # xxhash twin's band + the md5
     # signature chain's extra sub-jobs (measured 33 after the r9 cut)
+    "incremental_curation_admission": 73,  # r9 composed gate: tier-1
+    # fingerprint checkpoint + the full lexical admission chain + the
+    # semantic fit/cogroup chain + attribution tail (measured 69 — cost
+    # ~ sum of the single-tier admission queries, which is the point)
     "incremental_semantic_dedup": 47,  # r9: one MLlib fit on the corpus
     # (clamp count + sampled init + capped iterations) + the dup_pairs
     # checkpoint + admit_batch's take + the surface tail (measured 44

@@ -46,6 +46,7 @@ def test_driver_window_holds_the_r9_rotation():
     for name in (
         # new r9, never driver-confirmed
         "incremental_semantic_dedup",
+        "incremental_curation_admission",
         # converted in place r9 (12dp log-prob quantization pre-sum)
         "bigram_perplexity_profile",
         # changed code/surface this round: must re-earn the hash

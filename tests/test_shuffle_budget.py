@@ -284,6 +284,10 @@ SHUFFLE_BUDGET = {
     # r9 semantic admission: same surfaced shape as the lexical twin
     # (the cogroup/BLAS exchanges are behind the eager boundary)
     "incremental_semantic_dedup": 4,
+    # r9 composed admission gate: the three tiers' heavy joins all sit
+    # behind eager checkpoints; the surfaced plan is the attribution
+    # joins over leaves (measured 4)
+    "incremental_curation_admission": 4,
     "simhash_near_dup": 2,
     # reviewed, not bumped: 2 fanout round-robins (one per branch, same
     # as the xxhash twin's 2) + 2 bit-vote groupBy exchanges the per-row
