@@ -232,13 +232,19 @@ def main() -> None:
         # warm-min 26.06s > cold 16.60s for one query IN THE SAME run —
         # physically implausible without external interference, and the
         # fake regression cost a judge adjudication). A warm minimum
-        # above cold means a noise window swallowed BOTH warm runs: take
-        # one more warm sample, and if the minimum still exceeds cold,
-        # mark the row noisy so readers discount it without a re-run.
+        # above cold means a noise window may have swallowed both warm
+        # runs: take one more warm sample, and if the minimum still
+        # exceeds cold by a MATERIAL margin, mark the row noisy so
+        # readers discount it without a re-run. The margin matters:
+        # EAGER queries (checkpointed admission pipelines) pay the full
+        # work cold and warm alike, so their warm-min lands a few
+        # percent above cold ~25% of the time by chance — only a
+        # 1.2x-plus excess (r8's artifact was 1.57x) signals
+        # interference rather than coin-flip jitter.
         if timings[name] > cold[name]:
             w3, j2, df2 = run_once(name)
             timings[name] = min(timings[name], w3)
-            if timings[name] > cold[name]:
+            if timings[name] > 1.2 * cold[name]:
                 noisy[name] = True
         # steady-state job count (cold may pay extra one-time jobs)
         jobs[name] = j2
