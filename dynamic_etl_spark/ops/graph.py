@@ -157,6 +157,15 @@ def admit_batch(
     hunt). Past ``small_cc_threshold`` pairs it falls back to the
     distributed pointer-jumping CC + the join-chain rule, whose
     iterative lineage is checkpoint-truncated as usual.
+
+    Driver-memory bound (ADVICE r9): the take() fetches up to
+    ``small_cc_threshold + 1`` three-field Rows — (scope, id_matched,
+    id_new), projected BEFORE the take, never the callers' full doc
+    rows — so driver memory is threshold x ~100 bytes (~20 MB at the
+    default), plus the union-find dicts over the distinct ids. Raising
+    the threshold scales that linearly; the 200k default is the
+    deliberate ceiling where the driver shortcut still beats the ~6
+    scheduled stage-jobs the distributed rule costs per batch.
     """
     id_type = new_docs.schema[id_col].dataType
     pair_rows = dup_pairs.select("scope", "id_matched", "id_new").take(

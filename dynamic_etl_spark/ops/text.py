@@ -383,7 +383,25 @@ def blocked_url_pattern(domains: tuple[str, ...]) -> str:
     separated by single spaces scrubs alternate members per
     application (the consumed trailing space is the next match's
     leading boundary) — counts stay correct, and the fixture/corpus
-    never produce adjacent blocked URLs."""
+    never produce adjacent blocked URLs.
+
+    Known corner (ADVICE r9): a blocked URL glued to leading
+    NON-whitespace punctuation — ``(http://ads.tracker.example/x`` or
+    ``,http://…`` — is COUNTED (URL_PATTERN matches from the scheme
+    mid-token) but NOT scrubbed (the leading boundary here consumes
+    start-of-text or whitespace only). Widening the boundary to a
+    consumed punctuation class was measured and REJECTED because it
+    breaks the contract in the opposite direction: URL_PATTERN's
+    greedy ``[^\\s]+`` tail merges whitespace-free chains, so in
+    ``http://good.site/x,http://ads.tracker.example/y`` the counting
+    side sees ONE url with host ``good.site`` (n_blocked = 0), while a
+    ``,``-admitting scrub boundary would match the embedded blocked
+    URL and scrub text the counts say is clean — and unlike this
+    corner (conservative: counted, left in place), that one silently
+    destroys text. Distinguishing "fresh token" from "mid-token"
+    needs a lookbehind over the whole preceding non-whitespace run,
+    which the Java∩RE2 subset cannot express; both corners are pinned
+    by the hand-example pytest."""
     import re as _re
 
     alts = "|".join(_re.escape(d) for d in domains)

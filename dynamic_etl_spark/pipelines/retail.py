@@ -37,6 +37,7 @@ staging+swap, io/sinks):
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -94,7 +95,7 @@ def generation_pipeline(
     :22-33), atomic commit, and a post-insert verification count
     (:228-233) returned as the step output."""
 
-    def _gen_dim(name: str, fn) -> None:
+    def _gen_dim(name: str, fn) -> Callable[[dict], int]:
         def step(ctx):
             df = fn()
             write_staging_swap(df, _table(source_root, name))

@@ -468,6 +468,16 @@ def test_url_extract_domain_and_scrub_hand_examples(spark):
         # bare double-www does NOT count (url_domain strips one www.)
         # so it must not scrub either
         (10, "deep www.www.ads.tracker.example/p stays"),
+        # ADVICE r9 documented corner: leading non-whitespace
+        # punctuation — counted (URL_PATTERN matches from the scheme)
+        # but NOT scrubbed (leading boundary is ^|\s only; see
+        # blocked_url_pattern's docstring for why widening is wrong)
+        (11, "paren (http://ads.tracker.example/x counted-not-scrubbed"),
+        # the counterexample that rejects the widened boundary: the
+        # greedy [^\s]+ tail merges the chain into ONE counted URL
+        # with host good.site (not blocked) — a ','-admitting scrub
+        # class would scrub text the counts say is clean
+        (12, "chain http://good.site/x,http://ads.tracker.example/y kept"),
     ]
     df = spark.createDataFrame(rows, "id int, text string")
     doms = {
@@ -487,6 +497,8 @@ def test_url_extract_domain_and_scrub_hand_examples(spark):
     assert doms[8] == ["ads.tracker.example:8080"]  # port stays in host
     assert doms[9] == ["ads.tracker.example"]
     assert doms[10] == ["www.ads.tracker.example"]  # one www. stripped
+    assert doms[11] == ["ads.tracker.example"]  # counted despite '(' glue
+    assert doms[12] == ["good.site"]  # greedy tail: ONE url, not blocked
     cleaned = {
         r["id"]: r["c"]
         for r in df.select(
@@ -503,6 +515,8 @@ def test_url_extract_domain_and_scrub_hand_examples(spark):
     assert cleaned[8] == rows[7][1]  # ported host untouched
     assert cleaned[9] == "trailing"  # end-of-text URL scrubbed
     assert cleaned[10] == rows[9][1]  # bare double-www untouched
+    assert cleaned[11] == rows[10][1]  # documented corner: left in place
+    assert cleaned[12] == rows[11][1]  # chain untouched (host=good.site)
 
 
 def test_hll_md5_state_accuracy_merge_and_idempotence(spark):
