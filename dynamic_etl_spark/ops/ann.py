@@ -372,6 +372,7 @@ def build_ivf_index(
     seed: int = 42,
     persist: bool = True,
     max_iter: int = 20,
+    init_mode: str = "k-means||",
 ) -> IvfIndex:
     """One MLlib k-means fit (seeded) + one transform pass assigning each
     corpus vector to its cell. ``persist`` materializes the assignment
@@ -393,9 +394,12 @@ def build_ivf_index(
     # bucketing only needs rough Voronoi structure (SemDeDup's own
     # practice on web-scale corpora is a handful of Lloyd iterations),
     # so callers whose downstream is threshold- or recall-gated may cut
-    # it well below MLlib's default 20
+    # it well below MLlib's default 20. init_mode="random" (seeded)
+    # additionally skips the k-means|| init passes — measured 12 vs 20
+    # jobs on the sf0.01 embeddings fit (VERDICT r9 #6) — at the cost
+    # of init quality the threshold-gated callers don't need.
     km = KMeans(
-        k=n_cells, seed=seed, maxIter=max_iter,
+        k=n_cells, seed=seed, maxIter=max_iter, initMode=init_mode,
         featuresCol="__features", predictionCol="__cell",
     )
     model = km.fit(c)
@@ -1081,14 +1085,44 @@ def fit_semantic_centers(
     n_cells: int = 8,
     seed: int = 42,
     max_iter: int = 8,
+    method: str = "mllib",
+    init_mode: str = "random",
+    lloyd_iters: int = 3,
+    scale: int = 1 << 16,
 ):
-    """The frozen centroid fit of the incremental semantic tier: one
-    seeded MLlib k-means over ``docs``, k clamped to 2 <= k <= |docs|
-    (MLlib's domain; the clamp's count job only runs here — state-reuse
-    callers pass the stored centers and never re-fit). A 1-doc corpus —
-    or an explicit n_cells < 2 — is its own single centroid (no MLlib);
-    an empty corpus cannot fit at all: the streaming sink bootstraps an
-    absent corpus from its first batch."""
+    """The frozen centroid fit of the incremental semantic tier, k
+    clamped to 2 <= k <= |docs| (the clamp's count job only runs here —
+    state-reuse callers pass the stored centers and never re-fit). A
+    1-doc corpus — or an explicit n_cells < 2 — is its own single
+    centroid (no fit); an empty corpus cannot fit at all: the streaming
+    sink bootstraps an absent corpus from its first batch.
+
+    Centers only GATE candidate generation here — admission is decided
+    by the exact per-pair cosine re-verify — so rough Voronoi structure
+    is all the fit must deliver. The VERDICT r9 #6 measurement (sf0.01
+    embeddings fit, idle, steady-state) picked the default:
+
+    - ``"mllib"`` + ``init_mode="random"`` (default): one seeded MLlib
+      k-means with the k-means|| init passes skipped — 12 jobs vs 20
+      for k-means|| init; flip ``init_mode="k-means||"`` for the
+      quality init when cells must balance tightly.
+    - ``"lloyd"``: the fixed-round integer Lloyd fit
+      (:func:`_integer_lloyd`, the machinery behind the exacthash ANN
+      twins) — deterministic at ANY parallelism by construction
+      (``seed`` is ignored: seeding is the min-id rows), which a
+      proof-style caller may need, but it costs MORE jobs, not fewer
+      (measured 30 at ``lloyd_iters=3`` vs mllib-random's 12: every
+      fixed round eagerly checkpoints its centroid update), and its
+      quantized coordinate rows materialize corpus x dims. The r9 #6
+      hypothesis — Lloyd as the cheaper default — is therefore
+      refuted by measurement; MLlib stays, with the job win coming
+      from the init mode instead (incremental_semantic_dedup: 43 ->
+      37 jobs; the composed gate 69 -> 62).
+
+    Either method yields identical ADMISSIONS on near-dup regimes: a
+    >= threshold pair sits at near-zero distance, so no Voronoi
+    structure separates it (the SemDeDup argument); the 50k stress
+    gate (tests/test_scale_stress.py) pins recall for the default."""
     import numpy as np
 
     n_rows = docs.count()
@@ -1105,11 +1139,23 @@ def fit_semantic_centers(
             .take(1)
         )
         return np.asarray([rows[0]["__v"]], dtype=np.float64)
-    index = build_ivf_index(
-        docs, id_col, vec_col, min(n_cells, n_rows), seed,
-        persist=False, max_iter=max_iter,
-    )
-    return index.centers
+    k = min(n_cells, n_rows)
+    if method == "mllib":
+        index = build_ivf_index(
+            docs, id_col, vec_col, k, seed,
+            persist=False, max_iter=max_iter, init_mode=init_mode,
+        )
+        return index.centers
+    if method != "lloyd":
+        raise ValueError(f"fit_semantic_centers: unknown method {method!r}")
+    _, cent = _integer_lloyd(docs, id_col, vec_col, k, lloyd_iters, scale)
+    # k x dims centroid rows — a bounded-scalar collect by construction
+    rows = cent.collect()
+    dims = max(r["j"] for r in rows) + 1
+    centers = np.zeros((k, dims), dtype=np.float64)
+    for r in rows:
+        centers[r["cell"], r["j"]] = r["c"] / scale
+    return centers
 
 
 def semantic_store_rows(

@@ -47,14 +47,18 @@ JOB_BUDGETS = {
     "incremental_near_dup": 35,
     "incremental_near_dup_exacthash": 37,  # xxhash twin's band + the md5
     # signature chain's extra sub-jobs (measured 33 after the r9 cut)
-    "incremental_curation_admission": 73,  # r9 composed gate: tier-1
+    "incremental_curation_admission": 66,  # r9 composed gate: tier-1
     # fingerprint checkpoint + the full lexical admission chain + the
-    # semantic fit/cogroup chain + attribution tail (measured 69 — cost
-    # ~ sum of the single-tier admission queries, which is the point)
-    "incremental_semantic_dedup": 47,  # r9: one MLlib fit on the corpus
-    # (clamp count + sampled init + capped iterations) + the dup_pairs
-    # checkpoint + admit_batch's take + the surface tail (measured 44
-    # after the same admission-rule cut)
+    # semantic fit/cogroup chain + attribution tail — cost ~ sum of the
+    # single-tier admission queries, which is the point (r10: measured
+    # 69 -> 62 after the bootstrap fit's init_mode="random" cut the
+    # k-means|| init passes, VERDICT r9 #6)
+    "incremental_semantic_dedup": 40,  # one MLlib fit on the corpus
+    # (clamp count + seeded-random init + capped iterations) + the
+    # dup_pairs checkpoint + admit_batch's take + the surface tail
+    # (r10: measured 43 -> 37 under init_mode="random"; the Lloyd
+    # alternative measured 53 and was rejected — fit_semantic_centers
+    # docstring carries the adjudication)
     "semantic_dedup_survivors": 43,
     "embedding_knn_join_exacthash": 64,  # the same shared 5-round integer
     # Lloyd fit as the IVF twin; only the lazy probe/rank tail differs
