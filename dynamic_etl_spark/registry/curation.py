@@ -1257,36 +1257,14 @@ def _incremental_curation_fixture(spark: SparkSession, sf_dir: str):
     return corpus_docs, corpus_emb, batch_docs, batch_emb
 
 
-def incremental_curation_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The three admission tiers composed into ONE maintained curation
-    gate (the incremental form of curation_pipeline_accounting): a batch
-    runs exact-fingerprint admission against the corpus fingerprint
-    store, its survivors run banded-MinHash lexical admission
-    (ops/lsh.incremental_near_dup_merge, md5 mode — the oracle-proven
-    configuration; hash_mode='xxhash' is the cheaper production flip),
-    and THEIR survivors run SemDeDup semantic admission
-    (ops/ann.incremental_semantic_merge) against the embedding store.
-    Each tier applies the shared rule (ops/graph.admit_batch): reject on
-    any store hit, keep the MIN id of every within-batch duplicate
-    group. Output: one row per batch doc — (doc_id, admitted,
-    rejected_by in {exact, lexical, semantic, none}), the tier
-    attribution a daily-ingest operator reads.
-
-    Oracle-checkable end to end: the exact tier is md5-of-normalized-
-    text algebra; the lexical tier is the INCREMENTAL_EXACTHASH
-    recurrence over tier-1 survivors (a plain CTE in SQL); the semantic
-    tier rides the planted-pair recall argument (reversed-word texts
-    with perturbed embeddings sit at cosine ~0.99999 vs their source,
-    natural max ~0.51 — no clustering separates them). Survivors
-    lacking an embedding pass the semantic tier through (the batch
-    cascade's tier-5 convention; none exist in this fixture).
-
-    Scale shape: tier costs equal the single-tier admission queries'
-    costs on shrinking inputs — composition adds attribution joins over
-    checkpointed leaves, not shuffles. Each tier's store delta for a
-    production caller is the existing ops' outputs filtered to the
-    final admitted set (tests/test_incremental_semantic.py and
-    test_incremental_dedup.py pin the single-tier delta contracts)."""
+def _run_curation_gate(
+    spark: SparkSession, sf_dir: str, state: dict | None = None
+) -> DataFrame:
+    """The shared tier composition behind both composed-gate queries:
+    exact -> lexical -> semantic admission with per-doc attribution.
+    ``state`` is the persistent-store bundle a production caller holds
+    between batches (None builds everything from the corpus inline —
+    the bootstrap-pricing form)."""
     from dynamic_etl_spark.ops import ann as ANN
     from dynamic_etl_spark.ops import lsh as L
     from dynamic_etl_spark.ops.text import fingerprint_md5
@@ -1295,11 +1273,14 @@ def incremental_curation_admission(spark: SparkSession, sf_dir: str) -> DataFram
         spark, sf_dir
     )
     batch_docs = ensure_fanout_parallelism(batch_docs).localCheckpoint()
+    state = state or {}
 
     # tier 1 — exact fingerprints vs the store, keep-min within batch
-    store_fp = corpus_docs.select(
-        fingerprint_md5(F.col("text")).alias("__fp")
-    ).distinct()
+    store_fp = state.get("store_fp")
+    if store_fp is None:
+        store_fp = corpus_docs.select(
+            fingerprint_md5(F.col("text")).alias("__fp")
+        ).distinct()
     bfp = batch_docs.select("doc_id", fingerprint_md5(F.col("text")).alias("__fp"))
     keep1 = (
         bfp.join(store_fp, "__fp", "left_anti")
@@ -1311,7 +1292,8 @@ def incremental_curation_admission(spark: SparkSession, sf_dir: str) -> DataFram
 
     # tier 2 — banded MinHash lexical admission over tier-1 survivors
     out2 = L.incremental_near_dup_merge(
-        corpus_docs, s1, "doc_id", "text", threshold=0.5, hash_mode="md5"
+        corpus_docs, s1, "doc_id", "text", threshold=0.5, hash_mode="md5",
+        existing_banded=state.get("lex_store"),
     )
     s2 = out2["accepted"].localCheckpoint()
 
@@ -1321,6 +1303,8 @@ def incremental_curation_admission(spark: SparkSession, sf_dir: str) -> DataFram
     out3 = ANN.incremental_semantic_merge(
         corpus_emb, s2e, "doc_id", "embedding",
         threshold=0.95, n_cells=8, n_probe=2,
+        centers=state.get("centers"),
+        existing_assigned=state.get("emb_store"),
     )
     no_emb = s2.join(batch_emb, "doc_id", "left_anti").select("doc_id")
     admitted = out3["accepted"].select("doc_id").unionByName(no_emb)
@@ -1341,6 +1325,112 @@ def incremental_curation_admission(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("rejected_by"),
         )
         .orderBy("doc_id")
+    )
+
+
+def incremental_curation_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three admission tiers composed into ONE maintained curation
+    gate (the incremental form of curation_pipeline_accounting): a batch
+    runs exact-fingerprint admission against the corpus fingerprint
+    store, its survivors run banded-MinHash lexical admission
+    (ops/lsh.incremental_near_dup_merge, md5 mode — the oracle-proven
+    configuration; hash_mode='xxhash' is the cheaper production flip),
+    and THEIR survivors run SemDeDup semantic admission
+    (ops/ann.incremental_semantic_merge) against the embedding store.
+    Each tier applies the shared rule (ops/graph.admit_batch): reject on
+    any store hit, keep the MIN id of every within-batch duplicate
+    group. Output: one row per batch doc — (doc_id, admitted,
+    rejected_by in {exact, lexical, semantic, none}), the tier
+    attribution a daily-ingest operator reads.
+
+    This form rebuilds every store from the corpus per invocation, so
+    its cost prices BOOTSTRAP + admission — the from-cold number;
+    :func:`incremental_curation_admission_steady` prices the per-batch
+    steady state a production caller sees (VERDICT r9 #3).
+
+    Oracle-checkable end to end: the exact tier is md5-of-normalized-
+    text algebra; the lexical tier is the INCREMENTAL_EXACTHASH
+    recurrence over tier-1 survivors (a plain CTE in SQL); the semantic
+    tier rides the planted-pair recall argument (reversed-word texts
+    with perturbed embeddings sit at cosine ~0.99999 vs their source,
+    natural max ~0.51 — no clustering separates them). Survivors
+    lacking an embedding pass the semantic tier through (the batch
+    cascade's tier-5 convention; none exist in this fixture).
+
+    Scale shape: tier costs equal the single-tier admission queries'
+    costs on shrinking inputs — composition adds attribution joins over
+    checkpointed leaves, not shuffles. Each tier's store delta for a
+    production caller is the existing ops' outputs filtered to the
+    final admitted set (tests/test_incremental_semantic.py and
+    test_incremental_dedup.py pin the single-tier delta contracts)."""
+    return _run_curation_gate(spark, sf_dir, state=None)
+
+
+#: Per-(application, sf_dir) store bundle for the steady-state gate:
+#: localCheckpointed state lives exactly as long as its SparkContext,
+#: so the applicationId key can never serve stale frames to a new
+#: session. Deterministic contents — a rebuild yields identical state.
+_STEADY_STATE: dict[tuple[str, str], dict] = {}
+
+
+def _steady_curation_state(spark: SparkSession, sf_dir: str) -> dict:
+    """Build (once per session) the persistent stores of the composed
+    gate, each eagerly materialized to a checkpointed leaf: the exact
+    fingerprint set, the banded-MinHash signature store (md5 mode — the
+    tier-2 configuration), and the frozen semantic fit + assigned
+    embedding store. A production deployment holds exactly this bundle
+    between batches (the streaming curation sink versions it on disk;
+    this memo is its in-session analogue for the bench/oracle fixture)."""
+    from dynamic_etl_spark.ops import ann as ANN
+    from dynamic_etl_spark.ops import lsh as L
+    from dynamic_etl_spark.ops.text import fingerprint_md5
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    state = _STEADY_STATE.get(key)
+    if state is not None:
+        return state
+    corpus_docs, corpus_emb, _, _ = _incremental_curation_fixture(spark, sf_dir)
+    centers = ANN.fit_semantic_centers(corpus_emb, "doc_id", "embedding", n_cells=8)
+    state = {
+        "store_fp": corpus_docs.select(
+            fingerprint_md5(F.col("text")).alias("__fp")
+        ).distinct().localCheckpoint(),
+        "lex_store": L.minhash_banded_rows(
+            corpus_docs, "doc_id", "text", hash_mode="md5"
+        ).localCheckpoint(),
+        "centers": centers,
+        "emb_store": ANN.semantic_store_rows(
+            corpus_emb, "doc_id", "embedding", centers
+        ).localCheckpoint(),
+    }
+    _STEADY_STATE[key] = state
+    return state
+
+
+def incremental_curation_admission_steady(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The composed curation gate in STEADY STATE (VERDICT r9 #3): the
+    persistent stores a production caller holds between batches — exact
+    fingerprint set, MinHash signature store, frozen centers + assigned
+    embedding store — are built once per session
+    (:func:`_steady_curation_state`, checkpointed leaves) and every
+    invocation prices ONLY the per-batch admission: tier joins against
+    the prebuilt stores, candidate verify scans, attribution. This is
+    the number the bench headline should read for the maintained gate —
+    :func:`incremental_curation_admission` keeps pricing bootstrap +
+    admission (its fixture role: the oracle replays the whole
+    composition from cold on every engine).
+
+    Same fixture, same tiers, same admission rule, byte-identical
+    output — the two queries share INCREMENTAL_CURATION_ORACLE, so the
+    driver hash also proves the prebuilt-store path equals the
+    from-cold path (the store-reuse contract of
+    lsh.incremental_near_dup_merge's ``existing_banded`` and
+    ann.incremental_semantic_merge's ``centers``/``existing_assigned``
+    arguments, composed)."""
+    return _run_curation_gate(
+        spark, sf_dir, state=_steady_curation_state(spark, sf_dir)
     )
 
 
@@ -1511,7 +1601,15 @@ QUERIES: QueryRegistry = {
         "the maintained curation gate: exact-fingerprint, banded-MinHash "
         "lexical, and SemDeDup semantic admission composed over a "
         "persistent curated corpus — per-doc tier attribution, every "
-        "tier DuckDB-reproduced",
+        "tier DuckDB-reproduced (bootstrap + admission pricing)",
+    ),
+    "incremental_curation_admission_steady": Query(
+        incremental_curation_admission_steady,
+        INCREMENTAL_CURATION_ORACLE,
+        "the composed gate in steady state: prebuilt per-session stores "
+        "(fingerprints, MinHash signatures, frozen centers + embedding "
+        "assignments), each invocation prices only per-batch admission; "
+        "byte-identical output to the bootstrap form — shared oracle",
     ),
     "curation_pipeline_accounting": Query(
         curation_pipeline_accounting,

@@ -59,6 +59,10 @@ JOB_BUDGETS = {
     # (r10: measured 43 -> 37 under init_mode="random"; the Lloyd
     # alternative measured 53 and was rejected — fit_semantic_centers
     # docstring carries the adjudication)
+    # r10 steady-state gate: per-batch admission against prebuilt
+    # checkpointed stores (measured 47 at sf0.01 warm; the session-once
+    # store build is excluded — see _WARM_FIRST)
+    "incremental_curation_admission_steady": 51,
     "semantic_dedup_survivors": 43,
     "embedding_knn_join_exacthash": 64,  # the same shared 5-round integer
     # Lloyd fit as the IVF twin; only the lazy probe/rank tail differs
@@ -83,6 +87,12 @@ JOB_BUDGETS = {
     # encode tail (measured 88)
 }
 
+#: Queries whose FIRST invocation in a session pays a one-time state
+#: build (the steady-state gate's per-session store memo). Their budget
+#: pins the steady-state count — the number every subsequent batch pays
+#: — so the meter runs them once un-grouped first.
+_WARM_FIRST = {"incremental_curation_admission_steady"}
+
 _group_seq = itertools.count()
 
 
@@ -101,6 +111,8 @@ def _run_in_group(spark, fn, *args) -> int:
 
 @pytest.mark.parametrize("name", sorted(JOB_BUDGETS))
 def test_job_budget(spark, name):
+    if name in _WARM_FIRST:
+        REGISTRY[name].fn(spark, SF_SMALL).count()
     jobs = _run_in_group(spark, REGISTRY[name].fn, spark, SF_SMALL)
     budget = JOB_BUDGETS[name]
     assert jobs <= budget, (

@@ -288,6 +288,9 @@ SHUFFLE_BUDGET = {
     # behind eager checkpoints; the surfaced plan is the attribution
     # joins over leaves (measured 4)
     "incremental_curation_admission": 4,
+    # r10 steady-state form: identical surfaced plan — the prebuilt
+    # stores swap checkpointed-leaf sources in, never an exchange
+    "incremental_curation_admission_steady": 4,
     "simhash_near_dup": 2,
     # reviewed, not bumped: 2 fanout round-robins (one per branch, same
     # as the xxhash twin's 2) + 2 bit-vote groupBy exchanges the per-row
