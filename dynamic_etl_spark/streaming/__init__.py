@@ -6,6 +6,7 @@ from dynamic_etl_spark.streaming.incremental import (  # noqa: F401
     windowed_aggregate,
 )
 from dynamic_etl_spark.streaming.sink import (  # noqa: F401
+    run_streaming_curation,
     run_streaming_dedup,
     run_streaming_merge,
     run_streaming_rollup,

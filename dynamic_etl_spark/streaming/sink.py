@@ -415,6 +415,340 @@ def run_streaming_semantic_dedup(
     return query
 
 
+def run_streaming_curation(
+    stream_df: DataFrame,
+    corpus_root: str,
+    fp_root: str,
+    lex_root: str,
+    sem_root: str,
+    centers_root: str,
+    ledger_root: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str,
+    text_col: str,
+    vec_col: str | None = None,
+    lex_threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    hash_mode: str = "xxhash",
+    sem_threshold: float = 0.95,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    max_iter: int = 8,
+    timeout_sec: int = 480,
+) -> StreamingQuery:
+    """The THREE-TIER curation gate on a stream (VERDICT r9 #4): each
+    micro-batch runs exact-fingerprint, banded-MinHash lexical, and
+    SemDeDup semantic admission — the composition of
+    registry/curation's maintained gate — against persistent versioned
+    stores, with per-doc tier attribution appended to a ledger table.
+    Composes what :func:`run_streaming_dedup` and
+    :func:`run_streaming_semantic_dedup` each do for ONE tier, with
+    crash-consistent commits across BOTH state families (previously a
+    user wiring the three-tier policy on a stream had to hand-build
+    this).
+
+    State is SIX tables. ``centers_root`` (frozen semantic fit) commits
+    once, before anything depends on it. Per batch the commit order is:
+
+    1. ``ledger_root`` — (id, admitted, rejected_by, batch_id) rows,
+       the batch's attribution, with ``batch_id`` in the commit
+       metadata. The transactional pivot: committed FIRST, so every
+       later crash window can finish deterministically from it.
+    2. ``corpus_root`` — the admitted documents (text + optional
+       embedding).
+    3. ``fp_root`` / ``lex_root`` / ``sem_root`` — the exact
+       fingerprint set, banded signature store, and assigned embedding
+       store; each delta is the tier op's output FILTERED TO THE FINAL
+       ADMITTED SET (a tier-2 survivor the semantic tier rejects must
+       never leave signatures behind — phantom store entries would
+       reject future legitimate batches).
+
+    Crash recovery, window by window:
+    - before the ledger commit: checkpoint redelivery recomputes the
+      whole batch against unchanged state — identical result (store
+      heals only materialize rows already implied by the corpus).
+    - after the ledger, before/among the state commits: the replayed
+      batch finds its ``batch_id`` at-or-below the ledger metadata,
+      derives the admitted set FROM THE LEDGER (no recompute — so
+      attribution can never flip to 'exact' the way a
+      recompute-on-replay would report it), re-appends any admitted
+      docs the corpus lost, and heals the stores forward.
+    - corpus committed outside the sink / store crashed: every batch
+      starts by self-healing all three stores from the corpus (the
+      single-tier sinks' heal, composed).
+
+    Boundary drops mirror the single-tier sinks: zero-token docs are
+    dropped (no lexical signature is possible; an empty-text doc has no
+    place in a text corpus), zero-norm embeddings are normalized to
+    NULL (they can never match; the composed gate's convention routes
+    embedding-less survivors past the semantic tier). Replay
+    idempotence needs no cosine self-hit here: every admitted doc's
+    fingerprint is in the fp store, so tier 1 re-rejects replays even
+    for docs that have no embedding.
+
+    ``vec_col=None`` runs the two lexical tiers only. Pair ONE
+    checkpoint with ONE state-table family for the stream's lifetime
+    (the run_streaming_rollup rule): a fresh checkpoint renumbers
+    batches from 0, which the ledger treats as replays. Drains with
+    ``Trigger.AvailableNow`` and blocks, per the repo batch-cadence
+    convention.
+    """
+    from dynamic_etl_spark.io.versioned import (
+        latest_metadata,
+        latest_version,
+        read_versioned,
+        write_versioned,
+    )
+    from dynamic_etl_spark.ops.ann import (
+        as_double_vec,
+        centers_from_rows,
+        centers_to_rows,
+        fit_semantic_centers,
+        incremental_semantic_merge,
+        semantic_store_rows,
+    )
+    from dynamic_etl_spark.ops.lsh import (
+        incremental_near_dup_merge,
+        minhash_banded_rows,
+    )
+    from dynamic_etl_spark.ops.text import fingerprint_md5, tokens
+
+    spark = stream_df.sparkSession
+
+    def _read_or(root: str, template: DataFrame) -> DataFrame:
+        if latest_version(root) is None:
+            return template.limit(0)
+        return read_versioned(spark, root)
+
+    def _append(root: str, current: DataFrame, delta: DataFrame) -> None:
+        if delta.isEmpty():
+            return
+        base = latest_version(root)
+        if base is None:
+            write_versioned(current.unionByName(delta), root)
+        else:
+            write_versioned(
+                current.unionByName(delta), root,
+                base_version=base, expected_base=True,
+            )
+
+    def _fp_rows(docs: DataFrame) -> DataFrame:
+        return docs.select(
+            F.col(id_col), fingerprint_md5(F.col(text_col)).alias("__fp")
+        )
+
+    def _sigs(docs: DataFrame) -> DataFrame:
+        return minhash_banded_rows(
+            docs, id_col, text_col, num_hashes, bands, shingle_k,
+            hash_mode=hash_mode,
+        )
+
+    def _heal(corpus: DataFrame, centers):
+        """Self-heal every store against the committed corpus; returns
+        the post-heal (fp_store, lex_store, sem_store) frames."""
+        fp_store = _read_or(fp_root, _fp_rows(corpus))
+        lex_store = _read_or(lex_root, _sigs(corpus.limit(0)))
+        unhealed_fp = corpus.join(
+            fp_store.select(id_col).distinct(), id_col, "left_anti"
+        )
+        if not unhealed_fp.isEmpty():
+            delta = _fp_rows(unhealed_fp)
+            _append(fp_root, fp_store, delta)
+            fp_store = fp_store.unionByName(delta)
+        unhealed_lex = corpus.join(
+            lex_store.select(id_col).distinct(), id_col, "left_anti"
+        )
+        if not unhealed_lex.isEmpty():
+            delta = _sigs(unhealed_lex)
+            _append(lex_root, lex_store, delta)
+            lex_store = lex_store.unionByName(delta)
+        sem_store = None
+        if vec_col is not None and centers is not None:
+            emb_corpus = corpus.filter(F.col(vec_col).isNotNull()).select(
+                id_col, vec_col
+            )
+            sem_store = _read_or(
+                sem_root,
+                semantic_store_rows(emb_corpus.limit(0), id_col, vec_col, centers),
+            )
+            unhealed_sem = emb_corpus.join(
+                sem_store.select(id_col).distinct(), id_col, "left_anti"
+            )
+            if not unhealed_sem.isEmpty():
+                healed = semantic_store_rows(unhealed_sem, id_col, vec_col, centers)
+                _append(sem_root, sem_store, healed)
+                sem_store = sem_store.unionByName(healed)
+        return fp_store, lex_store, sem_store
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        cols = [id_col, text_col] + ([vec_col] if vec_col else [])
+        batch_df = batch_df.select(*cols).filter(
+            F.size(tokens(F.col(text_col))) > 0
+        )
+        if vec_col is not None:
+            norm_ok = (
+                F.aggregate(
+                    as_double_vec(F.col(vec_col)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+                > 0.0
+            )
+            batch_df = batch_df.withColumn(
+                vec_col, F.when(norm_ok, F.col(vec_col))
+            )
+        if batch_df.isEmpty():
+            return
+        # several tiers scan the batch; read the stream source once
+        batch_df = batch_df.localCheckpoint()
+
+        corpus = _read_or(corpus_root, batch_df)
+
+        # frozen fit: read it, or freeze one on the first embedded docs
+        # seen (corpus first — a replayed bootstrap must refit on the
+        # same rows; batch otherwise) and commit it BEFORE any state
+        # that depends on it
+        centers = None
+        if vec_col is not None:
+            if latest_version(centers_root) is not None:
+                centers = centers_from_rows(read_versioned(spark, centers_root))
+            else:
+                fit_src = corpus.filter(F.col(vec_col).isNotNull())
+                if fit_src.isEmpty():
+                    fit_src = batch_df.filter(F.col(vec_col).isNotNull())
+                if not fit_src.isEmpty():
+                    centers = fit_semantic_centers(
+                        fit_src, id_col, vec_col, n_cells, seed, max_iter
+                    )
+                    write_versioned(centers_to_rows(spark, centers), centers_root)
+
+        recorded = -1
+        if latest_version(ledger_root) is not None:
+            recorded = latest_metadata(ledger_root).get("batch_id", -1)
+
+        if batch_id <= recorded:
+            # the ledger already decided this batch (crash after commit
+            # window 1): finish the state from its attribution, never
+            # recompute — then heal
+            ledger = read_versioned(spark, ledger_root)
+            admitted_ids = (
+                ledger.filter(
+                    (F.col("batch_id") == batch_id) & F.col("admitted")
+                )
+                .select(id_col)
+            )
+            lost = batch_df.join(admitted_ids, id_col, "leftsemi").join(
+                corpus.select(id_col), id_col, "left_anti"
+            )
+            if not lost.isEmpty():
+                _append(corpus_root, corpus, lost)
+                corpus = corpus.unionByName(lost)
+            _heal(corpus, centers)
+            return
+
+        fp_store, lex_store, sem_store = _heal(corpus, centers)
+
+        # tier 1 — exact fingerprints vs the store, keep-min in batch
+        bfp = _fp_rows(batch_df)
+        keep1 = (
+            bfp.join(fp_store.select("__fp").distinct(), "__fp", "left_anti")
+            .groupBy("__fp")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
+        s1 = batch_df.join(keep1, id_col, "leftsemi").localCheckpoint()
+
+        # tier 2 — banded MinHash lexical admission vs the store
+        out2 = incremental_near_dup_merge(
+            corpus, s1, id_col, text_col,
+            threshold=lex_threshold, num_hashes=num_hashes, bands=bands,
+            shingle_k=shingle_k, existing_banded=lex_store,
+            hash_mode=hash_mode,
+        )
+        s2 = out2["accepted"].localCheckpoint()
+
+        # tier 3 — semantic admission vs the store; embedding-less
+        # survivors pass through (the composed gate's convention)
+        out3 = None
+        if vec_col is not None and centers is not None:
+            s2e = s2.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+            emb_corpus = corpus.filter(F.col(vec_col).isNotNull()).select(
+                id_col, vec_col
+            )
+            out3 = incremental_semantic_merge(
+                emb_corpus, s2e, id_col, vec_col,
+                threshold=sem_threshold, n_cells=n_cells, n_probe=n_probe,
+                seed=seed, centers=centers, existing_assigned=sem_store,
+            )
+            no_emb = s2.filter(F.col(vec_col).isNull()).select(id_col)
+            admitted_ids = (
+                out3["accepted"].select(id_col).unionByName(no_emb)
+            )
+        else:
+            admitted_ids = s2.select(id_col)
+        admitted_ids = admitted_ids.localCheckpoint()
+
+        flag = lambda df, name: df.select(id_col, F.lit(True).alias(name))
+        ledger_delta = (
+            batch_df.select(id_col)
+            .join(flag(s1, "__t1"), id_col, "left")
+            .join(flag(s2, "__t2"), id_col, "left")
+            .join(flag(admitted_ids, "__adm"), id_col, "left")
+            .select(
+                id_col,
+                F.coalesce(F.col("__adm"), F.lit(False)).alias("admitted"),
+                F.when(F.coalesce(F.col("__adm"), F.lit(False)), F.lit("none"))
+                .when(F.coalesce(F.col("__t2"), F.lit(False)), F.lit("semantic"))
+                .when(F.coalesce(F.col("__t1"), F.lit(False)), F.lit("lexical"))
+                .otherwise(F.lit("exact"))
+                .alias("rejected_by"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+            )
+        )
+        # commit window 1: the attribution ledger (the pivot)
+        ledger_current = _read_or(ledger_root, ledger_delta)
+        base = latest_version(ledger_root)
+        if base is None:
+            write_versioned(
+                ledger_delta, ledger_root, metadata={"batch_id": batch_id}
+            )
+        else:
+            write_versioned(
+                ledger_current.unionByName(ledger_delta), ledger_root,
+                base_version=base, expected_base=True,
+                metadata={"batch_id": batch_id},
+            )
+        # commit window 2: the corpus
+        admitted_docs = batch_df.join(admitted_ids, id_col, "leftsemi")
+        _append(corpus_root, corpus, admitted_docs)
+        # commit window 3: the stores — every delta filtered to the
+        # FINAL admitted set
+        _append(fp_root, fp_store, bfp.join(admitted_ids, id_col, "leftsemi"))
+        _append(
+            lex_root, lex_store,
+            out2["new_banded"].join(admitted_ids, id_col, "leftsemi"),
+        )
+        if out3 is not None and sem_store is not None:
+            _append(sem_root, sem_store, out3["new_assigned"])
+
+    query = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_sec):
+        raise TimeoutError(
+            f"streaming curation did not drain within {timeout_sec}s; the "
+            f"query is still running — raise timeout_sec or stop() it"
+        )
+    return query
+
+
 def run_streaming_rollup(
     stream_df: DataFrame,
     state_root: str,

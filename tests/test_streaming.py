@@ -1025,3 +1025,328 @@ def test_streaming_summary_maintains_md5_hll(spark, scratch):
     # estimate (identical registers -> identical deterministic division)
     est = lambda df: finalize_hll_md5_state(df, p=8).collect()[0]["raw_estimate"]
     assert est(maintained_df) == est(one_shot)
+
+
+# ==========================================================================
+# run_streaming_curation: the three-tier gate on a stream (VERDICT r9 #4)
+# ==========================================================================
+
+def _sentence(seed, extra=""):
+    return " ".join(f"w{(seed * 31 + p * 7) % 997}" for p in range(10)) + extra
+
+
+_CURATION_SCHEMA = "doc_id int, text string, vec array<float>"
+
+
+def _curation_roots(scratch, tag):
+    return dict(
+        corpus_root=str(scratch / f"cur_corpus_{tag}"),
+        fp_root=str(scratch / f"cur_fp_{tag}"),
+        lex_root=str(scratch / f"cur_lex_{tag}"),
+        sem_root=str(scratch / f"cur_sem_{tag}"),
+        centers_root=str(scratch / f"cur_centers_{tag}"),
+        ledger_root=str(scratch / f"cur_ledger_{tag}"),
+    )
+
+
+def _drain_curation(spark, feed, roots, ckpt, mfpt=None):
+    from dynamic_etl_spark.streaming import file_stream, run_streaming_curation
+
+    run_streaming_curation(
+        file_stream(
+            spark, str(feed / "*.parquet"), spark.createDataFrame(
+                [], _CURATION_SCHEMA
+            ).schema, max_files_per_trigger=mfpt,
+        ),
+        **roots,
+        checkpoint_dir=ckpt,
+        id_col="doc_id", text_col="text", vec_col="vec",
+    )
+
+
+def _ledger_rows(spark, roots):
+    from dynamic_etl_spark.io.versioned import read_versioned
+
+    return {
+        r["doc_id"]: (r["admitted"], r["rejected_by"], r["batch_id"])
+        for r in read_versioned(spark, roots["ledger_root"]).collect()
+    }
+
+
+def _ids(spark, root):
+    from dynamic_etl_spark.io.versioned import read_versioned
+
+    return {
+        r["doc_id"]
+        for r in read_versioned(spark, root).select("doc_id").distinct().collect()
+    }
+
+
+def test_streaming_curation_three_tier_admission(spark, scratch):
+    """Bootstrap a corpus from batch 1 (within-batch lexical dedup fires),
+    then batch 2 exercises every tier against the stores: exact reject
+    (case/whitespace copy), lexical reject (near-copy text), semantic
+    reject (fresh text, near-identical embedding), within-batch exact
+    pair (min id admits), embedding-less and zero-norm docs pass the
+    semantic tier through, zero-token docs are dropped. Attribution is
+    hand-pinned, and the streamed result is compared against the same
+    tier ops composed in BATCH form on the committed state — the
+    batch-vs-stream equivalence the composed registry gate promises."""
+    from dynamic_etl_spark.io.versioned import read_versioned
+
+    roots = _curation_roots(scratch, "a")
+    feed = scratch / "cur_feed_a"
+    feed.mkdir()
+
+    b1 = spark.createDataFrame(
+        [
+            (1, _sentence(1), [1.0, 0.0, 0.0, 0.0]),
+            (2, _sentence(2), [0.0, 1.0, 0.0, 0.0]),
+            (3, _sentence(1, " x"), [0.0, 0.0, 1.0, 0.0]),  # lexical ~ 1
+        ],
+        _CURATION_SCHEMA,
+    )
+    b1.coalesce(1).write.parquet(str(feed / "b1.parquet"))
+    _drain_curation(spark, feed, roots, str(scratch / "cur_ckpt_a"))
+    assert _ledger_rows(spark, roots) == {
+        1: (True, "none", 0),
+        2: (True, "none", 0),
+        3: (False, "lexical", 0),
+    }
+    assert _ids(spark, roots["corpus_root"]) == {1, 2}
+
+    b2 = spark.createDataFrame(
+        [
+            # exact reject: case/whitespace copy of corpus doc 2
+            (10, "  " + _sentence(2).upper() + " ", None),
+            # lexical reject: near-copy of corpus doc 1
+            (11, _sentence(1, " y"), None),
+            # semantic reject: fresh text, embedding ~ corpus doc 2
+            (12, _sentence(42), [0.001, 1.0, 0.0, 0.0]),
+            # fresh: admitted (max natural cosine 0.5)
+            (13, _sentence(88), [1.0, 1.0, 1.0, 1.0]),
+            # no embedding: passes the semantic tier through
+            (14, _sentence(99), None),
+            # zero tokens: dropped at the boundary (no ledger row)
+            (15, "   ", None),
+            # zero-norm embedding: normalized to NULL, admitted
+            (16, _sentence(60), [0.0, 0.0, 0.0, 0.0]),
+            # within-batch exact pair with 13: min id admits
+            (17, _sentence(88).upper(), None),
+        ],
+        _CURATION_SCHEMA,
+    )
+    b2.coalesce(1).write.parquet(str(feed / "b2.parquet"))
+    _drain_curation(spark, feed, roots, str(scratch / "cur_ckpt_a"))
+
+    ledger = _ledger_rows(spark, roots)
+    assert ledger == {
+        1: (True, "none", 0),
+        2: (True, "none", 0),
+        3: (False, "lexical", 0),
+        10: (False, "exact", 1),
+        11: (False, "lexical", 1),
+        12: (False, "semantic", 1),
+        13: (True, "none", 1),
+        14: (True, "none", 1),
+        16: (True, "none", 1),
+        17: (False, "exact", 1),
+    }
+    assert _ids(spark, roots["corpus_root"]) == {1, 2, 13, 14, 16}
+    # store deltas are filtered to the FINAL admitted set
+    assert _ids(spark, roots["fp_root"]) == {1, 2, 13, 14, 16}
+    assert _ids(spark, roots["lex_root"]) == {1, 2, 13, 14, 16}
+    # the semantic store holds only embedded admitted docs (14 has no
+    # embedding; 16's zero-norm vector was normalized to NULL)
+    assert _ids(spark, roots["sem_root"]) == {1, 2, 13}
+    # the admitted corpus rows keep their embeddings (16's nulled)
+    vecs = {
+        r["doc_id"]: r["vec"]
+        for r in read_versioned(spark, roots["corpus_root"]).collect()
+    }
+    assert vecs[13] == [1.0, 1.0, 1.0, 1.0] and vecs[16] is None
+
+    # ---- batch-vs-stream equivalence: compose the tier ops directly on
+    # the committed state and batch 2's boundary-normalized rows ----
+    from dynamic_etl_spark.ops.ann import (
+        centers_from_rows,
+        incremental_semantic_merge,
+    )
+    from dynamic_etl_spark.ops.lsh import incremental_near_dup_merge
+    from dynamic_etl_spark.ops.text import fingerprint_md5, tokens
+
+    corpus_b1 = spark.createDataFrame(
+        [(1, _sentence(1), [1.0, 0.0, 0.0, 0.0]),
+         (2, _sentence(2), [0.0, 1.0, 0.0, 0.0])],
+        _CURATION_SCHEMA,
+    )
+    batch = (
+        b2.filter(F.size(tokens(F.col("text"))) > 0)
+        .withColumn(
+            "vec",
+            F.when(
+                F.aggregate(
+                    F.transform("vec", lambda x: x.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                ) > 0.0,
+                F.col("vec"),
+            ),
+        )
+    )
+    fp = corpus_b1.select(fingerprint_md5(F.col("text")).alias("__fp")).distinct()
+    bfp = batch.select("doc_id", fingerprint_md5(F.col("text")).alias("__fp"))
+    keep1 = (
+        bfp.join(fp, "__fp", "left_anti")
+        .groupBy("__fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
+    s1 = batch.join(keep1, "doc_id", "leftsemi").localCheckpoint()
+    out2 = incremental_near_dup_merge(corpus_b1, s1, "doc_id", "text")
+    s2 = out2["accepted"].localCheckpoint()
+    centers = centers_from_rows(read_versioned(spark, roots["centers_root"]))
+    out3 = incremental_semantic_merge(
+        corpus_b1.filter(F.col("vec").isNotNull()).select("doc_id", "vec"),
+        s2.filter(F.col("vec").isNotNull()).select("doc_id", "vec"),
+        "doc_id", "vec", centers=centers,
+    )
+    admitted = {r["doc_id"] for r in out3["accepted"].collect()} | {
+        r["doc_id"] for r in s2.filter(F.col("vec").isNull()).collect()
+    }
+    s1_ids = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    s2_ids = {r["doc_id"] for r in s2.select("doc_id").collect()}
+    batch_attr = {}
+    for r in batch.select("doc_id").collect():
+        d = r["doc_id"]
+        batch_attr[d] = (
+            d in admitted,
+            "none" if d in admitted
+            else "semantic" if d in s2_ids
+            else "lexical" if d in s1_ids
+            else "exact",
+        )
+    assert batch_attr == {d: (a, why) for d, (a, why, bid) in ledger.items() if bid == 1}
+
+
+def test_streaming_curation_replay_is_idempotent(spark, scratch):
+    """A fresh checkpoint redelivers every batch under its original
+    numbering (one file per trigger): each lands at-or-below the
+    ledger's recorded batch_id, takes the replay path (admitted set
+    derived from the LEDGER, no recompute), and changes nothing —
+    attribution can never flip the way a recompute-on-replay would
+    report already-admitted docs as exact rejects."""
+    from dynamic_etl_spark.io.versioned import latest_version, read_versioned
+
+    roots = _curation_roots(scratch, "b")
+    feed = scratch / "cur_feed_b"
+    feed.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, _sentence(1), [1.0, 0.0, 0.0, 0.0]),
+         (2, _sentence(2), [0.0, 1.0, 0.0, 0.0])],
+        _CURATION_SCHEMA,
+    )
+    b1.coalesce(1).write.parquet(str(feed / "b1.parquet"))
+    b2 = spark.createDataFrame(
+        [(10, _sentence(1, " y"), None), (11, _sentence(77), [0.5, 0.5, 0.0, 0.0])],
+        _CURATION_SCHEMA,
+    )
+    b2.coalesce(1).write.parquet(str(feed / "b2.parquet"))
+    _drain_curation(spark, feed, roots, str(scratch / "cur_ckpt_b1"), mfpt=1)
+    before_ledger = _ledger_rows(spark, roots)
+    before_versions = {
+        k: latest_version(roots[k])
+        for k in ("corpus_root", "fp_root", "lex_root", "sem_root", "ledger_root")
+    }
+    assert before_ledger == {
+        1: (True, "none", 0), 2: (True, "none", 0),
+        10: (False, "lexical", 1), 11: (True, "none", 1),
+    }
+
+    # FRESH checkpoint: full redelivery as batches 0 and 1
+    _drain_curation(spark, feed, roots, str(scratch / "cur_ckpt_b2"), mfpt=1)
+    assert _ledger_rows(spark, roots) == before_ledger
+    assert {
+        k: latest_version(roots[k])
+        for k in ("corpus_root", "fp_root", "lex_root", "sem_root", "ledger_root")
+    } == before_versions
+    assert _ids(spark, roots["corpus_root"]) == {1, 2, 11}
+
+
+def test_streaming_curation_crash_windows_heal_forward(spark, scratch):
+    """Every commit window heals forward: (a) ledger-committed/
+    corpus-crashed — the replayed batch finishes corpus + stores FROM
+    the ledger's attribution; (b) corpus committed outside the sink
+    (store-crashed) — the next drain self-heals all stores, so a
+    near-copy of the orphan doc is rejected; (c) centers-committed/
+    corpus-crashed bootstrap — the first drain admits under the
+    already-frozen fit instead of refitting."""
+    from dynamic_etl_spark.io.versioned import (
+        latest_metadata,
+        latest_version,
+        read_versioned,
+        write_versioned,
+    )
+    from dynamic_etl_spark.ops.ann import centers_to_rows, fit_semantic_centers
+
+    # ---- (c) centers committed, corpus crashed, before first drain ----
+    roots = _curation_roots(scratch, "c")
+    feed = scratch / "cur_feed_c"
+    feed.mkdir()
+    seed_vecs = spark.createDataFrame(
+        [(1, _sentence(1), [1.0, 0.0, 0.0, 0.0]),
+         (2, _sentence(2), [0.0, 1.0, 0.0, 0.0])],
+        _CURATION_SCHEMA,
+    )
+    centers = fit_semantic_centers(seed_vecs, "doc_id", "vec", n_cells=2)
+    write_versioned(centers_to_rows(spark, centers), roots["centers_root"])
+    seed_vecs.coalesce(1).write.parquet(str(feed / "b1.parquet"))
+    _drain_curation(spark, feed, roots, str(scratch / "cur_ckpt_c"))
+    # bootstrap ran under the committed fit (still exactly one version)
+    assert latest_version(roots["centers_root"]) == 0
+    assert _ids(spark, roots["corpus_root"]) == {1, 2}
+
+    # ---- (a) ledger committed for batch 1, state crashed ----
+    ledger = read_versioned(spark, roots["ledger_root"])
+    hand = spark.createDataFrame(
+        [(99, True, "none", 1), (98, False, "exact", 1)],
+        "doc_id int, admitted boolean, rejected_by string, batch_id long",
+    )
+    write_versioned(
+        ledger.unionByName(hand), roots["ledger_root"],
+        metadata={"batch_id": 1},
+    )
+    b2 = spark.createDataFrame(
+        [(99, _sentence(50), [0.0, 0.0, 1.0, 0.0]),
+         (98, "  " + _sentence(1).upper(), None)],
+        _CURATION_SCHEMA,
+    )
+    b2.coalesce(1).write.parquet(str(feed / "b2.parquet"))
+    _drain_curation(spark, feed, roots, str(scratch / "cur_ckpt_c"))
+    assert _ids(spark, roots["corpus_root"]) == {1, 2, 99}  # 98 stays out
+    assert _ids(spark, roots["fp_root"]) == {1, 2, 99}
+    assert _ids(spark, roots["lex_root"]) == {1, 2, 99}
+    assert _ids(spark, roots["sem_root"]) == {1, 2, 99}
+    # the ledger was NOT recomputed (99 would re-reject as 'exact')
+    assert _ledger_rows(spark, roots)[99] == (True, "none", 1)
+    assert latest_metadata(roots["ledger_root"])["batch_id"] == 1
+
+    # ---- (b) corpus advances outside the sink: stores self-heal ----
+    orphan = spark.createDataFrame(
+        [(50, _sentence(7), [0.0, 0.0, 0.0, 1.0])], _CURATION_SCHEMA
+    )
+    corpus = read_versioned(spark, roots["corpus_root"])
+    write_versioned(
+        corpus.unionByName(orphan), roots["corpus_root"],
+        base_version=latest_version(roots["corpus_root"]), expected_base=True,
+    )
+    b3 = spark.createDataFrame(
+        [(60, _sentence(7, " z"), None),                    # lexical ~ 50
+         (61, _sentence(30), [0.001, 0.0, 0.0, 1.0])],      # semantic ~ 50
+        _CURATION_SCHEMA,
+    )
+    b3.coalesce(1).write.parquet(str(feed / "b3.parquet"))
+    _drain_curation(spark, feed, roots, str(scratch / "cur_ckpt_c"))
+    ledger = _ledger_rows(spark, roots)
+    assert ledger[60] == (False, "lexical", 2)
+    assert ledger[61] == (False, "semantic", 2)
+    assert _ids(spark, roots["corpus_root"]) == {1, 2, 50, 99}
+    assert _ids(spark, roots["sem_root"]) == {1, 2, 50, 99}
