@@ -253,6 +253,26 @@ def extract_pipeline(
 # DAG 3 — DQ validation (dags/retail_daily_validation_pipeline.py:23-97)
 # --------------------------------------------------------------------------
 
+def production_thresholds() -> dict:
+    """The production validation DAG's invocation contract, verbatim
+    and callable (VERDICT r9 #8 — SURVEY §2.10):
+    ``validation_pipeline(**production_thresholds(), ...)`` runs the
+    exact gates dags/retail_daily_validation_pipeline.py:23-97
+    schedules — dims and fact min_rows=1000, dim_date 700 (a year of
+    calendar), extract file 1, and the fact freshness check demoted to
+    a WARNING: the DAG passes ``--skip_freshness_check`` for
+    fact_sales because its load runs in a separate pipeline, and the
+    reference validator (scripts/validate_table.py:336-390) still RUNS
+    the check under that flag, printing a warning instead of failing."""
+    return {
+        "min_dim_rows": 1000,
+        "min_date_rows": 700,
+        "min_fact_rows": 1000,
+        "min_file_rows": 1,
+        "fact_freshness_warn_only": True,
+    }
+
+
 def validation_pipeline(
     spark: SparkSession,
     source_root: str,
@@ -263,19 +283,31 @@ def validation_pipeline(
     min_date_rows: int = 700,
     min_fact_rows: int = 1000,
     min_file_rows: int = 1,
+    fact_freshness_warn_only: bool = False,
 ) -> Pipeline:
     """One validator task per target, thresholds defaulting to the
     production DAG's values (SURVEY §2.10 invocation contracts:
-    dims/fact min_rows=1000, dim_date 700, file 1). A FAIL row raises,
-    failing the step — the DAG-task semantics; the report DataFrame is
-    the step output either way. The fixture-sized defaults in tests
-    pass smaller thresholds, same as pointing the reference CLI at a
-    dev schema."""
+    dims/fact min_rows=1000, dim_date 700, file 1 —
+    :func:`production_thresholds` names the full contract including
+    the fact task's warn-only freshness). A FAIL row raises, failing
+    the step — the DAG-task semantics; the report DataFrame is the
+    step output either way. The fixture-sized defaults in tests pass
+    smaller thresholds, same as pointing the reference CLI at a dev
+    schema."""
 
-    def _gate(name: str, df_fn, spec: ValidationSpec):
+    def _gate(name: str, df_fn, spec: ValidationSpec, warn_checks=()):
         def step(ctx):
+            import warnings
+
             report = validate(spark, df_fn(), spec)
             fails = [r for r in report.collect() if r["status"] == "FAIL"]
+            warned = [r for r in fails if r["check_name"] in warn_checks]
+            fails = [r for r in fails if r["check_name"] not in warn_checks]
+            for r in warned:
+                # the reference's --skip_freshness_check semantics: the
+                # check runs, a miss warns instead of failing the task
+                warnings.warn(f"DQ gate {name}: {r['check_name']} "
+                              f"missed (demoted to warning): {r}")
             if fails:
                 raise ValueError(f"DQ gate {name} failed: {fails}")
             return report
@@ -319,6 +351,7 @@ def validation_pipeline(
                 ValidationSpec(min_rows=min_fact_rows, pk_column="sales_id",
                                mandatory_columns=("sales_id", "date_id", "net_amount"),
                                freshness=("date_id", F.lit(date_id))),
+                warn_checks=("freshness",) if fact_freshness_warn_only else (),
             )),
             Step("validate_snapshot_file", _gate(
                 "snapshot_file", snapshot_df,

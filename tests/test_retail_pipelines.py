@@ -115,6 +115,52 @@ def test_validation_gate_fails_on_thin_fact(spark, scratch):
         val.run()
 
 
+def test_production_thresholds_contract_and_warn_only_freshness(spark, scratch):
+    """production_thresholds() is the DAG invocation contract verbatim:
+    the documented numbers, plus the fact task's --skip_freshness_check
+    semantics — the freshness check RUNS and a miss warns instead of
+    failing (scripts/validate_table.py:336-390 demotes, never skips)."""
+    from dynamic_etl_spark.pipelines import production_thresholds
+
+    preset = production_thresholds()
+    assert preset == {
+        "min_dim_rows": 1000, "min_date_rows": 700,
+        "min_fact_rows": 1000, "min_file_rows": 1,
+        "fact_freshness_warn_only": True,
+    }
+
+    gen = generation_pipeline(
+        spark, str(scratch / "source"), date_id=20240617,
+        n_stores=5, n_products=10, n_distributors=5, rows_per_day=50,
+    )
+    gen.run()
+    ext = extract_pipeline(
+        spark, str(scratch / "source"), str(scratch / "extract"),
+        date_id=20240617,
+    )
+    ext.run()
+    # validate AS OF a date the fact table does not carry: enforced
+    # freshness fails the step; the production preset's warn-only mode
+    # passes with a warning (fixture-sized row thresholds — the preset's
+    # 1000-row gates are exercised by test_validation_gate_fails_on_
+    # thin_fact; here the subject is the freshness demotion)
+    small = dict(min_dim_rows=1, min_date_rows=1, min_fact_rows=1)
+    strict = validation_pipeline(
+        spark, str(scratch / "source"), str(scratch / "extract"),
+        date_id=20240618, **small,
+    )
+    with pytest.raises(RuntimeError, match="failed at step 'validate_fact_sales'"):
+        strict.run()
+    demoted = validation_pipeline(
+        spark, str(scratch / "source"), str(scratch / "extract"),
+        date_id=20240618, **small,
+        fact_freshness_warn_only=preset["fact_freshness_warn_only"],
+    )
+    with pytest.warns(UserWarning, match="freshness"):
+        results = demoted.run()
+    assert "validate_fact_sales" in results.outputs
+
+
 def test_dw_load_skips_when_no_file(spark, scratch):
     """An empty Current dir is a no-op load, not a failure (the queue
     returns (None, None) — retry-next-day semantics, U6)."""
