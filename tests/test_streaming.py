@@ -1350,3 +1350,61 @@ def test_streaming_curation_crash_windows_heal_forward(spark, scratch):
     assert ledger[61] == (False, "semantic", 2)
     assert _ids(spark, roots["corpus_root"]) == {1, 2, 50, 99}
     assert _ids(spark, roots["sem_root"]) == {1, 2, 50, 99}
+
+
+def test_streaming_curation_all_rejected_batch_and_two_tier_mode(spark, scratch):
+    """Two seams probed separately from the tier walk: (1) a batch whose
+    every doc dies at tier 1 flows an EMPTY survivor frame through the
+    lexical and semantic tiers (the ledger still records the batch, no
+    state table advances a version for it); (2) vec_col=None runs the
+    two lexical tiers only — 'semantic' never appears in attribution."""
+    from dynamic_etl_spark.io.versioned import latest_version
+
+    roots = _curation_roots(scratch, "d")
+    feed = scratch / "cur_feed_d"
+    feed.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, _sentence(1), [1.0, 0.0, 0.0, 0.0]),
+         (2, _sentence(2), [0.0, 1.0, 0.0, 0.0])],
+        _CURATION_SCHEMA,
+    )
+    b1.coalesce(1).write.parquet(str(feed / "b1.parquet"))
+    _drain_curation(spark, feed, roots, str(scratch / "cur_ckpt_d"))
+    corpus_v = latest_version(roots["corpus_root"])
+    # every doc is a case/whitespace copy -> all exact-rejected; the
+    # empty tier-1 survivor set must flow through tiers 2-3 cleanly
+    b2 = spark.createDataFrame(
+        [(10, _sentence(1).upper(), None),
+         (11, "  " + _sentence(2) + "  ", [9.0, 9.0, 9.0, 9.0])],
+        _CURATION_SCHEMA,
+    )
+    b2.coalesce(1).write.parquet(str(feed / "b2.parquet"))
+    _drain_curation(spark, feed, roots, str(scratch / "cur_ckpt_d"))
+    ledger = _ledger_rows(spark, roots)
+    assert ledger[10] == (False, "exact", 1)
+    assert ledger[11] == (False, "exact", 1)
+    assert _ids(spark, roots["corpus_root"]) == {1, 2}
+    # nothing admitted -> no state table advanced past the bootstrap
+    assert latest_version(roots["corpus_root"]) == corpus_v
+
+    # vec_col=None: the two lexical tiers compose alone
+    from dynamic_etl_spark.streaming import file_stream, run_streaming_curation
+
+    roots2 = _curation_roots(scratch, "e")
+    feed2 = scratch / "cur_feed_e"
+    feed2.mkdir()
+    b = spark.createDataFrame(
+        [(1, _sentence(5), None), (2, _sentence(5, " x"), None)],
+        _CURATION_SCHEMA,
+    ).select("doc_id", "text")
+    b.coalesce(1).write.parquet(str(feed2 / "b1.parquet"))
+    run_streaming_curation(
+        file_stream(spark, str(feed2 / "*.parquet"), b.schema),
+        **roots2, checkpoint_dir=str(scratch / "cur_ckpt_e"),
+        id_col="doc_id", text_col="text", vec_col=None,
+    )
+    assert _ledger_rows(spark, roots2) == {
+        1: (True, "none", 0), 2: (False, "lexical", 0),
+    }
+    assert latest_version(roots2["sem_root"]) is None
+    assert latest_version(roots2["centers_root"]) is None
