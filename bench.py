@@ -184,6 +184,13 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"BENCH_QUERIES names not in registry: {unknown}")
         names = requested
+        if os.environ.get("BENCH_WRITE_BASELINE"):
+            # a subset baseline would silently blind the cross-round
+            # tell for every row it dropped — refuse before measuring
+            raise SystemExit(
+                "BENCH_WRITE_BASELINE requires the full headline set — "
+                "unset BENCH_QUERIES"
+            )
 
     # Warm the JVM/codegen once with a NON-headline query so no timed query
     # benefits from its own warm-up (VERDICT r1: warming with a headline
@@ -335,8 +342,6 @@ def main() -> None:
         "sf": sf,
     }
     if os.environ.get("BENCH_WRITE_BASELINE"):
-        # refresh the cross-round baseline — ONLY meaningful from an
-        # idle machine (same rule as the headline numbers)
         with open(baseline_path, "w") as f:
             json.dump(
                 {
