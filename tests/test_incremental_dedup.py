@@ -238,3 +238,123 @@ def test_incremental_distributed_cc_fallback_matches_driver_path(spark, monkeypa
     fast_ids = {r["doc_id"] for r in fast["accepted"].collect()}
     slow_ids = {r["doc_id"] for r in slow["accepted"].collect()}
     assert fast_ids == slow_ids == _brute_admit(existing, batch) == {20, 23}
+
+
+# --------------------------------------------------------------------------
+# Randomized equivalence for the shared admission rule (r10): hypothesis
+# drives random pair structures through admit_batch and checks it against
+# an INDEPENDENT reference (BFS components + the declarative rule — not
+# the union-find the driver path uses), plus driver == forced-distributed
+# on the same structures.
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _reference_admit(batch_ids, within_edges, cross_hits):
+    """The admission rule, stated declaratively over BFS components:
+    reject every doc with a corpus hit; form components over the
+    within-batch edges; reject a component whole if any member has a
+    hit, else keep exactly its min id; untouched docs admit."""
+    adj = {}
+    for a, b in within_edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen, admitted = set(), set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, frontier = {start}, [start]
+        while frontier:
+            v = frontier.pop()
+            for w in adj[v]:
+                if w not in comp:
+                    comp.add(w)
+                    frontier.append(w)
+        seen |= comp
+        if not (comp & cross_hits):
+            admitted.add(min(comp))
+    for d in batch_ids:
+        if d not in seen and d not in cross_hits:
+            admitted.add(d)
+    return admitted
+
+
+_pair_structures = st.integers(2, 24).flatmap(
+    lambda n: st.tuples(
+        st.just(n),
+        st.lists(
+            st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+            max_size=30,
+        ),
+        st.sets(st.integers(0, n - 1), max_size=6),
+    )
+)
+
+
+@settings(
+    max_examples=25, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_pair_structures)
+def test_admit_batch_matches_reference_on_random_structures(spark, struct):
+    """Driver-path admit_batch == the independent BFS reference on
+    arbitrary within-edge graphs (self-loops, duplicates, chains,
+    cliques) with arbitrary cross-hit overlays."""
+    from dynamic_etl_spark.ops import graph as G
+
+    n, raw_edges, hits = struct
+    batch_ids = list(range(n))
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    new_docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in batch_ids], "doc_id long, text string"
+    )
+    rows = [(max(a, b), min(a, b), 0.9, "batch") for a, b in edges] + [
+        (h, 10_000 + h, 0.9, "existing") for h in sorted(hits)
+    ]
+    dup_pairs = spark.createDataFrame(
+        rows, "id_new long, id_matched long, jaccard_sim double, scope string"
+    ).localCheckpoint()
+    acc = {
+        r["doc_id"]
+        for r in G.admit_batch(new_docs, "doc_id", dup_pairs).collect()
+    }
+    assert acc == _reference_admit(batch_ids, edges, hits)
+
+
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_pair_structures)
+def test_admit_batch_distributed_path_matches_driver_on_random_structures(
+    spark, struct
+):
+    """Forcing the distributed pointer-jumping path (threshold 0) admits
+    identically to the driver union-find on the same random structures —
+    the hybrid seam can never change answers, only cost."""
+    from dynamic_etl_spark.ops import graph as G
+
+    n, raw_edges, hits = struct
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    new_docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(n)], "doc_id long, text string"
+    )
+    rows = [(max(a, b), min(a, b), 0.9, "batch") for a, b in edges] + [
+        (h, 10_000 + h, 0.9, "existing") for h in sorted(hits)
+    ]
+    dup_pairs = spark.createDataFrame(
+        rows, "id_new long, id_matched long, jaccard_sim double, scope string"
+    ).localCheckpoint()
+    driver = {
+        r["doc_id"]
+        for r in G.admit_batch(new_docs, "doc_id", dup_pairs).collect()
+    }
+    distributed = {
+        r["doc_id"]
+        for r in G.admit_batch(
+            new_docs, "doc_id", dup_pairs, small_cc_threshold=0
+        ).collect()
+    }
+    assert driver == distributed
