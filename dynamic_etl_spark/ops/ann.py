@@ -335,6 +335,16 @@ def cosine_topk_vectorized(
             # the local k-th sim (a superset of the local top-k under
             # any tie-break) keeps the global (sim desc, id asc) window
             # exact without per-query id-ordering work here.
+            # Quantize BEFORE any ordering decision: BLAS kernels pick
+            # different accumulation orders per matrix SHAPE, so the
+            # same vector pair scored in two batches can differ in the
+            # last ulp — raw sims would make tie ranks depend on batch
+            # geometry and on the BLAS build (observed cross-container
+            # r10: an all-ties fixture ranked by kernel noise). 12dp is
+            # the repo's quantize-before-order discipline
+            # (bigram_perplexity_profile); the surfaced 6dp value is
+            # unchanged outside a ~5e-13 sliver around 6dp halves.
+            sims = np.round(sims, 12)
             kk = min(k, sims.shape[0])
             part = np.argpartition(-sims, kk - 1, axis=0)
             kth = sims[part[kk - 1], np.arange(sims.shape[1])]
@@ -613,6 +623,84 @@ def srp_banded_rows(
     return sig.select(F.col(id_col), F.posexplode(bands_arr).alias("band_idx", "band_hash"))
 
 
+def jl_projection_rows(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    d_out: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with the Achlioptas
+    (2003, JCSS §2) sparse sign matrix: entry (j_in, j_out) is
+    ``sqrt(3/d_out) * s`` where ``s`` ∈ {+1, 0, -1} with probabilities
+    {1/6, 2/3, 1/6} — drawn here from an md5 slice of
+    ``'jl:seed:j_out:j_in'`` (mod 6: 0 → +1, 1 → -1, else 0), so the
+    matrix is a pure expression both engines derive identically (never
+    materialized, never broadcast). Two thirds of the multiplies vanish
+    by construction — the property that makes JL projection the standard
+    pre-reduction in front of ANN/LSH at 100 TB corpus scale (1024-dim
+    fleets don't pairwise-compare raw vectors; they compare 16-64-dim
+    projections whose distances JL preserves to (1±ε)).
+
+    Surface: long-format ``(id, out_dim, component)`` rows — ``n x d_out``
+    total; component = decimal-exact signed sum of the selected input
+    components, scaled by the one shared literal sqrt(3/d_out) and
+    rounded at 6dp.
+
+    Plan/parity: same codegen shape as :func:`srp_banded_rows` — ONE
+    posexplode + ONE groupBy(id) carrying ``d_out`` conditional sums
+    (map-side partial agg, whole-stage codegen; no interpreted array
+    lambdas, no matrix join, one corpus shuffle on the id key). Sums ride
+    decimal(38,30) (the embedding_label_centroids float discipline:
+    order-free within each engine, cross-engine exact for |x| >= 2^-7,
+    ~1e-27·n below). sqrt is libm, so the scale factor is computed ONCE
+    driver-side and embedded as the identical literal in the SQL twin.
+    NULL vectors are dropped (no projection exists); an all-zero matrix
+    column (p ≈ (2/3)^d_in per (seed, j_out)) surfaces as component 0.0
+    on both engines via the same coalesce.
+    """
+    import math
+
+    scale = math.sqrt(3.0 / d_out)
+
+    def term(j_out: int) -> Column:
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.lit("jl"), F.lit(seed), F.lit(j_out), F.col("__j")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 6
+        )
+        xd = F.col("__x").cast("decimal(38,30)")
+        return F.sum(F.when(h == 0, xd).when(h == 1, -xd)).alias(f"__p{j_out}")
+
+    exploded = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.posexplode(as_double_vec(F.col(vec_col))).alias("__j", "__x")
+    )
+    sig = exploded.groupBy(id_col).agg(*[term(j) for j in range(d_out)])
+    components = F.array(
+        *[
+            F.round(
+                F.coalesce(F.col(f"__p{j}").cast("double"), F.lit(0.0)) * F.lit(scale),
+                6,
+            )
+            for j in range(d_out)
+        ]
+    )
+    return sig.select(
+        F.col(id_col), F.posexplode(components).alias("out_dim", "component")
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     id_col: str,
@@ -845,7 +933,11 @@ def knn_join(
     ``max_cell_rows`` raise rather than OOM (SemDeDup's guard).
     Deterministic at any parallelism: seeded k-means, stable probe
     argsort, members sorted by id before the slab pass, and the final
-    window totally ordered by (sim DESC, neighbor ASC).
+    window totally ordered by (sim DESC, neighbor ASC) — over sims
+    QUANTIZED at 12dp inside the slab pass, because the same pair
+    scored in different cells goes through different BLAS matmul
+    shapes whose last-ulp noise would otherwise decide tie ranks
+    (observed flipping between containers, r10).
 
     Probe rows carry their query vector (dim-sized) n_probe times; at
     very high dims trade that for a join-back on query_id.
@@ -920,6 +1012,12 @@ def knn_join(
         for lo in range(0, len(qids_all), block_rows):
             hi = min(lo + block_rows, len(qids_all))
             S = Q[lo:hi] @ M.T  # (block, cell_size) slab
+            # 12dp quantize before ANY ordering (the
+            # cosine_topk_vectorized rationale): cells/blocks have
+            # different matmul shapes, so raw sims of the same pair
+            # differ across cells in the last ulp per BLAS build —
+            # which flipped tie ranks between containers (r10)
+            S = np.round(S, 12)
             S[qids_all[lo:hi, None] == mids[None, :]] = -np.inf  # no self-match
             # local top-kk per row
             part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]

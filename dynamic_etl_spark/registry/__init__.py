@@ -29,13 +29,15 @@ from dynamic_etl_spark.registry.core import Query, QueryRegistry
 DRIVER_WINDOW = 50
 
 #: Positions 1-50 — the r10 rotation (VERDICT r9 #1): new/changed
-#: queries take hard-signal slots first; then the 23 due
-#: re-confirmations (3 r5-era past the 3-round rule, 20 r6-era); the
-#: remaining 24 slots refresh the OLDEST r7 confirmations early
-#: (alphabetical first-24 of the 47-query r7 cohort) so the ledger
-#: never builds a 46-query bulge again. The stale-ledger CI property
-#: (tests/test_oracle_parity.py) computes this window's obligations
-#: from the checked-in CORRECTNESS_r*.json files.
+#: queries take hard-signal slots first (the steady-state gate, the two
+#: semantic-bootstrap re-earns, the ANN tie-quantization re-earn, and
+#: the new retrieval/JL pair); then the 23 due re-confirmations (3
+#: r5-era past the 3-round rule, 20 r6-era); the remaining 21 slots
+#: refresh the OLDEST r7 confirmations early (alphabetical — minus the
+#: displaced three — of the 47-query r7 cohort) so the
+#: ledger never builds a 46-query bulge again. The stale-ledger CI
+#: property (tests/test_oracle_parity.py) computes this window's
+#: obligations from the checked-in CORRECTNESS_r*.json files.
 _WINDOW_ORDER = (
     # ---- NEW r10, never driver-confirmed ----
     # the composed gate in steady state: per-session prebuilt stores,
@@ -43,6 +45,12 @@ _WINDOW_ORDER = (
     # INCREMENTAL_CURATION_ORACLE with the bootstrap form (identical
     # output is the store-reuse contract under test)
     "incremental_curation_admission_steady",
+    # beyond-reference retrieval/reduction pair (registry/retrieval):
+    # BM25 probe-query ranking and Achlioptas JL projection — new this
+    # round, so they take hard-signal slots (displacing the two newest
+    # r7 early-refreshes, which are not due until r11)
+    "bm25_topk_retrieval",
+    "embedding_jl_projection",
     # ---- changed code this round: must re-earn the hash ----
     # semantic bootstrap fit now uses seeded-random MLlib init
     # (VERDICT r9 #6 measurement: k-means|| init passes dropped, jobs
@@ -50,6 +58,10 @@ _WINDOW_ORDER = (
     # changed, so both consumers re-earn
     "incremental_semantic_dedup",
     "incremental_curation_admission",
+    # numpy-path ANN ranking now quantizes sims at 12dp before ordering
+    # (cross-container BLAS tie fix, r10) — the one oracle-backed query
+    # on that path re-earns
+    "embedding_topk_vectorized",
     # ---- the 23 due re-confirmations (VERDICT r9 #1, full list) ----
     "generator_stores",
     "nation_segment_listagg",
@@ -74,7 +86,7 @@ _WINDOW_ORDER = (
     "salted_skew_join",
     "value_anomaly_mad",
     "winnowing_fingerprint",
-    # ---- 24 oldest (r7) confirmations, refreshed a round early ----
+    # ---- 21 oldest (r7) confirmations, refreshed a round early ----
     "benchmark_decontamination",
     "benchmark_span_scrub",
     "change_detection_classification",
@@ -95,10 +107,7 @@ _WINDOW_ORDER = (
     "events_tumbling_window",
     "events_value_trend",
     "exact_dedup_fingerprint",
-    "fallback_key_resolution",
     "flagship_star_join",
-    "generator_fact_day",
-    "gopher_repetition_gates",
 )
 
 #: Rotated out after earning their driver-green; the local pytest
@@ -139,7 +148,6 @@ _ROTATED_OUT = (
     "embedding_int8_quant",
     "embedding_knn_join_exacthash",
     "embedding_label_centroids",
-    "embedding_topk_vectorized",
     "encoding_repair_profile",
     "events_equidepth_deciles",
     "events_fill_forward",
@@ -164,10 +172,13 @@ _ROTATED_OUT = (
     "events_value_percentiles",
     "events_value_zscore",
     "events_zorder_tiles",
+    "fallback_key_resolution",
     "fk_integrity_report",
     "fk_orphan_attribution",
     "freshness_watermark",
     "fuzzy_brand_match",
+    "generator_fact_day",
+    "gopher_repetition_gates",
     "high_water_mark",
     "incremental_near_dup_exacthash",
     "incremental_rollup_maintenance",
@@ -255,6 +266,7 @@ def all_queries() -> QueryRegistry:
         merge,
         quality,
         relational,
+        retrieval,
         validation,
         windows,
     )
@@ -272,6 +284,7 @@ def all_queries() -> QueryRegistry:
         generators,
         curation,
         quality,
+        retrieval,
     ):
         overlap = pooled.keys() & module.QUERIES.keys()
         if overlap:

@@ -1,0 +1,167 @@
+"""Retrieval / dimensionality-reduction registry queries.
+
+Beyond-reference LLM-pipeline operators (the reference engine has no
+retrieval ranker or JL reduction; SURVEY.md §2's inventory is ETL) —
+registered with full DuckDB oracles per the repo gate.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dynamic_etl_spark.ops import ann as ANN
+from dynamic_etl_spark.ops import retrieval as R
+from dynamic_etl_spark.registry.core import Query, QueryRegistry, t
+from dynamic_etl_spark.registry.llm import _SQL_TOKENS
+
+#: Pinned probe-query set (the events_type_pivot convention: a literal
+#: value list means no discovery job and a deterministic schema). Terms
+#: come from the documents fixture vocabulary; 'index' in q8 is
+#: deliberately out-of-vocabulary (exercises the zero-hit path — the
+#: term contributes nothing, the query still ranks on its other terms).
+BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (1, "hash join order"),
+    (2, "fast table scan"),
+    (3, "window agg stream"),
+    (4, "customer filter query"),
+    (5, "merge sort batch"),
+    (6, "vector column data"),
+    (7, "slow group row dup"),
+    (8, "spark big key index"),
+)
+
+
+def bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 documents per pinned probe query under Okapi BM25
+    (ops/retrieval.bm25_topk: Lucene idf at 12dp-before-exact-sum,
+    total-ordered ranks)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = spark.createDataFrame(
+        list(BM25_QUERIES), "query_id int, query_text string"
+    )
+    return R.bm25_topk(docs, queries, top_k=5)
+
+
+def _sql_query_values() -> str:
+    return ", ".join(f"({qid}, '{text}')" for qid, text in BM25_QUERIES)
+
+
+#: Float literals mirrored from ops/retrieval via repr so the SQL twin
+#: multiplies the SAME doubles Spark does (1.2 + 1.0 and 1.0 - 0.75 are
+#: folded in Python before they reach the Spark plan).
+_K1 = repr(R.BM25_K1)
+_K1P1 = repr(R.BM25_K1 + 1.0)
+_ONE_MINUS_B = repr(1.0 - R.BM25_B)
+_B = repr(R.BM25_B)
+
+BM25_ORACLE = f"""
+WITH q(query_id, query_text) AS (VALUES {_sql_query_values()}),
+base AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS total_tokens
+  FROM base
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+  GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+qterms AS (
+  SELECT DISTINCT query_id, term
+  FROM (SELECT query_id,
+               unnest(list_filter(string_split_regex(lower(query_text), '\\s+'),
+                                  w -> w <> '')) AS term
+        FROM q)
+),
+qvocab AS (SELECT DISTINCT term FROM qterms),
+tfq AS (
+  SELECT tf.*, count(*) OVER (PARTITION BY term) AS df
+  FROM tf JOIN qvocab USING (term)
+),
+scored AS (
+  SELECT qt.query_id, tfq.doc_id,
+         CAST(round(
+           ln(((CAST(s.n_docs AS DOUBLE) - df) + 0.5) / (df + 0.5) + 1.0)
+           * ((tf * {_K1P1}) /
+              (tf + {_K1} * ({_ONE_MINUS_B} + {_B} *
+                  (dl / (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))),
+           12) AS DECIMAL(38,12)) AS c
+  FROM tfq
+  JOIN dl USING (doc_id)
+  JOIN qterms qt USING (term)
+  CROSS JOIN stats s
+),
+pair AS (
+  SELECT query_id, doc_id, sum(c) AS s, count(*) AS n_hit_terms
+  FROM scored GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, s, n_hit_terms,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY s DESC, doc_id ASC) AS INT) AS rank
+  FROM pair
+)
+SELECT query_id, rank, doc_id, n_hit_terms, round(CAST(s AS DOUBLE), 6) AS bm25
+FROM ranked WHERE rank <= 5
+"""
+
+
+#: JL reduction target: 64 -> 16 dims (4x), the smallest power of two
+#: the distance-preservation pytest still separates cleanly.
+JL_D_OUT = 16
+JL_SEED = 0
+
+
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Achlioptas sparse random projection of the embeddings table to 16
+    dims (ops/ann.jl_projection_rows: md5-derived {+1,0,-1} signs,
+    decimal-exact sums, one corpus shuffle)."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ANN.jl_projection_rows(emb, "vec_id", "embedding", d_out=JL_D_OUT, seed=JL_SEED)
+
+
+_JL_SCALE = repr(math.sqrt(3.0 / JL_D_OUT))
+
+JL_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id,
+         unnest(range(1, len(embedding) + 1)) - 1 AS j,
+         unnest(embedding) AS xf
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+proj AS (
+  SELECT ex.vec_id, CAST(od.out_dim AS INT) AS out_dim,
+         SUM(CASE WHEN ('0x' || substr(md5(concat_ws(':', 'jl', {JL_SEED}, od.out_dim, ex.j)), 1, 8))::BIGINT % 6 = 0
+                  THEN CAST(CAST(ex.xf AS DOUBLE) AS DECIMAL(38,30))
+                  WHEN ('0x' || substr(md5(concat_ws(':', 'jl', {JL_SEED}, od.out_dim, ex.j)), 1, 8))::BIGINT % 6 = 1
+                  THEN -CAST(CAST(ex.xf AS DOUBLE) AS DECIMAL(38,30))
+                  END) AS p
+  FROM ex CROSS JOIN (SELECT unnest(range({JL_D_OUT})) AS out_dim) od
+  GROUP BY ex.vec_id, od.out_dim
+)
+SELECT vec_id, out_dim,
+       round(coalesce(CAST(p AS DOUBLE), 0.0) * {_JL_SCALE}, 6) AS component
+FROM proj
+"""
+
+
+QUERIES: QueryRegistry = {
+    "bm25_topk_retrieval": Query(
+        bm25_topk_retrieval,
+        BM25_ORACLE,
+        "Okapi BM25 top-5 documents per pinned probe query (Lucene idf, "
+        "12dp quantize-before-exact-sum, total-ordered ranks)",
+    ),
+    "embedding_jl_projection": Query(
+        embedding_jl_projection,
+        JL_ORACLE,
+        "Achlioptas sparse JL projection 64->16 dims (md5 sign matrix as "
+        "a pure expression, decimal-exact sums, one corpus shuffle)",
+    ),
+}

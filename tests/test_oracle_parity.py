@@ -37,22 +37,28 @@ def test_driver_window_holds_the_r10_rotation():
     queries. The r10 window (VERDICT r9 #1): new/changed queries take
     hard-signal slots first (the steady-state composed gate is new; the
     two semantic-bootstrap consumers re-earn after the init_mode
-    change), then ALL 23 due re-confirmations (the 3 r5-era stragglers
-    past the 3-round rule lead: generator_stores, value_outlier_gate,
-    nation_segment_listagg — the r9 rotation windowed 43 of the 46
-    r5-era queries and deferred exactly those three — plus the 20
-    r6-era), then 24 of the 47 r7-era confirmations refreshed a round
-    early; every windowed query is oracle-backed; everything rotated
-    out stays hash-checked by this local harness."""
+    change; embedding_topk_vectorized re-earns after the numpy-path
+    12dp tie-quantization; the beyond-reference BM25 + JL-projection
+    pair is new), then ALL 23 due re-confirmations (the 3 r5-era
+    stragglers past the 3-round rule lead: generator_stores,
+    value_outlier_gate, nation_segment_listagg — the r9 rotation
+    windowed 43 of the 46 r5-era queries and deferred exactly those
+    three — plus the 20 r6-era), then 21 of the 47 r7-era
+    confirmations refreshed a round early; every windowed query is
+    oracle-backed; everything rotated out stays hash-checked by this
+    local harness."""
     from dynamic_etl_spark.registry import DRIVER_WINDOW, _ROTATED_OUT
 
     window = list(REGISTRY)[:DRIVER_WINDOW]
     for name in (
         # new r10, never driver-confirmed
         "incremental_curation_admission_steady",
+        "bm25_topk_retrieval",
+        "embedding_jl_projection",
         # changed code this round: must re-earn the hash
         "incremental_semantic_dedup",
         "incremental_curation_admission",
+        "embedding_topk_vectorized",
         # the three r5-era stragglers the rule says lead the window
         "generator_stores",
         "value_outlier_gate",

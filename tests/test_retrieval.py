@@ -1,0 +1,217 @@
+"""BM25 retrieval + JL projection: brute-force ground truth and
+plan/contract pins for the r10 beyond-reference pair."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+
+from dynamic_etl_spark.ops import ann as ANN
+from dynamic_etl_spark.ops import retrieval as R
+from tests.conftest import SF_SMALL
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+_DOCS = [
+    (0, "spark shuffles data across the cluster"),
+    (1, "hash join beats sort merge join on small tables"),
+    (2, "the quick brown fox"),
+    (3, "join the cluster and shuffle data"),
+    (4, "hash hash hash join"),
+    (5, ""),  # zero tokens: must never be ranked
+    (6, "sort merge join for big tables"),
+]
+_QUERIES = [
+    (10, "hash join"),
+    (11, "data cluster"),
+    (12, "zeppelin"),  # fully out-of-vocabulary: no result rows
+]
+
+
+def _brute_bm25(docs, queries, k1=1.2, b=0.75, top_k=5):
+    """Plain-Python replay of the documented semantics (Robertson &
+    Zaragoza 2009): Lucene idf, distinct query terms, 12dp-quantized
+    per-term contributions summed exactly (Fraction-free: the quantized
+    values are exact decimals in float64 range)."""
+    tok = {d: t.lower().split() for d, t in docs}
+    n = len(docs)
+    avgdl = sum(len(ts) for ts in tok.values()) / n
+    tf = {}
+    for d, ts in tok.items():
+        for w in ts:
+            tf[(d, w)] = tf.get((d, w), 0) + 1
+    out = {}
+    for qid, qtext in queries:
+        terms = sorted(set(qtext.lower().split()))
+        dfreq = {t: sum(1 for d in tok if (d, t) in tf) for t in terms}
+        scores = {}
+        for d, ts in tok.items():
+            s, hits = 0.0, 0
+            for t in terms:
+                f = tf.get((d, t))
+                if not f or dfreq[t] == 0:
+                    continue
+                idf = math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+                tff = (f * (k1 + 1.0)) / (
+                    f + k1 * (1.0 - b + b * (len(ts) / avgdl))
+                )
+                s += round(idf * tff, 12)
+                hits += 1
+            if hits:
+                scores[d] = (s, hits)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:top_k]
+        out[qid] = [
+            (rank + 1, d, hits, round(s, 6))
+            for rank, (d, (s, hits)) in enumerate(ranked)
+        ]
+    return out
+
+
+def test_bm25_matches_bruteforce(spark):
+    docs = spark.createDataFrame(_DOCS, "doc_id int, text string")
+    queries = spark.createDataFrame(_QUERIES, "query_id int, query_text string")
+    got = {}
+    for r in R.bm25_topk(docs, queries, top_k=5).collect():
+        got.setdefault(r.query_id, []).append(
+            (r.rank, r.doc_id, r.n_hit_terms, r.bm25)
+        )
+    for qid in got:
+        got[qid].sort()
+    want = {qid: rows for qid, rows in _brute_bm25(_DOCS, _QUERIES).items() if rows}
+    assert got == want
+    # contract pins the brute force replays implicitly, asserted loudly:
+    assert 12 not in got, "fully-OOV query must produce no rows"
+    assert all(5 not in {d for _, d, _, _ in rows} for rows in got.values()), (
+        "zero-token doc must never rank"
+    )
+
+
+def test_bm25_rank_is_total_ordered_on_ties(spark):
+    # two identical docs tie bit-for-bit on every query; the lower id
+    # must take the lower rank (the _rank/window convention)
+    docs = spark.createDataFrame(
+        [(7, "alpha beta"), (3, "alpha beta"), (9, "alpha gamma")],
+        "doc_id int, text string",
+    )
+    queries = spark.createDataFrame([(1, "alpha beta")], "query_id int, query_text string")
+    rows = sorted(
+        (r.rank, r.doc_id) for r in R.bm25_topk(docs, queries, top_k=3).collect()
+    )
+    assert rows == [(1, 3), (2, 7), (3, 9)]
+
+
+def test_bm25_empty_corpus_raises(spark):
+    docs = spark.createDataFrame([], "doc_id int, text string")
+    queries = spark.createDataFrame([(1, "x")], "query_id int, query_text string")
+    with pytest.raises(ValueError, match="empty corpus"):
+        R.bm25_topk(docs, queries)
+
+
+def test_bm25_corpus_shuffles_once(spark):
+    """The corpus-sized explode+agg (tf) must appear in the plan exactly
+    once: doc length is a projection and df is a window over the pruned
+    slice, so no subtree recomputes the corpus tokenization (higher-order
+    lambdas defeat exchange reuse — the r10 lesson)."""
+    from dynamic_etl_spark.catalog import load_table
+    from dynamic_etl_spark.plan import physical_plan
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    queries = spark.createDataFrame([(1, "hash join")], "query_id int, query_text string")
+    plan = physical_plan(R.bm25_topk(docs, queries))
+    # exactly one CORPUS-side explode feeds tf; the other Generates are
+    # the query mini-dim's (qterms appears twice: vocabulary prune +
+    # query attach — both broadcast-sized). A second corpus Generate
+    # would mean the corpus tokenizes twice into shuffles (dl's
+    # token_count runs inside a projection, not a Generate).
+    gen_lines = [l for l in plan.splitlines() if "Generate explode" in l]
+    corpus_gens = [l for l in gen_lines if "query_text" not in l]
+    assert len(corpus_gens) == 1, gen_lines
+
+
+# ---------------------------------------------------------------------------
+# JL projection
+# ---------------------------------------------------------------------------
+
+
+def _jl_sign(seed: int, j_out: int, j_in: int) -> int:
+    h = int(hashlib.md5(f"jl:{seed}:{j_out}:{j_in}".encode()).hexdigest()[:8], 16) % 6
+    return 1 if h == 0 else (-1 if h == 1 else 0)
+
+
+def test_jl_projection_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    d_in, d_out, n = 24, 8, 40
+    vecs = rng.randn(n, d_in).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.vec_id, r.out_dim): r.component
+        for r in ANN.jl_projection_rows(df, "vec_id", "embedding", d_out=d_out, seed=3).collect()
+    }
+    M = np.array(
+        [[_jl_sign(3, j, i) for j in range(d_out)] for i in range(d_in)],
+        dtype=np.float64,
+    )
+    want = vecs.astype(np.float64) @ M * math.sqrt(3.0 / d_out)
+    assert len(got) == n * d_out
+    for (vid, j), comp in got.items():
+        assert comp == pytest.approx(want[vid, j], abs=5e-7)
+
+
+def test_jl_projection_preserves_distances(spark):
+    """The JL guarantee the op exists for: near-duplicate pairs stay
+    near and far pairs stay far after projection — the property the
+    ANN/dedup consumers rely on. (A Pearson-r check on random gaussians
+    is the WRONG pin: random high-dim points are near-equidistant, so
+    even a perfect projection shows weak correlation across their tiny
+    distance spread.) Planted structure instead: 20 base vectors, each
+    with a 1%-noise near-copy — projected near-pair distances must
+    stay orders of magnitude under every projected cross-pair distance,
+    and the distance-ratio distribution must center on 1 (Achlioptas
+    2003 E[ratio] = 1)."""
+    rng = np.random.RandomState(11)
+    d_in, d_out = 64, 16
+    base = rng.randn(20, d_in)
+    rows, near_pairs = [], []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in v + 0.01 * rng.randn(d_in)]))
+        near_pairs.append((2 * i, 2 * i + 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    orig = {vid: np.array(v, dtype=np.float64) for vid, v in rows}
+    proj = {}
+    for r in ANN.jl_projection_rows(df, "vec_id", "embedding", d_out=d_out, seed=0).collect():
+        proj.setdefault(r.vec_id, [0.0] * d_out)[r.out_dim] = r.component
+
+    def d2(store, u, v):
+        a, b = np.asarray(store[u]), np.asarray(store[v])
+        return float(np.sum((a - b) ** 2))
+
+    near_proj = [d2(proj, u, v) for u, v in near_pairs]
+    cross_proj = [
+        d2(proj, 2 * i, 2 * j) for i in range(20) for j in range(i + 1, 20)
+    ]
+    assert max(near_proj) < 0.1 * min(cross_proj)
+    # E[proj distance / orig distance] = 1 on the well-separated pairs
+    ratios = [
+        d2(proj, 2 * i, 2 * j) / d2(orig, 2 * i, 2 * j)
+        for i in range(20)
+        for j in range(i + 1, 20)
+    ]
+    assert 0.7 < float(np.mean(ratios)) < 1.3
+
+
+def test_jl_projection_drops_null_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "vec_id long, embedding array<float>"
+    )
+    out = ANN.jl_projection_rows(df, "vec_id", "embedding", d_out=4, seed=0).collect()
+    assert {r.vec_id for r in out} == {1}
+    assert len(out) == 4

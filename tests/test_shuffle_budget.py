@@ -133,6 +133,14 @@ SHUFFLE_BUDGET = {
     "generator_products": 0,
     "generator_distributors": 0,
     "tfidf_top_terms": 4,
+    # r10 retrieval pair: BM25 = tf agg + df window(term) + dl join(id)
+    # x2 sides + (query,doc) agg + query window — measured 6; the corpus
+    # tokenizes into exactly ONE shuffle (tf), everything query-shaped
+    # broadcasts
+    "bm25_topk_retrieval": 6,
+    # one posexplode + one wide groupBy(id) carrying all 16 projection
+    # sums (the srp_banded_rows shape) — measured 1
+    "embedding_jl_projection": 1,
     "events_funnel_conversion": 2,
     "source_quota_cap": 1,
     "events_value_percentiles": 1,
