@@ -623,6 +623,13 @@ def srp_banded_rows(
     return sig.select(F.col(id_col), F.posexplode(bands_arr).alias("band_idx", "band_hash"))
 
 
+#: jl_projection_rows embeds its sign matrix as a plan constant up to
+#: this many cells (d_in x d_out); past it (e.g. 4096-dim inputs) the
+#: constant would dominate the plan string and codegen, so the signs
+#: derive in-plan from md5 instead — same values, more hash work.
+_JL_LITERAL_CAP = 65536
+
+
 def jl_projection_rows(
     df: DataFrame,
     id_col: str,
@@ -658,34 +665,74 @@ def jl_projection_rows(
     NULL vectors are dropped (no projection exists); an all-zero matrix
     column (p ≈ (2/3)^d_in per (seed, j_out)) surfaces as component 0.0
     on both engines via the same coalesce.
+
+    The sign matrix depends only on (seed, j_out, j_in) — d_in x d_out
+    values — so it is hashed ONCE driver-side (hashlib.md5 == the SQL
+    twin's md5 slice, verified bit-for-bit by the numpy pytest) and
+    embedded as a constant array: per exploded row the work is d_out
+    element_at lookups and multiply-adds, not d_out md5+conv
+    evaluations (measured ~1024x fewer hashes at the fixture; at
+    corpus scale the hash-per-row form burns d_out hashes per vector
+    COMPONENT). Inferring d_in costs one bounded-scalar job (the
+    high-water-mark convention). Past ``_JL_LITERAL_CAP`` matrix cells
+    the constant would bloat the plan, so the expression falls back to
+    the in-plan md5 derivation — identical values either way.
     """
+    import hashlib
     import math
 
     scale = math.sqrt(3.0 / d_out)
+    nn = df.filter(F.col(vec_col).isNotNull())
+    d_in = nn.select(F.max(F.size(vec_col))).first()[0] or 1  # bounded scalar
 
     def term(j_out: int) -> Column:
-        h = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            ":", F.lit("jl"), F.lit(seed), F.lit(j_out), F.col("__j")
-                        )
+        if d_in * d_out <= _JL_LITERAL_CAP:
+            s = F.element_at(F.col("__s"), j_out + 1)
+        else:
+            s = (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":", F.lit("jl"), F.lit(seed), F.lit(j_out), F.col("__j")
+                            )
+                        ),
+                        1,
+                        8,
                     ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 6
-        )
+                    16,
+                    10,
+                ).cast("long")
+                % 6
+            )
+            s = F.when(s == 0, 1).when(s == 1, -1).otherwise(0)
         xd = F.col("__x").cast("decimal(38,30)")
-        return F.sum(F.when(h == 0, xd).when(h == 1, -xd)).alias(f"__p{j_out}")
+        return F.sum(F.when(s == 1, xd).when(s == -1, -xd)).alias(f"__p{j_out}")
 
-    exploded = df.filter(F.col(vec_col).isNotNull()).select(
+    exploded = nn.select(
         F.col(id_col), F.posexplode(as_double_vec(F.col(vec_col))).alias("__j", "__x")
     )
+    if d_in * d_out <= _JL_LITERAL_CAP:
+
+        def sign(j_out: int, j_in: int) -> int:
+            h = (
+                int(
+                    hashlib.md5(f"jl:{seed}:{j_out}:{j_in}".encode()).hexdigest()[:8],
+                    16,
+                )
+                % 6
+            )
+            return 1 if h == 0 else (-1 if h == 1 else 0)
+
+        signs_lit = F.array(
+            *[
+                F.array(*[F.lit(sign(j, i)) for j in range(d_out)])
+                for i in range(d_in)
+            ]
+        )
+        exploded = exploded.withColumn(
+            "__s", F.element_at(signs_lit, F.col("__j") + 1)
+        )
     sig = exploded.groupBy(id_col).agg(*[term(j) for j in range(d_out)])
     components = F.array(
         *[
