@@ -165,9 +165,10 @@ COHORTS["r10"] = (
     # still includes the one-time store build (expected warm << cold,
     # so the within-run noise tell never fires for it)
     "incremental_curation_admission_steady",
-    # the beyond-reference retrieval/reduction pair (registry/retrieval)
+    # the beyond-reference retrieval/reduction trio (registry/retrieval)
     "bm25_topk_retrieval",
     "embedding_jl_projection",
+    "embedding_mmr_select",
 )
 
 HEADLINE = tuple(n for cohort in COHORTS.values() for n in cohort)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dynamic_etl_spark.ops.text import token_count, tokens
 
@@ -131,4 +132,106 @@ def bm25_topk(
             "n_hit_terms",
             F.round(F.col("__s").cast("double"), 6).alias("bm25"),
         )
+    )
+
+
+def mmr_select(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchor_id,
+    k: int = 10,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    greedily pick ``k`` items maximizing
+    ``lam * rel(d) - (1 - lam) * max_{s in S} sim(d, s)`` — relevance
+    traded against redundancy with what's already selected. The
+    training-data uses: assembling a DIVERSE eval/demo set around a
+    topic anchor, or picking exemplar documents per cluster without
+    near-duplicates crowding the list.
+
+    ``rel`` and ``sim`` are cosine against ``anchor_id``'s vector and
+    the selected vectors respectively, via the sequential-fold
+    :func:`dynamic_etl_spark.ops.ann.cosine` (bit-identical to DuckDB's
+    ``list_dot_product`` replay — the oracle recursive CTE reruns the
+    greedy loop exactly). The redundancy term over an EMPTY selection is
+    0.0 (the standard first-pick convention); afterwards it is the true
+    running max (NULL-seeded ``greatest``, so NEGATIVE max-sims are
+    preserved rather than floored — mirrored by the oracle's
+    ``coalesce(max(...), 0.0)``).
+
+    Greedy selection is inherently sequential, so the loop runs k
+    bounded rounds on the driver: each round is ONE corpus-linear pass
+    (TakeOrdered argmax of the score, total-ordered by (score DESC, id
+    ASC)) plus a localCheckpoint of the updated running-max column
+    (repo rule: iterative state truncates lineage every round —
+    un-truncated greatest() chains recompute quadratically). Nothing
+    corpus-sized ever reaches the driver; per-round shipped data is one
+    (id, score, vector) row. Zero-norm vectors have no direction and
+    are excluded up front; a zero-norm (or missing) anchor raises.
+
+    Output: (rank, <id_col>, mmr_score rounded 6dp) — exactly
+    min(k, candidates) rows, built from the k driver-held winners (a
+    LocalTableScan; the selection JOBS are where the work happened).
+    """
+    from dynamic_etl_spark.ops.ann import as_double_vec, cosine, l2_norm
+
+    spark = corpus.sparkSession
+    anchor_rows = (
+        corpus.filter(F.col(id_col) == anchor_id)
+        .select(as_double_vec(F.col(vec_col)).alias("__a"))
+        .take(1)
+    )
+    if not anchor_rows:
+        raise ValueError(f"mmr_select: anchor id {anchor_id!r} not in corpus")
+    anchor = anchor_rows[0]["__a"]
+    if not any(x != 0.0 for x in anchor):
+        raise ValueError("mmr_select: anchor vector has zero norm")
+
+    def vec_lit(values) -> F.Column:
+        return F.array(*[F.lit(float(x)) for x in values])
+
+    state = (
+        corpus.filter(F.col(id_col) != anchor_id)
+        .select(F.col(id_col).alias("__id"), as_double_vec(F.col(vec_col)).alias("__v"))
+        .filter(l2_norm(F.col("__v")) > 0.0)
+        .withColumn("__rel", cosine(F.col("__v"), vec_lit(anchor)))
+        .withColumn("__ms", F.lit(None).cast("double"))
+        .localCheckpoint()
+    )
+    one_minus = 1.0 - lam
+    picked = []
+    for _ in range(k):
+        score = lam * F.col("__rel") - one_minus * F.coalesce(
+            F.col("__ms"), F.lit(0.0)
+        )
+        rows = (
+            state.withColumn("__score", score)
+            .orderBy(F.desc("__score"), F.asc("__id"))
+            .select("__id", "__score", "__v")
+            .take(1)
+        )
+        if not rows:
+            break
+        pick = rows[0]
+        picked.append((len(picked) + 1, pick["__id"], pick["__score"]))
+        state = (
+            state.filter(F.col("__id") != pick["__id"])
+            .withColumn(
+                "__ms",
+                F.greatest(F.col("__ms"), cosine(F.col("__v"), vec_lit(pick["__v"]))),
+            )
+            .localCheckpoint()
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField("rank", T.IntegerType(), False),
+            T.StructField(id_col, corpus.schema[id_col].dataType, False),
+            T.StructField("__score", T.DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(picked, out_schema).select(
+        "rank", id_col, F.round("__score", 6).alias("mmr_score")
     )

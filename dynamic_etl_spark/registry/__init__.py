@@ -51,6 +51,7 @@ _WINDOW_ORDER = (
     # r7 early-refreshes, which are not due until r11)
     "bm25_topk_retrieval",
     "embedding_jl_projection",
+    "embedding_mmr_select",
     # ---- changed code this round: must re-earn the hash ----
     # semantic bootstrap fit now uses seeded-random MLlib init
     # (VERDICT r9 #6 measurement: k-means|| init passes dropped, jobs
@@ -105,7 +106,6 @@ _WINDOW_ORDER = (
     "events_ks_drift_binned",
     "events_sessionization",
     "events_tumbling_window",
-    "events_value_trend",
     "exact_dedup_fingerprint",
     "flagship_star_join",
 )
@@ -170,6 +170,7 @@ _ROTATED_OUT = (
     "events_type_unpivot",
     "events_value_histogram",
     "events_value_percentiles",
+    "events_value_trend",
     "events_value_zscore",
     "events_zorder_tiles",
     "fallback_key_resolution",

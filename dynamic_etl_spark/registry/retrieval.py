@@ -151,12 +151,82 @@ FROM proj
 """
 
 
+#: MMR fixture knobs: anchor = vec_id 0's embedding, balanced
+#: relevance/diversity trade-off, 10 picks.
+MMR_ANCHOR_ID = 0
+MMR_K = 10
+_LAM = repr(0.5)
+_OML = repr(1.0 - 0.5)
+
+
+def embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-10 around vec_id 0's embedding
+    (ops/retrieval.mmr_select: greedy MMR, k driver rounds, each one
+    corpus-linear TakeOrdered pass)."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return R.mmr_select(emb, anchor_id=MMR_ANCHOR_ID, k=MMR_K, lam=0.5)
+
+
+#: The oracle replays the greedy loop verbatim in ONE recursive CTE:
+#: candidates materialize once (the AS MATERIALIZED lesson — SCALE.md
+#: recursive-CTE rule), each recursive step LATERAL-picks the argmax of
+#: lam*rel - (1-lam)*max-sim-to-selected with (score DESC, id ASC)
+#: tie-break, carrying the selected ids as a list. Every cosine is the
+#: list_dot_product twin of ops/ann.cosine's sequential fold, so the
+#: raw-double scores are bit-identical and the selection path cannot
+#: diverge.
+MMR_ORACLE = f"""
+WITH RECURSIVE
+anchor AS MATERIALIZED (
+  SELECT embedding::DOUBLE[] AS av FROM embeddings WHERE vec_id = {MMR_ANCHOR_ID}
+),
+cand AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         list_dot_product(e.embedding::DOUBLE[], a.av)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(a.av, a.av))) AS rel
+  FROM embeddings e CROSS JOIN anchor a
+  WHERE e.vec_id <> {MMR_ANCHOR_ID}
+    AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
+),
+sel AS (
+  SELECT 0 AS rank, CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS score,
+         CAST([] AS BIGINT[]) AS sel_ids
+  UNION ALL
+  SELECT sel.rank + 1, pick.vec_id, pick.score,
+         list_append(sel.sel_ids, pick.vec_id)
+  FROM sel, LATERAL (
+    SELECT c.vec_id,
+           {_LAM} * c.rel - {_OML} * coalesce((
+             SELECT max(list_dot_product(c.v, s.v)
+                        / (sqrt(list_dot_product(c.v, c.v))
+                           * sqrt(list_dot_product(s.v, s.v))))
+             FROM cand s WHERE list_contains(sel.sel_ids, s.vec_id)
+           ), 0.0) AS score
+    FROM cand c
+    WHERE NOT list_contains(sel.sel_ids, c.vec_id)
+    ORDER BY score DESC, c.vec_id ASC
+    LIMIT 1
+  ) pick
+  WHERE sel.rank < {MMR_K}
+)
+SELECT CAST(rank AS INT) AS rank, vec_id, round(score, 6) AS mmr_score
+FROM sel WHERE rank >= 1
+"""
+
+
 QUERIES: QueryRegistry = {
     "bm25_topk_retrieval": Query(
         bm25_topk_retrieval,
         BM25_ORACLE,
         "Okapi BM25 top-5 documents per pinned probe query (Lucene idf, "
         "12dp quantize-before-exact-sum, total-ordered ranks)",
+    ),
+    "embedding_mmr_select": Query(
+        embedding_mmr_select,
+        MMR_ORACLE,
+        "greedy MMR diversified top-10 around an anchor embedding "
+        "(recursive-CTE oracle replays the selection loop verbatim)",
     ),
     "embedding_jl_projection": Query(
         embedding_jl_projection,

@@ -76,6 +76,10 @@ JOB_BUDGETS = {
     # 96); frames are vertex-sized (event types) so this is scheduler
     # time, not data volume — the iteration count is the semantics
     "embedding_knn_join": 32,
+    # r10 greedy MMR: anchor take + state checkpoint + k rounds x
+    # (TakeOrdered argmax + running-max checkpoint) — measured 25 at
+    # k=10; a real regression adds >= 2 jobs per extra round
+    "embedding_mmr_select": 28,
     "heavy_hitter_maintenance": 13,
     "rank_sketch_maintenance": 10,
     # r8 (window entrants must pin like every eager loop): 16 merge

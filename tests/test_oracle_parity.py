@@ -55,6 +55,7 @@ def test_driver_window_holds_the_r10_rotation():
         "incremental_curation_admission_steady",
         "bm25_topk_retrieval",
         "embedding_jl_projection",
+        "embedding_mmr_select",
         # changed code this round: must re-earn the hash
         "incremental_semantic_dedup",
         "incremental_curation_admission",

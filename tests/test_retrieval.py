@@ -215,3 +215,103 @@ def test_jl_projection_drops_null_vectors(spark):
     out = ANN.jl_projection_rows(df, "vec_id", "embedding", d_out=4, seed=0).collect()
     assert {r.vec_id for r in out} == {1}
     assert len(out) == 4
+
+
+# ---------------------------------------------------------------------------
+# MMR selection
+# ---------------------------------------------------------------------------
+
+
+def _brute_mmr(vecs: dict, anchor_id, k: int, lam: float):
+    """Plain-Python greedy MMR replay (cosines via numpy, scores raw)."""
+
+    def cos(a, b):
+        a, b = np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    cand = {
+        i: v
+        for i, v in vecs.items()
+        if i != anchor_id and float(np.linalg.norm(v)) > 0.0
+    }
+    rel = {i: cos(v, vecs[anchor_id]) for i, v in cand.items()}
+    selected, out = [], []
+    while cand and len(out) < k:
+        best = None
+        for i in sorted(cand):
+            ms = max((cos(cand[i], vecs[s]) for s in selected), default=0.0)
+            score = lam * rel[i] - (1.0 - lam) * ms
+            if best is None or score > best[1]:
+                best = (i, score)
+        i, score = best
+        out.append((len(out) + 1, i, round(score, 6)))
+        selected.append(i)
+        del cand[i]
+    return out
+
+
+def test_mmr_matches_bruteforce(spark):
+    rng = np.random.RandomState(5)
+    vecs = {i: rng.randn(16) for i in range(30)}
+    vecs[7] = np.zeros(16)  # zero-norm: must be excluded
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = [
+        (r.rank, r.vec_id, r.mmr_score)
+        for r in R.mmr_select(df, anchor_id=0, k=8, lam=0.5)
+        .orderBy("rank")
+        .collect()
+    ]
+    want = _brute_mmr(vecs, 0, 8, 0.5)
+    assert [(rk, i) for rk, i, _ in got] == [(rk, i) for rk, i, _ in want]
+    for (_, _, gs), (_, _, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-6)
+    assert all(i != 7 for _, i, _ in got)
+
+
+def test_mmr_prefers_diversity_over_raw_relevance(spark):
+    """Five near-copies of the anchor direction vs three orthogonal-ish
+    directions: pure relevance would rank the five copies 1-5; MMR with
+    lam=0.5 must pull in the diverse directions after the first copy."""
+    rng = np.random.RandomState(3)
+    anchor = np.array([1.0] + [0.0] * 15)
+    rows = [(0, anchor)]
+    for i in range(1, 6):  # near-dups of the anchor
+        rows.append((i, anchor + 0.01 * rng.randn(16)))
+    rows.append((10, np.eye(16)[1]))
+    rows.append((11, np.eye(16)[2]))
+    rows.append((12, np.eye(16)[3]))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    picked = [
+        r.vec_id
+        for r in R.mmr_select(df, anchor_id=0, k=4, lam=0.5).orderBy("rank").collect()
+    ]
+    # first pick is the most relevant near-dup; the next three must NOT
+    # all be near-dups (redundancy is penalized at cosine ~1.0)
+    assert picked[0] in {1, 2, 3, 4, 5}
+    assert {10, 11, 12} & set(picked[1:]), picked
+
+
+def test_mmr_missing_or_zero_anchor_raises(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="not in corpus"):
+        R.mmr_select(df, anchor_id=99, k=2)
+    with pytest.raises(ValueError, match="zero norm"):
+        R.mmr_select(df, anchor_id=2, k=2)
+
+
+def test_mmr_exhausts_small_candidate_sets(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = R.mmr_select(df, anchor_id=0, k=10).collect()
+    assert sorted(r.vec_id for r in out) == [1, 2]
+    assert sorted(r.rank for r in out) == [1, 2]

@@ -141,6 +141,10 @@ SHUFFLE_BUDGET = {
     # one posexplode + one wide groupBy(id) carrying all 16 projection
     # sums (the srp_banded_rows shape) — measured 1
     "embedding_jl_projection": 1,
+    # greedy MMR: the k selection rounds run as driver-loop TakeOrdered
+    # passes (job budget pins them); the surfaced result is the k
+    # driver-held winners — a LocalTableScan, zero exchanges
+    "embedding_mmr_select": 0,
     "events_funnel_conversion": 2,
     "source_quota_cap": 1,
     "events_value_percentiles": 1,
