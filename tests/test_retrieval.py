@@ -83,7 +83,16 @@ def test_bm25_matches_bruteforce(spark):
     for qid in got:
         got[qid].sort()
     want = {qid: rows for qid, rows in _brute_bm25(_DOCS, _QUERIES).items() if rows}
-    assert got == want
+    # ranks/ids/hits exact; scores approx — JVM ln and CPython's libm may
+    # differ in the last ulp (the knn BLAS-tie lesson: never demand
+    # bit-equality across math libraries), and the fixture's scores are
+    # separated far beyond 1e-9 so ranking cannot flip
+    assert {q: [(r, d, h) for r, d, h, _ in rows] for q, rows in got.items()} == {
+        q: [(r, d, h) for r, d, h, _ in rows] for q, rows in want.items()
+    }
+    for qid, rows in want.items():
+        for (_, _, _, gs), (_, _, _, ws) in zip(got[qid], rows):
+            assert gs == pytest.approx(ws, abs=1e-9)
     # contract pins the brute force replays implicitly, asserted loudly:
     assert 12 not in got, "fully-OOV query must produce no rows"
     assert all(5 not in {d for _, d, _, _ in rows} for rows in got.values()), (
