@@ -169,6 +169,7 @@ COHORTS["r10"] = (
     "bm25_topk_retrieval",
     "embedding_jl_projection",
     "embedding_mmr_select",
+    "hashed_linear_quality_score",
 )
 
 HEADLINE = tuple(n for cohort in COHORTS.values() for n in cohort)

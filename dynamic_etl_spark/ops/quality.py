@@ -500,3 +500,83 @@ def cross_doc_gram_exposure(
             ),
         )
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    bucket_col: str = "bucket",
+    weight_col: str = "weight",
+    bias: float = 0.0,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Linear text-classifier scoring with the hashing trick — the
+    model-scored quality filter of modern curation pipelines (a
+    fastText/DCLM-style linear scorer: hash unigrams into ``n_buckets``,
+    dot the count vector with a weight vector, gate on the logit). The
+    engine provides the corpus-scale plumbing; ``weights`` is the plug
+    point for ACTUAL trained weights — any (bucket, weight) table,
+    broadcast (model-sized, never corpus-sized).
+
+    Buckets come from an md5 slice of the token
+    (``conv(substr(md5(tok),1,8),16,10) % n_buckets`` — the
+    hll_md5_register convention), so featurization is DuckDB-
+    reproducible; a production caller wanting cheaper hashing can
+    substitute xxhash64 at the cost of the oracle (the lsh.py
+    hash_mode precedent). Weights are quantized to 6dp decimals inside
+    the op, so each token's contribution ``count * weight`` is an exact
+    decimal and the per-doc sum is order-free — the logit is
+    partition- and engine-invariant (repo float discipline). The logit
+    surfaces ROUNDED at 6dp; ``passes`` gates the pre-display value
+    (the exact decimal sum cast once to double, plus bias) so the flag
+    never depends on the display rounding.
+
+    Surface: ``(id, n_tokens, logit, passes)`` — one row per input doc;
+    zero-token docs score ``bias`` (their gate still applies: an empty
+    doc is a policy decision for the threshold, not a silent drop —
+    unlike the dedup sinks, nothing downstream needs a signature here).
+
+    Plan: explode -> bucket -> broadcast weight join -> ONE groupBy(id)
+    carrying the exact-decimal dot product and the token count -> left
+    join back to the doc spine (zero-token docs). Two corpus-key
+    shuffles (the agg and the spine join), nothing else.
+    """
+    wq = F.broadcast(
+        weights.select(
+            F.col(bucket_col).alias("__b"),
+            F.round(F.col(weight_col), 6).cast("decimal(18,6)").alias("__w"),
+        )
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
+    ).select(
+        F.col(id_col),
+        (
+            F.conv(F.substring(F.md5(F.col("__t")), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("__b"),
+    )
+    per_doc = (
+        toks.join(wq, on="__b", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("__w"), F.lit(0).cast("decimal(18,6)"))).alias("__s"),
+        )
+    )
+    logit_exact = F.coalesce(F.col("__s").cast("double"), F.lit(0.0)) + F.lit(bias)
+    return (
+        df.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            # + 0.0 collapses a round-to-zero-from-below -0.0 (SCALE.md)
+            (F.round(logit_exact, 6) + F.lit(0.0)).alias("logit"),
+            (logit_exact >= F.lit(threshold)).alias("passes"),
+        )
+    )

@@ -52,6 +52,7 @@ _WINDOW_ORDER = (
     "bm25_topk_retrieval",
     "embedding_jl_projection",
     "embedding_mmr_select",
+    "hashed_linear_quality_score",
     # ---- changed code this round: must re-earn the hash ----
     # semantic bootstrap fit now uses seeded-random MLlib init
     # (VERDICT r9 #6 measurement: k-means|| init passes dropped, jobs
@@ -105,7 +106,6 @@ _WINDOW_ORDER = (
     "events_ks_drift",
     "events_ks_drift_binned",
     "events_sessionization",
-    "events_tumbling_window",
     "exact_dedup_fingerprint",
     "flagship_star_join",
 )
@@ -164,6 +164,7 @@ _ROTATED_OUT = (
     "events_rolling_user_value",
     "events_sliding_window",
     "events_transition_matrix",
+    "events_tumbling_window",
     "events_type_drift_profile",
     "events_type_pagerank_exacthash",
     "events_type_pivot",

@@ -577,7 +577,55 @@ GROUP BY doc_id, text
 """
 
 
+
+#: Pseudo-trained fixture weights for the hashed linear scorer: a
+#: deterministic integer-derived spread in [-0.50, 0.50] (real use
+#: plugs actual trained weights into the same op — the weights table is
+#: the model). Same literal list feeds both engines.
+CLS_N_BUCKETS = 64
+CLS_WEIGHTS = tuple((b, ((b * 37 + 11) % 101 - 50) / 100 ) for b in range(CLS_N_BUCKETS))
+
+
+def hashed_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear classifier gate over documents
+    (ops/quality.hashed_linear_score: md5 buckets, broadcast weights,
+    exact-decimal dot product)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = spark.createDataFrame(list(CLS_WEIGHTS), "bucket int, weight double")
+    return Q.hashed_linear_score(
+        docs, w, n_buckets=CLS_N_BUCKETS, bias=0.0, threshold=0.0
+    )
+
+
+CLS_ORACLE = """
+WITH w(bucket, weight) AS (VALUES __VALUES__),
+base AS (SELECT doc_id, __TOKENS__ AS toks FROM documents),
+tok AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % __NB__ AS b
+  FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+),
+per AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(coalesce(CAST(round(w.weight, 6) AS DECIMAL(18,6)),
+                      CAST(0 AS DECIMAL(18,6)))) AS s
+  FROM tok LEFT JOIN w ON tok.b = w.bucket
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(coalesce(CAST(p.s AS DOUBLE), 0.0) + 0.0, 6) + 0.0 AS logit,
+       (coalesce(CAST(p.s AS DOUBLE), 0.0) + 0.0 >= 0.0) AS passes
+FROM (SELECT doc_id FROM documents) d LEFT JOIN per p USING (doc_id)
+""".replace("__VALUES__", '(0, -0.39), (1, -0.02), (2, 0.35), (3, -0.29), (4, 0.08), (5, 0.45), (6, -0.19), (7, 0.18), (8, -0.46), (9, -0.09), (10, 0.28), (11, -0.36), (12, 0.01), (13, 0.38), (14, -0.26), (15, 0.11), (16, 0.48), (17, -0.16), (18, 0.21), (19, -0.43), (20, -0.06), (21, 0.31), (22, -0.33), (23, 0.04), (24, 0.41), (25, -0.23), (26, 0.14), (27, -0.5), (28, -0.13), (29, 0.24), (30, -0.4), (31, -0.03), (32, 0.34), (33, -0.3), (34, 0.07), (35, 0.44), (36, -0.2), (37, 0.17), (38, -0.47), (39, -0.1), (40, 0.27), (41, -0.37), (42, 0.0), (43, 0.37), (44, -0.27), (45, 0.1), (46, 0.47), (47, -0.17), (48, 0.2), (49, -0.44), (50, -0.07), (51, 0.3), (52, -0.34), (53, 0.03), (54, 0.4), (55, -0.24), (56, 0.13), (57, 0.5), (58, -0.14), (59, 0.23), (60, -0.41), (61, -0.04), (62, 0.33), (63, -0.31)').replace("__NB__", "64").replace("__TOKENS__", _SQL_TOKENS)
+
 QUERIES: QueryRegistry = {
+    "hashed_linear_quality_score": Query(
+        hashed_linear_quality_score,
+        CLS_ORACLE,
+        "hashing-trick linear classifier gate (md5 buckets, broadcast "
+        "weights, exact-decimal logit) — the model-scored quality "
+        "filter plumbing",
+    ),
     "url_filter_profile": Query(
         url_filter_profile, URL_FILTER_ORACLE,
         "URL/domain blocklist gate: extract, resolve domains, count + "

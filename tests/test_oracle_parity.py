@@ -38,8 +38,9 @@ def test_driver_window_holds_the_r10_rotation():
     hard-signal slots first (the steady-state composed gate is new; the
     two semantic-bootstrap consumers re-earn after the init_mode
     change; embedding_topk_vectorized re-earns after the numpy-path
-    12dp tie-quantization; the beyond-reference BM25 + JL-projection
-    pair is new), then ALL 23 due re-confirmations (the 3 r5-era
+    12dp tie-quantization; the beyond-reference BM25 / JL-projection /
+    MMR / hashed-linear-classifier additions are new), then ALL 23 due
+    re-confirmations (the 3 r5-era
     stragglers past the 3-round rule lead: generator_stores,
     value_outlier_gate, nation_segment_listagg — the r9 rotation
     windowed 43 of the 46 r5-era queries and deferred exactly those
@@ -56,6 +57,7 @@ def test_driver_window_holds_the_r10_rotation():
         "bm25_topk_retrieval",
         "embedding_jl_projection",
         "embedding_mmr_select",
+        "hashed_linear_quality_score",
         # changed code this round: must re-earn the hash
         "incremental_semantic_dedup",
         "incremental_curation_admission",

@@ -324,3 +324,49 @@ def test_mmr_exhausts_small_candidate_sets(spark):
     out = R.mmr_select(df, anchor_id=0, k=10).collect()
     assert sorted(r.vec_id for r in out) == [1, 2]
     assert sorted(r.rank for r in out) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear classifier gate (ops/quality — tested here with the other
+# r10 scoring additions)
+# ---------------------------------------------------------------------------
+
+
+def test_hashed_linear_score_hand_example(spark):
+    from dynamic_etl_spark.ops.quality import hashed_linear_score
+
+    docs = spark.createDataFrame(
+        [(1, "foo bar foo"), (2, "baz"), (3, "")], "doc_id int, text string"
+    )
+    n_buckets = 8
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_buckets
+
+    wmap = {bucket("foo"): 0.25, bucket("bar"): -0.5, bucket("baz"): 0.1}
+    weights = spark.createDataFrame(
+        [(b, w) for b, w in wmap.items()], "bucket int, weight double"
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.logit, r.passes)
+        for r in hashed_linear_score(
+            docs, weights, n_buckets=n_buckets, bias=0.05, threshold=0.1
+        ).collect()
+    }
+    # doc 1: 2*0.25 - 0.5 = 0.0 (+bias 0.05) — below threshold
+    # (bucket collisions would change the arithmetic; foo/bar/baz land
+    # in distinct md5 buckets at n_buckets=8 — asserted so a tokenizer
+    # or hash change fails loudly here, not in the arithmetic)
+    assert len({bucket(t) for t in ("foo", "bar", "baz")}) == 3
+    assert out[1] == (3, pytest.approx(0.05), False)
+    assert out[2] == (1, pytest.approx(0.15), True)
+    assert out[3] == (0, pytest.approx(0.05), False)  # zero-token: bias only
+
+
+def test_hashed_linear_score_unweighted_buckets_count_zero(spark):
+    from dynamic_etl_spark.ops.quality import hashed_linear_score
+
+    docs = spark.createDataFrame([(1, "zz zz")], "doc_id int, text string")
+    weights = spark.createDataFrame([], "bucket int, weight double")
+    row = hashed_linear_score(docs, weights, n_buckets=4, threshold=0.0).collect()[0]
+    assert (row.n_tokens, row.logit, row.passes) == (2, 0.0, True)

@@ -145,6 +145,9 @@ SHUFFLE_BUDGET = {
     # passes (job budget pins them); the surfaced result is the k
     # driver-held winners — a LocalTableScan, zero exchanges
     "embedding_mmr_select": 0,
+    # hashing-trick linear scorer: the bucket-count agg + the doc-spine
+    # left join — measured 2; weights broadcast
+    "hashed_linear_quality_score": 2,
     "events_funnel_conversion": 2,
     "source_quota_cap": 1,
     "events_value_percentiles": 1,
