@@ -170,6 +170,7 @@ COHORTS["r10"] = (
     "embedding_jl_projection",
     "embedding_mmr_select",
     "hashed_linear_quality_score",
+    "embedding_margin_alignment",
 )
 
 HEADLINE = tuple(n for cohort in COHORTS.values() for n in cohort)

@@ -748,6 +748,79 @@ def jl_projection_rows(
     )
 
 
+def margin_alignment(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    margin_threshold: float = 1.05,
+) -> DataFrame:
+    """Margin-criterion embedding alignment (Artetxe & Schwenk 2019,
+    ACL — the LASER bitext-mining rule, public knowledge): candidate
+    pair (x, y) scores ``margin = cos(x, y) / ((avg_k(x) + avg_k(y)) /
+    2)`` where ``avg_k`` is the mean cosine of each side's k nearest
+    neighbors on the OTHER side; each source row keeps its best-margin
+    target, thresholded. Raw cosine over-accepts hubs (rows near
+    everything); dividing by the local neighborhood density is what
+    makes mined pairs precise — the standard tool for aligning
+    parallel/translated/near-duplicate corpora across sources.
+
+    Plan: two :func:`cosine_topk` passes (src->tgt and tgt->src), each
+    side's neighborhood mean as one groupBy, margins on the forward
+    candidates, per-source window argmax (margin DESC, tgt ASC).
+    Fixture-scale both passes are the broadcast brute force; at corpus
+    scale swap in the bucketed kNN join for candidates — margins are
+    plain column algebra over ANY candidate source.
+
+    Parity: margins are computed from the 6dp-ROUNDED surfaced cosines
+    (bit-identical across engines by the cosine_topk contract);
+    neighborhood means sum those exact 6dp decimals and divide once by
+    the neighbor COUNT (<= k, handles short sides); the margin is one
+    IEEE division, guarded to pairs whose mean-denominator is > 0 (the
+    ratio criterion is only defined on positive-similarity
+    neighborhoods; rows whose entire neighborhood is non-positive have
+    no well-defined margin and are dropped). Output: ``(src_id,
+    tgt_id, cosine_sim, margin)`` with margin rounded 6dp, one row per
+    source passing the threshold.
+    """
+    fwd = cosine_topk(tgt, src, id_col, vec_col, k=k).select(
+        F.col("query_id").alias("src_id"),
+        F.col("neighbor_id").alias("tgt_id"),
+        F.col("cosine_sim"),
+    )
+    bwd = cosine_topk(src, tgt, id_col, vec_col, k=k).select(
+        F.col("query_id").alias("tgt_id"), F.col("cosine_sim")
+    )
+
+    def nbhd_mean(df: DataFrame, key: str) -> DataFrame:
+        return df.groupBy(key).agg(
+            (
+                F.sum(F.col("cosine_sim").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias(f"__avg_{key}")
+        )
+
+    ax = nbhd_mean(fwd, "src_id")
+    ay = nbhd_mean(bwd, "tgt_id")
+    denom = (F.col("__avg_src_id") + F.col("__avg_tgt_id")) / 2.0
+    scored = (
+        fwd.join(ax, "src_id")
+        .join(ay, "tgt_id")
+        .filter(denom > 0.0)
+        .withColumn("__margin", F.col("cosine_sim") / denom)
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("__margin"), F.asc("tgt_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("__margin") >= margin_threshold))
+        .select(
+            "src_id", "tgt_id", "cosine_sim",
+            F.round("__margin", 6).alias("margin"),
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     id_col: str,

@@ -53,6 +53,7 @@ _WINDOW_ORDER = (
     "embedding_jl_projection",
     "embedding_mmr_select",
     "hashed_linear_quality_score",
+    "embedding_margin_alignment",
     # ---- changed code this round: must re-earn the hash ----
     # semantic bootstrap fit now uses seeded-random MLlib init
     # (VERDICT r9 #6 measurement: k-means|| init passes dropped, jobs
@@ -104,7 +105,6 @@ _WINDOW_ORDER = (
     "events_asof_last_purchase",
     "events_compaction_plan",
     "events_ks_drift",
-    "events_ks_drift_binned",
     "events_sessionization",
     "exact_dedup_fingerprint",
     "flagship_star_join",
@@ -157,6 +157,7 @@ _ROTATED_OUT = (
     "events_json_extract",
     "events_key_skew_profile",
     "events_ks_drift_autogrid",
+    "events_ks_drift_binned",
     "events_minmax_scaled",
     "events_rate_profile",
     "events_retention_cohorts",

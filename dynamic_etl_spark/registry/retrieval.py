@@ -215,7 +215,78 @@ FROM sel WHERE rank >= 1
 """
 
 
+#: Margin-alignment fixture: even vec_ids are the source side, odd the
+#: target side; LASER-style k=4 neighborhoods, 1.05 ratio threshold.
+ALIGN_K = 4
+ALIGN_THRESHOLD = 1.05
+
+
+def embedding_margin_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-criterion alignment between the even- and odd-id halves of
+    the embeddings table (ops/ann.margin_alignment: two brute top-k
+    passes, neighborhood-mean normalization, per-source argmax)."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    return ANN.margin_alignment(
+        src, tgt, "vec_id", "embedding", k=ALIGN_K, margin_threshold=ALIGN_THRESHOLD
+    )
+
+
+ALIGN_ORACLE = f"""
+WITH src AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 2 = 0),
+tgt AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 2 = 1),
+pair AS (
+  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+         list_dot_product(s.v, t.v)
+           / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(t.v, t.v))) AS sim
+  FROM src s CROSS JOIN tgt t
+),
+fwd AS (
+  SELECT src_id, tgt_id, round(sim, 6) AS cos6,
+         row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id ASC) AS rn
+  FROM pair
+),
+bwd AS (
+  SELECT tgt_id, round(sim, 6) AS cos6,
+         row_number() OVER (PARTITION BY tgt_id ORDER BY sim DESC, src_id ASC) AS rn
+  FROM pair
+),
+ax AS (
+  SELECT src_id,
+         CAST(SUM(CAST(cos6 AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_src
+  FROM fwd WHERE rn <= {ALIGN_K} GROUP BY src_id
+),
+ay AS (
+  SELECT tgt_id,
+         CAST(SUM(CAST(cos6 AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_tgt
+  FROM bwd WHERE rn <= {ALIGN_K} GROUP BY tgt_id
+),
+scored AS (
+  SELECT f.src_id, f.tgt_id, f.cos6,
+         f.cos6 / ((ax.avg_src + ay.avg_tgt) / 2.0) AS margin
+  FROM fwd f JOIN ax USING (src_id) JOIN ay USING (tgt_id)
+  WHERE f.rn <= {ALIGN_K} AND (ax.avg_src + ay.avg_tgt) / 2.0 > 0.0
+),
+best AS (
+  SELECT src_id, tgt_id, cos6, margin,
+         row_number() OVER (PARTITION BY src_id
+                            ORDER BY margin DESC, tgt_id ASC) AS rn
+  FROM scored
+)
+SELECT src_id, tgt_id, cos6 AS cosine_sim, round(margin, 6) AS margin
+FROM best WHERE rn = 1 AND margin >= {ALIGN_THRESHOLD!r}
+"""
+
+
 QUERIES: QueryRegistry = {
+    "embedding_margin_alignment": Query(
+        embedding_margin_alignment,
+        ALIGN_ORACLE,
+        "margin-criterion alignment between two embedding sides "
+        "(Artetxe & Schwenk 2019 ratio margin over k-NN neighborhoods "
+        "— the bitext/near-parallel mining rule)",
+    ),
     "bm25_topk_retrieval": Query(
         bm25_topk_retrieval,
         BM25_ORACLE,

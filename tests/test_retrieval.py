@@ -370,3 +370,54 @@ def test_hashed_linear_score_unweighted_buckets_count_zero(spark):
     weights = spark.createDataFrame([], "bucket int, weight double")
     row = hashed_linear_score(docs, weights, n_buckets=4, threshold=0.0).collect()[0]
     assert (row.n_tokens, row.logit, row.passes) == (2, 0.0, True)
+
+
+# ---------------------------------------------------------------------------
+# Margin-criterion alignment
+# ---------------------------------------------------------------------------
+
+
+def test_margin_alignment_prefers_sparse_neighborhoods(spark):
+    """The property raw cosine lacks (Artetxe & Schwenk 2019): a target
+    inside a dense neighborhood (a hub) must lose to a lower-cosine but
+    isolated target. Hand geometry, k=2: src x has cos 0.8 to hub y1
+    (whose neighborhood mean is 0.7) and cos 0.75 to isolated y2
+    (mean 0.375) -> margin 1.085 vs 1.304: y2 wins."""
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [(1, [0.8, 0.6, 0.0]), (3, [0.75, 0.0, 0.6614378277661477])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.src_id: (r.tgt_id, r.cosine_sim, r.margin)
+        for r in ANN.margin_alignment(
+            src, tgt, "vec_id", "embedding", k=2, margin_threshold=1.05
+        ).collect()
+    }
+    # x=0: raw cosine prefers y1 (0.8 > 0.75) but margin picks y2
+    assert out[0][0] == 3
+    assert out[0][1] == pytest.approx(0.75, abs=1e-6)
+    assert out[0][2] == pytest.approx(0.75 / ((0.775 + 0.375) / 2), abs=1e-6)
+    # src 2's genuine best is the hub, margin 0.6/((0.3+0.7)/2) = 1.2
+    assert out[2][0] == 1
+    assert out[2][2] == pytest.approx(1.2, abs=1e-6)
+
+
+def test_margin_alignment_threshold_drops_weak_sources(spark):
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (4, [0.0, 0.0, -1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.src_id for r in ANN.margin_alignment(
+        src, tgt, "vec_id", "embedding", k=2, margin_threshold=1.05
+    ).collect()}
+    # src 4's cosines are {0, 0}: margin 0 (or denominator-dropped) —
+    # never emitted; src 0's exact match passes
+    assert out == {0}

@@ -148,6 +148,11 @@ SHUFFLE_BUDGET = {
     # hashing-trick linear scorer: the bucket-count agg + the doc-spine
     # left join — measured 2; weights broadcast
     "hashed_linear_quality_score": 2,
+    # margin alignment: two brute top-k windows + two neighborhood-mean
+    # aggs + the margin joins + the per-source argmax window — measured
+    # 8 on the broadcast fixture (the bucketed kNN join is the corpus-
+    # scale candidate source; margins are column algebra over any)
+    "embedding_margin_alignment": 8,
     "events_funnel_conversion": 2,
     "source_quota_cap": 1,
     "events_value_percentiles": 1,
