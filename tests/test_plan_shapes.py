@@ -84,6 +84,12 @@ _CROSS_JOIN_WHITELIST = (
     "curation_pipeline_lsh",            # same tier-5 anchor (the pair-source
                                         # swap lives behind the s3 checkpoint)
     "simhash_near_dup_exacthash",       # 1-row fingerprint anchor broadcast
+    "embedding_margin_alignment",       # two brute cosine_topk passes =
+                                        # the same deliberate broadcast NLJ
+                                        # as embedding_topk_bruteforce (the
+                                        # bucketed kNN join replaces them
+                                        # at corpus scale; margins are
+                                        # column algebra over any source)
 )
 
 
