@@ -171,6 +171,7 @@ COHORTS["r10"] = (
     "embedding_mmr_select",
     "hashed_linear_quality_score",
     "embedding_margin_alignment",
+    "winnowing_overlap_pairs",
 )
 
 HEADLINE = tuple(n for cohort in COHORTS.values() for n in cohort)

@@ -132,6 +132,24 @@ def winnow_fingerprints(df, *, id_col: str = "doc_id", text_col: str = "text",
     Returns one row per document: (id_col, n_fingerprints, fp_digest)
     where fp_digest = md5 of the ','-joined ascending fingerprint set.
     """
+    return (
+        winnow_fp_rows(df, id_col=id_col, text_col=text_col, k=k, w=w)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("fp")).alias("__fps"))
+        .select(
+            F.col(id_col),
+            F.size("__fps").alias("n_fingerprints"),
+            F.md5(F.concat_ws(",", F.col("__fps"))).alias("fp_digest"),
+        )
+    )
+
+
+def winnow_fp_rows(df, *, id_col: str = "doc_id", text_col: str = "text",
+                   k: int = 3, w: int = 4):
+    """The (id, fp) DISTINCT selected-fingerprint rows behind
+    :func:`winnow_fingerprints` — factored out so pair mining can join
+    on raw fingerprints while the digest query keeps its aggregate
+    surface (both derive from the identical selection)."""
     from pyspark.sql import Window
 
     from dynamic_etl_spark.ops.lsh import word_gram_seq
@@ -147,12 +165,75 @@ def winnow_fingerprints(df, *, id_col: str = "doc_id", text_col: str = "text",
         .withColumn("fp", F.min("h").over(frame))
         # full windows only (plus the clamped single window when n < w)
         .filter(F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0)))
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_set("fp")).alias("__fps"))
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    df,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+):
+    """MOSS-style copy detection between documents (Schleimer et al.
+    SIGMOD'03 §5 — their deployed service matches documents BY shared
+    winnowing fingerprints): every unordered pair sharing at least
+    ``min_shared`` selected fingerprints, with containment ratios
+    against each side's fingerprint set. The partial-overlap complement
+    to whole-document near-dup (MinHash estimates global resemblance;
+    shared winnowed substrings localize COPIED RUNS — any shared run of
+    ``w + k - 1`` words is guaranteed to surface at least one shared
+    fingerprint).
+
+    ``max_df`` drops fingerprints appearing in more than that many
+    documents BEFORE pairing — the boilerplate guard: a footer selected
+    in 10k docs would otherwise contribute ~10k²/2 candidate pairs by
+    itself (the same hot-key argument as the LSH band-width rule in
+    SCALE.md). The dropped fingerprints still count in each doc's
+    ``n_fingerprints`` denominator, so containment stays a property of
+    the DOCUMENT, not of the cap.
+
+    Plan: fingerprint rows once -> per-fp document frequency (one agg
+    on the fp key) -> self-join ONLY on surviving fingerprints
+    (candidate volume tracks genuine sharing, never corpus²) -> pair
+    count agg -> two broadcast-size joins back to per-doc totals.
+    Ratios divide two exact integers once (IEEE-identical per engine).
+    Output: (id_a, id_b, shared_fps, containment_a, containment_b),
+    id_a < id_b.
+    """
+    fps = winnow_fp_rows(df, id_col=id_col, text_col=text_col, k=k, w=w)
+    totals = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    joinable = fps
+    if max_df is not None:
+        dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+        joinable = fps.join(
+            dfreq.filter(F.col("__df") <= max_df).select("fp"), on="fp"
+        )
+    a = joinable.select(F.col(id_col).alias("id_a"), "fp")
+    b = joinable.select(F.col(id_col).alias("id_b"), "fp")
+    pairs = (
+        a.join(b, on="fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    na = totals.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    nb = totals.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
         .select(
-            F.col(id_col),
-            F.size("__fps").alias("n_fingerprints"),
-            F.md5(F.concat_ws(",", F.col("__fps"))).alias("fp_digest"),
+            "id_a",
+            "id_b",
+            "shared_fps",
+            F.round(F.col("shared_fps") / F.col("__na"), 6).alias("containment_a"),
+            F.round(F.col("shared_fps") / F.col("__nb"), 6).alias("containment_b"),
         )
     )
 

@@ -54,6 +54,7 @@ _WINDOW_ORDER = (
     "embedding_mmr_select",
     "hashed_linear_quality_score",
     "embedding_margin_alignment",
+    "winnowing_overlap_pairs",
     # ---- changed code this round: must re-earn the hash ----
     # semantic bootstrap fit now uses seeded-random MLlib init
     # (VERDICT r9 #6 measurement: k-means|| init passes dropped, jobs
@@ -104,7 +105,6 @@ _WINDOW_ORDER = (
     "embedding_near_dup",
     "events_asof_last_purchase",
     "events_compaction_plan",
-    "events_ks_drift",
     "events_sessionization",
     "exact_dedup_fingerprint",
     "flagship_star_join",
@@ -156,6 +156,7 @@ _ROTATED_OUT = (
     "events_interarrival_profile",
     "events_json_extract",
     "events_key_skew_profile",
+    "events_ks_drift",
     "events_ks_drift_autogrid",
     "events_ks_drift_binned",
     "events_minmax_scaled",

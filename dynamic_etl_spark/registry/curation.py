@@ -1597,7 +1597,118 @@ ORDER BY b.doc_id
 INCREMENTAL_CURATION_ORACLE = _sql_incremental_curation_oracle()
 
 
+# ==========================================================================
+# Winnowing overlap pair mining. Dirty fixture (repo convention): doc
+# pairs (i, i+1) for i % 9 == 0 share a COPIED BLOCK made pair-unique by
+# a marker token (p<i>), so every such pair must surface with shared
+# fingerprints; docs with doc_id % 5 == 0 share a HOT FOOTER planted in
+# ~corpus/5 documents, whose fingerprints the max_df cap must drop —
+# footer-only pairs never appear.
+# ==========================================================================
+
+#: Every copied-block word carries the pair anchor, so every gram of
+#: the block is unique to its (i, i+1) pair — fingerprint df stays 2,
+#: below any cap, and the winnowing guarantee (one shared fp per shared
+#: w+k-1-word run) applies to fps the cap can never drop.
+_COPY_WORDS = ("copya", "copyb", "copyc", "copyd", "copye",
+               "copyf", "copyg", "copyh", "copyi", "copyj")
+_HOT_FOOTER = "visit our website for more information today please"
+WINNOW_PAIR_MIN_SHARED = 2
+WINNOW_PAIR_MAX_DF = 20
+
+
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style shared-fingerprint pair mining
+    (ops/text.winnow_overlap_pairs) over documents with planted copied
+    blocks and a hot boilerplate footer."""
+    from dynamic_etl_spark.ops.text import winnow_overlap_pairs
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    m9, m5 = F.col("doc_id") % 9, F.col("doc_id") % 5
+    pair_anchor = (F.col("doc_id") - (F.col("doc_id") % 9)).cast("string")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            m9.isin(0, 1),
+            F.concat(*[
+                x for wd in _COPY_WORDS
+                for x in (F.lit(" " + wd), pair_anchor)
+            ]),
+        ).otherwise(F.lit("")),
+        F.when(m5 == 0, F.lit(" " + _HOT_FOOTER)).otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", dirty.alias("text"))
+    return winnow_overlap_pairs(
+        ensure_fanout_parallelism(d),
+        k=3, w=4,
+        min_shared=WINNOW_PAIR_MIN_SHARED, max_df=WINNOW_PAIR_MAX_DF,
+    )
+
+
+WINNOW_PAIRS_ORACLE = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 9 IN (0, 1)
+                 THEN ' copya' || CAST(doc_id - (doc_id % 9) AS VARCHAR) || ' copyb' || CAST(doc_id - (doc_id % 9) AS VARCHAR) || ' copyc' || CAST(doc_id - (doc_id % 9) AS VARCHAR) || ' copyd' || CAST(doc_id - (doc_id % 9) AS VARCHAR) || ' copye' || CAST(doc_id - (doc_id % 9) AS VARCHAR) || ' copyf' || CAST(doc_id - (doc_id % 9) AS VARCHAR) || ' copyg' || CAST(doc_id - (doc_id % 9) AS VARCHAR) || ' copyh' || CAST(doc_id - (doc_id % 9) AS VARCHAR) || ' copyi' || CAST(doc_id - (doc_id % 9) AS VARCHAR) || ' copyj' || CAST(doc_id - (doc_id % 9) AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' {_HOT_FOOTER}' ELSE '' END AS text
+  FROM documents
+),
+base AS (
+  SELECT doc_id, {{tokens}} AS toks FROM dirty
+),
+seq AS (
+  SELECT doc_id,
+         list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+                        i -> array_to_string(toks[i + 1 : i + 3], ' ')) AS grams
+  FROM base
+),
+g AS (
+  SELECT doc_id, len(grams) AS n_grams,
+         unnest(range(1, len(grams) + 1)) AS pos,
+         unnest(grams) AS gram
+  FROM seq
+),
+m AS (
+  SELECT doc_id, n_grams, pos,
+         min(md5(gram)) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g
+),
+f AS (
+  SELECT DISTINCT doc_id, fp FROM m
+  WHERE pos <= greatest(n_grams - 4, 0) + 1
+),
+totals AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
+kept AS (
+  SELECT f.doc_id, f.fp FROM f
+  JOIN (SELECT fp FROM f GROUP BY fp
+        HAVING count(*) <= {WINNOW_PAIR_MAX_DF}) ok USING (fp)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {WINNOW_PAIR_MIN_SHARED}
+)
+SELECT p.id_a, p.id_b, p.shared_fps,
+       round(p.shared_fps / ta.n, 6) AS containment_a,
+       round(p.shared_fps / tb.n, 6) AS containment_b
+FROM pairs p
+JOIN totals ta ON p.id_a = ta.doc_id
+JOIN totals tb ON p.id_b = tb.doc_id
+""".format(tokens=_SQL_TOKENS)
+
+
 QUERIES: QueryRegistry = {
+    "winnowing_overlap_pairs": Query(
+        winnowing_overlap_pairs,
+        WINNOW_PAIRS_ORACLE,
+        "MOSS-style shared-winnowing-fingerprint pair mining with a "
+        "hot-fingerprint df cap (planted copied blocks + boilerplate "
+        "footer fixture)",
+    ),
     "incremental_curation_admission": Query(
         incremental_curation_admission,
         INCREMENTAL_CURATION_ORACLE,

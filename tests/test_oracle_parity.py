@@ -39,7 +39,7 @@ def test_driver_window_holds_the_r10_rotation():
     two semantic-bootstrap consumers re-earn after the init_mode
     change; embedding_topk_vectorized re-earns after the numpy-path
     12dp tie-quantization; the beyond-reference BM25 / JL-projection /
-    MMR / hashed-linear-classifier / margin-alignment additions are new), then ALL 23 due
+    MMR / hashed-linear-classifier / margin-alignment / winnowing-pair additions are new), then ALL 23 due
     re-confirmations (the 3 r5-era
     stragglers past the 3-round rule lead: generator_stores,
     value_outlier_gate, nation_segment_listagg — the r9 rotation
@@ -59,6 +59,7 @@ def test_driver_window_holds_the_r10_rotation():
         "embedding_mmr_select",
         "hashed_linear_quality_score",
         "embedding_margin_alignment",
+        "winnowing_overlap_pairs",
         # changed code this round: must re-earn the hash
         "incremental_semantic_dedup",
         "incremental_curation_admission",

@@ -421,3 +421,61 @@ def test_margin_alignment_threshold_drops_weak_sources(spark):
     # src 4's cosines are {0, 0}: margin 0 (or denominator-dropped) —
     # never emitted; src 0's exact match passes
     assert out == {0}
+
+
+# ---------------------------------------------------------------------------
+# Winnowing overlap pair mining
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_overlap_pairs_detects_copied_run_and_caps_boilerplate(spark):
+    from dynamic_etl_spark.ops.text import winnow_overlap_pairs
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    copied = "stolen passage kilo lima mike november oscar papa"
+    footer = "shared footer words one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " " + copied),
+            (2, "zulu yankee xray whiskey victor uniform " + copied),
+            (3, "tango sierra romeo quebec " + footer),
+            (4, "oscar2 november2 mike2 lima2 " + footer),
+            (5, "kilo2 juliet2 india2 hotel2 " + footer),
+        ],
+        "doc_id int, text string",
+    )
+    # no cap: the copied run (8 words > w+k-1=6) must pair docs 1-2, and
+    # the footer (8 words) must pair docs 3/4/5
+    out = {
+        (r.id_a, r.id_b)
+        for r in winnow_overlap_pairs(docs, min_shared=1).collect()
+    }
+    assert (1, 2) in out
+    assert {(3, 4), (3, 5), (4, 5)} <= out
+    # df cap at 2: footer fingerprints live in 3 docs -> dropped; the
+    # copied-run pair (df=2) survives
+    capped = {
+        (r.id_a, r.id_b)
+        for r in winnow_overlap_pairs(docs, min_shared=1, max_df=2).collect()
+    }
+    assert (1, 2) in capped
+    assert not ({(3, 4), (3, 5), (4, 5)} & capped)
+
+
+def test_winnow_overlap_containment_uses_uncapped_totals(spark):
+    from dynamic_etl_spark.ops.text import winnow_fp_rows, winnow_overlap_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff gg hh"), (2, "aa bb cc dd ee ff gg hh")],
+        "doc_id int, text string",
+    )
+    totals = {
+        r.doc_id: r.n
+        for r in winnow_fp_rows(docs)
+        .groupBy("doc_id").agg(__import__("pyspark").sql.functions.count("*").alias("n"))
+        .collect()
+    }
+    row = winnow_overlap_pairs(docs, min_shared=1).collect()[0]
+    # identical docs: every fingerprint shared, containment exactly 1.0
+    assert row.shared_fps == totals[1] == totals[2]
+    assert row.containment_a == 1.0 and row.containment_b == 1.0

@@ -153,6 +153,11 @@ SHUFFLE_BUDGET = {
     # 8 on the broadcast fixture (the bucketed kNN join is the corpus-
     # scale candidate source; margins are column algebra over any)
     "embedding_margin_alignment": 8,
+    # winnowing pair mining: the fingerprint window + distinct, the df
+    # cap agg + semi join, the fp-key self-join, the pair agg, and the
+    # two totals joins — measured 14; candidates only on surviving
+    # fingerprint collisions, never corpus x corpus
+    "winnowing_overlap_pairs": 14,
     "events_funnel_conversion": 2,
     "source_quota_cap": 1,
     "events_value_percentiles": 1,
