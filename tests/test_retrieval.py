@@ -1,5 +1,7 @@
-"""BM25 retrieval + JL projection: brute-force ground truth and
-plan/contract pins for the r10 beyond-reference pair."""
+"""The r10 beyond-reference additions — BM25 retrieval, JL projection,
+greedy MMR, the hashed linear classifier gate, margin-criterion
+alignment, and winnowing overlap pair mining: brute-force ground truth
+and plan/contract pins for each."""
 
 from __future__ import annotations
 
