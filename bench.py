@@ -174,6 +174,19 @@ COHORTS["r10"] = (
     "winnowing_overlap_pairs",
 )
 
+COHORTS["r11"] = (
+    # hybrid lexical+dense retrieval (RRF fusion over the BM25 and
+    # cosine rankers — the retrieval stack's composed headline)
+    "hybrid_rrf_retrieval",
+    # bounded-pool MMR: the ~2-job production mode whose whole point is
+    # the wall-clock delta vs the exact loop's k corpus passes
+    "embedding_mmr_select_pooled",
+    # bucketed margin alignment: the NLJ-free corpus-scale path (two
+    # IVF fits dominate at fixture scale; the brute sibling stays
+    # tracked in r10 for the delta)
+    "embedding_margin_alignment_ivf",
+)
+
 HEADLINE = tuple(n for cohort in COHORTS.values() for n in cohort)
 
 

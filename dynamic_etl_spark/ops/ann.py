@@ -344,6 +344,9 @@ def cosine_topk_vectorized(
             # the repo's quantize-before-order discipline
             # (bigram_perplexity_profile); the surfaced 6dp value is
             # unchanged outside a ~5e-13 sliver around 6dp halves.
+            # Since r11 the oracles MIRROR this: TOPK_VEC_ORACLE and
+            # KNN_VOTE_ORACLE rank by round(sim, 12) too (ADVICE r10
+            # #1) — keep this path and those oracles in lockstep.
             sims = np.round(sims, 12)
             kk = min(k, sims.shape[0])
             part = np.argpartition(-sims, kk - 1, axis=0)
@@ -755,6 +758,9 @@ def margin_alignment(
     vec_col: str,
     k: int = 4,
     margin_threshold: float = 1.05,
+    candidates: str = "brute",
+    n_cells: int = 8,
+    n_probe: int = 4,
 ) -> DataFrame:
     """Margin-criterion embedding alignment (Artetxe & Schwenk 2019,
     ACL — the LASER bitext-mining rule, public knowledge): candidate
@@ -766,12 +772,16 @@ def margin_alignment(
     makes mined pairs precise — the standard tool for aligning
     parallel/translated/near-duplicate corpora across sources.
 
-    Plan: two :func:`cosine_topk` passes (src->tgt and tgt->src), each
-    side's neighborhood mean as one groupBy, margins on the forward
-    candidates, per-source window argmax (margin DESC, tgt ASC).
-    Fixture-scale both passes are the broadcast brute force; at corpus
-    scale swap in the bucketed kNN join for candidates — margins are
-    plain column algebra over ANY candidate source.
+    Plan: two top-k candidate passes (src->tgt and tgt->src), the
+    src-side neighborhood mean as a window OVER the forward candidates
+    (single consumer — see the inline note), the tgt-side mean as one
+    groupBy of the backward pass, margins on the forward candidates,
+    per-source window argmax (margin DESC, tgt ASC). ``candidates``
+    picks the pass: ``"brute"`` (default) is the broadcast brute force —
+    exact, the oracle-checkable form; ``"ivf"`` swaps in the bucketed
+    cross-side kNN join (:func:`knn_join` with a query side) so
+    corpus-scale alignment never rides a broadcast NLJ — margins are
+    plain column algebra over ANY candidate source (VERDICT r10 #2).
 
     Parity: margins are computed from the 6dp-ROUNDED surfaced cosines
     (bit-identical across engines by the cosine_topk contract);
@@ -784,28 +794,54 @@ def margin_alignment(
     tgt_id, cosine_sim, margin)`` with margin rounded 6dp, one row per
     source passing the threshold.
     """
-    fwd = cosine_topk(tgt, src, id_col, vec_col, k=k).select(
+    if candidates == "brute":
+        fwd_raw = cosine_topk(tgt, src, id_col, vec_col, k=k)
+        bwd_raw = cosine_topk(src, tgt, id_col, vec_col, k=k)
+    elif candidates == "ivf":
+        # bucketed cross-side kNN: one IVF index per side, probes from
+        # the other side — candidate volume ~ |side| * n_probe / n_cells
+        # per pass, never the |src| x |tgt| broadcast NLJ (the
+        # embedding_ann_ivf production-twin precedent)
+        fwd_raw = knn_join(
+            tgt, id_col, vec_col, k=k, n_cells=n_cells, n_probe=n_probe,
+            queries=src,
+        )
+        bwd_raw = knn_join(
+            src, id_col, vec_col, k=k, n_cells=n_cells, n_probe=n_probe,
+            queries=tgt,
+        )
+    else:
+        raise ValueError(f"margin_alignment: unknown candidates mode {candidates!r}")
+    fwd = fwd_raw.select(
         F.col("query_id").alias("src_id"),
         F.col("neighbor_id").alias("tgt_id"),
         F.col("cosine_sim"),
     )
-    bwd = cosine_topk(src, tgt, id_col, vec_col, k=k).select(
-        F.col("query_id").alias("tgt_id"), F.col("cosine_sim")
+    bwd = bwd_raw.select(F.col("query_id").alias("tgt_id"), F.col("cosine_sim"))
+
+    # src-side neighborhood mean as a WINDOW over fwd, not a groupBy +
+    # join-back: fwd rows ARE exactly the k forward neighbors per source,
+    # so the per-src window mean equals the aggregate — and fwd then has
+    # ONE consumer. With two consumers the whole src->tgt brute scoring
+    # pass computed twice: Spark cannot reuse exchanges under
+    # higher-order-function lambdas (their variable ids defeat plan
+    # canonicalization — the bm25_topk single-consumer discipline,
+    # measured r10; ADVICE r10 #3). bwd feeds only its groupBy, so the
+    # tgt->src pass also runs once.
+    wsrc = Window.partitionBy("src_id")
+    ay = bwd.groupBy("tgt_id").agg(
+        (
+            F.sum(F.col("cosine_sim").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__avg_tgt_id")
     )
-
-    def nbhd_mean(df: DataFrame, key: str) -> DataFrame:
-        return df.groupBy(key).agg(
-            (
-                F.sum(F.col("cosine_sim").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias(f"__avg_{key}")
-        )
-
-    ax = nbhd_mean(fwd, "src_id")
-    ay = nbhd_mean(bwd, "tgt_id")
     denom = (F.col("__avg_src_id") + F.col("__avg_tgt_id")) / 2.0
     scored = (
-        fwd.join(ax, "src_id")
+        fwd.withColumn(
+            "__avg_src_id",
+            F.sum(F.col("cosine_sim").cast("decimal(18,6)")).over(wsrc).cast("double")
+            / F.count(F.lit(1)).over(wsrc),
+        )
         .join(ay, "tgt_id")
         .filter(denom > 0.0)
         .withColumn("__margin", F.col("cosine_sim") / denom)
@@ -1025,6 +1061,8 @@ def knn_join(
     index: IvfIndex | None = None,
     block_rows: int = 1024,
     max_cell_rows: int = 200_000,
+    queries: DataFrame | None = None,
+    query_id_col: str | None = None,
 ) -> DataFrame:
     """Corpus x corpus kNN JOIN: every corpus row gets its k nearest
     corpus neighbors by cosine — the all-rows sibling of ivf_topk, whose
@@ -1062,6 +1100,15 @@ def knn_join(
     Probe rows carry their query vector (dim-sized) n_probe times; at
     very high dims trade that for a join-back on query_id.
     Output: (query_id, neighbor_id, rank, cosine_sim), k rows per query.
+
+    ``queries`` switches self-join to CROSS-SIDE kNN join (VERDICT r10
+    #2 — the bucketed candidate source for margin alignment): the index
+    is still built on ``corpus``, but the probe pass runs over the
+    ``queries`` frame, so every QUERY row gets its k nearest CORPUS
+    rows — same one-shuffle-per-side cogroup, still never all-pairs. A
+    query id equal to a corpus id is treated as the same row
+    (self-match excluded) — pass disjoint id spaces when the sides are
+    genuinely different entities.
     """
     import numpy as np
     import pandas as pd
@@ -1071,7 +1118,16 @@ def knn_join(
     if index is None:
         index = build_ivf_index(corpus, id_col, vec_col, n_cells, seed, persist=True)
     assigned, centers = index.assigned, index.centers
-    id_type = corpus.schema[id_col].dataType
+    if queries is None:
+        probe_src = assigned.select("neighbor_id", "__cv")
+        id_type = corpus.schema[id_col].dataType
+    else:
+        qid = query_id_col or id_col
+        probe_src = queries.select(
+            F.col(qid).alias("neighbor_id"),
+            as_double_vec(F.col(vec_col)).alias("__cv"),
+        )
+        id_type = queries.schema[qid].dataType
 
     probe_schema = T.StructType(
         [
@@ -1099,12 +1155,12 @@ def knn_join(
                 }
             )
 
-    probes = assigned.select("neighbor_id", "__cv").mapInPandas(probe, probe_schema)
+    probes = probe_src.mapInPandas(probe, probe_schema)
 
     out_schema = T.StructType(
         [
             T.StructField("query_id", id_type, False),
-            T.StructField("neighbor_id", id_type, False),
+            T.StructField("neighbor_id", corpus.schema[id_col].dataType, False),
             T.StructField("__sim", T.DoubleType(), False),
         ]
     )

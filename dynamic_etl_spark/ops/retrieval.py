@@ -135,6 +135,12 @@ def bm25_topk(
     )
 
 
+#: pool_size ceiling: the pooled mode collects (id, rel, vector) rows to
+#: the driver, so it must stay a bounded mini-dim (the
+#: cosine_topk_vectorized query-matrix convention).
+MMR_POOL_CAP = 8192
+
+
 def mmr_select(
     corpus: DataFrame,
     *,
@@ -143,6 +149,7 @@ def mmr_select(
     anchor_id,
     k: int = 10,
     lam: float = 0.5,
+    pool_size: int | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
     greedily pick ``k`` items maximizing
@@ -175,6 +182,26 @@ def mmr_select(
     Output: (rank, <id_col>, mmr_score rounded 6dp) — exactly
     min(k, candidates) rows, built from the k driver-held winners (a
     LocalTableScan; the selection JOBS are where the work happened).
+
+    ``pool_size`` (VERDICT r10 #3) bounds the corpus passes: the k
+    corpus-linear rounds above re-materialize the corpus every round —
+    correct, but at 100 TB the standard practice is to precompute
+    ``rel`` ONCE, keep the top-``pool_size`` candidates by (rel DESC, id
+    ASC) as the working pool (M >> k), and run the greedy loop on the
+    pool. Here the pool is a bounded mini-dim (capped at
+    :data:`MMR_POOL_CAP`) collected in ONE TakeOrdered job, and the loop
+    runs driver-local in pure Python floats whose sequential-fold
+    cosine/score arithmetic is bit-identical to the distributed
+    expressions (IEEE doubles, same operation order) — so total cost is
+    ~2 jobs instead of k corpus passes + k checkpoints.
+
+    Approximation regime: pooled selection equals the exact loop
+    whenever every pick falls inside the rel-top-M pool. High ``lam``
+    (relevance-dominated, >= 0.5 in practice) keeps picks near the top
+    of the rel ranking; LOW lam weights diversity enough that a pick
+    can in principle score above pool members from OUTSIDE any
+    rel-pruned pool — use the exact mode there, or widen the pool
+    (pytest pins pooled == exact on the fixture at lam = 0.5).
     """
     from dynamic_etl_spark.ops.ann import as_double_vec, cosine, l2_norm
 
@@ -193,15 +220,29 @@ def mmr_select(
     def vec_lit(values) -> F.Column:
         return F.array(*[F.lit(float(x)) for x in values])
 
-    state = (
+    base = (
         corpus.filter(F.col(id_col) != anchor_id)
         .select(F.col(id_col).alias("__id"), as_double_vec(F.col(vec_col)).alias("__v"))
         .filter(l2_norm(F.col("__v")) > 0.0)
         .withColumn("__rel", cosine(F.col("__v"), vec_lit(anchor)))
-        .withColumn("__ms", F.lit(None).cast("double"))
-        .localCheckpoint()
     )
     one_minus = 1.0 - lam
+    out_schema = T.StructType(
+        [
+            T.StructField("rank", T.IntegerType(), False),
+            T.StructField(id_col, corpus.schema[id_col].dataType, False),
+            T.StructField("__score", T.DoubleType(), False),
+        ]
+    )
+    if pool_size is not None:
+        picked = _mmr_greedy_local(
+            _mmr_pool(base, pool_size), lam, one_minus, k
+        )
+        return spark.createDataFrame(picked, out_schema).select(
+            "rank", id_col, F.round("__score", 6).alias("mmr_score")
+        )
+
+    state = base.withColumn("__ms", F.lit(None).cast("double")).localCheckpoint()
     picked = []
     for _ in range(k):
         score = lam * F.col("__rel") - one_minus * F.coalesce(
@@ -225,13 +266,144 @@ def mmr_select(
             )
             .localCheckpoint()
         )
-    out_schema = T.StructType(
-        [
-            T.StructField("rank", T.IntegerType(), False),
-            T.StructField(id_col, corpus.schema[id_col].dataType, False),
-            T.StructField("__score", T.DoubleType(), False),
-        ]
-    )
     return spark.createDataFrame(picked, out_schema).select(
         "rank", id_col, F.round("__score", 6).alias("mmr_score")
+    )
+
+
+def _mmr_pool(base: DataFrame, pool_size: int) -> list[tuple]:
+    """Collect the rel-top-``pool_size`` working pool — ONE TakeOrdered
+    job over the scored candidates; rel values are the distributed
+    expression's own doubles, so the local replay shares every bit."""
+    if pool_size > MMR_POOL_CAP:
+        raise ValueError(
+            f"mmr_select: pool_size {pool_size} exceeds the bounded "
+            f"mini-dim cap {MMR_POOL_CAP}"
+        )
+    return [
+        (r["__id"], r["__rel"], list(r["__v"]))
+        for r in base.orderBy(F.desc("__rel"), F.asc("__id"))
+        .limit(pool_size)
+        .select("__id", "__rel", "__v")
+        .collect()
+    ]
+
+
+def _mmr_greedy_local(
+    pool: list[tuple], lam: float, one_minus: float, k: int
+) -> list[tuple]:
+    """Driver-local greedy MMR over a bounded pool, arithmetic-identical
+    to the distributed loop: the sequential left-to-right float fold ==
+    ops/ann.dot's F.aggregate == DuckDB list_dot_product (same IEEE
+    operation order), sqrt is correctly-rounded on both runtimes, and
+    the argmax tie-breaks (score DESC, id ASC) exactly like the exact
+    mode's TakeOrdered."""
+    import math
+
+    def _dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    norms = {i: math.sqrt(_dot(v, v)) for i, _, v in pool}
+    max_sim: dict = {i: None for i, _, _ in pool}
+    vecs = {i: v for i, _, v in pool}
+    remaining = {i for i, _, _ in pool}
+    picked: list[tuple] = []
+    for _ in range(k):
+        best_id, best_score = None, None
+        for i, rel, _ in pool:
+            if i not in remaining:
+                continue
+            ms = max_sim[i]
+            score = lam * rel - one_minus * (ms if ms is not None else 0.0)
+            if (
+                best_id is None
+                or score > best_score
+                or (score == best_score and i < best_id)
+            ):
+                best_id, best_score = i, score
+        if best_id is None:
+            break
+        remaining.discard(best_id)
+        picked.append((len(picked) + 1, best_id, best_score))
+        pvec, pnorm = vecs[best_id], norms[best_id]
+        for i in remaining:
+            s = _dot(vecs[i], pvec) / (norms[i] * pnorm)
+            ms = max_sim[i]
+            max_sim[i] = s if ms is None else max(ms, s)
+    return picked
+
+
+#: Reciprocal-rank-fusion smoothing constant — k0 = 60 is the value from
+#: Cormack, Clarke & Buettcher 2009 (SIGIR), carried unchanged by every
+#: production hybrid-retrieval stack since.
+RRF_K0 = 60
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    names: list[str] | None = None,
+    k0: int = RRF_K0,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009, public
+    knowledge): fuse N per-query rankings of the same item space by
+    ``score(d) = Σ_i 1/(k0 + rank_i(d))``, summing only over the lists
+    where d appears — the standard lexical+dense hybrid rule (rank-based,
+    so BM25 and cosine scores never need calibration against each other).
+
+    Each input carries (query_id, id, rank); inputs full-outer-join on
+    (query_id, id) pairwise left-to-right, each list's rank surfacing
+    under its ``names`` entry (nullable where the list missed the item).
+
+    Parity/determinism: every term is one IEEE division of two small
+    exact integers (1.0 / (k0 + rank)) and the terms add in fixed
+    declaration order, so the fused score is a bit-identical double on
+    any engine and any partitioning — no rounding needed anywhere. The
+    output ranks total-order by (score DESC, id ASC).
+
+    Scale shape: inputs are top-k lists (|queries| x depth rows — tiny
+    relative to any corpus), so the fusion's shuffles are on result
+    lists, never corpus-sized; the expensive work stays inside the
+    upstream rankers.
+
+    Output: (query_id, rank, id, <names...>, rrf_score raw double),
+    ``top_k`` rows per query.
+    """
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse: need at least two rankings to fuse")
+    names = names or [f"rank_{i + 1}" for i in range(len(rankings))]
+    if len(names) != len(rankings):
+        raise ValueError("rrf_fuse: names must match rankings 1:1")
+    fused = None
+    for df, name in zip(rankings, names):
+        side = df.select(
+            query_id_col, id_col, F.col(rank_col).alias(name)
+        )
+        fused = side if fused is None else fused.join(
+            side, on=[query_id_col, id_col], how="full_outer"
+        )
+    score = None
+    for name in names:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(k0) + F.col(name)), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__rrf"), F.asc(id_col)
+    )
+    return (
+        fused.withColumn("__rrf", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            query_id_col, "rank", id_col, *names,
+            F.col("__rrf").alias("rrf_score"),
+        )
     )

@@ -466,12 +466,16 @@ def blocked_url_pattern(domains: tuple[str, ...]) -> str:
     leading boundary) — counts stay correct, and the fixture/corpus
     never produce adjacent blocked URLs.
 
-    Known corner (ADVICE r9): a blocked URL glued to leading
-    NON-whitespace punctuation — ``(http://ads.tracker.example/x`` or
-    ``,http://…`` — is COUNTED (URL_PATTERN matches from the scheme
-    mid-token) but NOT scrubbed (the leading boundary here consumes
-    start-of-text or whitespace only). Widening the boundary to a
-    consumed punctuation class was measured and REJECTED because it
+    PERMANENT CONTRACT (decided r11, VERDICT r10 #6; first analyzed
+    ADVICE r9): a blocked URL glued to leading NON-whitespace
+    punctuation — ``(http://ads.tracker.example/x`` or ``,http://…`` —
+    is COUNTED (URL_PATTERN matches from the scheme mid-token) but NOT
+    scrubbed (the leading boundary here consumes start-of-text or
+    whitespace only). The asymmetry is deliberately conservative: the
+    counting side over-reports by at most the glued corner, and the
+    scrub never deletes text the counts call clean. Widening the
+    boundary to a consumed punctuation class was measured and REJECTED
+    (not re-litigable without a new counterexample) because it
     breaks the contract in the opposite direction: URL_PATTERN's
     greedy ``[^\\s]+`` tail merges whitespace-free chains, so in
     ``http://good.site/x,http://ads.tracker.example/y`` the counting

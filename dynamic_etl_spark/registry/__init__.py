@@ -28,215 +28,216 @@ from dynamic_etl_spark.registry.core import Query, QueryRegistry
 #: checked in tests/test_llm.py) go last.
 DRIVER_WINDOW = 50
 
-#: Positions 1-50 — the r10 rotation (VERDICT r9 #1): new/changed
-#: queries take hard-signal slots first (the steady-state gate, the two
-#: semantic-bootstrap re-earns, the ANN tie-quantization re-earn, and
-#: the new retrieval/JL pair); then the 23 due re-confirmations (3
-#: r5-era past the 3-round rule, 20 r6-era); the remaining 21 slots
-#: refresh the OLDEST r7 confirmations early (alphabetical — minus the
-#: displaced three — of the 47-query r7 cohort) so the
-#: ledger never builds a 46-query bulge again. The stale-ledger CI
+#: Positions 1-50 — the r11 rotation (VERDICT r10 #1): new/changed
+#: queries take hard-signal slots first (the hybrid-RRF and pooled-MMR
+#: additions; the four re-earns after the vectorized-oracle
+#: tie-quantization mirror and the margin/MMR single-consumer
+#: restructures); then ALL 30 due re-confirmations (latest driver green
+#: r7 — the list the rotation-hygiene tripwire computed the moment
+#: CORRECTNESS_r10.json landed); the remaining 14 slots refresh the
+#: OLDEST (alphabetical) r8-era confirmations early, flattening the
+#: 45-query r8 bulge that comes due at r12. The stale-ledger CI
 #: property (tests/test_oracle_parity.py) computes this window's
 #: obligations from the checked-in CORRECTNESS_r*.json files.
 _WINDOW_ORDER = (
-    # ---- NEW r10, never driver-confirmed ----
-    # the composed gate in steady state: per-session prebuilt stores,
-    # each invocation prices only per-batch admission; shares
-    # INCREMENTAL_CURATION_ORACLE with the bootstrap form (identical
-    # output is the store-reuse contract under test)
-    "incremental_curation_admission_steady",
-    # beyond-reference retrieval/reduction pair (registry/retrieval):
-    # BM25 probe-query ranking and Achlioptas JL projection — new this
-    # round, so they take hard-signal slots (displacing the two newest
-    # r7 early-refreshes, which are not due until r11)
-    "bm25_topk_retrieval",
-    "embedding_jl_projection",
-    "embedding_mmr_select",
-    "hashed_linear_quality_score",
-    "embedding_margin_alignment",
-    "winnowing_overlap_pairs",
+    # ---- NEW r11, never driver-confirmed ----
+    # reciprocal-rank fusion of the BM25 and exemplar-cosine rankings —
+    # the lexical+dense hybrid retrieval stack (VERDICT r10 #4)
+    "hybrid_rrf_retrieval",
+    # bounded-pool MMR: rel-top-192 mini-dim + driver-local greedy
+    # replay; its oracle replays the POOLED semantics (VERDICT r10 #3)
+    "embedding_mmr_select_pooled",
     # ---- changed code this round: must re-earn the hash ----
-    # semantic bootstrap fit now uses seeded-random MLlib init
-    # (VERDICT r9 #6 measurement: k-means|| init passes dropped, jobs
-    # 43->37 / 69->62); clustering only gates candidates, but the fit
-    # changed, so both consumers re-earn
-    "incremental_semantic_dedup",
-    "incremental_curation_admission",
-    # numpy-path ANN ranking now quantizes sims at 12dp before ordering
-    # (cross-container BLAS tie fix, r10) — the one oracle-backed query
-    # on that path re-earns
+    # ADVICE r10 #1: cosine_topk_vectorized's oracle now mirrors the
+    # 12dp tie-quantization (TOPK_VEC_ORACLE split from the raw
+    # brute-force oracle); knn_label_vote votes over the same quantized
+    # top-k SET (ADVICE r10 #2: it re-earns with the path, not after)
     "embedding_topk_vectorized",
-    # ---- the 23 due re-confirmations (VERDICT r9 #1, full list) ----
-    "generator_stores",
-    "nation_segment_listagg",
-    "value_outlier_gate",
-    "coercion_failure_profile",
-    "date_gap_fill_incremental",
-    "dedup_keep_last_line_agg",
-    "document_gram_exposure",
-    "drop_unresolved_keys",
-    "embedding_dim_spread",
-    "embedding_topk_bruteforce",
-    "events_hourly_heatmap",
-    "events_range_interval_join",
-    "generator_distributors",
-    "generator_products",
-    "grouping_sets_order_totals",
-    "heavy_hitter_maintenance",
-    "mini_dim_upsert",
-    "null_count_profile",
-    "rank_sketch_finalize_exact",
-    "rollup_totals",
-    "salted_skew_join",
-    "value_anomaly_mad",
-    "winnowing_fingerprint",
-    # ---- 21 oldest (r7) confirmations, refreshed a round early ----
-    "benchmark_decontamination",
-    "benchmark_span_scrub",
-    "change_detection_classification",
-    "clean_product_feed",
-    "clean_store_feed",
-    "count_min_maintenance",
-    "date_dimension_build",
-    "dedup_impact_forecast",
-    "dedup_survivors",
-    "duplicate_detection",
-    "duplicated_span_removal",
-    "embedding_near_dup",
-    "events_asof_last_purchase",
-    "events_compaction_plan",
-    "events_sessionization",
-    "exact_dedup_fingerprint",
-    "flagship_star_join",
+    "knn_label_vote",
+    # ADVICE r10 #3: margin alignment's forward pass is now a single
+    # consumer (window mean instead of groupBy+join-back) and gained
+    # the candidates="ivf" mode; mmr_select was restructured around the
+    # shared base projection for the pooled mode — both re-earn
+    "embedding_margin_alignment",
+    "embedding_mmr_select",
+    # ---- ALL 30 due re-confirmations (latest green r7; the exact list
+    # the rotation-hygiene tripwire printed against the r10 ledger) ----
+    "events_ks_drift",
+    "events_ks_drift_binned",
+    "events_tumbling_window",
+    "events_value_trend",
+    "fallback_key_resolution",
+    "generator_fact_day",
+    "gopher_repetition_gates",
+    "ks_drift_maintenance",
+    "language_id_profile",
+    "leakage_safe_split",
+    "length_bucketed_batching",
+    "line_dedup_profile",
+    "multimodal_feature_extract",
+    "near_dup_components",
+    "ngram_jaccard_similarity",
+    "pii_detect_redact",
+    "pricing_summary",
+    "quasi_identifier_risk",
+    "rollup_slice_rebuild",
+    "scan_projection_filter",
+    "scd1_merge_orders",
+    "scd2_merge_customers",
+    "semantic_decontamination",
+    "semantic_decontamination_vectorized",
+    "sequence_packing",
+    "source_diversity_profile",
+    "split_leakage_audit",
+    "surrogate_key_assignment",
+    "text_stats_profile",
+    "validation_report",
+    # ---- 14 oldest (r8) confirmations, refreshed a round early ----
+    "alias_header_resolution",
+    "bpe_encode_stats",
+    "bpe_fertility_by_lang",
+    "bpe_merge_training",
+    "clean_distributor_feed",
+    "corpus_stratified_sample",
+    "cube_order_totals",
+    "curation_pipeline_accounting",
+    "curation_pipeline_lsh",
+    "customer_order_sequence",
+    "customers_with_orders",
+    "customers_without_orders",
+    "date_backfill_initial",
+    "date_key_lookup",
 )
 
 #: Rotated out after earning their driver-green; the local pytest
 #: parity harness still hash-checks each against the same oracle every
 #: run. Alphabetical — position past 50 carries no signal.
 _ROTATED_OUT = (
-    "alias_header_resolution",
     "approx_distinct_exacthash",
+    "benchmark_decontamination",
     "benchmark_decontamination_bloom",
+    "benchmark_span_scrub",
     "bigram_novelty_profile",
     "bigram_perplexity_profile",
-    "bpe_encode_stats",
-    "bpe_fertility_by_lang",
-    "bpe_merge_training",
-    "clean_distributor_feed",
+    "bm25_topk_retrieval",
+    "change_detection_classification",
+    "clean_product_feed",
+    "clean_store_feed",
+    "coercion_failure_profile",
     "corpus_mixture_sample",
     "corpus_split_assignment",
-    "corpus_stratified_sample",
-    "cube_order_totals",
-    "curation_pipeline_accounting",
-    "curation_pipeline_lsh",
-    "customer_order_sequence",
+    "count_min_maintenance",
     "customer_rfm_segmentation",
-    "customers_with_orders",
-    "customers_without_orders",
-    "date_backfill_initial",
-    "date_key_lookup",
+    "date_dimension_build",
+    "date_gap_fill_incremental",
+    "dedup_impact_forecast",
     "dedup_keep_first_line",
     "dedup_keep_last_line",
+    "dedup_keep_last_line_agg",
+    "dedup_survivors",
     "dedup_survivors_best_quality",
     "distinct_profile",
     "distinct_sketch_maintenance_exacthash",
     "document_chunking",
+    "document_gram_exposure",
+    "drop_unresolved_keys",
+    "duplicate_detection",
     "duplicate_group_members",
+    "duplicated_span_removal",
     "embedding_ann_ivf_exacthash",
     "embedding_ann_lsh_exacthash",
     "embedding_density_exacthash",
+    "embedding_dim_spread",
     "embedding_int8_quant",
+    "embedding_jl_projection",
     "embedding_knn_join_exacthash",
     "embedding_label_centroids",
+    "embedding_near_dup",
+    "embedding_topk_bruteforce",
     "encoding_repair_profile",
+    "events_asof_last_purchase",
+    "events_compaction_plan",
     "events_equidepth_deciles",
     "events_fill_forward",
     "events_funnel_conversion",
+    "events_hourly_heatmap",
     "events_hourly_resample",
     "events_interarrival_profile",
     "events_json_extract",
     "events_key_skew_profile",
-    "events_ks_drift",
     "events_ks_drift_autogrid",
-    "events_ks_drift_binned",
     "events_minmax_scaled",
+    "events_range_interval_join",
     "events_rate_profile",
     "events_retention_cohorts",
     "events_rolling_distinct_users",
     "events_rolling_user_value",
+    "events_sessionization",
     "events_sliding_window",
     "events_transition_matrix",
-    "events_tumbling_window",
     "events_type_drift_profile",
     "events_type_pagerank_exacthash",
     "events_type_pivot",
     "events_type_unpivot",
     "events_value_histogram",
     "events_value_percentiles",
-    "events_value_trend",
     "events_value_zscore",
     "events_zorder_tiles",
-    "fallback_key_resolution",
+    "exact_dedup_fingerprint",
     "fk_integrity_report",
     "fk_orphan_attribution",
+    "flagship_star_join",
     "freshness_watermark",
     "fuzzy_brand_match",
-    "generator_fact_day",
-    "gopher_repetition_gates",
+    "generator_distributors",
+    "generator_products",
+    "generator_stores",
+    "grouping_sets_order_totals",
+    "hashed_linear_quality_score",
+    "heavy_hitter_maintenance",
     "high_water_mark",
+    "incremental_curation_admission",
+    "incremental_curation_admission_steady",
     "incremental_near_dup_exacthash",
     "incremental_rollup_maintenance",
+    "incremental_semantic_dedup",
     "insert_only_merge",
-    "knn_label_vote",
-    "ks_drift_maintenance",
-    "language_id_profile",
     "latest_order_per_customer",
-    "leakage_safe_split",
-    "length_bucketed_batching",
-    "line_dedup_profile",
     "markup_strip_clean",
     "minhash_near_dup_exacthash",
-    "multimodal_feature_extract",
+    "mini_dim_upsert",
     "nation_key_set_ops",
+    "nation_segment_listagg",
     "natural_key_concat",
-    "near_dup_components",
-    "ngram_jaccard_similarity",
+    "null_count_profile",
     "numeric_profile",
     "order_price_distribution_ranks",
     "orders_above_customer_avg",
     "orders_snapshot_diff",
-    "pii_detect_redact",
     "pmi_collocations_top",
     "point_and_flag_filter",
-    "pricing_summary",
     "quality_rank_calibration",
     "quantile_hist_maintenance",
-    "quasi_identifier_risk",
+    "rank_sketch_finalize_exact",
     "reservoir_sample_maintenance",
-    "rollup_slice_rebuild",
-    "scan_projection_filter",
-    "scd1_merge_orders",
-    "scd2_merge_customers",
+    "rollup_totals",
+    "salted_skew_join",
     "scd2_point_in_time_lookup",
-    "semantic_decontamination",
-    "semantic_decontamination_vectorized",
     "semantic_dedup_survivors",
-    "sequence_packing",
     "shard_assignment_profile",
     "simhash_near_dup_exacthash",
     "snowflake_extraction",
     "source_concentration_profile",
-    "source_diversity_profile",
     "source_quota_cap",
-    "split_leakage_audit",
-    "surrogate_key_assignment",
-    "text_stats_profile",
     "tfidf_top_terms",
     "tiered_discount_pricing",
     "top_part_types",
     "url_filter_profile",
-    "validation_report",
+    "value_anomaly_mad",
+    "value_outlier_gate",
     "vocabulary_build",
+    "winnowing_fingerprint",
+    "winnowing_overlap_pairs",
 )
 
 #: Positions past the rotated-out block: the rows-only queries
@@ -256,6 +257,10 @@ _TAIL_ORDER = (
     "distinct_sketch_maintenance",
     "rank_sketch_maintenance",
     "corpus_weighted_sample",
+    # r11: margin alignment's bucketed IVF production path (MLlib
+    # k-means + BLAS — engine-hash-specific; exacthash twin:
+    # embedding_margin_alignment; recall + no-NLJ pytests)
+    "embedding_margin_alignment_ivf",
 )
 
 

@@ -1093,11 +1093,44 @@ FROM (
 ) WHERE rank <= 10
 """
 
+#: The vectorized path's oracle (ADVICE r10 #1): cosine_topk_vectorized
+#: quantizes sims at 12dp BEFORE any ordering decision (BLAS matmul
+#: shapes shift last-ulp accumulation per batch geometry) and surfaces
+#: round(quantized, 6) — so its oracle must rank and surface the SAME
+#: quantized value, not the raw sequential-fold sim the brute-force
+#: oracle ranks. One shared oracle cannot carry both ordering semantics:
+#: a genuine sub-1e-12 gap (or the acknowledged ~5e-13 sliver around a
+#: 6dp half) ranks/displays differently between the raw and quantized
+#: forms.
+TOPK_VEC_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+           12) AS sim
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
 
 def embedding_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same result as embedding_topk_bruteforce via the Arrow/numpy
-    partial-top-k path (one matmul per batch, O(parts x q x k) shuffle) —
-    shares the brute-force oracle."""
+    partial-top-k path (one matmul per batch, O(parts x q x k) shuffle).
+    Carries its OWN oracle since the r10 12dp tie-quantization: the
+    vectorized path orders by round(sim, 12), the brute force by the raw
+    sequential fold (TOPK_VEC_ORACLE vs TOPK_ORACLE)."""
     emb = t(spark, sf_dir, "embeddings")
     return ANN.cosine_topk_vectorized(emb, _queries(spark, sf_dir), "vec_id", "embedding", k=10)
 
@@ -2047,11 +2080,14 @@ WITH q AS (
   WHERE vec_id % 100 = 0
 ),
 scored AS (
+  -- 12dp quantize before ranking: the Spark side's top-k set comes from
+  -- cosine_topk_vectorized, which orders by round(sim, 12) (ADVICE r10
+  -- #1 — the TOPK_VEC_ORACLE discipline; votes derive from that SET)
   SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS voted_label,
-         list_dot_product(q.qv, e.embedding::DOUBLE[])
+         round(list_dot_product(q.qv, e.embedding::DOUBLE[])
            / (sqrt(list_dot_product(q.qv, q.qv))
-              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
-           AS sim
+              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+           12) AS sim
   FROM q, embeddings e
   WHERE e.vec_id % 100 <> 0
 ),
@@ -2613,8 +2649,9 @@ QUERIES: QueryRegistry = {
         "exact cosine top-10 per query (broadcast queries)",
     ),
     "embedding_topk_vectorized": Query(
-        embedding_topk_vectorized, TOPK_ORACLE,
-        "exact cosine top-10, Arrow/numpy partial-top-k path",
+        embedding_topk_vectorized, TOPK_VEC_ORACLE,
+        "exact cosine top-10, Arrow/numpy partial-top-k path (oracle "
+        "ranks by the path's own 12dp-quantized sims)",
     ),
     "embedding_ann_lsh": Query(
         embedding_ann_lsh, None,

@@ -111,6 +111,164 @@ FROM ranked WHERE rank <= 5
 """
 
 
+#: Hybrid-RRF fixture: the dense side of each probe query is a pinned
+#: exemplar document (its embedding is the dense query vector — the
+#: query-by-example convention); doc_id and vec_id share the same id
+#: space in the fixture tables, so both rankers rank the SAME items.
+#: Anchors spread across the id range; each ranker contributes its
+#: top-RRF_DEPTH list.
+RRF_ANCHORS: tuple[tuple[int, int], ...] = (
+    (1, 17), (2, 63), (3, 128), (4, 201),
+    (5, 266), (6, 331), (7, 404), (8, 477),
+)
+RRF_DEPTH = 20
+RRF_TOP_K = 10
+
+
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval by reciprocal-rank fusion (VERDICT
+    r10 #4): BM25 top-20 per pinned probe query fused with cosine top-20
+    around each query's pinned exemplar embedding via
+    ``score = Σ 1/(60 + rank)`` (ops/retrieval.rrf_fuse — rank-based, so
+    the two score scales never need calibration). The dense pass
+    excludes the exemplar itself (cosine_topk's self-match rule); the
+    lexical pass has no exemplar notion, so the anchor doc may appear —
+    fusion is pure over whatever each list returns. rrf_score surfaces
+    RAW: every term is one IEEE division of small exact ints, so the
+    double is engine-bit-identical with no rounding anywhere."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = spark.createDataFrame(
+        list(BM25_QUERIES), "query_id int, query_text string"
+    )
+    lex = R.bm25_topk(docs, queries, top_k=RRF_DEPTH).select(
+        "query_id", "doc_id", "rank"
+    )
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    anchors = spark.createDataFrame(
+        list(RRF_ANCHORS), "query_id int, anchor_id bigint"
+    )
+    probes = emb.join(
+        F.broadcast(anchors), emb.vec_id == anchors.anchor_id
+    ).select("anchor_id", "embedding")
+    # translate the dense side's query key (the anchor vec_id) back to
+    # the probe query_id through a renamed copy of the tiny map — the
+    # rename avoids self-lineage ambiguity (probes also derive from it)
+    amap = anchors.select(
+        F.col("query_id").alias("__probe_qid"), F.col("anchor_id").alias("__aid")
+    )
+    dense = (
+        ANN.cosine_topk(
+            emb, probes, "vec_id", "embedding", k=RRF_DEPTH,
+            query_id_col="anchor_id",
+        )
+        .join(F.broadcast(amap), F.col("query_id") == F.col("__aid"))
+        .select(
+            F.col("__probe_qid").alias("query_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            "rank",
+        )
+    )
+    return R.rrf_fuse(
+        [lex, dense],
+        names=["lex_rank", "dense_rank"],
+        k0=R.RRF_K0,
+        top_k=RRF_TOP_K,
+    )
+
+
+def _sql_anchor_values() -> str:
+    return ", ".join(f"({q}, {a})" for q, a in RRF_ANCHORS)
+
+
+#: The lexical CTEs are BM25_ORACLE's with depth 20; the dense CTEs are
+#: the TOPK_ORACLE shape probed by the pinned exemplar embeddings; the
+#: fusion is one FULL JOIN + the identical coalesce'd division sum.
+RRF_ORACLE = f"""
+WITH q(query_id, query_text) AS (VALUES {_sql_query_values()}),
+anchors(query_id, anchor_id) AS (VALUES {_sql_anchor_values()}),
+base AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS total_tokens
+  FROM base
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+  GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+qterms AS (
+  SELECT DISTINCT query_id, term
+  FROM (SELECT query_id,
+               unnest(list_filter(string_split_regex(lower(query_text), '\\s+'),
+                                  w -> w <> '')) AS term
+        FROM q)
+),
+qvocab AS (SELECT DISTINCT term FROM qterms),
+tfq AS (
+  SELECT tf.*, count(*) OVER (PARTITION BY term) AS df
+  FROM tf JOIN qvocab USING (term)
+),
+lex_scored AS (
+  SELECT qt.query_id, tfq.doc_id,
+         CAST(round(
+           ln(((CAST(s.n_docs AS DOUBLE) - df) + 0.5) / (df + 0.5) + 1.0)
+           * ((tf * {_K1P1}) /
+              (tf + {_K1} * ({_ONE_MINUS_B} + {_B} *
+                  (dl / (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))),
+           12) AS DECIMAL(38,12)) AS c
+  FROM tfq
+  JOIN dl USING (doc_id)
+  JOIN qterms qt USING (term)
+  CROSS JOIN stats s
+),
+lex AS (
+  SELECT query_id, doc_id, CAST(rank AS INT) AS lex_rank
+  FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sum(c) DESC, doc_id ASC) AS rank
+    FROM lex_scored GROUP BY query_id, doc_id
+  ) WHERE rank <= {RRF_DEPTH}
+),
+probes AS (
+  SELECT a.query_id, a.anchor_id, e.embedding::DOUBLE[] AS qv
+  FROM anchors a JOIN embeddings e ON e.vec_id = a.anchor_id
+),
+dense_scored AS (
+  SELECT p.query_id, e.vec_id AS doc_id,
+         list_dot_product(p.qv, e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(p.qv, p.qv))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+           AS sim
+  FROM probes p, embeddings e
+  WHERE e.vec_id <> p.anchor_id
+),
+dense AS (
+  SELECT query_id, doc_id, CAST(rank AS INT) AS dense_rank
+  FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, doc_id ASC) AS rank
+    FROM dense_scored
+  ) WHERE rank <= {RRF_DEPTH}
+),
+fused AS (
+  SELECT query_id, doc_id, lex_rank, dense_rank,
+         coalesce(CAST(1.0 AS DOUBLE) / ({R.RRF_K0} + lex_rank), CAST(0.0 AS DOUBLE))
+           + coalesce(CAST(1.0 AS DOUBLE) / ({R.RRF_K0} + dense_rank), CAST(0.0 AS DOUBLE)) AS rrf
+  FROM lex FULL JOIN dense USING (query_id, doc_id)
+)
+SELECT query_id, rank, doc_id, lex_rank, dense_rank, rrf AS rrf_score
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+  FROM fused
+) WHERE rank <= {RRF_TOP_K}
+""".replace("{toks}", _SQL_TOKENS)
+
+
 #: JL reduction target: 64 -> 16 dims (4x), the smallest power of two
 #: the distance-preservation pytest still separates cleanly.
 JL_D_OUT = 16
@@ -215,6 +373,74 @@ FROM sel WHERE rank >= 1
 """
 
 
+#: Pooled-MMR fixture knobs: rel-top-192 working pool (M >> k; VERDICT
+#: r10 #3 — the bounded-pool production mode). 192 is the measured
+#: equality frontier: at lam = 0.5 over the random fixture embeddings
+#: (rel ~ noise, the diversity term dominates — the WORST case for rel
+#: pruning) pools of 160+ reproduce the exact loop at all three SFs,
+#: while 96 already suffices at sf0.001; pinned pooled == exact in
+#: tests/test_retrieval.py. The oracle replays the POOLED semantics, so
+#: the hash holds regardless of the approximation regime.
+MMR_POOL = 192
+
+
+def embedding_mmr_select_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-pool production mode of embedding_mmr_select: rel
+    computed once, one TakeOrdered collects the rel-top-64 mini-dim
+    pool, and the greedy loop replays driver-local with bit-identical
+    float arithmetic — ~2 jobs total instead of k corpus-linear passes
+    + k checkpoints (ops/retrieval.mmr_select pool_size mode)."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return R.mmr_select(
+        emb, anchor_id=MMR_ANCHOR_ID, k=MMR_K, lam=0.5, pool_size=MMR_POOL
+    )
+
+
+#: Same greedy replay as MMR_ORACLE with ONE change: the candidate set
+#: materializes as the rel-top-M pool (rel DESC, id ASC — the TakeOrdered
+#: twin), mirroring the pooled mode's semantics exactly.
+MMR_POOLED_ORACLE = f"""
+WITH RECURSIVE
+anchor AS MATERIALIZED (
+  SELECT embedding::DOUBLE[] AS av FROM embeddings WHERE vec_id = {MMR_ANCHOR_ID}
+),
+cand AS MATERIALIZED (
+  SELECT vec_id, v, rel FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+           list_dot_product(e.embedding::DOUBLE[], a.av)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(a.av, a.av))) AS rel
+    FROM embeddings e CROSS JOIN anchor a
+    WHERE e.vec_id <> {MMR_ANCHOR_ID}
+      AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
+  ) ORDER BY rel DESC, vec_id ASC LIMIT {MMR_POOL}
+),
+sel AS (
+  SELECT 0 AS rank, CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS score,
+         CAST([] AS BIGINT[]) AS sel_ids
+  UNION ALL
+  SELECT sel.rank + 1, pick.vec_id, pick.score,
+         list_append(sel.sel_ids, pick.vec_id)
+  FROM sel, LATERAL (
+    SELECT c.vec_id,
+           {_LAM} * c.rel - {_OML} * coalesce((
+             SELECT max(list_dot_product(c.v, s.v)
+                        / (sqrt(list_dot_product(c.v, c.v))
+                           * sqrt(list_dot_product(s.v, s.v))))
+             FROM cand s WHERE list_contains(sel.sel_ids, s.vec_id)
+           ), 0.0) AS score
+    FROM cand c
+    WHERE NOT list_contains(sel.sel_ids, c.vec_id)
+    ORDER BY score DESC, c.vec_id ASC
+    LIMIT 1
+  ) pick
+  WHERE sel.rank < {MMR_K}
+)
+SELECT CAST(rank AS INT) AS rank, vec_id, round(score, 6) AS mmr_score
+FROM sel WHERE rank >= 1
+"""
+
+
 #: Margin-alignment fixture: even vec_ids are the source side, odd the
 #: target side; LASER-style k=4 neighborhoods, 1.05 ratio threshold.
 ALIGN_K = 4
@@ -230,6 +456,36 @@ def embedding_margin_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = emb.filter(F.col("vec_id") % 2 == 1)
     return ANN.margin_alignment(
         src, tgt, "vec_id", "embedding", k=ALIGN_K, margin_threshold=ALIGN_THRESHOLD
+    )
+
+
+#: IVF production-path knobs (the fixture sides are ~250 vectors; 8
+#: cells probed 6-deep — margin surfaces are doubly recall-sensitive
+#: because approximate candidates also shift the neighborhood-mean
+#: denominators, so the probe fraction runs higher than plain ANN's:
+#: measured pair recall vs brute 1.00 at sf0.001 / 0.97 at sf0.01,
+#: vs 0.96/0.82 at n_probe=4).
+ALIGN_N_CELLS = 8
+ALIGN_N_PROBE = 6
+
+
+def embedding_margin_alignment_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed production path of embedding_margin_alignment
+    (VERDICT r10 #2): identical fixture and margin algebra, but the two
+    candidate passes ride the cross-side IVF kNN join (ops/ann.knn_join
+    with a query side) instead of the brute-force broadcast NLJ — the
+    shape corpus-scale alignment actually runs. Rows-only (MLlib k-means
+    cells + BLAS scoring are engine-hash-specific); its oracle-backed
+    exacthash twin is embedding_margin_alignment, and
+    tests/test_retrieval.py pins recall against that brute-force form
+    plus a plan assertion that NO BroadcastNestedLoopJoin appears."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    return ANN.margin_alignment(
+        src, tgt, "vec_id", "embedding",
+        k=ALIGN_K, margin_threshold=ALIGN_THRESHOLD,
+        candidates="ivf", n_cells=ALIGN_N_CELLS, n_probe=ALIGN_N_PROBE,
     )
 
 
@@ -287,6 +543,13 @@ QUERIES: QueryRegistry = {
         "(Artetxe & Schwenk 2019 ratio margin over k-NN neighborhoods "
         "— the bitext/near-parallel mining rule)",
     ),
+    "embedding_margin_alignment_ivf": Query(
+        embedding_margin_alignment_ivf,
+        None,
+        "margin alignment over bucketed cross-side IVF kNN candidates — "
+        "the corpus-scale path (rows-only; recall + no-NLJ plan pytest; "
+        "exacthash twin: embedding_margin_alignment)",
+    ),
     "bm25_topk_retrieval": Query(
         bm25_topk_retrieval,
         BM25_ORACLE,
@@ -298,6 +561,20 @@ QUERIES: QueryRegistry = {
         MMR_ORACLE,
         "greedy MMR diversified top-10 around an anchor embedding "
         "(recursive-CTE oracle replays the selection loop verbatim)",
+    ),
+    "hybrid_rrf_retrieval": Query(
+        hybrid_rrf_retrieval,
+        RRF_ORACLE,
+        "hybrid lexical+dense retrieval: BM25 top-20 + exemplar-cosine "
+        "top-20 fused by reciprocal-rank fusion (1/(60+rank) exact-IEEE "
+        "sums, raw-double surface, total-ordered ranks)",
+    ),
+    "embedding_mmr_select_pooled": Query(
+        embedding_mmr_select_pooled,
+        MMR_POOLED_ORACLE,
+        "bounded-pool MMR: rel-top-192 mini-dim pool + driver-local greedy "
+        "replay (~2 jobs vs k corpus passes; oracle replays the pooled "
+        "semantics verbatim)",
     ),
     "embedding_jl_projection": Query(
         embedding_jl_projection,

@@ -80,6 +80,14 @@ JOB_BUDGETS = {
     # (TakeOrdered argmax + running-max checkpoint) — measured 25 at
     # k=10; a real regression adds >= 2 jobs per extra round
     "embedding_mmr_select": 28,
+    # r11 bounded-pool MMR (VERDICT r10 #3): anchor take + ONE pool
+    # TakeOrdered + the LocalTableScan surface — measured 5 vs the
+    # exact loop's 25; the entire point of the mode is this number
+    "embedding_mmr_select_pooled": 7,
+    # r11 bucketed margin alignment: TWO IVF index builds (one MLlib
+    # k-means fit per side, the embedding_knn_join cost x2) + the lazy
+    # margin tail — measured 57 (knn_join alone measures 29)
+    "embedding_margin_alignment_ivf": 62,
     "heavy_hitter_maintenance": 13,
     "rank_sketch_maintenance": 10,
     # r8 (window entrants must pin like every eager loop): 16 merge

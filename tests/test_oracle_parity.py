@@ -32,51 +32,44 @@ def test_rows_only_query_runs(spark, name):
     assert len(df.columns) > 0
 
 
-def test_driver_window_holds_the_r10_rotation():
+def test_driver_window_holds_the_r11_rotation():
     """The driver hash-checks only the first DRIVER_WINDOW registered
-    queries. The r10 window (VERDICT r9 #1): new/changed queries take
-    hard-signal slots first (the steady-state composed gate is new; the
-    two semantic-bootstrap consumers re-earn after the init_mode
-    change; embedding_topk_vectorized re-earns after the numpy-path
-    12dp tie-quantization; the beyond-reference BM25 / JL-projection /
-    MMR / hashed-linear-classifier / margin-alignment / winnowing-pair additions are new), then ALL 23 due
-    re-confirmations (the 3 r5-era
-    stragglers past the 3-round rule lead: generator_stores,
-    value_outlier_gate, nation_segment_listagg — the r9 rotation
-    windowed 43 of the 46 r5-era queries and deferred exactly those
-    three — plus the 20 r6-era), then 21 of the 47 r7-era
-    confirmations refreshed a round early; every windowed query is
+    queries. The r11 window (VERDICT r10 #1): the two NEW queries
+    (hybrid RRF fusion, pooled MMR) take hard-signal slots first; four
+    changed surfaces re-earn (embedding_topk_vectorized + knn_label_vote
+    after the vectorized-oracle 12dp tie-quantization mirror, ADVICE r10
+    #1/#2; embedding_margin_alignment after the single-consumer window
+    rewrite + ivf mode, ADVICE r10 #3; embedding_mmr_select after the
+    pooled-mode restructure); then ALL 30 due re-confirmations (latest
+    driver green r7 — exactly the list the rotation-hygiene tripwire
+    computed when CORRECTNESS_r10.json landed); the remaining 14 slots
+    refresh the alphabetically-first r8-era confirmations early (45 come
+    due at r12 — this flattens that bulge). Every windowed query is
     oracle-backed; everything rotated out stays hash-checked by this
     local harness."""
     from dynamic_etl_spark.registry import DRIVER_WINDOW, _ROTATED_OUT
 
     window = list(REGISTRY)[:DRIVER_WINDOW]
     for name in (
-        # new r10, never driver-confirmed
-        "incremental_curation_admission_steady",
-        "bm25_topk_retrieval",
-        "embedding_jl_projection",
-        "embedding_mmr_select",
-        "hashed_linear_quality_score",
-        "embedding_margin_alignment",
-        "winnowing_overlap_pairs",
+        # new r11, never driver-confirmed
+        "hybrid_rrf_retrieval",
+        "embedding_mmr_select_pooled",
         # changed code this round: must re-earn the hash
-        "incremental_semantic_dedup",
-        "incremental_curation_admission",
         "embedding_topk_vectorized",
-        # the three r5-era stragglers the rule says lead the window
-        "generator_stores",
-        "value_outlier_gate",
-        "nation_segment_listagg",
-        # representatives of the 20 due r6-era re-confirmations
-        "coercion_failure_profile",
-        "heavy_hitter_maintenance",
-        "salted_skew_join",
-        "winnowing_fingerprint",
-        # representatives of the early-refreshed r7 tranche
-        "flagship_star_join",
-        "exact_dedup_fingerprint",
-        "events_sessionization",
+        "knn_label_vote",
+        "embedding_margin_alignment",
+        "embedding_mmr_select",
+        # representatives of the 30 due r7-era re-confirmations
+        "events_ks_drift",
+        "multimodal_feature_extract",
+        "pii_detect_redact",
+        "pricing_summary",
+        "scd1_merge_orders",
+        "validation_report",
+        # representatives of the early-refreshed r8 tranche
+        "alias_header_resolution",
+        "bpe_merge_training",
+        "date_key_lookup",
     ):
         assert name in window, f"{name} fell outside the driver correctness window"
     # a rows-only query in the window would waste a hash slot
@@ -161,6 +154,9 @@ _ROWS_ONLY_TWINS = {
     # the KLL content is merge-tree-dependent by design, but its
     # deterministic finalize arithmetic is carved out and oracle-backed
     "rank_sketch_maintenance": "rank_sketch_finalize_exact",
+    # r11: the bucketed (MLlib k-means + BLAS) production path of the
+    # brute-force margin alignment; recall pinned in test_retrieval.py
+    "embedding_margin_alignment_ivf": "embedding_margin_alignment",
 }
 _ROWS_ONLY_BLOCKED = {
     # A-ES priorities are u^(1/w): pow() in the accumulation itself —

@@ -87,9 +87,16 @@ _CROSS_JOIN_WHITELIST = (
     "embedding_margin_alignment",       # two brute cosine_topk passes =
                                         # the same deliberate broadcast NLJ
                                         # as embedding_topk_bruteforce (the
-                                        # bucketed kNN join replaces them
-                                        # at corpus scale; margins are
+                                        # r11 _ivf sibling IS the bucketed
+                                        # corpus-scale path, and its plan is
+                                        # asserted NLJ-free in
+                                        # test_retrieval.py; margins are
                                         # column algebra over any source)
+    "hybrid_rrf_retrieval",             # the dense side is the same
+                                        # deliberate brute cosine_topk NLJ
+                                        # (8 pinned exemplar probes); the
+                                        # fusion itself joins top-k lists
+                                        # only
 )
 
 

@@ -148,11 +148,27 @@ SHUFFLE_BUDGET = {
     # hashing-trick linear scorer: the bucket-count agg + the doc-spine
     # left join — measured 2; weights broadcast
     "hashed_linear_quality_score": 2,
-    # margin alignment: two brute top-k windows + two neighborhood-mean
-    # aggs + the margin joins + the per-source argmax window — measured
-    # 8 on the broadcast fixture (the bucketed kNN join is the corpus-
-    # scale candidate source; margins are column algebra over any)
-    "embedding_margin_alignment": 8,
+    # margin alignment: two brute top-k windows + the src-mean WINDOW
+    # (rides the fwd top-k partitioning), the tgt-mean agg + margin
+    # join + per-source argmax — measured 6 after the r11
+    # single-consumer rewrite (was 8 with the groupBy+join-back form;
+    # ADVICE r10 #3)
+    "embedding_margin_alignment": 6,
+    # the bucketed sibling: two IVF passes (probe/cogroup exchanges per
+    # side) + the same margin algebra — measured 8 lazy-tail exchanges
+    # (the k-means fits run eagerly behind the index build; job budget
+    # pins them)
+    "embedding_margin_alignment_ivf": 8,
+    # bounded-pool MMR: the pool TakeOrdered + local greedy happen
+    # driver-side (job budget pins them); the surface is a
+    # LocalTableScan — zero exchanges
+    "embedding_mmr_select_pooled": 0,
+    # hybrid RRF: the full BM25 stack (6) + the dense top-k window +
+    # anchor-map joins (2) + the full-outer fusion join on top-k LISTS
+    # + the fused rank window — measured 11; every corpus-sized subtree
+    # is inside the two rankers, the fusion only ever shuffles
+    # |queries| x depth rows
+    "hybrid_rrf_retrieval": 11,
     # winnowing pair mining: the fingerprint window + distinct, the df
     # cap agg + semi join, the fp-key self-join, the pair agg, and the
     # two totals joins — measured 14; candidates only on surviving
