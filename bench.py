@@ -185,6 +185,8 @@ COHORTS["r11"] = (
     # IVF fits dominate at fixture scale; the brute sibling stays
     # tracked in r10 for the delta)
     "embedding_margin_alignment_ivf",
+    # DSIR importance selection: fit + score + bounded cutoff take
+    "dsir_importance_selection",
 )
 
 HEADLINE = tuple(n for cohort in COHORTS.values() for n in cohort)

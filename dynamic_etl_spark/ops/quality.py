@@ -580,3 +580,176 @@ def hashed_linear_score(
             (logit_exact >= F.lit(threshold)).alias("passes"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+# NeurIPS; public knowledge): score raw documents by how target-like
+# their hashed n-gram distribution is, log w(x) = Σ_f [ln p̂_target(f) −
+# ln p̂_raw(f)], and keep the top-weighted slice. The standard cheap
+# domain-selection tool in front of LLM pretraining mixes (the paper
+# selects from Pile-CC toward Wikipedia/books targets with exactly this
+# hashed uni+bigram estimator).
+# --------------------------------------------------------------------------
+
+def dsir_bucket_ratios(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target,
+    n_buckets: int = 256,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """FIT half of DSIR: the per-bucket log importance ratio table —
+    ``(bucket, log_ratio)``, exactly ``n_buckets`` rows (absent buckets
+    carry the pure-smoothing ratio), checkpointed so scoring passes
+    never re-run the fit (the build_ivf_index fit/score convention —
+    production fits on a sample once and scores corpora for weeks).
+
+    ``target`` is a boolean Column evaluated per document (e.g.
+    ``F.col("lang") == "en"``): True rows estimate p̂_target, False rows
+    p̂_raw. Features are hashed word unigrams AND bigrams (the paper's
+    estimator) through the md5-slice bucket convention
+    (hashed_linear_score), so featurization is DuckDB-reproducible.
+    Probabilities are Laplace-smoothed: ``(c_f + s) / (N + s·B)``.
+
+    Parity (repo float rules): each ln is quantized at 12dp BEFORE any
+    arithmetic (the bigram_perplexity_profile precedent — raw libm lns
+    diverge cross-engine in the last bits; at 12dp both engines agree),
+    and the ratio is a DIFFERENCE of two 12dp decimals — exact, so the
+    scoring side's per-doc sums are order-free and engine-invariant.
+
+    Plan: ONE gram pass (explode + lead window) -> target-flag join on
+    the doc key -> bucket partial agg to B rows (localCheckpoint: the
+    table is model-sized, and its totals are read back as two bounded
+    scalars — without the checkpoint that second read would re-run the
+    corpus pass). Nothing corpus-sized crosses the driver.
+    """
+    grams = _gram_rows(df, (1, 2), id_col, text_col).select(id_col, "__gram")
+    flags = df.select(F.col(id_col), target.alias("__t"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__gram")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    fstats = (
+        grams.join(flags, on=id_col)
+        .select(bucket.alias("bucket"), "__t")
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__ct"),
+            F.sum(F.when(F.col("__t"), 0).otherwise(1)).alias("__cr"),
+        )
+        .localCheckpoint()
+    )
+    # bounded scalars (high-water-mark convention) off the checkpointed
+    # B-row table — this job is B rows, not a corpus pass
+    t_total, r_total = fstats.select(
+        F.coalesce(F.sum("__ct"), F.lit(0)), F.coalesce(F.sum("__cr"), F.lit(0))
+    ).first()
+    spark = df.sparkSession
+    grid = spark.range(n_buckets).select(F.col("id").cast("long").alias("bucket"))
+    s = float(smoothing)
+    lt = F.round(
+        F.log(
+            (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(s))
+            / F.lit(float(t_total + s * n_buckets))
+        ),
+        12,
+    ).cast("decimal(38,12)")
+    lr = F.round(
+        F.log(
+            (F.coalesce(F.col("__cr"), F.lit(0)) + F.lit(s))
+            / F.lit(float(r_total + s * n_buckets))
+        ),
+        12,
+    ).cast("decimal(38,12)")
+    return (
+        grid.join(fstats, on="bucket", how="left")
+        .select(F.col("bucket"), (lt - lr).alias("log_ratio"))
+        .localCheckpoint()
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    ratios: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int | None = None,
+) -> DataFrame:
+    """SCORE half of DSIR: per-document log importance weight = the
+    exact-decimal sum of its features' bucket log-ratios, plus the
+    deterministic top-``top_n`` selection flag.
+
+    The paper resamples with Gumbel noise; that noise feeds a per-row
+    ORDERING, which is exactly the corpus_weighted_sample libm blocker —
+    so selection here is the deterministic top-N by (weight DESC, id
+    ASC), the variant a reproducible pipeline wants anyway (seeded
+    Gumbel is one ``-ln(-ln(u))`` column away for callers who accept
+    engine-specific sampling).
+
+    Surface: ``(id, n_features, log_weight, selected)`` — log_weight
+    rounded 6dp for display, selection gated on the pre-display exact
+    decimal. Zero-feature docs weigh 0 and still compete for selection
+    (a policy call the threshold owns, not a silent drop).
+
+    Plan: the same gram pass as the fit -> broadcast ratio join (B
+    rows — the model is bounded by construction) -> ONE groupBy(id)
+    exact-decimal sum -> doc-spine left join -> one total-ordered
+    selection window. Two corpus shuffles (gram window + doc agg) plus
+    the selection window's single exchange.
+    """
+    grams = _gram_rows(df, (1, 2), id_col, text_col).select(id_col, "__gram")
+    # bucket width must match the fit's: derive it from the ratio table
+    # itself (B rows — a bounded-scalar count over the checkpoint)
+    n_buckets = ratios.count()
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__gram")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    per_doc = (
+        grams.select(id_col, bucket.alias("bucket"))
+        .join(F.broadcast(ratios), on="bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("log_ratio").alias("__lw"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(38,12)")
+    spine = df.select(id_col).join(per_doc, on=id_col, how="left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_features"), F.lit(0)).cast("bigint").alias("n_features"),
+        F.coalesce(F.col("__lw"), zero).alias("__lw"),
+    )
+    if top_n is None:
+        sel = F.lit(True)
+    else:
+        # a global row_number window would single-partition-sort the
+        # corpus — instead the selection CUTOFF is one bounded
+        # TakeOrdered of top_n (weight, id) pairs (the MMR-pool mini-dim
+        # convention; top_n is selection-sized by definition) and the
+        # flag is exact-decimal literal algebra against the last pair.
+        # spine checkpoints first: the cutoff take and the output are
+        # two consumers of the corpus-sized scoring lineage.
+        spine = spine.localCheckpoint()
+        cut = (
+            spine.orderBy(F.desc("__lw"), F.asc(id_col))
+            .select("__lw", id_col)
+            .take(top_n)
+        )
+        if len(cut) < top_n:
+            sel = F.lit(True)
+        else:
+            cw, cid = cut[-1]["__lw"], cut[-1][id_col]
+            sel = (F.col("__lw") > F.lit(cw)) | (
+                (F.col("__lw") == F.lit(cw)) & (F.col(id_col) <= F.lit(cid))
+            )
+    return spine.select(
+        F.col(id_col),
+        "n_features",
+        (F.round(F.col("__lw").cast("double"), 6) + F.lit(0.0)).alias("log_weight"),
+        sel.alias("selected"),
+    )

@@ -34,7 +34,7 @@ DRIVER_WINDOW = 50
 #: tie-quantization mirror and the margin/MMR single-consumer
 #: restructures); then ALL 30 due re-confirmations (latest driver green
 #: r7 — the list the rotation-hygiene tripwire computed the moment
-#: CORRECTNESS_r10.json landed); the remaining 14 slots refresh the
+#: CORRECTNESS_r10.json landed); the remaining 13 slots refresh the
 #: OLDEST (alphabetical) r8-era confirmations early, flattening the
 #: 45-query r8 bulge that comes due at r12. The stale-ledger CI
 #: property (tests/test_oracle_parity.py) computes this window's
@@ -47,6 +47,10 @@ _WINDOW_ORDER = (
     # bounded-pool MMR: rel-top-192 mini-dim + driver-local greedy
     # replay; its oracle replays the POOLED semantics (VERDICT r10 #3)
     "embedding_mmr_select_pooled",
+    # DSIR importance selection (Xie et al. 2023): hashed uni+bigram
+    # log-ratio weights vs a target slice — the domain-selection gate in
+    # front of pretraining mixes (fit/score split per build_ivf_index)
+    "dsir_importance_selection",
     # ---- changed code this round: must re-earn the hash ----
     # ADVICE r10 #1: cosine_topk_vectorized's oracle now mirrors the
     # 12dp tie-quantization (TOPK_VEC_ORACLE split from the raw
@@ -92,7 +96,7 @@ _WINDOW_ORDER = (
     "surrogate_key_assignment",
     "text_stats_profile",
     "validation_report",
-    # ---- 14 oldest (r8) confirmations, refreshed a round early ----
+    # ---- 13 oldest (r8) confirmations, refreshed a round early ----
     "alias_header_resolution",
     "bpe_encode_stats",
     "bpe_fertility_by_lang",
@@ -106,7 +110,6 @@ _WINDOW_ORDER = (
     "customers_with_orders",
     "customers_without_orders",
     "date_backfill_initial",
-    "date_key_lookup",
 )
 
 #: Rotated out after earning their driver-green; the local pytest
@@ -130,6 +133,7 @@ _ROTATED_OUT = (
     "customer_rfm_segmentation",
     "date_dimension_build",
     "date_gap_fill_incremental",
+    "date_key_lookup",
     "dedup_impact_forecast",
     "dedup_keep_first_line",
     "dedup_keep_last_line",

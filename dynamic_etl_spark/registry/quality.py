@@ -618,7 +618,92 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents) d LEFT JOIN per p USING (doc_id)
 """.replace("__VALUES__", '(0, -0.39), (1, -0.02), (2, 0.35), (3, -0.29), (4, 0.08), (5, 0.45), (6, -0.19), (7, 0.18), (8, -0.46), (9, -0.09), (10, 0.28), (11, -0.36), (12, 0.01), (13, 0.38), (14, -0.26), (15, 0.11), (16, 0.48), (17, -0.16), (18, 0.21), (19, -0.43), (20, -0.06), (21, 0.31), (22, -0.33), (23, 0.04), (24, 0.41), (25, -0.23), (26, 0.14), (27, -0.5), (28, -0.13), (29, 0.24), (30, -0.4), (31, -0.03), (32, 0.34), (33, -0.3), (34, 0.07), (35, 0.44), (36, -0.2), (37, 0.17), (38, -0.47), (39, -0.1), (40, 0.27), (41, -0.37), (42, 0.0), (43, 0.37), (44, -0.27), (45, 0.1), (46, 0.47), (47, -0.17), (48, 0.2), (49, -0.44), (50, -0.07), (51, 0.3), (52, -0.34), (53, 0.03), (54, 0.4), (55, -0.24), (56, 0.13), (57, 0.5), (58, -0.14), (59, 0.23), (60, -0.41), (61, -0.04), (62, 0.33), (63, -0.31)').replace("__NB__", "64").replace("__TOKENS__", _SQL_TOKENS)
 
+# --------------------------------------------------------------------------
+# DSIR importance selection (Xie et al. 2023) — fit + score + select
+# --------------------------------------------------------------------------
+
+#: DSIR fixture knobs: target distribution = the English slice (~40% of
+#: documents), hashed uni+bigram features in 128 buckets, Laplace s=1,
+#: deterministic top-150 selection.
+DSIR_BUCKETS = 128
+DSIR_TOP_N = 150
+
+
+def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR over the documents table: fit the hashed-n-gram importance
+    ratios against the lang='en' target slice, score every document,
+    select the deterministic top-150 (ops/quality.dsir_bucket_ratios +
+    dsir_log_weights — 12dp-quantized lns, exact-decimal sums, bounded
+    cutoff take instead of a global sort window)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    ratios = Q.dsir_bucket_ratios(
+        docs, target=F.col("lang") == "en", n_buckets=DSIR_BUCKETS
+    )
+    return Q.dsir_log_weights(docs, ratios, top_n=DSIR_TOP_N)
+
+
+DSIR_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lang = 'en' AS is_t, {toks} AS toks FROM documents
+),
+feats AS (
+  SELECT doc_id, is_t, unnest(toks) AS f FROM base
+  UNION ALL
+  SELECT doc_id, is_t,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS f
+  FROM base WHERE len(toks) >= 2
+),
+fb AS (
+  SELECT doc_id, is_t, ('0x' || substr(md5(f), 1, 8))::BIGINT % {nb} AS b
+  FROM feats
+),
+stats AS (
+  SELECT b,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+  FROM fb GROUP BY b
+),
+tot AS (
+  SELECT coalesce(sum(ct), 0) AS t, coalesce(sum(cr), 0) AS r FROM stats
+),
+ratio AS (
+  SELECT g.b,
+         CAST(round(ln((coalesce(s.ct, 0) + CAST(1.0 AS DOUBLE))
+                       / (CAST(tot.t AS DOUBLE) + CAST({nb} AS DOUBLE))), 12)
+              AS DECIMAL(38,12))
+       - CAST(round(ln((coalesce(s.cr, 0) + CAST(1.0 AS DOUBLE))
+                       / (CAST(tot.r AS DOUBLE) + CAST({nb} AS DOUBLE))), 12)
+              AS DECIMAL(38,12)) AS lr
+  FROM (SELECT unnest(range({nb})) AS b) g
+  LEFT JOIN stats s USING (b)
+  CROSS JOIN tot
+),
+per AS (
+  SELECT fb.doc_id, count(*) AS n_features, sum(r.lr) AS lw
+  FROM fb JOIN ratio r USING (b) GROUP BY fb.doc_id
+),
+spine AS (
+  SELECT d.doc_id,
+         CAST(coalesce(p.n_features, 0) AS BIGINT) AS n_features,
+         coalesce(p.lw, CAST(0 AS DECIMAL(38,12))) AS lw
+  FROM (SELECT doc_id FROM documents) d LEFT JOIN per p USING (doc_id)
+)
+SELECT doc_id, n_features,
+       round(CAST(lw AS DOUBLE), 6) + 0.0 AS log_weight,
+       row_number() OVER (ORDER BY lw DESC, doc_id ASC) <= {topn} AS selected
+FROM spine
+""".format(toks=_SQL_TOKENS, nb=DSIR_BUCKETS, topn=DSIR_TOP_N)
+
+
 QUERIES: QueryRegistry = {
+    "dsir_importance_selection": Query(
+        dsir_importance_selection,
+        DSIR_ORACLE,
+        "DSIR importance selection (Xie et al. 2023): hashed uni+bigram "
+        "log-ratio weights vs the English target slice, exact-decimal "
+        "per-doc sums, deterministic top-150 selection",
+    ),
     "hashed_linear_quality_score": Query(
         hashed_linear_quality_score,
         CLS_ORACLE,

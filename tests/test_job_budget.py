@@ -88,6 +88,11 @@ JOB_BUDGETS = {
     # k-means fit per side, the embedding_knn_join cost x2) + the lazy
     # margin tail — measured 57 (knn_join alone measures 29)
     "embedding_margin_alignment_ivf": 62,
+    # r11 DSIR: fit chain (gram window -> bucket agg checkpoint + the
+    # two bounded-scalar totals) + ratio-table checkpoint + scoring
+    # chain (gram window -> doc agg -> spine checkpoint) + the bounded
+    # cutoff take — measured 22
+    "dsir_importance_selection": 25,
     "heavy_hitter_maintenance": 13,
     "rank_sketch_maintenance": 10,
     # r8 (window entrants must pin like every eager loop): 16 merge

@@ -34,15 +34,16 @@ def test_rows_only_query_runs(spark, name):
 
 def test_driver_window_holds_the_r11_rotation():
     """The driver hash-checks only the first DRIVER_WINDOW registered
-    queries. The r11 window (VERDICT r10 #1): the two NEW queries
-    (hybrid RRF fusion, pooled MMR) take hard-signal slots first; four
+    queries. The r11 window (VERDICT r10 #1): the three NEW queries
+    (hybrid RRF fusion, pooled MMR, DSIR importance selection) take
+    hard-signal slots first; four
     changed surfaces re-earn (embedding_topk_vectorized + knn_label_vote
     after the vectorized-oracle 12dp tie-quantization mirror, ADVICE r10
     #1/#2; embedding_margin_alignment after the single-consumer window
     rewrite + ivf mode, ADVICE r10 #3; embedding_mmr_select after the
     pooled-mode restructure); then ALL 30 due re-confirmations (latest
     driver green r7 — exactly the list the rotation-hygiene tripwire
-    computed when CORRECTNESS_r10.json landed); the remaining 14 slots
+    computed when CORRECTNESS_r10.json landed); the remaining 13 slots
     refresh the alphabetically-first r8-era confirmations early (45 come
     due at r12 — this flattens that bulge). Every windowed query is
     oracle-backed; everything rotated out stays hash-checked by this
@@ -54,6 +55,7 @@ def test_driver_window_holds_the_r11_rotation():
         # new r11, never driver-confirmed
         "hybrid_rrf_retrieval",
         "embedding_mmr_select_pooled",
+        "dsir_importance_selection",
         # changed code this round: must re-earn the hash
         "embedding_topk_vectorized",
         "knn_label_vote",
@@ -69,7 +71,7 @@ def test_driver_window_holds_the_r11_rotation():
         # representatives of the early-refreshed r8 tranche
         "alias_header_resolution",
         "bpe_merge_training",
-        "date_key_lookup",
+        "date_backfill_initial",
     ):
         assert name in window, f"{name} fell outside the driver correctness window"
     # a rows-only query in the window would waste a hash slot

@@ -151,3 +151,81 @@ def test_bigram_perplexity_matches_numpy_bruteforce(spark):
         assert abs(r.perplexity - 2.0**h) < 1e-4 * 2.0**h, doc_id
         checked += 1
     assert checked > 100  # the fixture corpus genuinely exercises the model
+
+
+def test_dsir_matches_python_bruteforce(spark):
+    """DSIR ground truth on a hand corpus: replay the hashed uni+bigram
+    log-ratio estimator in plain Python (hashlib md5 == the Spark/SQL
+    bucket convention; each ln quantized at 12dp before the sum) and pin
+    weights, feature counts, and the deterministic top-N selection."""
+    import hashlib
+    import math
+
+    from dynamic_etl_spark.ops.quality import dsir_bucket_ratios, dsir_log_weights
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "alpha beta alpha", "en"),
+        (1, "beta gamma", "en"),
+        (2, "delta delta epsilon zeta", "fr"),
+        (3, "alpha beta", "fr"),
+        (4, "", "fr"),          # zero features: weight 0, still a row
+        (5, "solo", "en"),      # one token: unigram only, no bigram
+    ]
+    B, S, TOP = 32, 1.0, 3
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    ratios = dsir_bucket_ratios(
+        df, target=F.col("lang") == "en", n_buckets=B, smoothing=S
+    )
+    got = {
+        r.doc_id: r
+        for r in dsir_log_weights(df, ratios, top_n=TOP).collect()
+    }
+
+    def bucket(f: str) -> int:
+        return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % B
+
+    feats = {}
+    for doc_id, text, lang in rows:
+        toks = [w for w in text.lower().split() if w]
+        fs = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        feats[doc_id] = (fs, lang == "en")
+    ct, cr = {}, {}
+    for fs, is_t in feats.values():
+        for f in fs:
+            (ct if is_t else cr)[bucket(f)] = (ct if is_t else cr).get(bucket(f), 0) + 1
+    T, R = sum(ct.values()), sum(cr.values())
+    from decimal import Decimal
+    def lr(b: int) -> Decimal:
+        lt = round(math.log((ct.get(b, 0) + S) / (T + S * B)), 12)
+        lraw = round(math.log((cr.get(b, 0) + S) / (R + S * B)), 12)
+        return Decimal(repr(lt)) - Decimal(repr(lraw))
+    weights = {
+        d: sum((lr(bucket(f)) for f in fs), Decimal(0)) for d, (fs, _) in feats.items()
+    }
+    order = sorted(weights, key=lambda d: (-weights[d], d))
+    selected = set(order[:TOP])
+    assert set(got) == set(weights)
+    for d, w in weights.items():
+        assert got[d].n_features == len(feats[d][0]), d
+        assert abs(got[d].log_weight - float(round(w, 6))) < 1e-9, d
+        assert got[d].selected == (d in selected), d
+    # the en docs must outrank the fr docs: the estimator worked
+    assert all(got[d].log_weight > 0 for d, (_, t) in feats.items() if t and feats[d][0])
+
+
+def test_dsir_bucket_ratio_table_is_complete_and_bounded(spark):
+    """The fit emits exactly n_buckets rows (absent buckets carry the
+    pure-smoothing ratio), so the scoring join never drops a feature."""
+    from dynamic_etl_spark.ops.quality import dsir_bucket_ratios
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "one tiny doc", "en"), (1, "another", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    ratios = dsir_bucket_ratios(df, target=F.col("lang") == "en", n_buckets=64)
+    rows = ratios.collect()
+    assert len(rows) == 64
+    assert {r.bucket for r in rows} == set(range(64))
+    assert all(r.log_ratio is not None for r in rows)

@@ -148,6 +148,12 @@ SHUFFLE_BUDGET = {
     # hashing-trick linear scorer: the bucket-count agg + the doc-spine
     # left join — measured 2; weights broadcast
     "hashed_linear_quality_score": 2,
+    # DSIR: the fit (gram window + bucket agg) and score (gram window +
+    # doc agg) run EAGERLY behind localCheckpoints (ratio table + scored
+    # spine — the cutoff take and the output share the spine), so the
+    # surfaced plan is a checkpoint scan: zero lazy exchanges; the job
+    # budget prices the eager chain
+    "dsir_importance_selection": 0,
     # margin alignment: two brute top-k windows + the src-mean WINDOW
     # (rides the fwd top-k partitioning), the tgt-mean agg + margin
     # join + per-source argmax — measured 6 after the r11
