@@ -697,9 +697,12 @@ def dsir_log_weights(
 
     Plan: the same gram pass as the fit -> broadcast ratio join (B
     rows — the model is bounded by construction) -> ONE groupBy(id)
-    exact-decimal sum -> doc-spine left join -> one total-ordered
-    selection window. Two corpus shuffles (gram window + doc agg) plus
-    the selection window's single exchange.
+    exact-decimal sum -> doc-spine left join; with ``top_n`` the spine
+    localCheckpoints and the selection cutoff is ONE bounded TakeOrdered
+    of top_n (weight, id) pairs turned into literal algebra — never a
+    global row_number window, which would single-partition-sort the
+    corpus. Two corpus shuffles (gram window + doc agg), both eager
+    behind the checkpoint; the surfaced plan is a checkpoint scan.
     """
     grams = _gram_rows(df, (1, 2), id_col, text_col).select(id_col, "__gram")
     # bucket width must match the fit's: derive it from the ratio table

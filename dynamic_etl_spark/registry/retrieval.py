@@ -386,7 +386,7 @@ MMR_POOL = 192
 
 def embedding_mmr_select_pooled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bounded-pool production mode of embedding_mmr_select: rel
-    computed once, one TakeOrdered collects the rel-top-64 mini-dim
+    computed once, one TakeOrdered collects the rel-top-192 mini-dim
     pool, and the greedy loop replays driver-local with bit-identical
     float arithmetic — ~2 jobs total instead of k corpus-linear passes
     + k checkpoints (ops/retrieval.mmr_select pool_size mode)."""
