@@ -187,6 +187,8 @@ COHORTS["r11"] = (
     "embedding_margin_alignment_ivf",
     # DSIR importance selection: fit + score + bounded cutoff take
     "dsir_importance_selection",
+    # C4 cleaning gates: the canonical line+page web-cleaning pass
+    "c4_quality_gates",
 )
 
 HEADLINE = tuple(n for cohort in COHORTS.values() for n in cohort)

@@ -154,3 +154,93 @@ def drop_duplicated_lines(
     return ids.join(rebuilt, id_col, "left").select(
         id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     )
+
+
+def c4_page_profile(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """The C4 cleaning gates (Raffel et al. 2020 JMLR §2.2 — the rules
+    behind the "Colossal Clean Crawled Corpus", public knowledge),
+    line-level + page-level in one pass:
+
+    - keep only lines ENDING in a terminal punctuation mark (. ! ? ");
+    - keep only lines with at least ``min_words`` words;
+    - drop any line containing the word "javascript" (the cookie/JS
+      warning boilerplate rule);
+    - drop the whole PAGE if it contains "lorem ipsum" or a curly
+      brace ``{`` (placeholder text / leaked code), or if fewer than
+      ``min_sentences`` sentences survive line filtering.
+
+    Sentence counting: terminal marks ``[.!?]`` in KEPT lines (C4's
+    reference implementation splits with an NLTK sentence tokenizer;
+    that dependency is absent here, and the terminal-mark count is the
+    deterministic, engine-mirrorable approximation — documented
+    contract, exercised by the planted fixture). The dirty-word page
+    rule (the LDNOOBW list) is the caller's hook: pre-filter ``docs``
+    with any blocklist gate (ops/text.blocked_url_pattern is the
+    pattern) — shipping a profanity list adds nothing to the engine.
+
+    Surface: ``(id, n_lines, n_kept_lines, n_sentences, page_kept,
+    clean_text)`` — clean_text is the kept lines re-joined in original
+    order for kept pages, NULL for dropped pages. Pure integer/string
+    algebra: no float anywhere, so the oracle is exact by construction.
+
+    Plan: posexplode lines -> per-line codegen predicates (rlike, token
+    count, contains — all JVM-side; the per-element heavy work is in
+    the exploded projection, NEVER an interpreted array lambda) -> ONE
+    groupBy(id) collecting counts + the kept (pos, line) structs ->
+    sort_array reassembly (per-doc, bounded by page size) -> page
+    verdict joined back to the doc spine so line-less docs still
+    surface. One corpus shuffle (the doc rollup).
+    """
+    lines = _exploded_lines(docs, id_col, text_col, r"\n", with_pos=True)
+    from dynamic_etl_spark.ops.text import token_count
+
+    line = F.col("__line")
+    kept = (
+        line.rlike(r'[.!?"]$')
+        & (token_count(line) >= min_words)
+        & ~F.lower(line).contains("javascript")
+    )
+    per_line = lines.select(
+        F.col(id_col),
+        "__pos",
+        "__line",
+        kept.alias("__keep"),
+        F.when(kept, F.regexp_count(line, F.lit(r"[.!?]"))).otherwise(F.lit(0)).alias(
+            "__sent"
+        ),
+    )
+    rolled = per_line.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("__keep").cast("int")).alias("n_kept_lines"),
+        F.sum("__sent").alias("__n_sent"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("__keep"), F.struct("__pos", "__line"))
+            )
+        ).alias("__kept"),
+    )
+    page_bad = F.lower(F.col(text_col)).contains("lorem ipsum") | F.col(
+        text_col
+    ).contains("{")
+    spine = docs.select(F.col(id_col), page_bad.alias("__bad"))
+    out = spine.join(rolled, on=id_col, how="left")
+    n_sent = F.coalesce(F.col("__n_sent"), F.lit(0)).cast("bigint")
+    page_kept = ~F.col("__bad") & (n_sent >= min_sentences)
+    clean = F.array_join(
+        F.transform(F.col("__kept"), lambda s: s["__line"]), "\n"
+    )
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col("n_lines"), F.lit(0)).cast("bigint").alias("n_lines"),
+        F.coalesce(F.col("n_kept_lines"), F.lit(0)).cast("bigint").alias("n_kept_lines"),
+        n_sent.alias("n_sentences"),
+        page_kept.alias("page_kept"),
+        F.when(page_kept & (F.col("n_kept_lines") > 0), clean).alias("clean_text"),
+    )

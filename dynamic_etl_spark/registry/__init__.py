@@ -34,7 +34,7 @@ DRIVER_WINDOW = 50
 #: tie-quantization mirror and the margin/MMR single-consumer
 #: restructures); then ALL 30 due re-confirmations (latest driver green
 #: r7 — the list the rotation-hygiene tripwire computed the moment
-#: CORRECTNESS_r10.json landed); the remaining 13 slots refresh the
+#: CORRECTNESS_r10.json landed); the remaining 12 slots refresh the
 #: OLDEST (alphabetical) r8-era confirmations early, flattening the
 #: 45-query r8 bulge that comes due at r12. The stale-ledger CI
 #: property (tests/test_oracle_parity.py) computes this window's
@@ -51,6 +51,9 @@ _WINDOW_ORDER = (
     # log-ratio weights vs a target slice — the domain-selection gate in
     # front of pretraining mixes (fit/score split per build_ivf_index)
     "dsir_importance_selection",
+    # C4 cleaning gates (Raffel et al. 2020): the canonical line+page
+    # web-cleaning rules, planted-fixture clean text hash-checked
+    "c4_quality_gates",
     # ---- changed code this round: must re-earn the hash ----
     # ADVICE r10 #1: cosine_topk_vectorized's oracle now mirrors the
     # 12dp tie-quantization (TOPK_VEC_ORACLE split from the raw
@@ -96,7 +99,7 @@ _WINDOW_ORDER = (
     "surrogate_key_assignment",
     "text_stats_profile",
     "validation_report",
-    # ---- 13 oldest (r8) confirmations, refreshed a round early ----
+    # ---- 12 oldest (r8) confirmations, refreshed a round early ----
     "alias_header_resolution",
     "bpe_encode_stats",
     "bpe_fertility_by_lang",
@@ -108,7 +111,6 @@ _WINDOW_ORDER = (
     "curation_pipeline_lsh",
     "customer_order_sequence",
     "customers_with_orders",
-    "customers_without_orders",
     "date_backfill_initial",
 )
 
@@ -131,6 +133,7 @@ _ROTATED_OUT = (
     "corpus_split_assignment",
     "count_min_maintenance",
     "customer_rfm_segmentation",
+    "customers_without_orders",
     "date_dimension_build",
     "date_gap_fill_incremental",
     "date_key_lookup",
@@ -265,6 +268,9 @@ _TAIL_ORDER = (
     # k-means + BLAS — engine-hash-specific; exacthash twin:
     # embedding_margin_alignment; recall + no-NLJ pytests)
     "embedding_margin_alignment_ivf",
+    # r11: DSIR's stochastic selection (A-ES over exp(log w) — libm pow
+    # in a per-row ordering; exacthash twin: dsir_importance_selection)
+    "dsir_weighted_resample",
 )
 
 

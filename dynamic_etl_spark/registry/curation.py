@@ -319,6 +319,111 @@ def line_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dup_profile(ensure_fanout_parallelism(d))
 
 
+# ==========================================================================
+# C4 cleaning gates (Raffel et al. 2020 JMLR SS2.2). documents.text is a
+# single unpunctuated line, so the page structure is PLANTED by doc_id
+# modulo (repo dirty-fixture convention): every doc gets a base line
+# closed into three sentences; modulo switches add a too-short line, a
+# javascript boilerplate line, a lorem-ipsum page killer, a curly-brace
+# page killer, an extra good sentence, and an unterminated line — one
+# planted case per gate.
+# ==========================================================================
+
+_C4_BASE_TAIL = ". this page closes cleanly. reading continues once more."
+_C4_SHORT = "too short."
+_C4_JS = "please enable javascript to continue viewing."
+_C4_LOREM = "lorem ipsum dolor sit amet consectetur."
+_C4_BRACE = "config = { key value pairs here }"
+_C4_GOOD = "this extra sentence stays in the document."
+_C4_NOTERM = "no terminal punctuation on this line"
+
+
+def _c4_dirty(docs):
+    m3, m4, m5 = F.col("doc_id") % 3, F.col("doc_id") % 4, F.col("doc_id") % 5
+    m6, m7, m8 = F.col("doc_id") % 6, F.col("doc_id") % 7, F.col("doc_id") % 8
+    dirty = F.concat(
+        F.col("text"), F.lit(_C4_BASE_TAIL),
+        F.when(m3 == 0, F.lit("\n" + _C4_SHORT)).otherwise(F.lit("")),
+        F.when(m4 == 1, F.lit("\n" + _C4_JS)).otherwise(F.lit("")),
+        F.when(m5 == 2, F.lit("\n" + _C4_LOREM)).otherwise(F.lit("")),
+        F.when(m7 == 3, F.lit("\n" + _C4_BRACE)).otherwise(F.lit("")),
+        F.when(m6 == 4, F.lit("\n" + _C4_GOOD)).otherwise(F.lit("")),
+        F.when(m8 == 5, F.lit("\n" + _C4_NOTERM)).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", dirty.alias("text"))
+
+
+def c4_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line+page cleaning gates over the planted fixture
+    (ops/lines.c4_page_profile: terminal-punctuation / min-words /
+    javascript line rules, lorem-ipsum / curly-brace / min-sentences
+    page rules; clean text reassembled in order and hash-checked)."""
+    from dynamic_etl_spark.ops.lines import c4_page_profile
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return c4_page_profile(ensure_fanout_parallelism(_c4_dirty(docs)))
+
+
+def _c4_sql_dirty() -> str:
+    return f"""
+  SELECT doc_id,
+         text || '{_C4_BASE_TAIL}'
+         || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '{_C4_SHORT}' ELSE '' END
+         || CASE WHEN doc_id % 4 = 1 THEN chr(10) || '{_C4_JS}' ELSE '' END
+         || CASE WHEN doc_id % 5 = 2 THEN chr(10) || '{_C4_LOREM}' ELSE '' END
+         || CASE WHEN doc_id % 7 = 3 THEN chr(10) || '{_C4_BRACE}' ELSE '' END
+         || CASE WHEN doc_id % 6 = 4 THEN chr(10) || '{_C4_GOOD}' ELSE '' END
+         || CASE WHEN doc_id % 8 = 5 THEN chr(10) || '{_C4_NOTERM}' ELSE '' END
+           AS text
+  FROM documents
+"""
+
+
+C4_ORACLE = f"""
+WITH dirty AS ({{dirty}}),
+l0 AS (
+  SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS pos
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM dirty)
+),
+lines AS (
+  SELECT doc_id, pos, ls[pos] AS line FROM l0 WHERE ls[pos] <> ''
+),
+per AS (
+  SELECT doc_id, pos, line,
+         (regexp_matches(line, '[.!?"]$')
+          AND len(list_filter(string_split_regex(lower(line), '\\s+'),
+                              w -> w <> '')) >= 5
+          AND NOT contains(lower(line), 'javascript')) AS keep,
+         CAST(len(regexp_extract_all(line, '[.!?]')) AS BIGINT) AS sent
+  FROM lines
+),
+rolled AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_lines,
+         CAST(sum(CASE WHEN keep THEN sent ELSE 0 END) AS BIGINT) AS n_sent,
+         string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos) AS clean
+  FROM per GROUP BY doc_id
+),
+spine AS (
+  SELECT doc_id,
+         (contains(lower(text), 'lorem ipsum') OR contains(text, '{{{{')) AS bad
+  FROM dirty
+)
+SELECT s.doc_id,
+       coalesce(r.n_lines, 0) AS n_lines,
+       coalesce(r.n_kept_lines, 0) AS n_kept_lines,
+       coalesce(r.n_sent, 0) AS n_sentences,
+       (NOT s.bad AND coalesce(r.n_sent, 0) >= 3) AS page_kept,
+       CASE WHEN NOT s.bad AND coalesce(r.n_sent, 0) >= 3
+                 AND coalesce(r.n_kept_lines, 0) > 0
+            THEN r.clean END AS clean_text
+FROM spine s LEFT JOIN rolled r USING (doc_id)
+""".format(dirty=_c4_sql_dirty())
+
+
+
+
 LINE_DEDUP_ORACLE = f"""
 WITH dirty AS (
   SELECT doc_id,
@@ -1765,6 +1870,13 @@ QUERIES: QueryRegistry = {
         winnowing_fingerprint,
         WINNOWING_ORACLE,
         "SIGMOD'03 winnowing: min-hash-per-window fingerprint set per document",
+    ),
+    "c4_quality_gates": Query(
+        c4_quality_gates,
+        C4_ORACLE,
+        "C4 cleaning gates (Raffel et al. 2020): terminal-punctuation / "
+        "min-words / javascript line rules + lorem-ipsum / curly-brace / "
+        "min-sentences page rules, clean text hash-checked",
     ),
     "line_dedup_profile": Query(
         line_dedup_profile,

@@ -696,7 +696,37 @@ FROM spine
 """.format(toks=_SQL_TOKENS, nb=DSIR_BUCKETS, topn=DSIR_TOP_N)
 
 
+def dsir_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paper's actual RESAMPLING step (DSIR samples ~ exp(log w)
+    without replacement; Gumbel-top-k over log weights == A-ES ranking
+    u^(1/w) with w = exp(log w)): the deterministic top-N selection's
+    rows-only production twin. Composition of two audited ops —
+    dsir_log_weights (the oracle-backed scorer) feeding
+    ops/sample.weighted_sample_without_replacement (the A-ES sampler,
+    xxhash64 uniforms — libm pow in a per-row ordering, hence rows-only;
+    exacthash twin: dsir_importance_selection)."""
+    from dynamic_etl_spark.ops.sample import weighted_sample_without_replacement
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    ratios = Q.dsir_bucket_ratios(
+        docs, target=F.col("lang") == "en", n_buckets=DSIR_BUCKETS
+    )
+    scored = Q.dsir_log_weights(docs, ratios).withColumn(
+        "weight", F.exp(F.col("log_weight"))
+    )
+    return weighted_sample_without_replacement(
+        scored, "doc_id", "weight", k=DSIR_TOP_N, salt=11
+    ).select("doc_id", "n_features", "log_weight")
+
+
 QUERIES: QueryRegistry = {
+    "dsir_weighted_resample": Query(
+        dsir_weighted_resample,
+        None,
+        "DSIR importance RESAMPLING: A-ES weighted sampling without "
+        "replacement over exp(log weight) — the paper's stochastic "
+        "selection (rows-only; exacthash twin: dsir_importance_selection)",
+    ),
     "dsir_importance_selection": Query(
         dsir_importance_selection,
         DSIR_ORACLE,

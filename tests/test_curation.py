@@ -311,3 +311,46 @@ def test_bloom_prefilter_under_tiny_filter_still_exact(spark):
         ).collect()
     }
     assert tiny == exact
+
+
+def test_c4_page_profile_hand_examples(spark):
+    """C4 gates ground truth on hand pages: every rule fires at least
+    once here (the planted registry fixture never trips the
+    min-sentences page rule — its base line always carries 3 marks),
+    and clean_text preserves original line order."""
+    from dynamic_etl_spark.ops.lines import c4_page_profile
+
+    rows = [
+        # kept: 3 sentences across two kept lines, short line dropped
+        (0, "alpha beta gamma delta epsilon zeta. eta theta.\nhi.\n"
+            "this closing line has exactly six words."),
+        # page dropped: only 2 sentences survive
+        (1, "alpha beta gamma delta epsilon one sentence only.\n"
+            "second sentence with five words here."),
+        # page dropped: lorem ipsum anywhere kills the page
+        (2, "a fine sentence with enough words here. more of them too. and a third one.\n"
+            "Lorem Ipsum dolor sit amet."),
+        # page dropped: curly brace
+        (3, "a fine sentence with enough words here. more. third.\nvar x = {1}"),
+        # javascript line dropped -> 0 kept lines -> page dropped, NULL text
+        (4, "please enable javascript to continue viewing this page."),
+        # unterminated line dropped; page dies on sentences
+        (5, "no terminal punctuation so this line drops"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_page_profile(df).collect()}
+    assert got[0].page_kept and got[0].n_kept_lines == 2 and got[0].n_sentences == 3
+    assert got[0].clean_text == (
+        "alpha beta gamma delta epsilon zeta. eta theta.\n"
+        "this closing line has exactly six words."
+    )
+    assert not got[1].page_kept and got[1].n_sentences == 2  # min-sentences fires
+    # lorem overrides the page even though its line passes the LINE
+    # rules (4 sentences counted: 3 in the base line + the lorem line)
+    assert not got[2].page_kept and got[2].n_sentences == 4
+    assert not got[3].page_kept                              # curly brace
+    assert not got[4].page_kept and got[4].n_kept_lines == 0
+    assert got[4].clean_text is None
+    assert not got[5].page_kept and got[5].n_sentences == 0
+    # dropped pages never surface text
+    assert all(g.clean_text is None for g in got.values() if not g.page_kept)

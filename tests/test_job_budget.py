@@ -93,6 +93,9 @@ JOB_BUDGETS = {
     # chain (gram window -> doc agg -> spine checkpoint) + the bounded
     # cutoff take — measured 22
     "dsir_importance_selection": 25,
+    # the resample twin: same fit chain, but the score spine stays lazy
+    # (no cutoff checkpoint) — measured 19
+    "dsir_weighted_resample": 22,
     "heavy_hitter_maintenance": 13,
     "rank_sketch_maintenance": 10,
     # r8 (window entrants must pin like every eager loop): 16 merge

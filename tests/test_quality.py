@@ -229,3 +229,48 @@ def test_dsir_bucket_ratio_table_is_complete_and_bounded(spark):
     assert len(rows) == 64
     assert {r.bucket for r in rows} == set(range(64))
     assert all(r.log_ratio is not None for r in rows)
+
+
+def test_dsir_resample_favors_target_like_docs(spark):
+    """The stochastic DSIR selection (A-ES over exp(log w)): (a)
+    deterministic per salt at any parallelism; (b) exactly k rows; (c)
+    across salts, the weighted sample overlaps the deterministic top-N
+    far beyond the uniform-sampling expectation (weights genuinely
+    drive inclusion)."""
+    from dynamic_etl_spark.ops.quality import dsir_bucket_ratios, dsir_log_weights
+    from dynamic_etl_spark.ops.sample import weighted_sample_without_replacement
+    from dynamic_etl_spark.catalog import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text", "lang")
+    ratios = dsir_bucket_ratios(docs, target=F.col("lang") == "en", n_buckets=128)
+    scored = dsir_log_weights(docs, ratios).withColumn(
+        "weight", F.exp(F.col("log_weight"))
+    ).localCheckpoint()
+    K = 150
+    top = {
+        r.doc_id
+        for r in scored.orderBy(F.desc("log_weight"), F.asc("doc_id")).limit(K).collect()
+    }
+    n_docs = scored.count()
+    overlaps = []
+    for salt in (11, 12, 13):
+        s1 = weighted_sample_without_replacement(scored, "doc_id", "weight", k=K, salt=salt)
+        ids = [r.doc_id for r in s1.select("doc_id").collect()]
+        assert len(ids) == K and len(set(ids)) == K
+        # repartitioned rerun must sample the identical set
+        ids2 = {
+            r.doc_id
+            for r in weighted_sample_without_replacement(
+                scored.repartition(7), "doc_id", "weight", k=K, salt=salt
+            ).select("doc_id").collect()
+        }
+        assert set(ids) == ids2
+        overlaps.append(len(set(ids) & top))
+    # uniform sampling would overlap ~K^2/n (~45 of 150 at sf0.001);
+    # weight-driven draws measured 85-94 here (the word-soup fixture's
+    # en/other vocabularies overlap heavily, so log-weight spread is
+    # modest) — pin at 1.5x uniform, comfortably outside chance and
+    # well below the measured band
+    assert min(overlaps) > 1.5 * K * K / n_docs, overlaps

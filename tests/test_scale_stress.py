@@ -702,3 +702,47 @@ def test_incremental_semantic_admission_fifty_k_store(spark):
     )
     assert spread >= cores, f"probe stage ran in only {spread} partitions"
     assert elapsed < 240, f"50k-store semantic admission took {elapsed:.0f}s"
+
+
+def test_knn_cross_side_hundred_k_recall(spark):
+    """The r11 cross-side kNN mode (knn_join(queries=) — margin
+    alignment's bucketed candidate source) at 100k corpus vectors with a
+    disjoint 2k-query side: exactly k rows per query, recall >= 0.9 vs
+    the brute cross-side top-k on a 200-query sample, and the same
+    near-linear candidate structure as the self-join (the probe pass is
+    query-sized, the cogroup stays keyed on cells)."""
+    import time as _t
+
+    from dynamic_etl_spark.ops.ann import build_ivf_index, cosine_topk, knn_join
+
+    k = 10
+    corpus = _vecs(spark, VECS_N)
+    # disjoint id space (the margin-alignment contract): queries are
+    # fresh vectors with ids >= 10^9
+    queries = _vecs(spark, 2_000).select(
+        (F.col("vec_id") + F.lit(1_000_000_000)).alias("vec_id"), "emb"
+    )
+    start = _t.perf_counter()
+    idx = build_ivf_index(corpus, "vec_id", "emb", n_cells=128)
+    out = knn_join(
+        corpus, "vec_id", "emb", k=k, n_cells=128, n_probe=16,
+        index=idx, queries=queries,
+    ).persist()
+    n_out = out.count()
+    elapsed = _t.perf_counter() - start
+    assert n_out == 2_000 * k
+
+    sample_ids = [1_000_000_000 + i * 10 + 3 for i in range(200)]
+    qs = queries.filter(F.col("vec_id").isin(sample_ids))
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(corpus, qs, "vec_id", "emb", k=k).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in out.filter(F.col("query_id").isin(sample_ids)).collect()
+    }
+    out.unpersist()
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"cross-side knn recall {recall:.3f} < 0.9"
+    assert elapsed < 240, f"100k cross-side knn took {elapsed:.0f}s"

@@ -97,6 +97,10 @@ SHUFFLE_BUDGET = {
     # the benchmark can't broadcast as strings
     "benchmark_decontamination_bloom": 5,
     "line_dedup_profile": 6,
+    # C4 gates: fan-out round-robin (single-file source) + the per-doc
+    # rollup agg + the spine join-back — measured 3; all line predicates
+    # are codegen in the exploded projection
+    "c4_quality_gates": 3,
     "near_dup_components": 1,
     "dedup_survivors": 1,
     # components (eager CC behind checkpoint, as dedup_survivors) + the
@@ -154,6 +158,10 @@ SHUFFLE_BUDGET = {
     # surfaced plan is a checkpoint scan: zero lazy exchanges; the job
     # budget prices the eager chain
     "dsir_importance_selection": 0,
+    # the A-ES resample twin: the score spine is lazy here (no top_n
+    # cutoff -> no checkpoint), so the gram window + doc agg + the
+    # global TakeOrdered's pre-exchange surface as 3
+    "dsir_weighted_resample": 3,
     # margin alignment: two brute top-k windows + the src-mean WINDOW
     # (rides the fwd top-k partitioning), the tgt-mean agg + margin
     # join + per-source argmax — measured 6 after the r11
