@@ -189,6 +189,8 @@ COHORTS["r11"] = (
     "dsir_importance_selection",
     # C4 cleaning gates: the canonical line+page web-cleaning pass
     "c4_quality_gates",
+    # canonical-URL dedup keys (one codegen pass + one key agg)
+    "url_canonical_dedup",
 )
 
 HEADLINE = tuple(n for cohort in COHORTS.values() for n in cohort)

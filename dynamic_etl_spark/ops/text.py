@@ -520,3 +520,55 @@ def markup_profile(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_tags.cast("long").alias("n_tags"),
         (n_tags > 0).alias("had_markup"),
     )
+
+
+def canonical_url(u: Column) -> Column:
+    """CC-style URL canonicalization — the dedup KEY every web-curation
+    pipeline computes before any text-level dedup (Common Crawl's SURT
+    normalization is the public reference shape): two raw URLs that
+    canonicalize equal are the same fetch target, and whole-page dups
+    collapse on this key for free (no shingling, no hashing).
+
+    Rules (each a plain string transform, identical in the Java∩RE2
+    regex subset, so the op is oracle-exact with zero float anywhere):
+    - lowercase scheme + host (path/query case is preserved — paths ARE
+      case-sensitive; the common normalizer only folds the authority);
+    - strip a leading ``www.`` and a default ``:80``/``:443`` port;
+    - default missing scheme to ``https`` (bare ``www.`` URLs);
+    - drop the ``#fragment`` (never sent to the server);
+    - drop tracking params (``utm_*``, ``fbclid``, ``gclid``, ``ref``)
+      and SORT the survivors — query-param order is not semantic;
+    - strip ONE trailing slash from a non-root path.
+
+    Pure column algebra: split → per-part transforms → reassemble; the
+    query-param sort is ``sort_array(split(...))`` (bounded by the URL
+    length, never corpus-shaped).
+    """
+    # fragment first (everything after # is client-side)
+    base = F.regexp_replace(u, r"#.*$", "")
+    scheme_raw = F.regexp_extract(base, r"^(?i)(https?)://", 1)
+    scheme = F.when(scheme_raw == "", F.lit("https")).otherwise(F.lower(scheme_raw))
+    rest = F.regexp_replace(base, r"^(?i)https?://", "")
+    authority = F.regexp_extract(rest, r"^([^/?]+)", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(authority), r"^www\.", ""), r":(80|443)$", ""
+    )
+    tail = F.regexp_replace(rest, r"^[^/?]+", "")  # /path?query or ?query or ''
+    path = F.regexp_extract(tail, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"(.)/$", r"$1")
+    )
+    query = F.regexp_extract(tail, r"\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.rlike(r"^(utm_[^=]*|fbclid|gclid|ref)(=|$)"),
+    )
+    qnorm = F.array_join(F.sort_array(kept), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qnorm == "", F.lit("")).otherwise(F.concat(F.lit("?"), qnorm)),
+    )

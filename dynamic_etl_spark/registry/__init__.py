@@ -34,7 +34,7 @@ DRIVER_WINDOW = 50
 #: tie-quantization mirror and the margin/MMR single-consumer
 #: restructures); then ALL 30 due re-confirmations (latest driver green
 #: r7 — the list the rotation-hygiene tripwire computed the moment
-#: CORRECTNESS_r10.json landed); the remaining 12 slots refresh the
+#: CORRECTNESS_r10.json landed); the remaining 11 slots refresh the
 #: OLDEST (alphabetical) r8-era confirmations early, flattening the
 #: 45-query r8 bulge that comes due at r12. The stale-ledger CI
 #: property (tests/test_oracle_parity.py) computes this window's
@@ -54,6 +54,9 @@ _WINDOW_ORDER = (
     # C4 cleaning gates (Raffel et al. 2020): the canonical line+page
     # web-cleaning rules, planted-fixture clean text hash-checked
     "c4_quality_gates",
+    # canonical-URL dedup keys (CC-style normalization) — the cheap
+    # whole-page dedup tier in front of text-level dedup
+    "url_canonical_dedup",
     # ---- changed code this round: must re-earn the hash ----
     # ADVICE r10 #1: cosine_topk_vectorized's oracle now mirrors the
     # 12dp tie-quantization (TOPK_VEC_ORACLE split from the raw
@@ -99,7 +102,7 @@ _WINDOW_ORDER = (
     "surrogate_key_assignment",
     "text_stats_profile",
     "validation_report",
-    # ---- 12 oldest (r8) confirmations, refreshed a round early ----
+    # ---- 11 oldest (r8) confirmations, refreshed a round early ----
     "alias_header_resolution",
     "bpe_encode_stats",
     "bpe_fertility_by_lang",
@@ -110,7 +113,6 @@ _WINDOW_ORDER = (
     "curation_pipeline_accounting",
     "curation_pipeline_lsh",
     "customer_order_sequence",
-    "customers_with_orders",
     "date_backfill_initial",
 )
 
@@ -133,6 +135,7 @@ _ROTATED_OUT = (
     "corpus_split_assignment",
     "count_min_maintenance",
     "customer_rfm_segmentation",
+    "customers_with_orders",
     "customers_without_orders",
     "date_dimension_build",
     "date_gap_fill_incremental",

@@ -719,7 +719,105 @@ def dsir_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_features", "log_weight")
 
 
+# --------------------------------------------------------------------------
+# Canonical-URL dedup keys (CC-style SURT-ish normalization)
+# --------------------------------------------------------------------------
+
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup groups over a planted variant fixture
+    (ops/text.canonical_url): four syntactic variants per logical page
+    — www + utm params, :443 default port + trailing slash, bare-www
+    schemeless + fragment, unordered query params — must collapse to ONE
+    canonical key; the fifth variant is a distinct page. Surface: one
+    row per canonical key with the variant count and the keep-MIN-id
+    survivor (the dedup-tier survivor convention)."""
+    from dynamic_etl_spark.ops.text import canonical_url
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    h = (F.col("doc_id") % 7).cast("string")
+    pg = (F.col("doc_id") % 10).cast("string")
+    m5 = F.col("doc_id") % 5
+    url = (
+        F.when(m5 == 0, F.concat(F.lit("https://www.Site"), h, F.lit(".example/Products/"), pg, F.lit("?utm_source=mail&b=2&a=1")))
+        .when(m5 == 1, F.concat(F.lit("HTTPS://site"), h, F.lit(".example/Products/"), pg, F.lit("?a=1&b=2&fbclid=x"), F.col("doc_id").cast("string")))
+        .when(m5 == 2, F.concat(F.lit("www.site"), h, F.lit(".example/Products/"), pg, F.lit("?b=2&a=1#sec-"), F.col("doc_id").cast("string")))
+        .when(m5 == 3, F.concat(F.lit("https://Site"), h, F.lit(".example:443/Products/"), pg, F.lit("/?a=1&b=2")))
+        .otherwise(F.concat(F.lit("https://site"), h, F.lit(".example/About?ref=footer")))
+    )
+    return (
+        docs.select("doc_id", canonical_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+URL_CANONICAL_ORACLE = """
+WITH planted AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'https://www.Site' || (doc_id % 7) || '.example/Products/' || (doc_id % 10) || '?utm_source=mail&b=2&a=1'
+           WHEN 1 THEN 'HTTPS://site' || (doc_id % 7) || '.example/Products/' || (doc_id % 10) || '?a=1&b=2&fbclid=x' || doc_id
+           WHEN 2 THEN 'www.site' || (doc_id % 7) || '.example/Products/' || (doc_id % 10) || '?b=2&a=1#sec-' || doc_id
+           WHEN 3 THEN 'https://Site' || (doc_id % 7) || '.example:443/Products/' || (doc_id % 10) || '/?a=1&b=2'
+           ELSE 'https://site' || (doc_id % 7) || '.example/About?ref=footer'
+         END AS u
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, regexp_replace(u, '#.*$', '') AS base FROM planted
+),
+split1 AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(base, '^(?i)https?://')
+              THEN lower(regexp_extract(base, '^(?i)(https?)://', 1))
+              ELSE 'https' END AS scheme,
+         regexp_replace(base, '^(?i)https?://', '') AS rest
+  FROM parts
+),
+split2 AS (
+  SELECT doc_id, scheme,
+         regexp_replace(regexp_replace(lower(regexp_extract(rest, '^([^/?]+)', 1)),
+                                       '^www\\.', ''),
+                        ':(80|443)$', '') AS host,
+         regexp_replace(rest, '^[^/?]+', '') AS tail
+  FROM split1
+),
+split3 AS (
+  SELECT doc_id, scheme, host,
+         CASE WHEN regexp_extract(tail, '^([^?]*)', 1) = '' THEN '/'
+              ELSE regexp_replace(regexp_extract(tail, '^([^?]*)', 1), '(.)/$', '\\1')
+         END AS path,
+         coalesce(array_to_string(
+           list_sort(list_filter(string_split(regexp_extract(tail, '\\?(.*)$', 1), '&'),
+                                 p -> p <> ''
+                                      AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)'))),
+           '&'), '') AS qnorm
+  FROM split2
+),
+canon AS (
+  SELECT doc_id,
+         scheme || '://' || host || path
+           || CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END AS canonical_url
+  FROM split3
+)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_variants,
+       min(doc_id) AS keeper_doc_id
+FROM canon GROUP BY canonical_url
+"""
+
+
 QUERIES: QueryRegistry = {
+    "url_canonical_dedup": Query(
+        url_canonical_dedup,
+        URL_CANONICAL_ORACLE,
+        "canonical-URL dedup keys (CC-style normalization: fold "
+        "scheme/host case, www, default ports, fragments, tracking "
+        "params; sort the query) — variant groups + keep-MIN survivor",
+    ),
     "dsir_weighted_resample": Query(
         dsir_weighted_resample,
         None,

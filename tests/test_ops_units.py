@@ -1128,3 +1128,41 @@ def test_count_min_eps_delta_api_and_bound(spark):
     }
     assert all(est[i] >= exact[i] for i in exact), "CM underestimated"
     assert all(est[i] <= exact[i] + eps * n for i in exact), "eps*n bound broken"
+
+
+def test_canonical_url_hand_examples(spark):
+    """Canonical-URL ground truth: scheme/host case folding, www +
+    default-port stripping, fragment drop, tracking-param removal,
+    query sort, trailing-slash strip — and the non-cases (path case
+    preserved, :8080 kept, ref-in-value kept, root slash kept)."""
+    from dynamic_etl_spark.ops.text import canonical_url
+
+    cases = [
+        ("https://www.Site.Example/Products/7?utm_source=m&b=2&a=1",
+         "https://site.example/Products/7?a=1&b=2"),
+        ("HTTPS://site.example:443/Products/7/?a=1&b=2",
+         "https://site.example/Products/7?a=1&b=2"),
+        ("www.site.example/Products/7?b=2&a=1#frag",
+         "https://site.example/Products/7?a=1&b=2"),
+        ("http://site.example:80/x", "http://site.example/x"),
+        # non-default port survives; path case survives
+        ("https://site.example:8080/CaseSensitive/Path",
+         "https://site.example:8080/CaseSensitive/Path"),
+        # bare host -> root path
+        ("https://site.example", "https://site.example/"),
+        # root slash is NOT stripped (the (.)/$ guard)
+        ("https://site.example/", "https://site.example/"),
+        # 'ref' only drops as a whole param name; prefix/value matches stay
+        ("https://site.example/p?refresh=1&x=ref", 
+         "https://site.example/p?refresh=1&x=ref"),
+        ("https://site.example/p?ref=footer&gclid=1&fbclid=2",
+         "https://site.example/p"),
+        # empty params vanish; sorting is bytewise
+        ("https://site.example/p?b=2&&a=10&a=2",
+         "https://site.example/p?a=10&a=2&b=2"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i int, u string")
+    from pyspark.sql import functions as F
+    got = {r.i: r.c for r in df.select("i", canonical_url(F.col("u")).alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)

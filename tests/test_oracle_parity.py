@@ -34,16 +34,16 @@ def test_rows_only_query_runs(spark, name):
 
 def test_driver_window_holds_the_r11_rotation():
     """The driver hash-checks only the first DRIVER_WINDOW registered
-    queries. The r11 window (VERDICT r10 #1): the four NEW queries
+    queries. The r11 window (VERDICT r10 #1): the five NEW queries
     (hybrid RRF fusion, pooled MMR, DSIR importance selection, the C4
-    cleaning gates) take hard-signal slots first; four
+    cleaning gates, canonical-URL dedup) take hard-signal slots first; four
     changed surfaces re-earn (embedding_topk_vectorized + knn_label_vote
     after the vectorized-oracle 12dp tie-quantization mirror, ADVICE r10
     #1/#2; embedding_margin_alignment after the single-consumer window
     rewrite + ivf mode, ADVICE r10 #3; embedding_mmr_select after the
     pooled-mode restructure); then ALL 30 due re-confirmations (latest
     driver green r7 — exactly the list the rotation-hygiene tripwire
-    computed when CORRECTNESS_r10.json landed); the remaining 12 slots
+    computed when CORRECTNESS_r10.json landed); the remaining 11 slots
     refresh the alphabetically-first r8-era confirmations early (45 come
     due at r12 — this flattens that bulge). Every windowed query is
     oracle-backed; everything rotated out stays hash-checked by this
@@ -57,6 +57,7 @@ def test_driver_window_holds_the_r11_rotation():
         "embedding_mmr_select_pooled",
         "dsir_importance_selection",
         "c4_quality_gates",
+        "url_canonical_dedup",
         # changed code this round: must re-earn the hash
         "embedding_topk_vectorized",
         "knn_label_vote",

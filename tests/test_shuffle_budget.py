@@ -162,6 +162,9 @@ SHUFFLE_BUDGET = {
     # cutoff -> no checkpoint), so the gram window + doc agg + the
     # global TakeOrdered's pre-exchange surface as 3
     "dsir_weighted_resample": 3,
+    # canonical-URL dedup: pure column algebra + ONE groupBy on the
+    # canonical key (partial agg; variant groups are tiny by nature)
+    "url_canonical_dedup": 1,
     # margin alignment: two brute top-k windows + the src-mean WINDOW
     # (rides the fwd top-k partitioning), the tgt-mean agg + margin
     # join + per-source argmax — measured 6 after the r11
