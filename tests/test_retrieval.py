@@ -1,7 +1,8 @@
-"""The r10 beyond-reference additions — BM25 retrieval, JL projection,
-greedy MMR, the hashed linear classifier gate, margin-criterion
-alignment, and winnowing overlap pair mining: brute-force ground truth
-and plan/contract pins for each."""
+"""The r10/r11 beyond-reference retrieval additions — BM25, JL
+projection, greedy + pooled MMR, the hashed linear classifier gate,
+margin-criterion alignment (brute + bucketed IVF), winnowing overlap
+pair mining, and reciprocal-rank fusion: brute-force ground truth and
+plan/contract pins for each."""
 
 from __future__ import annotations
 
