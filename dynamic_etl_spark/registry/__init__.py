@@ -28,221 +28,201 @@ from dynamic_etl_spark.registry.core import Query, QueryRegistry
 #: checked in tests/test_llm.py) go last.
 DRIVER_WINDOW = 50
 
-#: Positions 1-50 — the r11 rotation (VERDICT r10 #1): new/changed
-#: queries take hard-signal slots first (the hybrid-RRF and pooled-MMR
-#: additions; the four re-earns after the vectorized-oracle
-#: tie-quantization mirror and the margin/MMR single-consumer
-#: restructures); then ALL 30 due re-confirmations (latest driver green
-#: r7 — the list the rotation-hygiene tripwire computed the moment
-#: CORRECTNESS_r10.json landed); the remaining 11 slots refresh the
-#: OLDEST (alphabetical) r8-era confirmations early, flattening the
-#: 45-query r8 bulge that comes due at r12. The stale-ledger CI
-#: property (tests/test_oracle_parity.py) computes this window's
-#: obligations from the checked-in CORRECTNESS_r*.json files.
+#: Positions 1-50 — the r12 rotation (VERDICT r11 #1): the changed
+#: canonical-URL surface re-earns first (ADVICE r11 #1/#2: scheme-
+#: paired default-port strip + protocol-relative/userinfo authority
+#: handling changed the dedup keys); then ALL 34 due re-confirmations
+#: (latest driver green r8 — the exact list the rotation-hygiene
+#: tripwire computed the moment CORRECTNESS_r11.json landed); the
+#: remaining 15 slots refresh the OLDEST (alphabetical) r9-era
+#: confirmations early, flattening the 47-query r9 bulge that comes
+#: due at r13. New r12 queries swap in against the tail fillers as
+#: they land. The stale-ledger CI property
+#: (tests/test_oracle_parity.py) computes this window's obligations
+#: from the checked-in CORRECTNESS_r*.json files.
 _WINDOW_ORDER = (
-    # ---- NEW r11, never driver-confirmed ----
-    # reciprocal-rank fusion of the BM25 and exemplar-cosine rankings —
-    # the lexical+dense hybrid retrieval stack (VERDICT r10 #4)
-    "hybrid_rrf_retrieval",
-    # bounded-pool MMR: rel-top-192 mini-dim + driver-local greedy
-    # replay; its oracle replays the POOLED semantics (VERDICT r10 #3)
-    "embedding_mmr_select_pooled",
-    # DSIR importance selection (Xie et al. 2023): hashed uni+bigram
-    # log-ratio weights vs a target slice — the domain-selection gate in
-    # front of pretraining mixes (fit/score split per build_ivf_index)
-    "dsir_importance_selection",
-    # C4 cleaning gates (Raffel et al. 2020): the canonical line+page
-    # web-cleaning rules, planted-fixture clean text hash-checked
-    "c4_quality_gates",
-    # canonical-URL dedup keys (CC-style normalization) — the cheap
-    # whole-page dedup tier in front of text-level dedup
-    "url_canonical_dedup",
     # ---- changed code this round: must re-earn the hash ----
-    # ADVICE r10 #1: cosine_topk_vectorized's oracle now mirrors the
-    # 12dp tie-quantization (TOPK_VEC_ORACLE split from the raw
-    # brute-force oracle); knn_label_vote votes over the same quantized
-    # top-k SET (ADVICE r10 #2: it re-earns with the path, not after)
-    "embedding_topk_vectorized",
-    "knn_label_vote",
-    # ADVICE r10 #3: margin alignment's forward pass is now a single
-    # consumer (window mean instead of groupBy+join-back) and gained
-    # the candidates="ivf" mode; mmr_select was restructured around the
-    # shared base projection for the pooled mode — both re-earn
-    "embedding_margin_alignment",
-    "embedding_mmr_select",
-    # ---- ALL 30 due re-confirmations (latest green r7; the exact list
-    # the rotation-hygiene tripwire printed against the r10 ledger) ----
-    "events_ks_drift",
-    "events_ks_drift_binned",
-    "events_tumbling_window",
-    "events_value_trend",
-    "fallback_key_resolution",
-    "generator_fact_day",
-    "gopher_repetition_gates",
-    "ks_drift_maintenance",
-    "language_id_profile",
-    "leakage_safe_split",
-    "length_bucketed_batching",
-    "line_dedup_profile",
-    "multimodal_feature_extract",
-    "near_dup_components",
-    "ngram_jaccard_similarity",
-    "pii_detect_redact",
-    "pricing_summary",
-    "quasi_identifier_risk",
-    "rollup_slice_rebuild",
-    "scan_projection_filter",
-    "scd1_merge_orders",
-    "scd2_merge_customers",
-    "semantic_decontamination",
-    "semantic_decontamination_vectorized",
-    "sequence_packing",
-    "source_diversity_profile",
-    "split_leakage_audit",
-    "surrogate_key_assignment",
-    "text_stats_profile",
-    "validation_report",
-    # ---- 11 oldest (r8) confirmations, refreshed a round early ----
-    "alias_header_resolution",
-    "bpe_encode_stats",
-    "bpe_fertility_by_lang",
-    "bpe_merge_training",
-    "clean_distributor_feed",
-    "corpus_stratified_sample",
-    "cube_order_totals",
-    "curation_pipeline_accounting",
-    "curation_pipeline_lsh",
-    "customer_order_sequence",
-    "date_backfill_initial",
+    "url_canonical_dedup",
+    # ---- ALL 34 due re-confirmations (latest green r8) ----
+    "customers_with_orders",
+    "customers_without_orders",
+    "date_key_lookup",
+    "dedup_keep_first_line",
+    "dedup_keep_last_line",
+    "dedup_survivors_best_quality",
+    "distinct_profile",
+    "duplicate_group_members",
+    "embedding_ann_ivf_exacthash",
+    "embedding_ann_lsh_exacthash",
+    "embedding_density_exacthash",
+    "embedding_knn_join_exacthash",
+    "encoding_repair_profile",
+    "events_json_extract",
+    "events_ks_drift_autogrid",
+    "events_rate_profile",
+    "events_sliding_window",
+    "events_type_pagerank_exacthash",
+    "fk_integrity_report",
+    "fk_orphan_attribution",
+    "freshness_watermark",
+    "high_water_mark",
+    "insert_only_merge",
+    "latest_order_per_customer",
+    "minhash_near_dup_exacthash",
+    "nation_key_set_ops",
+    "natural_key_concat",
+    "numeric_profile",
+    "point_and_flag_filter",
+    "scd2_point_in_time_lookup",
+    "simhash_near_dup_exacthash",
+    "snowflake_extraction",
+    "tiered_discount_pricing",
+    "top_part_types",
+    # ---- 15 oldest (r9) confirmations, refreshed a round early ----
+    "approx_distinct_exacthash",
+    "benchmark_decontamination_bloom",
+    "bigram_novelty_profile",
+    "bigram_perplexity_profile",
+    "corpus_mixture_sample",
+    "corpus_split_assignment",
+    "customer_rfm_segmentation",
+    "distinct_sketch_maintenance_exacthash",
+    "document_chunking",
+    "embedding_int8_quant",
+    "embedding_label_centroids",
+    "events_equidepth_deciles",
+    "events_fill_forward",
+    "events_funnel_conversion",
+    "events_hourly_resample",
 )
 
 #: Rotated out after earning their driver-green; the local pytest
 #: parity harness still hash-checks each against the same oracle every
 #: run. Alphabetical — position past 50 carries no signal.
 _ROTATED_OUT = (
-    "approx_distinct_exacthash",
+    "alias_header_resolution",
     "benchmark_decontamination",
-    "benchmark_decontamination_bloom",
     "benchmark_span_scrub",
-    "bigram_novelty_profile",
-    "bigram_perplexity_profile",
     "bm25_topk_retrieval",
+    "bpe_encode_stats",
+    "bpe_fertility_by_lang",
+    "bpe_merge_training",
+    "c4_quality_gates",
     "change_detection_classification",
+    "clean_distributor_feed",
     "clean_product_feed",
     "clean_store_feed",
     "coercion_failure_profile",
-    "corpus_mixture_sample",
-    "corpus_split_assignment",
+    "corpus_stratified_sample",
     "count_min_maintenance",
-    "customer_rfm_segmentation",
-    "customers_with_orders",
-    "customers_without_orders",
+    "cube_order_totals",
+    "curation_pipeline_accounting",
+    "curation_pipeline_lsh",
+    "customer_order_sequence",
+    "date_backfill_initial",
     "date_dimension_build",
     "date_gap_fill_incremental",
-    "date_key_lookup",
     "dedup_impact_forecast",
-    "dedup_keep_first_line",
-    "dedup_keep_last_line",
     "dedup_keep_last_line_agg",
     "dedup_survivors",
-    "dedup_survivors_best_quality",
-    "distinct_profile",
-    "distinct_sketch_maintenance_exacthash",
-    "document_chunking",
     "document_gram_exposure",
     "drop_unresolved_keys",
+    "dsir_importance_selection",
     "duplicate_detection",
-    "duplicate_group_members",
     "duplicated_span_removal",
-    "embedding_ann_ivf_exacthash",
-    "embedding_ann_lsh_exacthash",
-    "embedding_density_exacthash",
     "embedding_dim_spread",
-    "embedding_int8_quant",
     "embedding_jl_projection",
-    "embedding_knn_join_exacthash",
-    "embedding_label_centroids",
+    "embedding_margin_alignment",
+    "embedding_mmr_select",
+    "embedding_mmr_select_pooled",
     "embedding_near_dup",
     "embedding_topk_bruteforce",
-    "encoding_repair_profile",
+    "embedding_topk_vectorized",
     "events_asof_last_purchase",
     "events_compaction_plan",
-    "events_equidepth_deciles",
-    "events_fill_forward",
-    "events_funnel_conversion",
     "events_hourly_heatmap",
-    "events_hourly_resample",
     "events_interarrival_profile",
-    "events_json_extract",
     "events_key_skew_profile",
-    "events_ks_drift_autogrid",
+    "events_ks_drift",
+    "events_ks_drift_binned",
     "events_minmax_scaled",
     "events_range_interval_join",
-    "events_rate_profile",
     "events_retention_cohorts",
     "events_rolling_distinct_users",
     "events_rolling_user_value",
     "events_sessionization",
-    "events_sliding_window",
     "events_transition_matrix",
+    "events_tumbling_window",
     "events_type_drift_profile",
-    "events_type_pagerank_exacthash",
     "events_type_pivot",
     "events_type_unpivot",
     "events_value_histogram",
     "events_value_percentiles",
+    "events_value_trend",
     "events_value_zscore",
     "events_zorder_tiles",
     "exact_dedup_fingerprint",
-    "fk_integrity_report",
-    "fk_orphan_attribution",
+    "fallback_key_resolution",
     "flagship_star_join",
-    "freshness_watermark",
     "fuzzy_brand_match",
     "generator_distributors",
+    "generator_fact_day",
     "generator_products",
     "generator_stores",
+    "gopher_repetition_gates",
     "grouping_sets_order_totals",
     "hashed_linear_quality_score",
     "heavy_hitter_maintenance",
-    "high_water_mark",
+    "hybrid_rrf_retrieval",
     "incremental_curation_admission",
     "incremental_curation_admission_steady",
     "incremental_near_dup_exacthash",
     "incremental_rollup_maintenance",
     "incremental_semantic_dedup",
-    "insert_only_merge",
-    "latest_order_per_customer",
+    "knn_label_vote",
+    "ks_drift_maintenance",
+    "language_id_profile",
+    "leakage_safe_split",
+    "length_bucketed_batching",
+    "line_dedup_profile",
     "markup_strip_clean",
-    "minhash_near_dup_exacthash",
     "mini_dim_upsert",
-    "nation_key_set_ops",
+    "multimodal_feature_extract",
     "nation_segment_listagg",
-    "natural_key_concat",
+    "near_dup_components",
+    "ngram_jaccard_similarity",
     "null_count_profile",
-    "numeric_profile",
     "order_price_distribution_ranks",
     "orders_above_customer_avg",
     "orders_snapshot_diff",
+    "pii_detect_redact",
     "pmi_collocations_top",
-    "point_and_flag_filter",
+    "pricing_summary",
     "quality_rank_calibration",
     "quantile_hist_maintenance",
+    "quasi_identifier_risk",
     "rank_sketch_finalize_exact",
     "reservoir_sample_maintenance",
+    "rollup_slice_rebuild",
     "rollup_totals",
     "salted_skew_join",
-    "scd2_point_in_time_lookup",
+    "scan_projection_filter",
+    "scd1_merge_orders",
+    "scd2_merge_customers",
+    "semantic_decontamination",
+    "semantic_decontamination_vectorized",
     "semantic_dedup_survivors",
+    "sequence_packing",
     "shard_assignment_profile",
-    "simhash_near_dup_exacthash",
-    "snowflake_extraction",
     "source_concentration_profile",
+    "source_diversity_profile",
     "source_quota_cap",
+    "split_leakage_audit",
+    "surrogate_key_assignment",
+    "text_stats_profile",
     "tfidf_top_terms",
-    "tiered_discount_pricing",
-    "top_part_types",
     "url_filter_profile",
+    "validation_report",
     "value_anomaly_mad",
     "value_outlier_gate",
     "vocabulary_build",

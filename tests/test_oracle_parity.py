@@ -32,48 +32,39 @@ def test_rows_only_query_runs(spark, name):
     assert len(df.columns) > 0
 
 
-def test_driver_window_holds_the_r11_rotation():
+def test_driver_window_holds_the_r12_rotation():
     """The driver hash-checks only the first DRIVER_WINDOW registered
-    queries. The r11 window (VERDICT r10 #1): the five NEW queries
-    (hybrid RRF fusion, pooled MMR, DSIR importance selection, the C4
-    cleaning gates, canonical-URL dedup) take hard-signal slots first; four
-    changed surfaces re-earn (embedding_topk_vectorized + knn_label_vote
-    after the vectorized-oracle 12dp tie-quantization mirror, ADVICE r10
-    #1/#2; embedding_margin_alignment after the single-consumer window
-    rewrite + ivf mode, ADVICE r10 #3; embedding_mmr_select after the
-    pooled-mode restructure); then ALL 30 due re-confirmations (latest
-    driver green r7 — exactly the list the rotation-hygiene tripwire
-    computed when CORRECTNESS_r10.json landed); the remaining 11 slots
-    refresh the alphabetically-first r8-era confirmations early (45 come
-    due at r12 — this flattens that bulge). Every windowed query is
-    oracle-backed; everything rotated out stays hash-checked by this
-    local harness."""
+    queries. The r12 window (VERDICT r11 #1): changed surfaces re-earn
+    first (url_canonical_dedup after the scheme-paired default-port
+    strip + protocol-relative/userinfo authority fixes, ADVICE r11
+    #1/#2); then ALL 34 due re-confirmations (latest driver green r8 —
+    exactly the list the rotation-hygiene tripwire computed when
+    CORRECTNESS_r11.json landed); the remaining slots refresh the
+    alphabetically-first r9-era confirmations early (47 come due at
+    r13 — this flattens that bulge; new r12 queries swap in against the
+    tail fillers as they land). Every windowed query is oracle-backed;
+    everything rotated out stays hash-checked by this local harness."""
     from dynamic_etl_spark.registry import DRIVER_WINDOW, _ROTATED_OUT
 
     window = list(REGISTRY)[:DRIVER_WINDOW]
     for name in (
-        # new r11, never driver-confirmed
-        "hybrid_rrf_retrieval",
-        "embedding_mmr_select_pooled",
-        "dsir_importance_selection",
-        "c4_quality_gates",
-        "url_canonical_dedup",
         # changed code this round: must re-earn the hash
-        "embedding_topk_vectorized",
-        "knn_label_vote",
-        "embedding_margin_alignment",
-        "embedding_mmr_select",
-        # representatives of the 30 due r7-era re-confirmations
-        "events_ks_drift",
-        "multimodal_feature_extract",
-        "pii_detect_redact",
-        "pricing_summary",
-        "scd1_merge_orders",
-        "validation_report",
-        # representatives of the early-refreshed r8 tranche
-        "alias_header_resolution",
-        "bpe_merge_training",
-        "date_backfill_initial",
+        "url_canonical_dedup",
+        # representatives of the 34 due r8-era re-confirmations
+        "customers_with_orders",
+        "date_key_lookup",
+        "dedup_keep_first_line",
+        "embedding_ann_ivf_exacthash",
+        "freshness_watermark",
+        "high_water_mark",
+        "insert_only_merge",
+        "snowflake_extraction",
+        "tiered_discount_pricing",
+        "top_part_types",
+        # representatives of the early-refreshed r9 tranche
+        "approx_distinct_exacthash",
+        "bigram_perplexity_profile",
+        "document_chunking",
     ):
         assert name in window, f"{name} fell outside the driver correctness window"
     # a rows-only query in the window would waste a hash slot
