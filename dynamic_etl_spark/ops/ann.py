@@ -347,6 +347,13 @@ def cosine_topk_vectorized(
             # Since r11 the oracles MIRROR this: TOPK_VEC_ORACLE and
             # KNN_VOTE_ORACLE rank by round(sim, 12) too (ADVICE r10
             # #1) — keep this path and those oracles in lockstep.
+            # Residual known sliver (ADVICE r11 #5): the mirror is
+            # DuckDB round() (half-away-from-zero) vs np.round
+            # (half-to-even), so a raw sim landing EXACTLY on a 12dp
+            # half rounds to different 12dp values per engine and can
+            # flip a tie rank — same class as the documented 6dp-half
+            # sliver, measure-zero on real cosines. If a top-k tie ever
+            # flips between engines, diagnose as this class first.
             sims = np.round(sims, 12)
             kk = min(k, sims.shape[0])
             part = np.argpartition(-sims, kk - 1, axis=0)
@@ -1114,6 +1121,22 @@ def knn_join(
     import pandas as pd
 
     from pyspark.sql import types as T
+
+    # the slab pass excludes self-matches with a numpy equality mask
+    # between query ids and corpus ids (ADVICE r11 #3): mismatched id
+    # dtypes degrade that comparison silently (object-vs-int is
+    # elementwise-False or a scalar False), so the documented same-row
+    # exclusion would quietly stop working — refuse before the index fit
+    if queries is not None:
+        _qid = query_id_col or id_col
+        if queries.schema[_qid].dataType != corpus.schema[id_col].dataType:
+            raise TypeError(
+                f"knn_join cross-side id dtypes must match for the "
+                f"self-match exclusion: queries[{_qid}] is "
+                f"{queries.schema[_qid].dataType.simpleString()}, "
+                f"corpus[{id_col}] is "
+                f"{corpus.schema[id_col].dataType.simpleString()}"
+            )
 
     if index is None:
         index = build_ivf_index(corpus, id_col, vec_col, n_cells, seed, persist=True)

@@ -140,6 +140,15 @@ def bm25_topk(
 #: cosine_topk_vectorized query-matrix convention).
 MMR_POOL_CAP = 8192
 
+#: Driver-memory budget for the pooled working set (VERDICT r11 #3):
+#: the row cap alone ignores vector WIDTH — 8192 rows of dim-1024
+#: float64 is already ~67 MB of driver traffic, and wider embeddings
+#: scale linearly. The pool's payload is ~ pool_size * dim * 8 bytes
+#: (plus Python list overhead), so the guard below refuses any
+#: (pool_size, dim) combination whose raw payload exceeds this budget
+#: instead of silently ballooning the driver heap.
+MMR_POOL_BUDGET_BYTES = 128 * 2**20
+
 
 def mmr_select(
     corpus: DataFrame,
@@ -202,6 +211,14 @@ def mmr_select(
     can in principle score above pool members from OUTSIDE any
     rel-pruned pool — use the exact mode there, or widen the pool
     (pytest pins pooled == exact on the fixture at lam = 0.5).
+
+    Driver-memory sizing (VERDICT r11 #3): the pooled mode ships
+    ``pool_size * dim * 8`` bytes of float64 vectors to the driver
+    (~67 MB at the 8192 cap with dim-1024 embeddings; wider embeddings
+    scale linearly). Both the row cap (:data:`MMR_POOL_CAP`) and the
+    byte budget (:data:`MMR_POOL_BUDGET_BYTES`) are enforced — a caller
+    with wide embeddings must shrink ``pool_size`` so the product fits,
+    or run the exact mode.
     """
     from dynamic_etl_spark.ops.ann import as_double_vec, cosine, l2_norm
 
@@ -236,7 +253,7 @@ def mmr_select(
     )
     if pool_size is not None:
         picked = _mmr_greedy_local(
-            _mmr_pool(base, pool_size), lam, one_minus, k
+            _mmr_pool(base, pool_size, dim=len(anchor)), lam, one_minus, k
         )
         return spark.createDataFrame(picked, out_schema).select(
             "rank", id_col, F.round("__score", 6).alias("mmr_score")
@@ -271,7 +288,7 @@ def mmr_select(
     )
 
 
-def _mmr_pool(base: DataFrame, pool_size: int) -> list[tuple]:
+def _mmr_pool(base: DataFrame, pool_size: int, *, dim: int) -> list[tuple]:
     """Collect the rel-top-``pool_size`` working pool — ONE TakeOrdered
     job over the scored candidates; rel values are the distributed
     expression's own doubles, so the local replay shares every bit."""
@@ -279,6 +296,14 @@ def _mmr_pool(base: DataFrame, pool_size: int) -> list[tuple]:
         raise ValueError(
             f"mmr_select: pool_size {pool_size} exceeds the bounded "
             f"mini-dim cap {MMR_POOL_CAP}"
+        )
+    est_bytes = pool_size * dim * 8
+    if est_bytes > MMR_POOL_BUDGET_BYTES:
+        raise ValueError(
+            f"mmr_select: pool payload ~{est_bytes >> 20} MiB "
+            f"(pool_size {pool_size} x dim {dim} x 8 B) exceeds the "
+            f"driver budget {MMR_POOL_BUDGET_BYTES >> 20} MiB — shrink "
+            f"pool_size for this vector width or use the exact mode"
         )
     return [
         (r["__id"], r["__rel"], list(r["__v"]))

@@ -533,8 +533,14 @@ def canonical_url(u: Column) -> Column:
     regex subset, so the op is oracle-exact with zero float anywhere):
     - lowercase scheme + host (path/query case is preserved — paths ARE
       case-sensitive; the common normalizer only folds the authority);
-    - strip a leading ``www.`` and a default ``:80``/``:443`` port;
-    - default missing scheme to ``https`` (bare ``www.`` URLs);
+    - drop a ``userinfo@`` authority prefix (SURT drops it: credentials
+      are not part of the fetch-target identity, and keeping them would
+      defeat the www/port folds);
+    - strip a leading ``www.`` and the scheme's OWN default port only
+      (``:80`` for http, ``:443`` for https — ``http://host:443`` is a
+      different fetch target and keeps its port in the key);
+    - default missing scheme to ``https`` (bare ``www.`` URLs and
+      RFC 3986 §4.2 protocol-relative ``//host/path`` forms);
     - drop the ``#fragment`` (never sent to the server);
     - drop tracking params (``utm_*``, ``fbclid``, ``gclid``, ``ref``)
       and SORT the survivors — query-param order is not semantic;
@@ -548,11 +554,20 @@ def canonical_url(u: Column) -> Column:
     base = F.regexp_replace(u, r"#.*$", "")
     scheme_raw = F.regexp_extract(base, r"^(?i)(https?)://", 1)
     scheme = F.when(scheme_raw == "", F.lit("https")).otherwise(F.lower(scheme_raw))
-    rest = F.regexp_replace(base, r"^(?i)https?://", "")
+    # strip the scheme; the optional-group form also consumes a bare
+    # leading "//" so a protocol-relative URL parses its authority
+    # instead of leaking "//host" into the path (ADVICE r11 #2)
+    rest = F.regexp_replace(base, r"^(?i)(https?:)?//", "")
     authority = F.regexp_extract(rest, r"^([^/?]+)", 1)
+    # userinfo strip is greedy to the LAST @ (RFC 3986: the host starts
+    # after the final @ of the authority)
     host = F.regexp_replace(
-        F.regexp_replace(F.lower(authority), r"^www\.", ""), r":(80|443)$", ""
+        F.regexp_replace(F.lower(authority), r"^.*@", ""), r"^www\.", ""
     )
+    # scheme-paired default-port strip (ADVICE r11 #1)
+    host = F.when(
+        scheme == "http", F.regexp_replace(host, r":80$", "")
+    ).otherwise(F.regexp_replace(host, r":443$", ""))
     tail = F.regexp_replace(rest, r"^[^/?]+", "")  # /path?query or ?query or ''
     path = F.regexp_extract(tail, r"^([^?]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(

@@ -725,10 +725,11 @@ def dsir_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup groups over a planted variant fixture
-    (ops/text.canonical_url): four syntactic variants per logical page
+    (ops/text.canonical_url): five syntactic variants per logical page
     — www + utm params, :443 default port + trailing slash, bare-www
-    schemeless + fragment, unordered query params — must collapse to ONE
-    canonical key; the fifth variant is a distinct page. Surface: one
+    schemeless + fragment, unordered query params, protocol-relative
+    with a userinfo@ prefix (ADVICE r11 #2) — must collapse to ONE
+    canonical key; the sixth variant is a distinct page. Surface: one
     row per canonical key with the variant count and the keep-MIN-id
     survivor (the dedup-tier survivor convention)."""
     from dynamic_etl_spark.ops.text import canonical_url
@@ -736,12 +737,13 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id")
     h = (F.col("doc_id") % 7).cast("string")
     pg = (F.col("doc_id") % 10).cast("string")
-    m5 = F.col("doc_id") % 5
+    m6 = F.col("doc_id") % 6
     url = (
-        F.when(m5 == 0, F.concat(F.lit("https://www.Site"), h, F.lit(".example/Products/"), pg, F.lit("?utm_source=mail&b=2&a=1")))
-        .when(m5 == 1, F.concat(F.lit("HTTPS://site"), h, F.lit(".example/Products/"), pg, F.lit("?a=1&b=2&fbclid=x"), F.col("doc_id").cast("string")))
-        .when(m5 == 2, F.concat(F.lit("www.site"), h, F.lit(".example/Products/"), pg, F.lit("?b=2&a=1#sec-"), F.col("doc_id").cast("string")))
-        .when(m5 == 3, F.concat(F.lit("https://Site"), h, F.lit(".example:443/Products/"), pg, F.lit("/?a=1&b=2")))
+        F.when(m6 == 0, F.concat(F.lit("https://www.Site"), h, F.lit(".example/Products/"), pg, F.lit("?utm_source=mail&b=2&a=1")))
+        .when(m6 == 1, F.concat(F.lit("HTTPS://site"), h, F.lit(".example/Products/"), pg, F.lit("?a=1&b=2&fbclid=x"), F.col("doc_id").cast("string")))
+        .when(m6 == 2, F.concat(F.lit("www.site"), h, F.lit(".example/Products/"), pg, F.lit("?b=2&a=1#sec-"), F.col("doc_id").cast("string")))
+        .when(m6 == 3, F.concat(F.lit("https://Site"), h, F.lit(".example:443/Products/"), pg, F.lit("/?a=1&b=2")))
+        .when(m6 == 4, F.concat(F.lit("//user"), F.col("doc_id").cast("string"), F.lit("@www.Site"), h, F.lit(".example/Products/"), pg, F.lit("?b=2&a=1")))
         .otherwise(F.concat(F.lit("https://site"), h, F.lit(".example/About?ref=footer")))
     )
     return (
@@ -757,11 +759,12 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 URL_CANONICAL_ORACLE = """
 WITH planted AS (
   SELECT doc_id,
-         CASE doc_id % 5
+         CASE doc_id % 6
            WHEN 0 THEN 'https://www.Site' || (doc_id % 7) || '.example/Products/' || (doc_id % 10) || '?utm_source=mail&b=2&a=1'
            WHEN 1 THEN 'HTTPS://site' || (doc_id % 7) || '.example/Products/' || (doc_id % 10) || '?a=1&b=2&fbclid=x' || doc_id
            WHEN 2 THEN 'www.site' || (doc_id % 7) || '.example/Products/' || (doc_id % 10) || '?b=2&a=1#sec-' || doc_id
            WHEN 3 THEN 'https://Site' || (doc_id % 7) || '.example:443/Products/' || (doc_id % 10) || '/?a=1&b=2'
+           WHEN 4 THEN '//user' || doc_id || '@www.Site' || (doc_id % 7) || '.example/Products/' || (doc_id % 10) || '?b=2&a=1'
            ELSE 'https://site' || (doc_id % 7) || '.example/About?ref=footer'
          END AS u
   FROM documents
@@ -774,16 +777,22 @@ split1 AS (
          CASE WHEN regexp_matches(base, '^(?i)https?://')
               THEN lower(regexp_extract(base, '^(?i)(https?)://', 1))
               ELSE 'https' END AS scheme,
-         regexp_replace(base, '^(?i)https?://', '') AS rest
+         regexp_replace(base, '^(?i)(https?:)?//', '') AS rest
   FROM parts
 ),
 split2 AS (
   SELECT doc_id, scheme,
-         regexp_replace(regexp_replace(lower(regexp_extract(rest, '^([^/?]+)', 1)),
-                                       '^www\\.', ''),
-                        ':(80|443)$', '') AS host,
+         CASE WHEN scheme = 'http'
+              THEN regexp_replace(h, ':80$', '')
+              ELSE regexp_replace(h, ':443$', '') END AS host,
          regexp_replace(rest, '^[^/?]+', '') AS tail
-  FROM split1
+  FROM (
+    SELECT doc_id, scheme, rest,
+           regexp_replace(regexp_replace(lower(regexp_extract(rest, '^([^/?]+)', 1)),
+                                         '^.*@', ''),
+                          '^www\\.', '') AS h
+    FROM split1
+  )
 ),
 split3 AS (
   SELECT doc_id, scheme, host,
@@ -815,8 +824,9 @@ QUERIES: QueryRegistry = {
         url_canonical_dedup,
         URL_CANONICAL_ORACLE,
         "canonical-URL dedup keys (CC-style normalization: fold "
-        "scheme/host case, www, default ports, fragments, tracking "
-        "params; sort the query) — variant groups + keep-MIN survivor",
+        "scheme/host case, www, userinfo, scheme-paired default ports, "
+        "fragments, tracking params; sort the query) — variant groups "
+        "+ keep-MIN survivor",
     ),
     "dsir_weighted_resample": Query(
         dsir_weighted_resample,

@@ -356,6 +356,23 @@ def test_knn_join_respects_cell_guard(spark):
         ).collect()
 
 
+def test_knn_join_cross_side_refuses_mismatched_id_dtypes(spark):
+    """ADVICE r11 #3: the cross-side self-match exclusion is a numpy
+    equality mask between query and corpus ids — mismatched dtypes
+    (string vs bigint) degrade it silently, so knn_join must refuse
+    up front rather than quietly stop excluding same-row matches."""
+    import pytest as _pytest
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qs = emb.limit(5).select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    )
+    with _pytest.raises(TypeError, match="id dtypes must match"):
+        ANN.knn_join(
+            emb, "vec_id", "embedding", k=3, n_cells=4, n_probe=2, queries=qs
+        )
+
+
 def test_lsh_ann_recall_vs_bruteforce(spark):
     emb = load_table(spark, SF_SMALL, "embeddings").cache()
     queries = emb.filter(F.col("vec_id") % 10 == 0)

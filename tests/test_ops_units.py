@@ -1145,6 +1145,17 @@ def test_canonical_url_hand_examples(spark):
         ("www.site.example/Products/7?b=2&a=1#frag",
          "https://site.example/Products/7?a=1&b=2"),
         ("http://site.example:80/x", "http://site.example/x"),
+        # the default-port strip is scheme-paired (ADVICE r11 #1):
+        # :443 on http / :80 on https are DIFFERENT fetch targets
+        ("http://site.example:443/x", "http://site.example:443/x"),
+        ("https://site.example:80/x", "https://site.example:80/x"),
+        # protocol-relative authority parses as host, not path
+        # (ADVICE r11 #2); scheme defaults to https
+        ("//www.Site.example/P?b=2&a=1", "https://site.example/P?a=1&b=2"),
+        # userinfo@ is dropped (to the LAST @) so the www/port folds
+        # see the real host
+        ("https://user:pw@www.Site.example:443/x", "https://site.example/x"),
+        ("https://a@b@site.example/x", "https://site.example/x"),
         # non-default port survives; path case survives
         ("https://site.example:8080/CaseSensitive/Path",
          "https://site.example:8080/CaseSensitive/Path"),

@@ -319,6 +319,23 @@ def test_mmr_missing_or_zero_anchor_raises(spark):
         R.mmr_select(df, anchor_id=2, k=2)
 
 
+def test_mmr_pool_refuses_over_budget_vector_width(spark):
+    """VERDICT r11 #3: the pooled mode's row cap alone ignores vector
+    width — pool_size x dim x 8 B is what actually lands on the driver.
+    A (pool_size, dim) product over MMR_POOL_BUDGET_BYTES must refuse
+    with actionable sizing, before any collect."""
+    dim = 4096  # 8192 rows x 4096 dims x 8 B = 256 MiB > the 128 MiB budget
+    df = spark.createDataFrame(
+        [(0, [1.0] * dim), (1, [0.5] * dim)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="driver budget"):
+        R.mmr_select(df, anchor_id=0, k=1, pool_size=8192)
+    # within budget at the same width: a small pool still runs
+    out = R.mmr_select(df, anchor_id=0, k=1, pool_size=16).collect()
+    assert [r.vec_id for r in out] == [1]
+
+
 def test_mmr_exhausts_small_candidate_sets(spark):
     df = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [0.5, 0.5]), (2, [0.0, 1.0])],
