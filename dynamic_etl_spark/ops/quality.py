@@ -704,29 +704,7 @@ def dsir_log_weights(
     corpus. Two corpus shuffles (gram window + doc agg), both eager
     behind the checkpoint; the surfaced plan is a checkpoint scan.
     """
-    grams = _gram_rows(df, (1, 2), id_col, text_col).select(id_col, "__gram")
-    # bucket width must match the fit's: derive it from the ratio table
-    # itself (B rows — a bounded-scalar count over the checkpoint)
-    n_buckets = ratios.count()
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("__gram")), 1, 8), 16, 10).cast("long")
-        % n_buckets
-    )
-    per_doc = (
-        grams.select(id_col, bucket.alias("bucket"))
-        .join(F.broadcast(ratios), on="bucket")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_features"),
-            F.sum("log_ratio").alias("__lw"),
-        )
-    )
-    zero = F.lit(0).cast("decimal(38,12)")
-    spine = df.select(id_col).join(per_doc, on=id_col, how="left").select(
-        F.col(id_col),
-        F.coalesce(F.col("n_features"), F.lit(0)).cast("bigint").alias("n_features"),
-        F.coalesce(F.col("__lw"), zero).alias("__lw"),
-    )
+    spine = _dsir_scored_spine(df, ratios, id_col=id_col, text_col=text_col)
     if top_n is None:
         sel = F.lit(True)
     else:
@@ -755,4 +733,90 @@ def dsir_log_weights(
         "n_features",
         (F.round(F.col("__lw").cast("double"), 6) + F.lit(0.0)).alias("log_weight"),
         sel.alias("selected"),
+    )
+
+
+def _dsir_scored_spine(
+    df: DataFrame, ratios: DataFrame, *, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared SCORE plan of :func:`dsir_log_weights` and
+    :func:`dsir_gate`: ``(id, n_features bigint, __lw decimal(38,12))``
+    — gram pass -> broadcast ratio join -> ONE exact-decimal groupBy(id)
+    sum -> doc-spine left join (zero-feature docs weigh exactly 0)."""
+    grams = _gram_rows(df, (1, 2), id_col, text_col).select(id_col, "__gram")
+    # bucket width must match the fit's: derive it from the ratio table
+    # itself (B rows — a bounded-scalar count over the checkpoint)
+    n_buckets = ratios.count()
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__gram")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    per_doc = (
+        grams.select(id_col, bucket.alias("bucket"))
+        .join(F.broadcast(ratios), on="bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("log_ratio").alias("__lw"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(38,12)")
+    return df.select(id_col).join(per_doc, on=id_col, how="left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_features"), F.lit(0)).cast("bigint").alias("n_features"),
+        F.coalesce(F.col("__lw"), zero).alias("__lw"),
+    )
+
+
+def dsir_gate(
+    df: DataFrame,
+    ratios: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_log_weight,
+) -> DataFrame:
+    """Thresholded DSIR admission (VERDICT r11 #4) — the maintained/
+    streaming sibling of :func:`dsir_log_weights`'s top-N selection:
+    score each document against a FROZEN ratio table (fit once with
+    :func:`dsir_bucket_ratios`, stored like the semantic tier's frozen
+    centers) and pass exactly the docs whose log weight clears
+    ``min_log_weight``. Per-doc weights depend only on the doc's own
+    text and the frozen table, so the decision is batch-order-free —
+    the property a per-micro-batch gate needs.
+
+    ``min_log_weight`` is taken as a decimal literal (pass a str/
+    Decimal/int to stay exact — a float would import its repr noise);
+    ``passes`` compares the EXACT decimal sum against it, never the 6dp
+    display rounding, so the gate decision carries no rounding sliver
+    at all. Spark's decimal-SUM precision rule accumulates the 12dp
+    ratios at scale 11 (decimal(38,11) — the +10-precision overflow
+    sheds one scale digit), so the threshold must be representable at
+    11dp; a finer literal would silently quantize to a DIFFERENT cut
+    than the oracle's 12dp compare, and is refused instead.
+    Zero-feature docs weigh exactly 0 and pass iff
+    ``0 >= min_log_weight`` (the policy stays with the threshold, not a
+    silent drop).
+
+    Surface: ``(id, n_features, log_weight 6dp-double, passes)``. Same
+    two-corpus-shuffle scoring plan as the selection form.
+    """
+    from decimal import Decimal
+
+    spine = _dsir_scored_spine(df, ratios, id_col=id_col, text_col=text_col)
+    lw_type = spine.schema["__lw"].dataType
+    cut_dec = Decimal(str(min_log_weight))
+    if -cut_dec.as_tuple().exponent > lw_type.scale:
+        raise ValueError(
+            f"dsir_gate: min_log_weight {min_log_weight!r} has more "
+            f"decimal places than the accumulated weight's scale "
+            f"({lw_type.simpleString()}) — the compare would quantize "
+            f"it; round the threshold to {lw_type.scale}dp"
+        )
+    cut = F.lit(str(min_log_weight)).cast(lw_type)
+    return spine.select(
+        F.col(id_col),
+        "n_features",
+        (F.round(F.col("__lw").cast("double"), 6) + F.lit(0.0)).alias("log_weight"),
+        (F.col("__lw") >= cut).alias("passes"),
     )

@@ -41,8 +41,15 @@ DRIVER_WINDOW = 50
 #: (tests/test_oracle_parity.py) computes this window's obligations
 #: from the checked-in CORRECTNESS_r*.json files.
 _WINDOW_ORDER = (
+    # ---- NEW r12, never driver-confirmed ----
+    # the composed curation gate with the DSIR fourth tier (VERDICT
+    # r11 #4): frozen ratio table, exact-decimal threshold admission
+    "incremental_curation_admission_dsir",
     # ---- changed code this round: must re-earn the hash ----
     "url_canonical_dedup",
+    # the DSIR scorer was refactored around the shared scoring spine
+    # (_dsir_scored_spine) that the new thresholded gate also rides
+    "dsir_importance_selection",
     # ---- ALL 34 due re-confirmations (latest green r8) ----
     "customers_with_orders",
     "customers_without_orders",
@@ -92,8 +99,6 @@ _WINDOW_ORDER = (
     "embedding_label_centroids",
     "events_equidepth_deciles",
     "events_fill_forward",
-    "events_funnel_conversion",
-    "events_hourly_resample",
 )
 
 #: Rotated out after earning their driver-green; the local pytest
@@ -127,7 +132,6 @@ _ROTATED_OUT = (
     "dedup_survivors",
     "document_gram_exposure",
     "drop_unresolved_keys",
-    "dsir_importance_selection",
     "duplicate_detection",
     "duplicated_span_removal",
     "embedding_dim_spread",
@@ -140,7 +144,9 @@ _ROTATED_OUT = (
     "embedding_topk_vectorized",
     "events_asof_last_purchase",
     "events_compaction_plan",
+    "events_funnel_conversion",
     "events_hourly_heatmap",
+    "events_hourly_resample",
     "events_interarrival_profile",
     "events_key_skew_profile",
     "events_ks_drift",

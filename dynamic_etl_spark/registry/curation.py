@@ -1362,14 +1362,30 @@ def _incremental_curation_fixture(spark: SparkSession, sf_dir: str):
     return corpus_docs, corpus_emb, batch_docs, batch_emb
 
 
+#: Fourth-tier (DSIR quality) knobs: ratio table fit on the corpus with
+#: target slice doc_id % 4 == 0, 128 hashed uni+bigram buckets, and an
+#: exact-decimal admission threshold of 0 (docs at least as target-like
+#: as neutral pass; zero-feature docs weigh exactly 0 and pass).
+DSIR_GATE_BUCKETS = 128
+DSIR_GATE_MIN_LW = "0"
+
+
 def _run_curation_gate(
-    spark: SparkSession, sf_dir: str, state: dict | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    state: dict | None = None,
+    dsir_min_lw: str | None = None,
 ) -> DataFrame:
-    """The shared tier composition behind both composed-gate queries:
-    exact -> lexical -> semantic admission with per-doc attribution.
-    ``state`` is the persistent-store bundle a production caller holds
-    between batches (None builds everything from the corpus inline —
-    the bootstrap-pricing form)."""
+    """The shared tier composition behind the composed-gate queries:
+    exact -> lexical -> semantic admission with per-doc attribution,
+    plus (``dsir_min_lw`` set) an optional FOURTH tier — DSIR
+    quality admission of the semantic survivors against a frozen
+    bucket-ratio table (VERDICT r11 #4: the same frozen-fit pattern as
+    the semantic tier's centers; ``state['dsir_ratios']`` carries the
+    prebuilt table, else it is fit from the corpus inline with target
+    slice ``doc_id % 4 == 0``). ``state`` is the persistent-store
+    bundle a production caller holds between batches (None builds
+    everything from the corpus inline — the bootstrap-pricing form)."""
     from dynamic_etl_spark.ops import ann as ANN
     from dynamic_etl_spark.ops import lsh as L
     from dynamic_etl_spark.ops.text import fingerprint_md5
@@ -1415,6 +1431,46 @@ def _run_curation_gate(
     admitted = out3["accepted"].select("doc_id").unionByName(no_emb)
 
     flag = lambda df, name: df.select("doc_id", F.lit(True).alias(name))
+
+    if dsir_min_lw is not None:
+        # tier 4 — DSIR quality admission of the semantic survivors
+        # against the frozen ratio table (fit once, score for weeks)
+        from dynamic_etl_spark.ops import quality as Q
+
+        ratios = state.get("dsir_ratios")
+        if ratios is None:
+            ratios = Q.dsir_bucket_ratios(
+                corpus_docs,
+                target=F.col("doc_id") % 4 == 0,
+                n_buckets=DSIR_GATE_BUCKETS,
+            )
+        # two consumers of the tier-3 survivor set (the DSIR scoring
+        # input and the attribution flag) — checkpoint the seam
+        s3 = batch_docs.join(admitted, "doc_id", "leftsemi").localCheckpoint()
+        final = (
+            Q.dsir_gate(s3, ratios, min_log_weight=dsir_min_lw)
+            .filter(F.col("passes"))
+            .select("doc_id")
+        )
+        return (
+            batch_docs.select("doc_id")
+            .join(flag(s1, "__t1"), "doc_id", "left")
+            .join(flag(s2, "__t2"), "doc_id", "left")
+            .join(flag(s3, "__t3"), "doc_id", "left")
+            .join(flag(final, "__adm"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("__adm"), F.lit(False)).alias("admitted"),
+                F.when(F.coalesce(F.col("__adm"), F.lit(False)), F.lit("none"))
+                .when(F.coalesce(F.col("__t3"), F.lit(False)), F.lit("quality"))
+                .when(F.coalesce(F.col("__t2"), F.lit(False)), F.lit("semantic"))
+                .when(F.coalesce(F.col("__t1"), F.lit(False)), F.lit("lexical"))
+                .otherwise(F.lit("exact"))
+                .alias("rejected_by"),
+            )
+            .orderBy("doc_id")
+        )
+
     return (
         batch_docs.select("doc_id")
         .join(flag(s1, "__t1"), "doc_id", "left")
@@ -1542,7 +1598,40 @@ def incremental_curation_admission_steady(
     )
 
 
-def _sql_incremental_curation_oracle() -> str:
+def incremental_curation_admission_dsir(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The composed gate with the FOURTH tier active (VERDICT r11 #4):
+    exact -> lexical -> semantic -> DSIR quality admission. The
+    semantic tier's survivors are scored against a frozen DSIR ratio
+    table (ops/quality.dsir_bucket_ratios fit on the corpus, target
+    slice ``doc_id % 4 == 0`` — the frozen-fit convention the semantic
+    tier's centers established) and pass iff their exact-decimal log
+    weight clears :data:`DSIR_GATE_MIN_LW` (ops/quality.dsir_gate).
+    Attribution gains the ``quality`` category: a doc that survived all
+    three dedup tiers but reads raw-like is rejected here — the gate
+    order every curation pipeline runs (dedup first, quality last, so
+    quality scoring never pays for duplicates).
+
+    The steady-state sibling of this tier is the frozen table in
+    ``_steady_curation_state`` (fit once per session) and, on a stream,
+    ``streaming/sink.run_streaming_curation(dsir_root=...)`` —
+    batch-vs-stream admitted-set parity pinned in
+    tests/test_streaming.py. Scale shape: the fit is one gram pass to a
+    B-row table; scoring is survivor-sized (two shuffles), so the tier
+    adds nothing corpus-shaped beyond what tier 2 already paid."""
+    return _run_curation_gate(
+        spark, sf_dir, state=None, dsir_min_lw=DSIR_GATE_MIN_LW
+    )
+
+
+def _sql_incremental_curation_oracle(dsir: bool = False) -> str:
+    """The composed-gate oracle CTE. ``dsir=False`` reproduces the
+    three-tier string byte-for-byte (the two r9-era queries keep their
+    earned hashes); ``dsir=True`` appends the fourth-tier CTEs — the
+    DSIR fit on the corpus (target = doc_id % 4 = 0, the DSIR_ORACLE
+    estimator verbatim) and the exact-decimal threshold gate over the
+    tier-3 survivors."""
     from dynamic_etl_spark.registry.llm import _sql_grams, sql_minhash_band_ctes
 
     jac = (
@@ -1559,6 +1648,12 @@ def _sql_incremental_curation_oracle() -> str:
            i -> CAST(CAST(embedding[i] AS DOUBLE)
                      + 0.0005 * (((i - 1) % 3) - 1) AS REAL))"""
     rev = "array_to_string(list_reverse(string_split(text, ' ')), ' ')"
+    dsir_ctes = _sql_dsir_tier_ctes() if dsir else ""
+    final_alias = "f" if dsir else "a"
+    quality_case = (
+        "\n            WHEN a.doc_id IS NOT NULL THEN 'quality'" if dsir else ""
+    )
+    final_join = "\nLEFT JOIN dfinal f ON b.doc_id = f.doc_id" if dsir else ""
     return f"""
 WITH RECURSIVE corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
@@ -1684,22 +1779,84 @@ adm3 AS (
   WHERE f.any_hit = 0 AND l.comp = l.doc_id
 ),
 no_emb AS (SELECT s2.doc_id FROM s2 ANTI JOIN bemb USING (doc_id)),
-admitted AS (SELECT doc_id FROM adm3 UNION ALL SELECT doc_id FROM no_emb)
+admitted AS (SELECT doc_id FROM adm3 UNION ALL SELECT doc_id FROM no_emb){dsir_ctes}
 SELECT b.doc_id,
-       (a.doc_id IS NOT NULL) AS admitted,
-       CASE WHEN a.doc_id IS NOT NULL THEN 'none'
+       ({final_alias}.doc_id IS NOT NULL) AS admitted,
+       CASE WHEN {final_alias}.doc_id IS NOT NULL THEN 'none'{quality_case}
             WHEN t2.doc_id IS NOT NULL THEN 'semantic'
             WHEN t1.doc_id IS NOT NULL THEN 'lexical'
             ELSE 'exact' END AS rejected_by
 FROM batch b
 LEFT JOIN keep1 t1 ON b.doc_id = t1.doc_id
 LEFT JOIN s2 t2 ON b.doc_id = t2.doc_id
-LEFT JOIN admitted a ON b.doc_id = a.doc_id
+LEFT JOIN admitted a ON b.doc_id = a.doc_id{final_join}
 ORDER BY b.doc_id
 """
 
 
+def _sql_dsir_tier_ctes() -> str:
+    """Fourth-tier CTEs: DSIR fit on the corpus + exact-decimal gate of
+    the tier-3 survivors (mirrors ops/quality.dsir_bucket_ratios +
+    dsir_gate — the DSIR_ORACLE estimator with corpus/batch roles)."""
+    bigrams = (
+        "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])"
+    )
+    return """,
+dbase AS (
+  SELECT doc_id, doc_id % 4 = 0 AS is_t, {toks} AS toks FROM corpus
+),
+dfeats AS (
+  SELECT is_t, unnest(toks) AS f FROM dbase
+  UNION ALL
+  SELECT is_t, unnest({bg}) AS f FROM dbase WHERE len(toks) >= 2
+),
+dstats AS (
+  SELECT ('0x' || substr(md5(f), 1, 8))::BIGINT % {nb} AS b,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+  FROM dfeats GROUP BY 1
+),
+dtot AS (
+  SELECT coalesce(sum(ct), 0) AS t, coalesce(sum(cr), 0) AS r FROM dstats
+),
+dratio AS (
+  SELECT g.b,
+         CAST(round(ln((coalesce(s.ct, 0) + CAST(1.0 AS DOUBLE))
+                       / (CAST(dtot.t AS DOUBLE) + CAST({nb} AS DOUBLE))), 12)
+              AS DECIMAL(38,12))
+       - CAST(round(ln((coalesce(s.cr, 0) + CAST(1.0 AS DOUBLE))
+                       / (CAST(dtot.r AS DOUBLE) + CAST({nb} AS DOUBLE))), 12)
+              AS DECIMAL(38,12)) AS lr
+  FROM (SELECT unnest(range({nb})) AS b) g
+  LEFT JOIN dstats s USING (b)
+  CROSS JOIN dtot
+),
+stoks AS (
+  SELECT b.doc_id, {toks} AS toks
+  FROM batch b JOIN admitted a USING (doc_id)
+),
+sfeats AS (
+  SELECT doc_id, unnest(toks) AS f FROM stoks
+  UNION ALL
+  SELECT doc_id, unnest({bg}) AS f FROM stoks WHERE len(toks) >= 2
+),
+sper AS (
+  SELECT s.doc_id, sum(r.lr) AS lw
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5(f), 1, 8))::BIGINT % {nb} AS b
+        FROM sfeats) s
+  JOIN dratio r USING (b) GROUP BY s.doc_id
+),
+dfinal AS (
+  SELECT a.doc_id FROM admitted a LEFT JOIN sper p ON a.doc_id = p.doc_id
+  WHERE coalesce(p.lw, CAST(0 AS DECIMAL(38,12)))
+        >= CAST({minlw} AS DECIMAL(38,12))
+)""".format(toks=_SQL_TOKENS, bg=bigrams, nb=DSIR_GATE_BUCKETS,
+            minlw=DSIR_GATE_MIN_LW)
+
+
 INCREMENTAL_CURATION_ORACLE = _sql_incremental_curation_oracle()
+INCREMENTAL_CURATION_DSIR_ORACLE = _sql_incremental_curation_oracle(dsir=True)
 
 
 # ==========================================================================
@@ -1829,6 +1986,14 @@ QUERIES: QueryRegistry = {
         "(fingerprints, MinHash signatures, frozen centers + embedding "
         "assignments), each invocation prices only per-batch admission; "
         "byte-identical output to the bootstrap form — shared oracle",
+    ),
+    "incremental_curation_admission_dsir": Query(
+        incremental_curation_admission_dsir,
+        INCREMENTAL_CURATION_DSIR_ORACLE,
+        "the composed gate plus the DSIR fourth tier: semantic "
+        "survivors scored against a frozen corpus-fit ratio table, "
+        "exact-decimal threshold admission, 'quality' attribution "
+        "(dedup first, quality last)",
     ),
     "curation_pipeline_accounting": Query(
         curation_pipeline_accounting,

@@ -438,6 +438,10 @@ def run_streaming_curation(
     n_probe: int = 2,
     seed: int = 42,
     max_iter: int = 8,
+    dsir_root: str | None = None,
+    dsir_target=None,
+    dsir_min_log_weight=None,
+    dsir_buckets: int = 128,
     timeout_sec: int = 480,
 ) -> StreamingQuery:
     """The THREE-TIER curation gate on a stream (VERDICT r9 #4): each
@@ -445,6 +449,21 @@ def run_streaming_curation(
     SemDeDup semantic admission — the composition of
     registry/curation's maintained gate — against persistent versioned
     stores, with per-doc tier attribution appended to a ledger table.
+
+    ``dsir_root`` (VERDICT r11 #4) enables the optional FOURTH tier:
+    DSIR quality admission. The bucket-ratio table is FIT ONCE — on the
+    committed corpus if one exists, else on the bootstrap batch, with
+    ``dsir_target`` (a Column predicate over the doc frame, e.g.
+    ``F.col("doc_id") % 4 == 0``) marking the target slice — committed
+    to ``dsir_root`` before anything depends on it (the centers_root
+    convention), and every later batch scores its semantic survivors
+    against the frozen table (ops/quality.dsir_gate), admitting docs
+    whose exact-decimal log weight clears ``dsir_min_log_weight``.
+    Attribution gains the ``quality`` category. Per-doc weights depend
+    only on the doc text and the frozen table, so streamed admission
+    equals the batch gate's on any batch split (pytest-pinned). DSIR
+    keeps NO per-doc store — the frozen fit is its entire state, so
+    there is nothing to heal.
     Composes what :func:`run_streaming_dedup` and
     :func:`run_streaming_semantic_dedup` each do for ONE tier, with
     crash-consistent commits across BOTH state families (previously a
@@ -515,7 +534,14 @@ def run_streaming_curation(
         incremental_near_dup_merge,
         minhash_banded_rows,
     )
+    from dynamic_etl_spark.ops.quality import dsir_bucket_ratios, dsir_gate
     from dynamic_etl_spark.ops.text import fingerprint_md5, tokens
+
+    if dsir_root is not None and (dsir_target is None or dsir_min_log_weight is None):
+        raise ValueError(
+            "dsir_root requires dsir_target (the fit's target-slice "
+            "predicate) and dsir_min_log_weight (the admission threshold)"
+        )
 
     spark = stream_df.sparkSession
 
@@ -626,6 +652,22 @@ def run_streaming_curation(
                     )
                     write_versioned(centers_to_rows(spark, centers), centers_root)
 
+        # frozen DSIR ratio table: read it, or fit once (corpus first —
+        # a replayed bootstrap must refit on the same rows; batch
+        # otherwise) and commit it BEFORE any decision depends on it
+        ratios = None
+        if dsir_root is not None:
+            if latest_version(dsir_root) is not None:
+                ratios = read_versioned(spark, dsir_root).localCheckpoint()
+            else:
+                fit_src = corpus if not corpus.isEmpty() else batch_df
+                ratios = dsir_bucket_ratios(
+                    fit_src.select(id_col, text_col),
+                    id_col=id_col, text_col=text_col,
+                    target=dsir_target, n_buckets=dsir_buckets,
+                )
+                write_versioned(ratios, dsir_root)
+
         recorded = -1
         if latest_version(ledger_root) is not None:
             recorded = latest_metadata(ledger_root).get("batch_id", -1)
@@ -690,18 +732,38 @@ def run_streaming_curation(
             )
         else:
             admitted_ids = s2.select(id_col)
+
+        # tier 4 — DSIR quality admission of the dedup survivors
+        # against the frozen ratio table (no per-doc store)
+        s3_ids = None
+        if ratios is not None:
+            s3_ids = admitted_ids.localCheckpoint()
+            gate = dsir_gate(
+                batch_df.join(s3_ids, id_col, "leftsemi").select(id_col, text_col),
+                ratios, id_col=id_col, text_col=text_col,
+                min_log_weight=dsir_min_log_weight,
+            )
+            admitted_ids = gate.filter(F.col("passes")).select(id_col)
         admitted_ids = admitted_ids.localCheckpoint()
 
         flag = lambda df, name: df.select(id_col, F.lit(True).alias(name))
-        ledger_delta = (
+        attributed = (
             batch_df.select(id_col)
             .join(flag(s1, "__t1"), id_col, "left")
             .join(flag(s2, "__t2"), id_col, "left")
+        )
+        quality_case = F.lit(None).cast("boolean")
+        if s3_ids is not None:
+            attributed = attributed.join(flag(s3_ids, "__t3"), id_col, "left")
+            quality_case = F.col("__t3")
+        ledger_delta = (
+            attributed
             .join(flag(admitted_ids, "__adm"), id_col, "left")
             .select(
                 id_col,
                 F.coalesce(F.col("__adm"), F.lit(False)).alias("admitted"),
                 F.when(F.coalesce(F.col("__adm"), F.lit(False)), F.lit("none"))
+                .when(F.coalesce(quality_case, F.lit(False)), F.lit("quality"))
                 .when(F.coalesce(F.col("__t2"), F.lit(False)), F.lit("semantic"))
                 .when(F.coalesce(F.col("__t1"), F.lit(False)), F.lit("lexical"))
                 .otherwise(F.lit("exact"))

@@ -63,6 +63,10 @@ JOB_BUDGETS = {
     # checkpointed stores (measured 47 at sf0.01 warm; the session-once
     # store build is excluded — see _WARM_FIRST)
     "incremental_curation_admission_steady": 51,
+    # r12 fourth-tier gate: the bootstrap gate + the DSIR fit's gram
+    # pass/checkpoint + the ratio-table count + the survivor checkpoint
+    # and scoring tail (measured 80)
+    "incremental_curation_admission_dsir": 88,
     "semantic_dedup_survivors": 43,
     "embedding_knn_join_exacthash": 64,  # the same shared 5-round integer
     # Lloyd fit as the IVF twin; only the lazy probe/rank tail differs

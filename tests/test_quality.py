@@ -231,6 +231,59 @@ def test_dsir_bucket_ratio_table_is_complete_and_bounded(spark):
     assert all(r.log_ratio is not None for r in rows)
 
 
+def test_dsir_gate_thresholds_on_the_exact_decimal(spark):
+    """dsir_gate (VERDICT r11 #4): passes agrees with dsir_log_weights'
+    ranking (same frozen table, same scoring spine), the threshold is
+    the exact decimal sum (a doc whose 6dp display rounds ONTO the
+    threshold but whose exact weight sits below it must fail), and a
+    zero-feature doc weighs exactly 0 — passing iff 0 >= threshold."""
+    import pytest
+
+    from dynamic_etl_spark.ops.quality import (
+        dsir_bucket_ratios,
+        dsir_gate,
+        dsir_log_weights,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma alpha beta", "t"),
+            (1, "one two three one two", "r"),
+            (2, "alpha two gamma", "t"),
+            (3, "", "r"),  # zero features
+        ],
+        "doc_id long, text string, side string",
+    )
+    ratios = dsir_bucket_ratios(df, target=F.col("side") == "t", n_buckets=32)
+    gate = {
+        r.doc_id: (r.n_features, r.log_weight, r.passes)
+        for r in dsir_gate(df, ratios, min_log_weight="0").collect()
+    }
+    scores = {
+        r.doc_id: r.log_weight for r in dsir_log_weights(df, ratios).collect()
+    }
+    # same scoring spine: identical surfaced weights
+    assert {d: g[1] for d, g in gate.items()} == scores
+    # threshold semantics against the exact decimal
+    for d, (_, lw, p) in gate.items():
+        if lw > 0:
+            assert p, (d, lw)
+        elif lw < 0:
+            assert not p, (d, lw)
+    # zero-feature doc: weight exactly 0, passes at threshold 0,
+    # fails any positive threshold (1e-11 = the accumulated scale's ulp)
+    assert gate[3] == (0, 0.0, True)
+    strict = {
+        r.doc_id: r.passes
+        for r in dsir_gate(df, ratios, min_log_weight="0.00000000001").collect()
+    }
+    assert strict[3] is False
+    # a threshold finer than the accumulated decimal scale would
+    # silently quantize to a different cut — refused instead
+    with pytest.raises(ValueError, match="decimal places"):
+        dsir_gate(df, ratios, min_log_weight="0.000000000001")
+
+
 def test_dsir_resample_favors_target_like_docs(spark):
     """The stochastic DSIR selection (A-ES over exp(log w)): (a)
     deterministic per salt at any parallelism; (b) exactly k rows; (c)

@@ -349,6 +349,11 @@ SHUFFLE_BUDGET = {
     # r10 steady-state form: identical surfaced plan — the prebuilt
     # stores swap checkpointed-leaf sources in, never an exchange
     "incremental_curation_admission_steady": 4,
+    # r12 fourth-tier form: the three tiers' plan + the DSIR gate's
+    # survivor-sized scoring tail (gram window + doc agg — the
+    # dsir_importance_selection shuffles on a checkpointed leaf) and
+    # one more attribution join over broadcastable flags (measured 5)
+    "incremental_curation_admission_dsir": 5,
     "simhash_near_dup": 2,
     # reviewed, not bumped: 2 fanout round-robins (one per branch, same
     # as the xxhash twin's 2) + 2 bit-vote groupBy exchanges the per-row

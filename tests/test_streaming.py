@@ -1227,6 +1227,119 @@ def test_streaming_curation_three_tier_admission(spark, scratch):
     assert batch_attr == {d: (a, why) for d, (a, why, bid) in ledger.items() if bid == 1}
 
 
+def test_streaming_curation_dsir_fourth_tier(spark, scratch):
+    """The optional DSIR quality tier on the stream (VERDICT r11 #4):
+    the ratio table is fit ONCE on the bootstrap batch (target slice =
+    doc_id == 1), committed to dsir_root, and every later batch scores
+    its dedup survivors against the FROZEN table — so a target-
+    vocabulary doc is admitted, a raw-vocabulary doc is rejected with
+    the new 'quality' attribution, and dedup still runs first (an exact
+    copy rejects as 'exact', never reaching the scorer). Batch-vs-
+    stream parity: composing the tier ops directly on the committed
+    state (fingerprint anti-join -> lexical merge -> dsir_gate with the
+    read-back frozen ratios) reproduces the streamed batch-1 ledger
+    exactly."""
+    from dynamic_etl_spark.io.versioned import read_versioned
+    from dynamic_etl_spark.streaming import file_stream, run_streaming_curation
+
+    tgt = ["alpha", "beta", "gamma", "delta", "epsilon",
+           "zeta", "eta", "theta", "iota", "kappa"]
+    raw = ["one", "two", "three", "four", "five",
+           "six", "seven", "eight", "nine", "ten"]
+    # stride varies per seed (both coprime with 10) — a shared stride
+    # would make the two sequences rotations of each other, whose
+    # 3-shingles overlap enough to trip the LEXICAL tier
+    perm = lambda ws, s: " ".join(ws[(j * (7 if s == 0 else 3)) % 10] for j in range(10))
+
+    roots = _curation_roots(scratch, "d")
+    roots["dsir_root"] = str(scratch / "cur_dsir_d")
+    feed = scratch / "cur_feed_d"
+    feed.mkdir()
+    schema = "doc_id int, text string"
+    # bootstrap: the fit batch (corpus is empty, so the frozen table is
+    # fit here); doc 1 is the target slice, doc 2 the raw side — DSIR
+    # itself rejects doc 2 at threshold 0 (raw-leaning grams)
+    b1 = spark.createDataFrame([(1, perm(tgt, 0)), (2, perm(raw, 0))], schema)
+    b1.coalesce(1).write.parquet(str(feed / "b1.parquet"))
+    drain = lambda: run_streaming_curation(
+        file_stream(spark, str(feed / "*.parquet"),
+                    spark.createDataFrame([], schema).schema),
+        **roots,
+        checkpoint_dir=str(scratch / "cur_ckpt_d"),
+        id_col="doc_id", text_col="text", vec_col=None,
+        dsir_target=F.col("doc_id") == 1, dsir_min_log_weight="0",
+        dsir_buckets=64,
+    )
+    drain()
+    assert _ledger_rows(spark, roots) == {
+        1: (True, "none", 0),
+        2: (False, "quality", 0),
+    }
+    assert _ids(spark, roots["corpus_root"]) == {1}
+    # quality rejects leave nothing in the dedup stores
+    assert _ids(spark, roots["fp_root"]) == {1}
+    assert _ids(spark, roots["lex_root"]) == {1}
+
+    b2 = spark.createDataFrame(
+        [
+            # target-vocabulary permutation: passes dedup (shingles
+            # differ) AND the frozen gate (every unigram target-side)
+            (20, perm(tgt, 1)),
+            # raw-vocabulary permutation: passes dedup, fails the gate
+            (21, perm(raw, 1)),
+            # exact copy of corpus doc 1: dedup first — 'exact', the
+            # scorer never sees it
+            (22, perm(tgt, 0).upper()),
+        ],
+        schema,
+    )
+    b2.coalesce(1).write.parquet(str(feed / "b2.parquet"))
+    drain()
+    ledger = _ledger_rows(spark, roots)
+    assert ledger == {
+        1: (True, "none", 0),
+        2: (False, "quality", 0),
+        20: (True, "none", 1),
+        21: (False, "quality", 1),
+        22: (False, "exact", 1),
+    }
+    assert _ids(spark, roots["corpus_root"]) == {1, 20}
+
+    # ---- batch-vs-stream parity: the same tier composition on the
+    # committed state, with the read-back FROZEN ratio table ----
+    from dynamic_etl_spark.ops.lsh import incremental_near_dup_merge
+    from dynamic_etl_spark.ops.quality import dsir_gate
+    from dynamic_etl_spark.ops.text import fingerprint_md5
+
+    corpus_b1 = spark.createDataFrame([(1, perm(tgt, 0))], schema)
+    fp = corpus_b1.select(fingerprint_md5(F.col("text")).alias("__fp")).distinct()
+    bfp = b2.select("doc_id", fingerprint_md5(F.col("text")).alias("__fp"))
+    keep1 = (
+        bfp.join(fp, "__fp", "left_anti")
+        .groupBy("__fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
+    s1 = b2.join(keep1, "doc_id", "leftsemi").localCheckpoint()
+    s2 = incremental_near_dup_merge(
+        corpus_b1, s1, "doc_id", "text"
+    )["accepted"].localCheckpoint()
+    ratios = read_versioned(spark, roots["dsir_root"])
+    gate = dsir_gate(s2.select("doc_id", "text"), ratios, min_log_weight="0")
+    admitted = {r["doc_id"] for r in gate.filter(F.col("passes")).collect()}
+    s1_ids = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    s2_ids = {r["doc_id"] for r in s2.select("doc_id").collect()}
+    batch_attr = {
+        r["doc_id"]: (
+            r["doc_id"] in admitted,
+            "none" if r["doc_id"] in admitted
+            else "quality" if r["doc_id"] in s2_ids
+            else "lexical" if r["doc_id"] in s1_ids
+            else "exact",
+        )
+        for r in b2.select("doc_id").collect()
+    }
+    assert batch_attr == {d: (a, why) for d, (a, why, bid) in ledger.items() if bid == 1}
+
+
 def test_streaming_curation_replay_is_idempotent(spark, scratch):
     """A fresh checkpoint redelivers every batch under its original
     numbering (one file per trigger): each lands at-or-below the
