@@ -45,6 +45,8 @@ _WINDOW_ORDER = (
     # the composed curation gate with the DSIR fourth tier (VERDICT
     # r11 #4): frozen ratio table, exact-decimal threshold admission
     "incremental_curation_admission_dsir",
+    # the fused dedup->clean->retrieve pipeline (VERDICT r11 #5)
+    "curated_corpus_retrieval",
     # ---- changed code this round: must re-earn the hash ----
     "url_canonical_dedup",
     # the DSIR scorer was refactored around the shared scoring spine
@@ -98,7 +100,6 @@ _WINDOW_ORDER = (
     "embedding_int8_quant",
     "embedding_label_centroids",
     "events_equidepth_deciles",
-    "events_fill_forward",
 )
 
 #: Rotated out after earning their driver-green; the local pytest
@@ -144,6 +145,7 @@ _ROTATED_OUT = (
     "embedding_topk_vectorized",
     "events_asof_last_purchase",
     "events_compaction_plan",
+    "events_fill_forward",
     "events_funnel_conversion",
     "events_hourly_heatmap",
     "events_hourly_resample",

@@ -364,7 +364,10 @@ def c4_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_page_profile(ensure_fanout_parallelism(_c4_dirty(docs)))
 
 
-def _c4_sql_dirty() -> str:
+def _c4_sql_dirty(source: str = "documents") -> str:
+    """The planted-dirt SQL twin of :func:`_c4_dirty`. ``source`` is the
+    FROM fragment — ``documents`` for the standalone gates query, a
+    survivor join for the fused retrieval pipeline."""
     return f"""
   SELECT doc_id,
          text || '{_C4_BASE_TAIL}'
@@ -375,13 +378,15 @@ def _c4_sql_dirty() -> str:
          || CASE WHEN doc_id % 6 = 4 THEN chr(10) || '{_C4_GOOD}' ELSE '' END
          || CASE WHEN doc_id % 8 = 5 THEN chr(10) || '{_C4_NOTERM}' ELSE '' END
            AS text
-  FROM documents
+  FROM {source}
 """
 
 
-C4_ORACLE = f"""
-WITH dirty AS ({{dirty}}),
-l0 AS (
+#: The C4 line/page CTE chain over a ``dirty(doc_id, text)`` CTE —
+#: shared verbatim by C4_ORACLE and the fused curated_corpus_retrieval
+#: oracle (registry/retrieval.py). Ends at ``rolled`` (per-doc line
+#: rollup + clean text) and ``spine`` (page-rule flags).
+SQL_C4_PAGE_CTES = """l0 AS (
   SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS pos
   FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM dirty)
 ),
@@ -407,9 +412,14 @@ rolled AS (
 ),
 spine AS (
   SELECT doc_id,
-         (contains(lower(text), 'lorem ipsum') OR contains(text, '{{{{')) AS bad
+         (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS bad
   FROM dirty
-)
+)"""
+
+
+C4_ORACLE = f"""
+WITH dirty AS ({_c4_sql_dirty()}),
+{SQL_C4_PAGE_CTES}
 SELECT s.doc_id,
        coalesce(r.n_lines, 0) AS n_lines,
        coalesce(r.n_kept_lines, 0) AS n_kept_lines,
@@ -419,7 +429,7 @@ SELECT s.doc_id,
                  AND coalesce(r.n_kept_lines, 0) > 0
             THEN r.clean END AS clean_text
 FROM spine s LEFT JOIN rolled r USING (doc_id)
-""".format(dirty=_c4_sql_dirty())
+"""
 
 
 

@@ -723,22 +723,17 @@ def dsir_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Canonical-URL dedup keys (CC-style SURT-ish normalization)
 # --------------------------------------------------------------------------
 
-def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical-URL dedup groups over a planted variant fixture
-    (ops/text.canonical_url): five syntactic variants per logical page
-    — www + utm params, :443 default port + trailing slash, bare-www
-    schemeless + fragment, unordered query params, protocol-relative
-    with a userinfo@ prefix (ADVICE r11 #2) — must collapse to ONE
-    canonical key; the sixth variant is a distinct page. Surface: one
-    row per canonical key with the variant count and the keep-MIN-id
-    survivor (the dedup-tier survivor convention)."""
-    from dynamic_etl_spark.ops.text import canonical_url
-
-    docs = t(spark, sf_dir, "documents").select("doc_id")
+def planted_url_expr() -> F.Column:
+    """The planted URL-variant fixture (shared by url_canonical_dedup
+    and the fused curated_corpus_retrieval pipeline): five syntactic
+    variants per logical page — www + utm params, :443 default port +
+    trailing slash, bare-www schemeless + fragment, unordered query
+    params, protocol-relative with a userinfo@ prefix — that must
+    collapse to ONE canonical key, plus a distinct sixth page."""
     h = (F.col("doc_id") % 7).cast("string")
     pg = (F.col("doc_id") % 10).cast("string")
     m6 = F.col("doc_id") % 6
-    url = (
+    return (
         F.when(m6 == 0, F.concat(F.lit("https://www.Site"), h, F.lit(".example/Products/"), pg, F.lit("?utm_source=mail&b=2&a=1")))
         .when(m6 == 1, F.concat(F.lit("HTTPS://site"), h, F.lit(".example/Products/"), pg, F.lit("?a=1&b=2&fbclid=x"), F.col("doc_id").cast("string")))
         .when(m6 == 2, F.concat(F.lit("www.site"), h, F.lit(".example/Products/"), pg, F.lit("?b=2&a=1#sec-"), F.col("doc_id").cast("string")))
@@ -746,8 +741,19 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m6 == 4, F.concat(F.lit("//user"), F.col("doc_id").cast("string"), F.lit("@www.Site"), h, F.lit(".example/Products/"), pg, F.lit("?b=2&a=1")))
         .otherwise(F.concat(F.lit("https://site"), h, F.lit(".example/About?ref=footer")))
     )
+
+
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup groups over the planted variant fixture
+    (ops/text.canonical_url over :func:`planted_url_expr` — the
+    ADVICE r11 #1/#2 rules included). Surface: one row per canonical
+    key with the variant count and the keep-MIN-id survivor (the
+    dedup-tier survivor convention)."""
+    from dynamic_etl_spark.ops.text import canonical_url
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
     return (
-        docs.select("doc_id", canonical_url(url).alias("canonical_url"))
+        docs.select("doc_id", canonical_url(planted_url_expr()).alias("canonical_url"))
         .groupBy("canonical_url")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_variants"),
@@ -756,8 +762,11 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-URL_CANONICAL_ORACLE = """
-WITH planted AS (
+#: The canonicalization CTE chain (planted -> parts -> split1/2/3 ->
+#: canon), shared verbatim by URL_CANONICAL_ORACLE and the fused
+#: curated_corpus_retrieval oracle (registry/retrieval.py). Ends at
+#: ``canon(doc_id, canonical_url)``.
+SQL_URL_CANON_CTES = """planted AS (
   SELECT doc_id,
          CASE doc_id % 6
            WHEN 0 THEN 'https://www.Site' || (doc_id % 7) || '.example/Products/' || (doc_id % 10) || '?utm_source=mail&b=2&a=1'
@@ -811,7 +820,11 @@ canon AS (
          scheme || '://' || host || path
            || CASE WHEN qnorm = '' THEN '' ELSE '?' || qnorm END AS canonical_url
   FROM split3
-)
+)"""
+
+
+URL_CANONICAL_ORACLE = f"""
+WITH {SQL_URL_CANON_CTES}
 SELECT canonical_url,
        CAST(count(*) AS BIGINT) AS n_variants,
        min(doc_id) AS keeper_doc_id

@@ -269,6 +269,204 @@ FROM (
 """.replace("{toks}", _SQL_TOKENS)
 
 
+def curated_corpus_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation-then-retrieval pipeline (VERDICT r11 #5):
+    modern dedup-then-retrieve stacks run retrieval over the CURATED
+    corpus, so this query composes four already-audited operators as
+    one plan —
+
+    1. canonical-URL dedup (ops/text.canonical_url over the planted
+       variant fixture): keep-MIN survivors, one per logical page;
+    2. C4 cleaning gates (ops/lines.c4_page_profile over the planted
+       dirty fixture): survivors' pages pass the line+page rules and
+       contribute their CLEANED text;
+    3. hybrid retrieval over the cleaned corpus: BM25 top-20 per pinned
+       probe query + cosine top-20 around each pinned exemplar, the
+       dense side restricted to curated ids;
+    4. reciprocal-rank fusion (ops/retrieval.rrf_fuse).
+
+    Same surface as hybrid_rrf_retrieval. The curated corpus is
+    localCheckpointed once — three consumers (the BM25 ranker, the
+    dense id-filter, the stats pass) would otherwise re-run the URL
+    group + C4 posexplode per consumer. Scale shape: each stage is the
+    audited single-op plan on a shrinking input (the curation-funnel
+    property); fusion joins stay result-list-sized."""
+    from dynamic_etl_spark.ops.lines import c4_page_profile
+    from dynamic_etl_spark.ops.text import canonical_url
+    from dynamic_etl_spark.registry.curation import _c4_dirty
+    from dynamic_etl_spark.registry.quality import planted_url_expr
+    from dynamic_etl_spark.session import ensure_fanout_parallelism
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    survivors = (
+        docs.select("doc_id", canonical_url(planted_url_expr()).alias("__cu"))
+        .groupBy("__cu")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    pages = c4_page_profile(
+        ensure_fanout_parallelism(
+            _c4_dirty(docs.join(survivors, "doc_id", "leftsemi"))
+        )
+    )
+    corpus = (
+        pages.filter(F.col("page_kept") & F.col("clean_text").isNotNull())
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .localCheckpoint()
+    )
+    queries = spark.createDataFrame(
+        list(BM25_QUERIES), "query_id int, query_text string"
+    )
+    lex = R.bm25_topk(corpus, queries, top_k=RRF_DEPTH).select(
+        "query_id", "doc_id", "rank"
+    )
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus_emb = emb.join(
+        corpus.select(F.col("doc_id").alias("vec_id")), "vec_id", "leftsemi"
+    )
+    anchors = spark.createDataFrame(
+        list(RRF_ANCHORS), "query_id int, anchor_id bigint"
+    )
+    probes = emb.join(
+        F.broadcast(anchors), emb.vec_id == anchors.anchor_id
+    ).select("anchor_id", "embedding")
+    amap = anchors.select(
+        F.col("query_id").alias("__probe_qid"), F.col("anchor_id").alias("__aid")
+    )
+    dense = (
+        ANN.cosine_topk(
+            corpus_emb, probes, "vec_id", "embedding", k=RRF_DEPTH,
+            query_id_col="anchor_id",
+        )
+        .join(F.broadcast(amap), F.col("query_id") == F.col("__aid"))
+        .select(
+            F.col("__probe_qid").alias("query_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            "rank",
+        )
+    )
+    return R.rrf_fuse(
+        [lex, dense],
+        names=["lex_rank", "dense_rank"],
+        k0=R.RRF_K0,
+        top_k=RRF_TOP_K,
+    )
+
+
+def _sql_curated_retrieval_oracle() -> str:
+    """The fused oracle: the canonical-URL CTE chain -> keep-MIN
+    survivors -> the C4 dirty+page CTE chain over survivors -> the
+    cleaned corpus -> the RRF_ORACLE lexical/dense/fusion CTEs with
+    ``corpus`` as the document source (dense side joined to curated
+    ids). Every fragment is the already-audited oracle's, re-sourced."""
+    from dynamic_etl_spark.registry.curation import SQL_C4_PAGE_CTES, _c4_sql_dirty
+    from dynamic_etl_spark.registry.quality import SQL_URL_CANON_CTES
+
+    return f"""
+WITH {SQL_URL_CANON_CTES},
+survivors AS (
+  SELECT min(doc_id) AS doc_id FROM canon GROUP BY canonical_url
+),
+dirty AS ({_c4_sql_dirty("documents JOIN survivors USING (doc_id)")}),
+{SQL_C4_PAGE_CTES},
+corpus AS (
+  SELECT s.doc_id, r.clean AS text
+  FROM spine s JOIN rolled r USING (doc_id)
+  WHERE NOT s.bad AND coalesce(r.n_sent, 0) >= 3
+        AND coalesce(r.n_kept_lines, 0) > 0
+),
+q(query_id, query_text) AS (VALUES {_sql_query_values()}),
+anchors(query_id, anchor_id) AS (VALUES {_sql_anchor_values()}),
+base AS (SELECT doc_id, {{toks}} AS toks FROM corpus),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS total_tokens
+  FROM base
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+  GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+qterms AS (
+  SELECT DISTINCT query_id, term
+  FROM (SELECT query_id,
+               unnest(list_filter(string_split_regex(lower(query_text), '\\s+'),
+                                  w -> w <> '')) AS term
+        FROM q)
+),
+qvocab AS (SELECT DISTINCT term FROM qterms),
+tfq AS (
+  SELECT tf.*, count(*) OVER (PARTITION BY term) AS df
+  FROM tf JOIN qvocab USING (term)
+),
+lex_scored AS (
+  SELECT qt.query_id, tfq.doc_id,
+         CAST(round(
+           ln(((CAST(s.n_docs AS DOUBLE) - df) + 0.5) / (df + 0.5) + 1.0)
+           * ((tf * {_K1P1}) /
+              (tf + {_K1} * ({_ONE_MINUS_B} + {_B} *
+                  (dl / (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))),
+           12) AS DECIMAL(38,12)) AS c
+  FROM tfq
+  JOIN dl USING (doc_id)
+  JOIN qterms qt USING (term)
+  CROSS JOIN stats s
+),
+lex AS (
+  SELECT query_id, doc_id, CAST(rank AS INT) AS lex_rank
+  FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sum(c) DESC, doc_id ASC) AS rank
+    FROM lex_scored GROUP BY query_id, doc_id
+  ) WHERE rank <= {RRF_DEPTH}
+),
+probes AS (
+  SELECT a.query_id, a.anchor_id, e.embedding::DOUBLE[] AS qv
+  FROM anchors a JOIN embeddings e ON e.vec_id = a.anchor_id
+),
+cemb AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e JOIN corpus c ON e.vec_id = c.doc_id
+),
+dense_scored AS (
+  SELECT p.query_id, e.vec_id AS doc_id,
+         list_dot_product(p.qv, e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(p.qv, p.qv))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+           AS sim
+  FROM probes p, cemb e
+  WHERE e.vec_id <> p.anchor_id
+),
+dense AS (
+  SELECT query_id, doc_id, CAST(rank AS INT) AS dense_rank
+  FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, doc_id ASC) AS rank
+    FROM dense_scored
+  ) WHERE rank <= {RRF_DEPTH}
+),
+fused AS (
+  SELECT query_id, doc_id, lex_rank, dense_rank,
+         coalesce(CAST(1.0 AS DOUBLE) / ({R.RRF_K0} + lex_rank), CAST(0.0 AS DOUBLE))
+           + coalesce(CAST(1.0 AS DOUBLE) / ({R.RRF_K0} + dense_rank), CAST(0.0 AS DOUBLE)) AS rrf
+  FROM lex FULL JOIN dense USING (query_id, doc_id)
+)
+SELECT query_id, rank, doc_id, lex_rank, dense_rank, rrf AS rrf_score
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+  FROM fused
+) WHERE rank <= {RRF_TOP_K}
+""".replace("{toks}", _SQL_TOKENS)
+
+
+CURATED_RETRIEVAL_ORACLE = _sql_curated_retrieval_oracle()
+
+
 #: JL reduction target: 64 -> 16 dims (4x), the smallest power of two
 #: the distance-preservation pytest still separates cleanly.
 JL_D_OUT = 16
@@ -555,6 +753,13 @@ QUERIES: QueryRegistry = {
         BM25_ORACLE,
         "Okapi BM25 top-5 documents per pinned probe query (Lucene idf, "
         "12dp quantize-before-exact-sum, total-ordered ranks)",
+    ),
+    "curated_corpus_retrieval": Query(
+        curated_corpus_retrieval,
+        CURATED_RETRIEVAL_ORACLE,
+        "the fused dedup-then-retrieve pipeline: canonical-URL survivors "
+        "-> C4-cleaned pages -> BM25 + exemplar-cosine over the curated "
+        "corpus -> reciprocal-rank fusion, one plan end to end",
     ),
     "embedding_mmr_select": Query(
         embedding_mmr_select,

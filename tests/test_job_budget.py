@@ -67,6 +67,10 @@ JOB_BUDGETS = {
     # pass/checkpoint + the ratio-table count + the survivor checkpoint
     # and scoring tail (measured 80)
     "incremental_curation_admission_dsir": 88,
+    # r12 fused pipeline: the curated-corpus checkpoint (URL survivors
+    # + C4 gates materialize there) + the lazy hybrid-RRF tail over the
+    # checkpointed corpus (measured 34)
+    "curated_corpus_retrieval": 38,
     "semantic_dedup_survivors": 43,
     "embedding_knn_join_exacthash": 64,  # the same shared 5-round integer
     # Lloyd fit as the IVF twin; only the lazy probe/rank tail differs

@@ -186,6 +186,11 @@ SHUFFLE_BUDGET = {
     # is inside the two rankers, the fusion only ever shuffles
     # |queries| x depth rows
     "hybrid_rrf_retrieval": 11,
+    # r12 fused dedup->clean->retrieve pipeline: the URL-survivor and
+    # C4 stages run eagerly behind the curated-corpus localCheckpoint,
+    # so the surfaced plan is exactly the hybrid-RRF stack over the
+    # checkpointed corpus — measured 11, same as hybrid_rrf_retrieval
+    "curated_corpus_retrieval": 11,
     # winnowing pair mining: the fingerprint window + distinct, the df
     # cap agg + semi join, the fp-key self-join, the pair agg, and the
     # two totals joins — measured 14; candidates only on surviving
