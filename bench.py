@@ -193,6 +193,18 @@ COHORTS["r11"] = (
     "url_canonical_dedup",
 )
 
+COHORTS["r12"] = (
+    # the fused dedup->clean->retrieve pipeline: URL survivors + C4
+    # gates materialize at the curated-corpus checkpoint, then the
+    # hybrid-RRF tail — the end-to-end composition a production
+    # retrieval stack runs
+    "curated_corpus_retrieval",
+    # the composed admission gate with the DSIR quality fourth tier
+    # (ratio fit + survivor scoring on top of the r9 bootstrap row —
+    # read the delta against incremental_curation_admission)
+    "incremental_curation_admission_dsir",
+)
+
 HEADLINE = tuple(n for cohort in COHORTS.values() for n in cohort)
 
 

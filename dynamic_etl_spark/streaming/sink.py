@@ -464,6 +464,7 @@ def run_streaming_curation(
     equals the batch gate's on any batch split (pytest-pinned). DSIR
     keeps NO per-doc store — the frozen fit is its entire state, so
     there is nothing to heal.
+
     Composes what :func:`run_streaming_dedup` and
     :func:`run_streaming_semantic_dedup` each do for ONE tier, with
     crash-consistent commits across BOTH state families (previously a
@@ -652,22 +653,6 @@ def run_streaming_curation(
                     )
                     write_versioned(centers_to_rows(spark, centers), centers_root)
 
-        # frozen DSIR ratio table: read it, or fit once (corpus first —
-        # a replayed bootstrap must refit on the same rows; batch
-        # otherwise) and commit it BEFORE any decision depends on it
-        ratios = None
-        if dsir_root is not None:
-            if latest_version(dsir_root) is not None:
-                ratios = read_versioned(spark, dsir_root).localCheckpoint()
-            else:
-                fit_src = corpus if not corpus.isEmpty() else batch_df
-                ratios = dsir_bucket_ratios(
-                    fit_src.select(id_col, text_col),
-                    id_col=id_col, text_col=text_col,
-                    target=dsir_target, n_buckets=dsir_buckets,
-                )
-                write_versioned(ratios, dsir_root)
-
         recorded = -1
         if latest_version(ledger_root) is not None:
             recorded = latest_metadata(ledger_root).get("batch_id", -1)
@@ -691,6 +676,25 @@ def run_streaming_curation(
                 corpus = corpus.unionByName(lost)
             _heal(corpus, centers)
             return
+
+        # frozen DSIR ratio table: read it, or fit once (corpus first —
+        # a replayed bootstrap must refit on the same rows; batch
+        # otherwise) and commit it BEFORE the ledger decision depends on
+        # it. Sits AFTER the replay early-return: a replayed batch never
+        # reads the table (the ledger decided it), and its original
+        # application committed the fit before that ledger commit.
+        ratios = None
+        if dsir_root is not None:
+            if latest_version(dsir_root) is not None:
+                ratios = read_versioned(spark, dsir_root).localCheckpoint()
+            else:
+                fit_src = corpus if not corpus.isEmpty() else batch_df
+                ratios = dsir_bucket_ratios(
+                    fit_src.select(id_col, text_col),
+                    id_col=id_col, text_col=text_col,
+                    target=dsir_target, n_buckets=dsir_buckets,
+                )
+                write_versioned(ratios, dsir_root)
 
         fp_store, lex_store, sem_store = _heal(corpus, centers)
 

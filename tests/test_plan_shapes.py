@@ -97,6 +97,10 @@ _CROSS_JOIN_WHITELIST = (
                                         # (8 pinned exemplar probes); the
                                         # fusion itself joins top-k lists
                                         # only
+    "curated_corpus_retrieval",         # r12 fused pipeline: the same
+                                        # 8-probe brute cosine_topk NLJ
+                                        # as hybrid_rrf_retrieval, over
+                                        # the (smaller) curated corpus
 )
 
 
