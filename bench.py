@@ -307,6 +307,16 @@ def main() -> None:
         w1, j1, _ = run_once(name)
         w2, j2, df2 = run_once(name)
         timings[name] = min(w1, w2)
+        if os.environ.get("BENCH_WRITE_BASELINE"):
+            # Baseline-earning runs take a THIRD warm pass for every row
+            # (VERDICT r11 #2): the committed number anchors the
+            # cross-round noise tell in BOTH directions, and the
+            # HOF/JIT-heavy rows (SCALE.md "C2 warm-up depth") only
+            # reach steady state past the second execution — a baseline
+            # sampled on the warm-up knee is inflated 2-3x and blunts
+            # the >1.5x regression tell by exactly that factor.
+            w3b, j2, df2 = run_once(name)
+            timings[name] = min(timings[name], w3b)
         # Host-noise sanity rule (VERDICT r8 #2: the driver host recorded
         # warm-min 26.06s > cold 16.60s for one query IN THE SAME run —
         # physically implausible without external interference, and the
@@ -380,22 +390,38 @@ def main() -> None:
         "sf": sf,
     }
     if os.environ.get("BENCH_WRITE_BASELINE"):
+        rows = {
+            n: {"warm": timings[n], "jobs": jobs[n], "shuffles": shuffles[n]}
+            for n in timings
+        }
+        if os.environ.get("BENCH_BASELINE_MERGE_MIN"):
+            # Fold this idle run into the existing baseline by per-row
+            # MIN, but only where the PLAN is unchanged (same jobs AND
+            # shuffles) — the baseline's job is to be the low envelope
+            # of idle warms for the current plan (a too-high row blunts
+            # the >1.5x regression tell by exactly its inflation,
+            # VERDICT r11 #2), and on a shared host single idle runs
+            # still carry 1.3-3x neighbor-tenancy swings on individual
+            # rows (measured r12: 52/72 rows differed >1.1x between two
+            # back-to-back idle runs). A row whose jobs or shuffles
+            # moved re-earns fresh — min-ing across different plans
+            # would pin the old plan's number to the new plan.
+            # Plan-unchanged = equal SHUFFLE count (deterministic on the
+            # AQE-initial plan) + jobs within +-2: eager/broadcast-heavy
+            # rows jitter a job or two run-to-run (broadcast submission,
+            # AQE stage coalescing) without any plan change, and an
+            # exact-jobs guard silently refused their merges (observed
+            # r12). The recorded jobs/shuffles stay the NEW run's.
+            for n, old_row in baseline_rows.items():
+                new_row = rows.get(n)
+                if (
+                    new_row is not None
+                    and new_row["shuffles"] == old_row["shuffles"]
+                    and abs(new_row["jobs"] - old_row["jobs"]) <= 2
+                ):
+                    new_row["warm"] = min(new_row["warm"], old_row["warm"])
         with open(baseline_path, "w") as f:
-            json.dump(
-                {
-                    "sf": sf,
-                    "queries": {
-                        n: {
-                            "warm": timings[n],
-                            "jobs": jobs[n],
-                            "shuffles": shuffles[n],
-                        }
-                        for n in timings
-                    },
-                },
-                f,
-                indent=1,
-            )
+            json.dump({"sf": sf, "queries": rows}, f, indent=1)
     # Full per-query detail (cold timings, job counts) goes to a sidecar
     # file; stdout carries exactly ONE compact JSON line that fits the
     # driver's 2000-byte output-tail capture — r2..r6 all recorded
