@@ -203,6 +203,11 @@ COHORTS["r12"] = (
     # (ratio fit + survivor scoring on top of the r9 bootstrap row —
     # read the delta against incremental_curation_admission)
     "incremental_curation_admission_dsir",
+    # the same gate in steady state: prebuilt stores + frozen ratio
+    # table, the per-batch number a production caller pays (its cold
+    # run includes the one-time state build, so warm << cold and the
+    # within-run noise tell never fires for it)
+    "incremental_curation_admission_dsir_steady",
 )
 
 HEADLINE = tuple(n for cohort in COHORTS.values() for n in cohort)

@@ -47,6 +47,9 @@ _WINDOW_ORDER = (
     "incremental_curation_admission_dsir",
     # the fused dedup->clean->retrieve pipeline (VERDICT r11 #5)
     "curated_corpus_retrieval",
+    # the DSIR-gated gate in steady state (shared oracle with the
+    # bootstrap form proves the frozen-ratio reuse contract)
+    "incremental_curation_admission_dsir_steady",
     # ---- changed code this round: must re-earn the hash ----
     "url_canonical_dedup",
     # the DSIR scorer was refactored around the shared scoring spine
@@ -99,7 +102,6 @@ _WINDOW_ORDER = (
     "document_chunking",
     "embedding_int8_quant",
     "embedding_label_centroids",
-    "events_equidepth_deciles",
 )
 
 #: Rotated out after earning their driver-green; the local pytest
@@ -145,6 +147,7 @@ _ROTATED_OUT = (
     "embedding_topk_vectorized",
     "events_asof_last_purchase",
     "events_compaction_plan",
+    "events_equidepth_deciles",
     "events_fill_forward",
     "events_funnel_conversion",
     "events_hourly_heatmap",

@@ -67,6 +67,10 @@ JOB_BUDGETS = {
     # pass/checkpoint + the ratio-table count + the survivor checkpoint
     # and scoring tail (measured 80)
     "incremental_curation_admission_dsir": 88,
+    # r12 steady form: per-batch four-tier admission against the
+    # prebuilt stores + frozen ratio table (measured 56 warm; the
+    # session-once state build is excluded — see _WARM_FIRST)
+    "incremental_curation_admission_dsir_steady": 62,
     # r12 fused pipeline: the curated-corpus checkpoint (URL survivors
     # + C4 gates materialize there) + the lazy hybrid-RRF tail over the
     # checkpointed corpus (measured 34)
@@ -119,7 +123,10 @@ JOB_BUDGETS = {
 #: build (the steady-state gate's per-session store memo). Their budget
 #: pins the steady-state count — the number every subsequent batch pays
 #: — so the meter runs them once un-grouped first.
-_WARM_FIRST = {"incremental_curation_admission_steady"}
+_WARM_FIRST = {
+    "incremental_curation_admission_steady",
+    "incremental_curation_admission_dsir_steady",
+}
 
 _group_seq = itertools.count()
 

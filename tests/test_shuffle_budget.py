@@ -359,6 +359,9 @@ SHUFFLE_BUDGET = {
     # dsir_importance_selection shuffles on a checkpointed leaf) and
     # one more attribution join over broadcastable flags (measured 5)
     "incremental_curation_admission_dsir": 5,
+    # r12 steady form: identical surfaced plan over prebuilt stores +
+    # the frozen ratio table (measured 5)
+    "incremental_curation_admission_dsir_steady": 5,
     "simhash_near_dup": 2,
     # reviewed, not bumped: 2 fanout round-robins (one per branch, same
     # as the xxhash twin's 2) + 2 bit-vote groupBy exchanges the per-row
