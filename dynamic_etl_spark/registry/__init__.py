@@ -28,80 +28,69 @@ from dynamic_etl_spark.registry.core import Query, QueryRegistry
 #: checked in tests/test_llm.py) go last.
 DRIVER_WINDOW = 50
 
-#: Positions 1-50 — the r12 rotation (VERDICT r11 #1): the changed
-#: canonical-URL surface re-earns first (ADVICE r11 #1/#2: scheme-
-#: paired default-port strip + protocol-relative/userinfo authority
-#: handling changed the dedup keys); then ALL 34 due re-confirmations
-#: (latest driver green r8 — the exact list the rotation-hygiene
-#: tripwire computed the moment CORRECTNESS_r11.json landed); the
-#: remaining 15 slots refresh the OLDEST (alphabetical) r9-era
-#: confirmations early, flattening the 47-query r9 bulge that comes
-#: due at r13. New r12 queries swap in against the tail fillers as
-#: they land. The stale-ledger CI property
-#: (tests/test_oracle_parity.py) computes this window's obligations
-#: from the checked-in CORRECTNESS_r*.json files.
+#: Positions 1-50 — the r13 rotation (VERDICT r12 #1): ALL 36 due
+#: re-confirmations (latest driver green r9 — the exact list the
+#: rotation-hygiene tripwire computed the moment CORRECTNESS_r12.json
+#: landed), then 14 r10-era refreshes chosen to double as this round's
+#: changed-surface slots: r13 is an OPTIMIZATION round, and the queries
+#: whose physical plans it touches (the incremental-admission family,
+#: the embedding family, winnowing, sessionization, dedup) should sit
+#: in the window so the driver re-earns their hashes on the new plans.
+#: The stale-ledger CI property (tests/test_oracle_parity.py) computes
+#: this window's obligations from the checked-in CORRECTNESS_r*.json.
 _WINDOW_ORDER = (
-    # ---- NEW r12, never driver-confirmed ----
-    # the composed curation gate with the DSIR fourth tier (VERDICT
-    # r11 #4): frozen ratio table, exact-decimal threshold admission
-    "incremental_curation_admission_dsir",
-    # the fused dedup->clean->retrieve pipeline (VERDICT r11 #5)
-    "curated_corpus_retrieval",
-    # the DSIR-gated gate in steady state (shared oracle with the
-    # bootstrap form proves the frozen-ratio reuse contract)
-    "incremental_curation_admission_dsir_steady",
-    # ---- changed code this round: must re-earn the hash ----
-    "url_canonical_dedup",
-    # the DSIR scorer was refactored around the shared scoring spine
-    # (_dsir_scored_spine) that the new thresholded gate also rides
-    "dsir_importance_selection",
-    # ---- ALL 34 due re-confirmations (latest green r8) ----
-    "customers_with_orders",
-    "customers_without_orders",
-    "date_key_lookup",
-    "dedup_keep_first_line",
-    "dedup_keep_last_line",
-    "dedup_survivors_best_quality",
-    "distinct_profile",
-    "duplicate_group_members",
-    "embedding_ann_ivf_exacthash",
-    "embedding_ann_lsh_exacthash",
-    "embedding_density_exacthash",
-    "embedding_knn_join_exacthash",
-    "encoding_repair_profile",
-    "events_json_extract",
-    "events_ks_drift_autogrid",
-    "events_rate_profile",
-    "events_sliding_window",
-    "events_type_pagerank_exacthash",
-    "fk_integrity_report",
-    "fk_orphan_attribution",
-    "freshness_watermark",
-    "high_water_mark",
-    "insert_only_merge",
-    "latest_order_per_customer",
-    "minhash_near_dup_exacthash",
-    "nation_key_set_ops",
-    "natural_key_concat",
-    "numeric_profile",
-    "point_and_flag_filter",
-    "scd2_point_in_time_lookup",
-    "simhash_near_dup_exacthash",
-    "snowflake_extraction",
-    "tiered_discount_pricing",
-    "top_part_types",
-    # ---- 15 oldest (r9) confirmations, refreshed a round early ----
-    "approx_distinct_exacthash",
-    "benchmark_decontamination_bloom",
-    "bigram_novelty_profile",
-    "bigram_perplexity_profile",
-    "corpus_mixture_sample",
-    "corpus_split_assignment",
-    "customer_rfm_segmentation",
-    "distinct_sketch_maintenance_exacthash",
-    "document_chunking",
-    "embedding_int8_quant",
-    "embedding_label_centroids",
+    # ---- ALL 36 due re-confirmations (latest green r9) ----
+    "events_equidepth_deciles",
+    "events_fill_forward",
+    "events_funnel_conversion",
+    "events_hourly_resample",
+    "events_interarrival_profile",
+    "events_key_skew_profile",
+    "events_minmax_scaled",
+    "events_retention_cohorts",
+    "events_rolling_distinct_users",
+    "events_rolling_user_value",
+    "events_transition_matrix",
+    "events_type_drift_profile",
+    "events_type_pivot",
+    "events_type_unpivot",
+    "events_value_histogram",
+    "events_value_percentiles",
+    "events_value_zscore",
+    "events_zorder_tiles",
+    "fuzzy_brand_match",
+    "incremental_near_dup_exacthash",
+    "incremental_rollup_maintenance",
+    "markup_strip_clean",
+    "order_price_distribution_ranks",
+    "orders_above_customer_avg",
+    "orders_snapshot_diff",
+    "pmi_collocations_top",
+    "quality_rank_calibration",
+    "quantile_hist_maintenance",
+    "reservoir_sample_maintenance",
+    "semantic_dedup_survivors",
+    "shard_assignment_profile",
+    "source_concentration_profile",
+    "source_quota_cap",
+    "tfidf_top_terms",
+    "url_filter_profile",
+    "vocabulary_build",
+    # ---- 14 r10-era refreshes == the r13 optimization surfaces ----
+    "incremental_curation_admission",
+    "incremental_curation_admission_steady",
+    "incremental_semantic_dedup",
+    "embedding_near_dup",
+    "embedding_jl_projection",
+    "embedding_dim_spread",
+    "embedding_topk_bruteforce",
+    "winnowing_overlap_pairs",
+    "winnowing_fingerprint",
+    "events_sessionization",
+    "exact_dedup_fingerprint",
+    "dedup_keep_last_line_agg",
+    "flagship_star_join",
+    "date_dimension_build",
 )
 
 #: Rotated out after earning their driver-green; the local pytest
@@ -109,8 +98,12 @@ _WINDOW_ORDER = (
 #: run. Alphabetical — position past 50 carries no signal.
 _ROTATED_OUT = (
     "alias_header_resolution",
+    "approx_distinct_exacthash",
     "benchmark_decontamination",
+    "benchmark_decontamination_bloom",
     "benchmark_span_scrub",
+    "bigram_novelty_profile",
+    "bigram_perplexity_profile",
     "bm25_topk_retrieval",
     "bpe_encode_stats",
     "bpe_fertility_by_lang",
@@ -121,61 +114,63 @@ _ROTATED_OUT = (
     "clean_product_feed",
     "clean_store_feed",
     "coercion_failure_profile",
+    "corpus_mixture_sample",
+    "corpus_split_assignment",
     "corpus_stratified_sample",
     "count_min_maintenance",
     "cube_order_totals",
+    "curated_corpus_retrieval",
     "curation_pipeline_accounting",
     "curation_pipeline_lsh",
     "customer_order_sequence",
+    "customer_rfm_segmentation",
+    "customers_with_orders",
+    "customers_without_orders",
     "date_backfill_initial",
-    "date_dimension_build",
     "date_gap_fill_incremental",
+    "date_key_lookup",
     "dedup_impact_forecast",
-    "dedup_keep_last_line_agg",
+    "dedup_keep_first_line",
+    "dedup_keep_last_line",
     "dedup_survivors",
+    "dedup_survivors_best_quality",
+    "distinct_profile",
+    "distinct_sketch_maintenance_exacthash",
+    "document_chunking",
     "document_gram_exposure",
     "drop_unresolved_keys",
+    "dsir_importance_selection",
     "duplicate_detection",
+    "duplicate_group_members",
     "duplicated_span_removal",
-    "embedding_dim_spread",
-    "embedding_jl_projection",
+    "embedding_ann_ivf_exacthash",
+    "embedding_ann_lsh_exacthash",
+    "embedding_density_exacthash",
+    "embedding_int8_quant",
+    "embedding_knn_join_exacthash",
+    "embedding_label_centroids",
     "embedding_margin_alignment",
     "embedding_mmr_select",
     "embedding_mmr_select_pooled",
-    "embedding_near_dup",
-    "embedding_topk_bruteforce",
     "embedding_topk_vectorized",
+    "encoding_repair_profile",
     "events_asof_last_purchase",
     "events_compaction_plan",
-    "events_equidepth_deciles",
-    "events_fill_forward",
-    "events_funnel_conversion",
     "events_hourly_heatmap",
-    "events_hourly_resample",
-    "events_interarrival_profile",
-    "events_key_skew_profile",
+    "events_json_extract",
     "events_ks_drift",
+    "events_ks_drift_autogrid",
     "events_ks_drift_binned",
-    "events_minmax_scaled",
     "events_range_interval_join",
-    "events_retention_cohorts",
-    "events_rolling_distinct_users",
-    "events_rolling_user_value",
-    "events_sessionization",
-    "events_transition_matrix",
+    "events_rate_profile",
+    "events_sliding_window",
     "events_tumbling_window",
-    "events_type_drift_profile",
-    "events_type_pivot",
-    "events_type_unpivot",
-    "events_value_histogram",
-    "events_value_percentiles",
+    "events_type_pagerank_exacthash",
     "events_value_trend",
-    "events_value_zscore",
-    "events_zorder_tiles",
-    "exact_dedup_fingerprint",
     "fallback_key_resolution",
-    "flagship_star_join",
-    "fuzzy_brand_match",
+    "fk_integrity_report",
+    "fk_orphan_attribution",
+    "freshness_watermark",
     "generator_distributors",
     "generator_fact_day",
     "generator_products",
@@ -184,61 +179,55 @@ _ROTATED_OUT = (
     "grouping_sets_order_totals",
     "hashed_linear_quality_score",
     "heavy_hitter_maintenance",
+    "high_water_mark",
     "hybrid_rrf_retrieval",
-    "incremental_curation_admission",
-    "incremental_curation_admission_steady",
-    "incremental_near_dup_exacthash",
-    "incremental_rollup_maintenance",
-    "incremental_semantic_dedup",
+    "incremental_curation_admission_dsir",
+    "incremental_curation_admission_dsir_steady",
+    "insert_only_merge",
     "knn_label_vote",
     "ks_drift_maintenance",
     "language_id_profile",
+    "latest_order_per_customer",
     "leakage_safe_split",
     "length_bucketed_batching",
     "line_dedup_profile",
-    "markup_strip_clean",
+    "minhash_near_dup_exacthash",
     "mini_dim_upsert",
     "multimodal_feature_extract",
+    "nation_key_set_ops",
     "nation_segment_listagg",
+    "natural_key_concat",
     "near_dup_components",
     "ngram_jaccard_similarity",
     "null_count_profile",
-    "order_price_distribution_ranks",
-    "orders_above_customer_avg",
-    "orders_snapshot_diff",
+    "numeric_profile",
     "pii_detect_redact",
-    "pmi_collocations_top",
+    "point_and_flag_filter",
     "pricing_summary",
-    "quality_rank_calibration",
-    "quantile_hist_maintenance",
     "quasi_identifier_risk",
     "rank_sketch_finalize_exact",
-    "reservoir_sample_maintenance",
     "rollup_slice_rebuild",
     "rollup_totals",
     "salted_skew_join",
     "scan_projection_filter",
     "scd1_merge_orders",
     "scd2_merge_customers",
+    "scd2_point_in_time_lookup",
     "semantic_decontamination",
     "semantic_decontamination_vectorized",
-    "semantic_dedup_survivors",
     "sequence_packing",
-    "shard_assignment_profile",
-    "source_concentration_profile",
+    "simhash_near_dup_exacthash",
+    "snowflake_extraction",
     "source_diversity_profile",
-    "source_quota_cap",
     "split_leakage_audit",
     "surrogate_key_assignment",
     "text_stats_profile",
-    "tfidf_top_terms",
-    "url_filter_profile",
+    "tiered_discount_pricing",
+    "top_part_types",
+    "url_canonical_dedup",
     "validation_report",
     "value_anomaly_mad",
     "value_outlier_gate",
-    "vocabulary_build",
-    "winnowing_fingerprint",
-    "winnowing_overlap_pairs",
 )
 
 #: Positions past the rotated-out block: the rows-only queries

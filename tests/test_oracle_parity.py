@@ -32,39 +32,40 @@ def test_rows_only_query_runs(spark, name):
     assert len(df.columns) > 0
 
 
-def test_driver_window_holds_the_r12_rotation():
+def test_driver_window_holds_the_r13_rotation():
     """The driver hash-checks only the first DRIVER_WINDOW registered
-    queries. The r12 window (VERDICT r11 #1): changed surfaces re-earn
-    first (url_canonical_dedup after the scheme-paired default-port
-    strip + protocol-relative/userinfo authority fixes, ADVICE r11
-    #1/#2); then ALL 34 due re-confirmations (latest driver green r8 —
-    exactly the list the rotation-hygiene tripwire computed when
-    CORRECTNESS_r11.json landed); the remaining slots refresh the
-    alphabetically-first r9-era confirmations early (47 come due at
-    r13 — this flattens that bulge; new r12 queries swap in against the
-    tail fillers as they land). Every windowed query is oracle-backed;
+    queries. The r13 window (VERDICT r12 #1): ALL 36 due
+    re-confirmations (latest driver green r9 — exactly the list the
+    rotation-hygiene tripwire computed when CORRECTNESS_r12.json
+    landed); the remaining 14 slots refresh r10-era confirmations (47
+    come due at r14 — this flattens that bulge), chosen to coincide
+    with the surfaces the r13 optimization round re-plans (the
+    incremental-admission family, the embedding family, winnowing,
+    sessionization, dedup) so the driver re-earns their hashes on the
+    new physical plans. Every windowed query is oracle-backed;
     everything rotated out stays hash-checked by this local harness."""
     from dynamic_etl_spark.registry import DRIVER_WINDOW, _ROTATED_OUT
 
     window = list(REGISTRY)[:DRIVER_WINDOW]
     for name in (
-        # changed code this round: must re-earn the hash
-        "url_canonical_dedup",
-        # representatives of the 34 due r8-era re-confirmations
-        "customers_with_orders",
-        "date_key_lookup",
-        "dedup_keep_first_line",
-        "embedding_ann_ivf_exacthash",
-        "freshness_watermark",
-        "high_water_mark",
-        "insert_only_merge",
-        "snowflake_extraction",
-        "tiered_discount_pricing",
-        "top_part_types",
-        # representatives of the early-refreshed r9 tranche
-        "approx_distinct_exacthash",
-        "bigram_perplexity_profile",
-        "document_chunking",
+        # representatives of the 36 due r9-era re-confirmations
+        "events_equidepth_deciles",
+        "events_retention_cohorts",
+        "events_zorder_tiles",
+        "fuzzy_brand_match",
+        "incremental_near_dup_exacthash",
+        "orders_snapshot_diff",
+        "semantic_dedup_survivors",
+        "tfidf_top_terms",
+        "vocabulary_build",
+        # r10-era refreshes == the r13 optimization surfaces
+        "incremental_curation_admission",
+        "incremental_curation_admission_steady",
+        "incremental_semantic_dedup",
+        "embedding_near_dup",
+        "winnowing_overlap_pairs",
+        "events_sessionization",
+        "flagship_star_join",
     ):
         assert name in window, f"{name} fell outside the driver correctness window"
     # a rows-only query in the window would waste a hash slot
