@@ -348,11 +348,18 @@ def main() -> None:
         # idle baseline is host-side until proven otherwise — take one
         # more sample, report the min, and flag the row so readers
         # discount it without a judge re-run.
+        # Jobs gate is +-2, matching the baseline merge mode's
+        # plan-unchanged rule (VERDICT r12 #2): eager/broadcast-heavy
+        # rows jitter a job or two run-to-run (broadcast submission,
+        # AQE stage coalescing) without a plan change, and an
+        # exact-equality gate let three >1.5x rows escape adjudication
+        # in r12 on a +-1 drift. Shuffle count stays exact — it is
+        # deterministic on the AQE-initial plan.
         base = baseline_rows.get(name)
         if (
             base is not None
             and timings[name] > 1.5 * base["warm"]
-            and jobs[name] == base["jobs"]
+            and abs(jobs[name] - base["jobs"]) <= 2
             and shuffles[name] == base["shuffles"]
         ):
             prev = timings[name]
@@ -366,7 +373,7 @@ def main() -> None:
                 noise_basis[name] = {
                     "baseline_warm": base["warm"],
                     "samples": [prev, w4],
-                    "jobs_unchanged": True,
+                    "jobs_delta": jobs[name] - base["jobs"],
                     "shuffles_unchanged": True,
                 }
 
@@ -425,6 +432,14 @@ def main() -> None:
                     and abs(new_row["jobs"] - old_row["jobs"]) <= 2
                 ):
                     new_row["warm"] = min(new_row["warm"], old_row["warm"])
+                    if new_row["jobs"] != old_row["jobs"]:
+                        # ADVICE r12 #4: a merge across a non-zero jobs
+                        # delta could pin an old plan's low envelope to
+                        # a changed plan — record it so a plan review
+                        # can tell jitter-merge from changed-plan merge
+                        new_row["merged_jobs_delta"] = (
+                            new_row["jobs"] - old_row["jobs"]
+                        )
         with open(baseline_path, "w") as f:
             json.dump({"sf": sf, "queries": rows}, f, indent=1)
     # Full per-query detail (cold timings, job counts) goes to a sidecar

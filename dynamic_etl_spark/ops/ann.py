@@ -1124,18 +1124,31 @@ def knn_join(
 
     # the slab pass excludes self-matches with a numpy equality mask
     # between query ids and corpus ids (ADVICE r11 #3): mismatched id
-    # dtypes degrade that comparison silently (object-vs-int is
+    # dtype FAMILIES degrade that comparison silently (object-vs-int is
     # elementwise-False or a scalar False), so the documented same-row
-    # exclusion would quietly stop working — refuse before the index fit
+    # exclusion would quietly stop working — refuse before the index
+    # fit. Same-family width differences (int vs bigint) compare
+    # correctly elementwise in numpy, so they pass (ADVICE r12 #3: the
+    # exact-equality guard turned working cross-side calls into hard
+    # failures).
     if queries is not None:
         _qid = query_id_col or id_col
-        if queries.schema[_qid].dataType != corpus.schema[id_col].dataType:
+
+        def _family(dt) -> str:
+            if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+                return "integral"
+            if isinstance(dt, (T.FloatType, T.DoubleType)):
+                return "fractional"
+            return dt.simpleString()
+
+        qdt = queries.schema[_qid].dataType
+        cdt = corpus.schema[id_col].dataType
+        if _family(qdt) != _family(cdt):
             raise TypeError(
-                f"knn_join cross-side id dtypes must match for the "
-                f"self-match exclusion: queries[{_qid}] is "
-                f"{queries.schema[_qid].dataType.simpleString()}, "
-                f"corpus[{id_col}] is "
-                f"{corpus.schema[id_col].dataType.simpleString()}"
+                f"knn_join cross-side id dtype families must match for "
+                f"the self-match exclusion: queries[{_qid}] is "
+                f"{qdt.simpleString()}, corpus[{id_col}] is "
+                f"{cdt.simpleString()}"
             )
 
     if index is None:

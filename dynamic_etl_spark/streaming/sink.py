@@ -799,7 +799,17 @@ def run_streaming_curation(
             out2["new_banded"].join(admitted_ids, id_col, "leftsemi"),
         )
         if out3 is not None and sem_store is not None:
-            _append(sem_root, sem_store, out3["new_assigned"])
+            # filtered to the FINAL admitted set like the fp/lex deltas
+            # (ADVICE r12 #1): with the DSIR fourth tier active, tier 4
+            # can reject a doc tier 3 accepted — an unfiltered semantic
+            # delta would permanently store the quality-reject's
+            # embedding (_heal only adds rows) and later batches would
+            # reject near docs as 'semantic' against a doc absent from
+            # the corpus, breaking batch-vs-stream admission parity
+            _append(
+                sem_root, sem_store,
+                out3["new_assigned"].join(admitted_ids, id_col, "leftsemi"),
+            )
 
     query = (
         stream_df.writeStream.foreachBatch(_apply)

@@ -357,20 +357,31 @@ def test_knn_join_respects_cell_guard(spark):
 
 
 def test_knn_join_cross_side_refuses_mismatched_id_dtypes(spark):
-    """ADVICE r11 #3: the cross-side self-match exclusion is a numpy
-    equality mask between query and corpus ids — mismatched dtypes
-    (string vs bigint) degrade it silently, so knn_join must refuse
-    up front rather than quietly stop excluding same-row matches."""
+    """ADVICE r11 #3 + r12 #3: the cross-side self-match exclusion is a
+    numpy equality mask between query and corpus ids — mismatched dtype
+    FAMILIES (string vs bigint) degrade it silently, so knn_join must
+    refuse up front; same-family width differences (int vs bigint)
+    compare correctly elementwise and must NOT be refused."""
     import pytest as _pytest
 
     emb = load_table(spark, SF_SMALL, "embeddings")
     qs = emb.limit(5).select(
         F.col("vec_id").cast("string").alias("vec_id"), "embedding"
     )
-    with _pytest.raises(TypeError, match="id dtypes must match"):
+    with _pytest.raises(TypeError, match="id dtype families must match"):
         ANN.knn_join(
             emb, "vec_id", "embedding", k=3, n_cells=4, n_probe=2, queries=qs
         )
+    # int-vs-bigint is numerically compatible: the call must work and
+    # still exclude the same-row match (rank-1 neighbor of a corpus
+    # vector probed under its own id is never itself)
+    qs_int = emb.limit(3).select(
+        F.col("vec_id").cast("int").alias("vec_id"), "embedding"
+    )
+    got = ANN.knn_join(
+        emb, "vec_id", "embedding", k=3, n_cells=4, n_probe=2, queries=qs_int
+    )
+    assert got.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
 
 
 def test_lsh_ann_recall_vs_bruteforce(spark):

@@ -1340,6 +1340,83 @@ def test_streaming_curation_dsir_fourth_tier(spark, scratch):
     assert batch_attr == {d: (a, why) for d, (a, why, bid) in ledger.items() if bid == 1}
 
 
+def test_streaming_curation_dsir_quality_reject_leaves_no_semantic_state(
+    spark, scratch
+):
+    """ADVICE r12 #1: with the DSIR fourth tier active AND vec_col set,
+    a doc that tier 3 (semantic) accepted but tier 4 (quality) rejected
+    must leave NOTHING in the semantic store — the sem delta is
+    filtered to the FINAL admitted set like the fp/lex deltas. The
+    regression this pins: an unfiltered delta permanently stored the
+    quality-reject's embedding (_heal only adds rows), so a later batch
+    doc semantically near it was rejected as 'semantic' against a doc
+    absent from the corpus, breaking batch-vs-stream admission parity."""
+    from dynamic_etl_spark.streaming import file_stream, run_streaming_curation
+
+    tgt = ["alpha", "beta", "gamma", "delta", "epsilon",
+           "zeta", "eta", "theta", "iota", "kappa"]
+    raw = ["one", "two", "three", "four", "five",
+           "six", "seven", "eight", "nine", "ten"]
+    perm = lambda ws, s: " ".join(ws[(j * (7 if s == 0 else 3)) % 10] for j in range(10))
+
+    roots = _curation_roots(scratch, "e")
+    roots["dsir_root"] = str(scratch / "cur_dsir_e")
+    feed = scratch / "cur_feed_e"
+    feed.mkdir()
+    # bootstrap: doc 1 target slice (admitted), doc 2 raw side —
+    # passes all three dedup tiers, rejected by the DSIR gate
+    b1 = spark.createDataFrame(
+        [(1, perm(tgt, 0), [1.0, 0.0, 0.0, 0.0]),
+         (2, perm(raw, 0), [0.0, 1.0, 0.0, 0.0])],
+        _CURATION_SCHEMA,
+    )
+    b1.coalesce(1).write.parquet(str(feed / "b1.parquet"))
+    drain = lambda: run_streaming_curation(
+        file_stream(spark, str(feed / "*.parquet"),
+                    spark.createDataFrame([], _CURATION_SCHEMA).schema),
+        **roots,
+        checkpoint_dir=str(scratch / "cur_ckpt_e"),
+        id_col="doc_id", text_col="text", vec_col="vec",
+        dsir_target=F.col("doc_id") == 1, dsir_min_log_weight="0",
+        dsir_buckets=64,
+    )
+    drain()
+    assert _ledger_rows(spark, roots) == {
+        1: (True, "none", 0),
+        2: (False, "quality", 0),
+    }
+    # the quality reject leaves nothing in ANY store — including the
+    # semantic one (the r12 leak: doc 2's embedding stayed behind)
+    assert _ids(spark, roots["corpus_root"]) == {1}
+    assert _ids(spark, roots["fp_root"]) == {1}
+    assert _ids(spark, roots["lex_root"]) == {1}
+    assert _ids(spark, roots["sem_root"]) == {1}
+
+    b2 = spark.createDataFrame(
+        [
+            # target vocabulary, embedding near the QUALITY-REJECTED
+            # doc 2 (cosine ~0.9999995): with the leak it was rejected
+            # 'semantic' against a doc absent from the corpus; correct
+            # behavior admits it (nearest corpus vec is doc 1 at ~0.001)
+            (20, perm(tgt, 1), [0.001, 1.0, 0.0, 0.0]),
+            # raw vocabulary: passes dedup, fails the gate — and again
+            # leaves no semantic state behind
+            (21, perm(raw, 1), [0.0, 0.0, 1.0, 0.0]),
+        ],
+        _CURATION_SCHEMA,
+    )
+    b2.coalesce(1).write.parquet(str(feed / "b2.parquet"))
+    drain()
+    assert _ledger_rows(spark, roots) == {
+        1: (True, "none", 0),
+        2: (False, "quality", 0),
+        20: (True, "none", 1),
+        21: (False, "quality", 1),
+    }
+    assert _ids(spark, roots["corpus_root"]) == {1, 20}
+    assert _ids(spark, roots["sem_root"]) == {1, 20}
+
+
 def test_streaming_curation_replay_is_idempotent(spark, scratch):
     """A fresh checkpoint redelivers every batch under its original
     numbering (one file per trigger): each lands at-or-below the
