@@ -521,18 +521,28 @@ def incremental_near_dup_merge(
     # No persist/checkpoint on the BATCH-sized intermediates (banded_new,
     # sh_new): a persist leaks per call (CacheManager pins plans until an
     # explicit unpersist the lazy outputs forbid — review r4), an eager
-    # checkpoint costs standalone materialization jobs (measured +25-70%
-    # here), and recomputing a batch-sized signature/shingle pass inside
-    # each consumer is the cheapest of the three — the expensive side of
-    # every join is the CORPUS, which is never recomputed (the signature
-    # STORE is the state). Only the two delta-sized, lineage-critical
-    # frames below (dup_pairs, comps) checkpoint.
+    # checkpoint costs standalone materialization jobs, and all three
+    # banded_new consumers (cand_cross, both sides of cand_within)
+    # exchange it by the SAME (band_idx, band_hash) key, so Spark's
+    # ReusedExchange serves every consumer from one signature pass —
+    # re-verified r13 with an interleaved A/B at sf0.1 md5 mode:
+    # checkpointing is a wall-time WASH (6.40s vs 6.47s) and costs +3-6
+    # AQE stage-jobs. The expensive side of every join is the CORPUS,
+    # which is never recomputed (the signature STORE is the state).
+    # Only the two delta-sized, lineage-critical frames below
+    # (dup_pairs, comps) checkpoint.
     banded_new = minhash_banded_rows(
         new_docs, id_col, text_col, num_hashes, bands, shingle_k, hash_mode
     )
     if existing_banded is None:
+        # the corpus-side signature pass is the merge's heaviest fan-out
+        # when no store is passed (bootstrap); a single-row-group corpus
+        # parquet would run it as ONE task (r13 — the sf0.1 scan is one
+        # split). Per-doc min-aggregates are partition-invariant, and at
+        # production split counts the wrapper is a no-op.
         existing_banded = minhash_banded_rows(
-            existing_docs, id_col, text_col, num_hashes, bands, shingle_k, hash_mode
+            ensure_fanout_parallelism(existing_docs),
+            id_col, text_col, num_hashes, bands, shingle_k, hash_mode
         )
 
     cand_cross = (

@@ -1380,6 +1380,78 @@ DSIR_GATE_BUCKETS = 128
 DSIR_GATE_MIN_LW = "0"
 
 
+def _build_curation_state(
+    spark: SparkSession, sf_dir: str, dsir: bool = True
+) -> dict:
+    """Build the composed gate's corpus-side stores CONCURRENTLY (guide
+    §2.6 / r13): the exact fingerprint set, the banded-MinHash signature
+    store, the frozen semantic fit + assigned embedding store, and (the
+    fourth tier) the frozen DSIR ratio table are four INDEPENDENT corpus
+    passes — none reads another's output — so they are submitted from a
+    driver thread pool and the wall cost is the slowest pass, not the
+    sum (measured sf0.1: 22.8s sequential -> ~the k-means fit's span).
+    Each lands on a localCheckpointed leaf; contents are deterministic
+    and identical to the sequential build, so the shared oracle proof
+    (bootstrap == steady) is untouched — only submission order changed."""
+    from dynamic_etl_spark.ops import ann as ANN
+    from dynamic_etl_spark.ops import lsh as L
+    from dynamic_etl_spark.ops import quality as Q
+    from dynamic_etl_spark.ops.text import fingerprint_md5
+    from dynamic_etl_spark.session import run_concurrently
+
+    corpus_docs, corpus_emb, _, _ = _incremental_curation_fixture(spark, sf_dir)
+    # The sf0.1 documents parquet is a single row group, so the corpus
+    # scan is ONE task and every fan-out pass below (shingling, per-gram
+    # md5, fingerprinting) serialized on one core (measured: the banded
+    # store build alone took 8.5s single-split vs ~1s fanned out). All
+    # three text passes are per-doc/per-bucket aggregates — partition-
+    # invariant by the repo's determinism rule — and at production split
+    # counts this wrapper is a no-op. The embedding side is left
+    # unwrapped: the MLlib fit samples BY PARTITION LAYOUT, so
+    # repartitioning it would silently re-seed the centers.
+    corpus_docs = ensure_fanout_parallelism(corpus_docs)
+
+    def build_fp():
+        return corpus_docs.select(
+            fingerprint_md5(F.col("text")).alias("__fp")
+        ).distinct().localCheckpoint()
+
+    def build_lex():
+        return L.minhash_banded_rows(
+            corpus_docs, "doc_id", "text", hash_mode="md5"
+        ).localCheckpoint()
+
+    def build_sem():
+        centers = ANN.fit_semantic_centers(
+            corpus_emb, "doc_id", "embedding", n_cells=8
+        )
+        emb_store = ANN.semantic_store_rows(
+            corpus_emb, "doc_id", "embedding", centers
+        ).localCheckpoint()
+        return centers, emb_store
+
+    def build_dsir():
+        # dsir_bucket_ratios localCheckpoints its B-row output itself
+        return Q.dsir_bucket_ratios(
+            corpus_docs,
+            target=F.col("doc_id") % 4 == 0,
+            n_buckets=DSIR_GATE_BUCKETS,
+        )
+
+    thunks = [build_fp, build_lex, build_sem] + ([build_dsir] if dsir else [])
+    results = run_concurrently(*thunks)
+    centers, emb_store = results[2]
+    state = {
+        "store_fp": results[0],
+        "lex_store": results[1],
+        "centers": centers,
+        "emb_store": emb_store,
+    }
+    if dsir:
+        state["dsir_ratios"] = results[3]
+    return state
+
+
 def _run_curation_gate(
     spark: SparkSession,
     sf_dir: str,
@@ -1399,12 +1471,29 @@ def _run_curation_gate(
     from dynamic_etl_spark.ops import ann as ANN
     from dynamic_etl_spark.ops import lsh as L
     from dynamic_etl_spark.ops.text import fingerprint_md5
+    from dynamic_etl_spark.session import run_concurrently
 
     corpus_docs, corpus_emb, batch_docs, batch_emb = _incremental_curation_fixture(
         spark, sf_dir
     )
-    batch_docs = ensure_fanout_parallelism(batch_docs).localCheckpoint()
-    state = state or {}
+    if state is None:
+        # Bootstrap form (r13): the corpus-side stores are built fresh
+        # per invocation (this query PRICES bootstrap — memoizing would
+        # be result caching, which the steady sibling exists for), but
+        # they build CONCURRENTLY with each other and with the batch
+        # checkpoint: four independent corpus passes whose wall cost was
+        # previously their sum (guide §2.6). Identical contents to the
+        # lazy inline builds the tiers used to embed — the shared
+        # bootstrap==steady oracle already proves prebuilt-store
+        # admission equals fit-inline admission.
+        state, batch_docs = run_concurrently(
+            lambda: _build_curation_state(
+                spark, sf_dir, dsir=dsir_min_lw is not None
+            ),
+            lambda: ensure_fanout_parallelism(batch_docs).localCheckpoint(),
+        )
+    else:
+        batch_docs = ensure_fanout_parallelism(batch_docs).localCheckpoint()
 
     # tier 1 — exact fingerprints vs the store, keep-min within batch
     store_fp = state.get("store_fp")
@@ -1555,38 +1644,14 @@ def _steady_curation_state(spark: SparkSession, sf_dir: str) -> dict:
     embedding store. A production deployment holds exactly this bundle
     between batches (the streaming curation sink versions it on disk;
     this memo is its in-session analogue for the bench/oracle fixture)."""
-    from dynamic_etl_spark.ops import ann as ANN
-    from dynamic_etl_spark.ops import lsh as L
-    from dynamic_etl_spark.ops.text import fingerprint_md5
-
     key = (spark.sparkContext.applicationId, sf_dir)
     state = _STEADY_STATE.get(key)
     if state is not None:
         return state
-    from dynamic_etl_spark.ops import quality as Q
-
-    corpus_docs, corpus_emb, _, _ = _incremental_curation_fixture(spark, sf_dir)
-    centers = ANN.fit_semantic_centers(corpus_emb, "doc_id", "embedding", n_cells=8)
-    state = {
-        "store_fp": corpus_docs.select(
-            fingerprint_md5(F.col("text")).alias("__fp")
-        ).distinct().localCheckpoint(),
-        "lex_store": L.minhash_banded_rows(
-            corpus_docs, "doc_id", "text", hash_mode="md5"
-        ).localCheckpoint(),
-        "centers": centers,
-        "emb_store": ANN.semantic_store_rows(
-            corpus_emb, "doc_id", "embedding", centers
-        ).localCheckpoint(),
-        # the fourth tier's frozen fit (r12): dsir_bucket_ratios already
-        # localCheckpoints its B-row output — the 3-tier queries ignore
-        # the key, the dsir-gated steady form reads it
-        "dsir_ratios": Q.dsir_bucket_ratios(
-            corpus_docs,
-            target=F.col("doc_id") % 4 == 0,
-            n_buckets=DSIR_GATE_BUCKETS,
-        ),
-    }
+    # one concurrent build (guide §2.6): four independent corpus passes
+    # — see _build_curation_state; the 3-tier queries ignore the
+    # dsir_ratios key, the dsir-gated steady form reads it
+    state = _build_curation_state(spark, sf_dir, dsir=True)
     _STEADY_STATE[key] = state
     return state
 

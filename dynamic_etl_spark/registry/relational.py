@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from dynamic_etl_spark.ops import agg as A
 from dynamic_etl_spark.ops import joins as J
 from dynamic_etl_spark.registry.core import Query, QueryRegistry, sql_davg, sql_dsum, t
+from dynamic_etl_spark.session import ensure_fanout_parallelism
 
 
 # --------------------------------------------------------------------------
@@ -22,9 +23,13 @@ def flagship_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale plan: lineitem⋈orders is fact-to-fact — shuffled on the join key
     (never broadcast); nation/region are constant-size → explicit broadcast;
     part/supplier/customer scale with the data → left to AQE's runtime
-    stats so the plan stays correct at 100 TB.
+    stats so the plan stays correct at 100 TB. The fact side is
+    fan-out-ensured (r13): a single-row-group parquet scans as ONE task,
+    serializing the multi-broadcast probe on one core (measured 2.47s ->
+    2.05s at sf0.1); at production split counts the wrapper is a no-op,
+    so the scale plan above is unchanged.
     """
-    lineitem = t(spark, sf_dir, "lineitem")
+    lineitem = ensure_fanout_parallelism(t(spark, sf_dir, "lineitem"))
     orders = t(spark, sf_dir, "orders")
     customer = t(spark, sf_dir, "customer")
     nation = t(spark, sf_dir, "nation")

@@ -125,6 +125,38 @@ def local_df(spark: SparkSession, rows, schema: dict[str, str]):
     )
 
 
+def run_concurrently(*thunks):
+    """Run independent EAGER Spark workloads (checkpoint builds, MLlib
+    fits) from a small driver thread pool and return their results in
+    argument order — the guide §2.6 pattern: actions are only sequential
+    because driver code calls them sequentially, and overlapping
+    independent jobs lets the tail of one back-fill executors freed by
+    another (on local[N] it equally overlaps the fixed per-job
+    scheduling gaps that dominate eager small-data pipelines).
+
+    Results are UNCHANGED by construction: each thunk is an already-
+    deterministic build whose output does not depend on its siblings;
+    only submission order changes. ``inheritable_thread_target``
+    propagates the caller's JVM thread-locals (job group/description),
+    so bench job counting and UI labels still attribute the child jobs
+    to the calling query. Exceptions propagate to the caller.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.util import inheritable_thread_target
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    # session form: inherits JVM thread-locals AND session tags (the
+    # bare-callable form warns that tags are dropped); verified to carry
+    # the caller's job group into the child jobs either way
+    session = SparkSession.getActiveSession()
+    wrap = inheritable_thread_target(session) if session else inheritable_thread_target
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(wrap(t)) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def ensure_fanout_parallelism(df, factor: int = 1):
     """Guarantee cluster-wide parallelism BEFORE a compute-heavy fan-out
     (shingling, signature building, media decode).

@@ -47,12 +47,17 @@ JOB_BUDGETS = {
     "incremental_near_dup": 35,
     "incremental_near_dup_exacthash": 37,  # xxhash twin's band + the md5
     # signature chain's extra sub-jobs (measured 33 after the r9 cut)
-    "incremental_curation_admission": 66,  # r9 composed gate: tier-1
+    "incremental_curation_admission": 71,  # r9 composed gate: tier-1
     # fingerprint checkpoint + the full lexical admission chain + the
     # semantic fit/cogroup chain + attribution tail — cost ~ sum of the
     # single-tier admission queries, which is the point (r10: measured
     # 69 -> 62 after the bootstrap fit's init_mode="random" cut the
-    # k-means|| init passes, VERDICT r9 #6)
+    # k-means|| init passes, VERDICT r9 #6). r13 plan review: +3 jobs
+    # (measured 66 -> 69) are the now-EXPLICIT store checkpoints +
+    # corpus fan-out exchange of _build_curation_state — the price of
+    # building the four corpus stores CONCURRENTLY (guide §2.6) instead
+    # of lazily embedded in sequential tier actions; wall time drops by
+    # the overlap (state build 23.5s sequential -> ~8s parallel sf0.1)
     "incremental_semantic_dedup": 40,  # one MLlib fit on the corpus
     # (clamp count + seeded-random init + capped iterations) + the
     # dup_pairs checkpoint + admit_batch's take + the surface tail
@@ -65,8 +70,10 @@ JOB_BUDGETS = {
     "incremental_curation_admission_steady": 51,
     # r12 fourth-tier gate: the bootstrap gate + the DSIR fit's gram
     # pass/checkpoint + the ratio-table count + the survivor checkpoint
-    # and scoring tail (measured 80)
-    "incremental_curation_admission_dsir": 88,
+    # and scoring tail (measured 80). r13 plan review: +3 — the same
+    # explicit concurrent-state-build checkpoints as the 3-tier form
+    # above (measured 91)
+    "incremental_curation_admission_dsir": 93,
     # r12 steady form: per-batch four-tier admission against the
     # prebuilt stores + frozen ratio table (measured 56 warm; the
     # session-once state build is excluded — see _WARM_FIRST)

@@ -46,7 +46,11 @@ from dynamic_etl_spark.plan import count_shuffle_exchanges as _shuffles  # noqa:
 #: completeness test below fails otherwise) — record the measured count,
 #: don't guess.
 SHUFFLE_BUDGET = {
-    "flagship_star_join": 0,
+    # r13: +1 — ensure_fanout_parallelism on the fact side (a single-
+    # row-group scan probed six broadcasts on ONE task; the round-robin
+    # exchange is a no-op at production split counts, measured -17% at
+    # sf0.1). Plan-reviewed: the exchange carries the RAW fact scan once.
+    "flagship_star_join": 1,
     "scan_projection_filter": 0,
     "pricing_summary": 1,
     "distinct_profile": 2,
