@@ -206,7 +206,18 @@ def winnow_overlap_pairs(
     Output: (id_a, id_b, shared_fps, containment_a, containment_b),
     id_a < id_b.
     """
-    fps = winnow_fp_rows(df, id_col=id_col, text_col=text_col, k=k, w=w)
+    # fps has THREE consumers (totals, dfreq, the pair self-join), each
+    # of which would re-run the fingerprint pass — explode + per-doc
+    # window min + distinct, the operator's most expensive stage — and
+    # unlike the banded-LSH merge the consumers exchange by DIFFERENT
+    # keys (id vs fp), so ReusedExchange cannot serve them from one
+    # pass. localCheckpoint materializes it once (r13, A/B at sf0.1:
+    # 3.5s -> 2.7s; surfaced plan sheds the duplicated fingerprint
+    # subtrees). The checkpointed rows are (id, fp) — a fraction of the
+    # input text's bytes at any scale (one fingerprint per w-window).
+    fps = winnow_fp_rows(
+        df, id_col=id_col, text_col=text_col, k=k, w=w
+    ).localCheckpoint()
     totals = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     joinable = fps
     if max_df is not None:

@@ -942,7 +942,8 @@ def curation_pipeline_accounting(
     the higher id of every pair (the pairwise keep-first rule — the
     component-canonical variant is near_dup_components); span =
     ops/spans.duplicated_span_stats at k=5 over the survivor corpus;
-    semantic = ops/ann.max_cosine_vs_queries >= 0.9 vs the eval vectors.
+    semantic = max cosine >= 0.9 vs the eval vectors (the vectorized
+    scorer — see the tier-5 inline note for the set-equality argument).
 
     Plan/scale notes: every intermediate is localCheckpoint()ed — each
     feeds BOTH its stage aggregate and the next tier, and an uncached
@@ -1044,12 +1045,20 @@ def curation_pipeline_accounting(
 
     # tier 5: semantic decontamination vs the eval vectors (docs without
     # an embedding — none survive this far in the fixture — pass through:
-    # the anti-join only removes scored rows over threshold)
+    # the anti-join only removes scored rows over threshold). The scorer
+    # is the Arrow/BLAS twin (r13): only the THRESHOLDED SET feeds the
+    # accounting — scores never surface — and the fixture's sims sit at
+    # 1.0 (planted) vs ~0.5 (natural), so the fold-vs-BLAS last-ulp
+    # difference cannot move the 0.9 cut (sets verified identical at
+    # sf0.1; oracle hash re-verified at the driver SFs). Measured 2.3s
+    # -> 0.8s — the interpreted |queries|-fold was the cascade's
+    # second-largest tier. semantic_decontamination (the standalone
+    # query) keeps the fold: it SURFACES the similarity values.
     from dynamic_etl_spark.ops import ann as ANN
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     eval_set = emb.filter(F.col("vec_id") % 50 == 0)
-    scored = ANN.max_cosine_vs_queries(
+    scored = ANN.max_cosine_vs_queries_vectorized(
         s4.join(emb, s4["doc_id"] == emb["vec_id"]).select("doc_id", "embedding"),
         eval_set,
         "doc_id",

@@ -199,7 +199,10 @@ SHUFFLE_BUDGET = {
     # cap agg + semi join, the fp-key self-join, the pair agg, and the
     # two totals joins — measured 14; candidates only on surviving
     # fingerprint collisions, never corpus x corpus
-    "winnowing_overlap_pairs": 14,
+    # r13: 14 -> 5 — the fingerprint pass localCheckpoints (three
+    # consumers on different keys re-ran its explode/window/distinct
+    # subtree; the surfaced plan now reads the leaf)
+    "winnowing_overlap_pairs": 5,
     "events_funnel_conversion": 2,
     "source_quota_cap": 1,
     "events_value_percentiles": 1,
