@@ -148,7 +148,9 @@ SHUFFLE_BUDGET = {
     "bm25_topk_retrieval": 6,
     # one posexplode + one wide groupBy(id) carrying all 16 projection
     # sums (the srp_banded_rows shape) — measured 1
-    "embedding_jl_projection": 1,
+    # r13: +1 — fan-out exchange of the single-row-group embeddings scan
+    # before the d_in x d_out term fan-out (no-op at production splits)
+    "embedding_jl_projection": 2,
     # greedy MMR: the k selection rounds run as driver-loop TakeOrdered
     # passes (job budget pins them); the surfaced result is the k
     # driver-held winners — a LocalTableScan, zero exchanges
