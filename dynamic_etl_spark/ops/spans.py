@@ -69,7 +69,24 @@ def duplicated_span_stats(
 
 
 def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    """Tokenize ONCE onto a checkpointed leaf (r13). The token rows have
+    THREE consumers downstream (the positional-gram explode, the token-
+    position explode of the reassembly, and the final profile join) that
+    consume them in different shapes, so nothing lets Spark reuse one
+    pass — uncheckpointed, the tokenize ran three times. The input is
+    also fan-out-ensured first: tokenization + both explodes otherwise
+    run inside a single-task scan stage on a one-row-group parquet
+    (no-op at production split counts; per-row work is partition-
+    invariant). Interleaved A/B at sf0.1, standalone op: 3.19s as-is,
+    2.42s fan-only, 2.63s checkpoint-only, 2.00s both. The checkpointed
+    rows are (id, tokens) — the same byte class as the input text."""
+    from dynamic_etl_spark.session import ensure_fanout_parallelism
+
+    return (
+        ensure_fanout_parallelism(df)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .localCheckpoint()
+    )
 
 
 def _positional_grams(base: DataFrame, id_col: str, k: int) -> DataFrame:

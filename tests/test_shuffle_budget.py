@@ -265,7 +265,10 @@ SHUFFLE_BUDGET = {
     # moment aggregation + the presentation orderBy's range exchange
     "events_value_trend": 2,
     # r6 post-window adds: measured on the executed plan
-    "benchmark_span_scrub": 12,     # the planted-fixture corpus subtree
+    # r13: 12 -> 8 — _tokenized now lands on a checkpointed leaf, so
+    # the planted-fixture corpus subtree no longer replicates into the
+    # span-tail branches (see the old note below for the 12-count shape)
+    "benchmark_span_scrub": 8,      # the planted-fixture corpus subtree
     # (broadcast frag join + fanout repartition) is REPLICATED into the
     # 4 span-tail branches (grams / merge window / token stream / final
     # join), so its RoundRobin+hash exchanges count 4x in the initial
