@@ -28,69 +28,72 @@ from dynamic_etl_spark.registry.core import Query, QueryRegistry
 #: checked in tests/test_llm.py) go last.
 DRIVER_WINDOW = 50
 
-#: Positions 1-50 — the r13 rotation (VERDICT r12 #1): ALL 36 due
-#: re-confirmations (latest driver green r9 — the exact list the
-#: rotation-hygiene tripwire computed the moment CORRECTNESS_r12.json
-#: landed), then 14 r10-era refreshes chosen to double as this round's
-#: changed-surface slots: r13 is an OPTIMIZATION round, and the queries
-#: whose physical plans it touches (the incremental-admission family,
-#: the embedding family, winnowing, sessionization, dedup) should sit
-#: in the window so the driver re-earns their hashes on the new plans.
+#: Positions 1-50 — the r14 rotation (VERDICT r13 #1 + the hygiene
+#: tripwire's due list): ALL 33 due re-confirmations (latest driver
+#: green r10 — the exact list the tripwire computed when
+#: CORRECTNESS_r13.json landed), then the six surfaces VERDICT r13
+#: ordered back into the window because r13 re-planned them without a
+#: driver re-earn (cascade tier-5 BLAS swap, concurrent margin fits,
+#: md5 LSH twin, DSIR admission forms), then the four r13-green
+#: surfaces this round's tier-2/tier-3/job-count work re-plans again,
+#: then 7 r11-era refreshes to keep the re-confirmation debt level.
 #: The stale-ledger CI property (tests/test_oracle_parity.py) computes
 #: this window's obligations from the checked-in CORRECTNESS_r*.json.
 _WINDOW_ORDER = (
-    # ---- ALL 36 due re-confirmations (latest green r9) ----
-    "events_equidepth_deciles",
-    "events_fill_forward",
-    "events_funnel_conversion",
-    "events_hourly_resample",
-    "events_interarrival_profile",
-    "events_key_skew_profile",
-    "events_minmax_scaled",
-    "events_retention_cohorts",
-    "events_rolling_distinct_users",
-    "events_rolling_user_value",
-    "events_transition_matrix",
-    "events_type_drift_profile",
-    "events_type_pivot",
-    "events_type_unpivot",
-    "events_value_histogram",
-    "events_value_percentiles",
-    "events_value_zscore",
-    "events_zorder_tiles",
-    "fuzzy_brand_match",
-    "incremental_near_dup_exacthash",
-    "incremental_rollup_maintenance",
-    "markup_strip_clean",
-    "order_price_distribution_ranks",
-    "orders_above_customer_avg",
-    "orders_snapshot_diff",
-    "pmi_collocations_top",
-    "quality_rank_calibration",
-    "quantile_hist_maintenance",
-    "reservoir_sample_maintenance",
-    "semantic_dedup_survivors",
-    "shard_assignment_profile",
-    "source_concentration_profile",
-    "source_quota_cap",
-    "tfidf_top_terms",
-    "url_filter_profile",
-    "vocabulary_build",
-    # ---- 14 r10-era refreshes == the r13 optimization surfaces ----
+    # ---- ALL 33 due re-confirmations (latest green r10) ----
+    "benchmark_decontamination",
+    "benchmark_span_scrub",
+    "bm25_topk_retrieval",
+    "change_detection_classification",
+    "clean_product_feed",
+    "clean_store_feed",
+    "coercion_failure_profile",
+    "count_min_maintenance",
+    "date_gap_fill_incremental",
+    "dedup_impact_forecast",
+    "dedup_survivors",
+    "document_gram_exposure",
+    "drop_unresolved_keys",
+    "duplicate_detection",
+    "duplicated_span_removal",
+    "events_asof_last_purchase",
+    "events_compaction_plan",
+    "events_hourly_heatmap",
+    "events_range_interval_join",
+    "generator_distributors",
+    "generator_products",
+    "generator_stores",
+    "grouping_sets_order_totals",
+    "hashed_linear_quality_score",
+    "heavy_hitter_maintenance",
+    "mini_dim_upsert",
+    "nation_segment_listagg",
+    "null_count_profile",
+    "rank_sketch_finalize_exact",
+    "rollup_totals",
+    "salted_skew_join",
+    "value_anomaly_mad",
+    "value_outlier_gate",
+    # ---- VERDICT r13 #1: r13-replanned surfaces needing re-earn ----
+    "curation_pipeline_accounting",
+    "curation_pipeline_lsh",
+    "embedding_margin_alignment",
+    "minhash_near_dup_exacthash",
+    "incremental_curation_admission_dsir",
+    "incremental_curation_admission_dsir_steady",
+    # ---- r13-green surfaces re-planned again by this round's work ----
     "incremental_curation_admission",
     "incremental_curation_admission_steady",
+    "incremental_near_dup_exacthash",
     "incremental_semantic_dedup",
-    "embedding_near_dup",
-    "embedding_jl_projection",
-    "embedding_dim_spread",
-    "embedding_topk_bruteforce",
-    "winnowing_overlap_pairs",
-    "winnowing_fingerprint",
-    "events_sessionization",
-    "exact_dedup_fingerprint",
-    "dedup_keep_last_line_agg",
-    "flagship_star_join",
-    "date_dimension_build",
+    # ---- 7 r11-era refreshes (oldest-green debt reduction) ----
+    "hybrid_rrf_retrieval",
+    "semantic_decontamination",
+    "semantic_decontamination_vectorized",
+    "near_dup_components",
+    "ngram_jaccard_similarity",
+    "line_dedup_profile",
+    "multimodal_feature_extract",
 )
 
 #: Rotated out after earning their driver-green; the local pytest
@@ -99,90 +102,88 @@ _WINDOW_ORDER = (
 _ROTATED_OUT = (
     "alias_header_resolution",
     "approx_distinct_exacthash",
-    "benchmark_decontamination",
     "benchmark_decontamination_bloom",
-    "benchmark_span_scrub",
     "bigram_novelty_profile",
     "bigram_perplexity_profile",
-    "bm25_topk_retrieval",
     "bpe_encode_stats",
     "bpe_fertility_by_lang",
     "bpe_merge_training",
     "c4_quality_gates",
-    "change_detection_classification",
     "clean_distributor_feed",
-    "clean_product_feed",
-    "clean_store_feed",
-    "coercion_failure_profile",
     "corpus_mixture_sample",
     "corpus_split_assignment",
     "corpus_stratified_sample",
-    "count_min_maintenance",
     "cube_order_totals",
     "curated_corpus_retrieval",
-    "curation_pipeline_accounting",
-    "curation_pipeline_lsh",
     "customer_order_sequence",
     "customer_rfm_segmentation",
     "customers_with_orders",
     "customers_without_orders",
     "date_backfill_initial",
-    "date_gap_fill_incremental",
+    "date_dimension_build",
     "date_key_lookup",
-    "dedup_impact_forecast",
     "dedup_keep_first_line",
     "dedup_keep_last_line",
-    "dedup_survivors",
+    "dedup_keep_last_line_agg",
     "dedup_survivors_best_quality",
     "distinct_profile",
     "distinct_sketch_maintenance_exacthash",
     "document_chunking",
-    "document_gram_exposure",
-    "drop_unresolved_keys",
     "dsir_importance_selection",
-    "duplicate_detection",
     "duplicate_group_members",
-    "duplicated_span_removal",
     "embedding_ann_ivf_exacthash",
     "embedding_ann_lsh_exacthash",
     "embedding_density_exacthash",
+    "embedding_dim_spread",
     "embedding_int8_quant",
+    "embedding_jl_projection",
     "embedding_knn_join_exacthash",
     "embedding_label_centroids",
-    "embedding_margin_alignment",
     "embedding_mmr_select",
     "embedding_mmr_select_pooled",
+    "embedding_near_dup",
+    "embedding_topk_bruteforce",
     "embedding_topk_vectorized",
     "encoding_repair_profile",
-    "events_asof_last_purchase",
-    "events_compaction_plan",
-    "events_hourly_heatmap",
+    "events_equidepth_deciles",
+    "events_fill_forward",
+    "events_funnel_conversion",
+    "events_hourly_resample",
+    "events_interarrival_profile",
     "events_json_extract",
+    "events_key_skew_profile",
     "events_ks_drift",
     "events_ks_drift_autogrid",
     "events_ks_drift_binned",
-    "events_range_interval_join",
+    "events_minmax_scaled",
     "events_rate_profile",
+    "events_retention_cohorts",
+    "events_rolling_distinct_users",
+    "events_rolling_user_value",
+    "events_sessionization",
     "events_sliding_window",
+    "events_transition_matrix",
     "events_tumbling_window",
+    "events_type_drift_profile",
     "events_type_pagerank_exacthash",
+    "events_type_pivot",
+    "events_type_unpivot",
+    "events_value_histogram",
+    "events_value_percentiles",
     "events_value_trend",
+    "events_value_zscore",
+    "events_zorder_tiles",
+    "exact_dedup_fingerprint",
     "fallback_key_resolution",
     "fk_integrity_report",
     "fk_orphan_attribution",
+    "flagship_star_join",
     "freshness_watermark",
-    "generator_distributors",
+    "fuzzy_brand_match",
     "generator_fact_day",
-    "generator_products",
-    "generator_stores",
     "gopher_repetition_gates",
-    "grouping_sets_order_totals",
-    "hashed_linear_quality_score",
-    "heavy_hitter_maintenance",
     "high_water_mark",
-    "hybrid_rrf_retrieval",
-    "incremental_curation_admission_dsir",
-    "incremental_curation_admission_dsir_steady",
+    "incremental_rollup_maintenance",
     "insert_only_merge",
     "knn_label_vote",
     "ks_drift_maintenance",
@@ -190,44 +191,46 @@ _ROTATED_OUT = (
     "latest_order_per_customer",
     "leakage_safe_split",
     "length_bucketed_batching",
-    "line_dedup_profile",
-    "minhash_near_dup_exacthash",
-    "mini_dim_upsert",
-    "multimodal_feature_extract",
+    "markup_strip_clean",
     "nation_key_set_ops",
-    "nation_segment_listagg",
     "natural_key_concat",
-    "near_dup_components",
-    "ngram_jaccard_similarity",
-    "null_count_profile",
     "numeric_profile",
+    "order_price_distribution_ranks",
+    "orders_above_customer_avg",
+    "orders_snapshot_diff",
     "pii_detect_redact",
+    "pmi_collocations_top",
     "point_and_flag_filter",
     "pricing_summary",
+    "quality_rank_calibration",
+    "quantile_hist_maintenance",
     "quasi_identifier_risk",
-    "rank_sketch_finalize_exact",
+    "reservoir_sample_maintenance",
     "rollup_slice_rebuild",
-    "rollup_totals",
-    "salted_skew_join",
     "scan_projection_filter",
     "scd1_merge_orders",
     "scd2_merge_customers",
     "scd2_point_in_time_lookup",
-    "semantic_decontamination",
-    "semantic_decontamination_vectorized",
+    "semantic_dedup_survivors",
     "sequence_packing",
+    "shard_assignment_profile",
     "simhash_near_dup_exacthash",
     "snowflake_extraction",
+    "source_concentration_profile",
     "source_diversity_profile",
+    "source_quota_cap",
     "split_leakage_audit",
     "surrogate_key_assignment",
     "text_stats_profile",
+    "tfidf_top_terms",
     "tiered_discount_pricing",
     "top_part_types",
     "url_canonical_dedup",
+    "url_filter_profile",
     "validation_report",
-    "value_anomaly_mad",
-    "value_outlier_gate",
+    "vocabulary_build",
+    "winnowing_fingerprint",
+    "winnowing_overlap_pairs",
 )
 
 #: Positions past the rotated-out block: the rows-only queries

@@ -32,40 +32,44 @@ def test_rows_only_query_runs(spark, name):
     assert len(df.columns) > 0
 
 
-def test_driver_window_holds_the_r13_rotation():
+def test_driver_window_holds_the_r14_rotation():
     """The driver hash-checks only the first DRIVER_WINDOW registered
-    queries. The r13 window (VERDICT r12 #1): ALL 36 due
-    re-confirmations (latest driver green r9 — exactly the list the
-    rotation-hygiene tripwire computed when CORRECTNESS_r12.json
-    landed); the remaining 14 slots refresh r10-era confirmations (47
-    come due at r14 — this flattens that bulge), chosen to coincide
-    with the surfaces the r13 optimization round re-plans (the
-    incremental-admission family, the embedding family, winnowing,
-    sessionization, dedup) so the driver re-earns their hashes on the
-    new physical plans. Every windowed query is oracle-backed;
-    everything rotated out stays hash-checked by this local harness."""
+    queries. The r14 window (VERDICT r13 #1 + the hygiene tripwire):
+    ALL 33 due re-confirmations (latest driver green r10 — exactly the
+    list the rotation-hygiene tripwire computed when
+    CORRECTNESS_r13.json landed); then the six surfaces r13 re-planned
+    without a driver re-earn (cascade tier-5 BLAS swap, concurrent
+    margin fits, md5 LSH twin, DSIR admission forms); then the four
+    r13-green surfaces this round's tier-2/tier-3/job-count work
+    re-plans again; then 7 r11-era refreshes. Every windowed query is
+    oracle-backed; everything rotated out stays hash-checked by this
+    local harness."""
     from dynamic_etl_spark.registry import DRIVER_WINDOW, _ROTATED_OUT
 
     window = list(REGISTRY)[:DRIVER_WINDOW]
     for name in (
-        # representatives of the 36 due r9-era re-confirmations
-        "events_equidepth_deciles",
-        "events_retention_cohorts",
-        "events_zorder_tiles",
-        "fuzzy_brand_match",
-        "incremental_near_dup_exacthash",
-        "orders_snapshot_diff",
-        "semantic_dedup_survivors",
-        "tfidf_top_terms",
-        "vocabulary_build",
-        # r10-era refreshes == the r13 optimization surfaces
+        # representatives of the 33 due r10-era re-confirmations
+        "benchmark_span_scrub",
+        "duplicated_span_removal",
+        "dedup_survivors",
+        "duplicate_detection",
+        "generator_products",
+        "heavy_hitter_maintenance",
+        "rollup_totals",
+        "salted_skew_join",
+        "value_outlier_gate",
+        # VERDICT r13 #1: r13-replanned surfaces needing re-earn
+        "curation_pipeline_accounting",
+        "curation_pipeline_lsh",
+        "embedding_margin_alignment",
+        "minhash_near_dup_exacthash",
+        "incremental_curation_admission_dsir",
+        "incremental_curation_admission_dsir_steady",
+        # r13-green surfaces re-planned again by r14's work
         "incremental_curation_admission",
         "incremental_curation_admission_steady",
+        "incremental_near_dup_exacthash",
         "incremental_semantic_dedup",
-        "embedding_near_dup",
-        "winnowing_overlap_pairs",
-        "events_sessionization",
-        "flagship_star_join",
     ):
         assert name in window, f"{name} fell outside the driver correctness window"
     # a rows-only query in the window would waste a hash slot
