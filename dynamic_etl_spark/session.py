@@ -149,9 +149,18 @@ def run_concurrently(*thunks):
         return [thunks[0]()]
     # session form: inherits JVM thread-locals AND session tags (the
     # bare-callable form warns that tags are dropped); verified to carry
-    # the caller's job group into the child jobs either way
+    # the caller's job group into the child jobs either way. The session
+    # form requires pinned-thread mode (the 4.x default): with
+    # PYSPARK_PIN_THREAD=false, inheritable_thread_target(session) does
+    # not return a decorator (ADVICE r13) — fall back to the
+    # bare-callable form there instead of failing on wrap(t).
     session = SparkSession.getActiveSession()
     wrap = inheritable_thread_target(session) if session else inheritable_thread_target
+    try:
+        if not callable(wrap) or not callable(wrap(thunks[0])):
+            wrap = inheritable_thread_target
+    except (AssertionError, TypeError):
+        wrap = inheritable_thread_target
     with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
         futures = [pool.submit(wrap(t)) for t in thunks]
         return [f.result() for f in futures]
