@@ -1360,26 +1360,33 @@ def _probe_cells(
     vec_col: str,
     centers,
     n_probe: int,
+    with_cells: bool = False,
 ) -> DataFrame:
     """(id, __qv, cell, probe_rank): each vector's ``n_probe`` nearest
     k-means cells by exact squared L2 against the broadcast-by-closure
     centroid matrix — the distributed (mapInPandas, no driver collect)
     cell assignment shared by the incremental semantic tier.
-    probe_rank 0 is the nearest cell (the store-assignment cell)."""
+    probe_rank 0 is the nearest cell (the store-assignment cell).
+    ``with_cells`` adds ``__cells``, the doc's FULL probed-cell list on
+    every probe row — the fused incremental merge dedups within-batch
+    pairs in-cell (emit only in min(shared probed cells)) instead of
+    with a distinct exchange, and that rule needs both endpoints' probe
+    sets visible inside one cell's cogroup."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import types as T
 
     id_type = df.schema[id_col].dataType
-    schema = T.StructType(
-        [
-            T.StructField(id_col, id_type, False),
-            T.StructField("__qv", T.ArrayType(T.DoubleType()), False),
-            T.StructField("cell", T.IntegerType(), False),
-            T.StructField("probe_rank", T.IntegerType(), False),
-        ]
-    )
+    fields = [
+        T.StructField(id_col, id_type, False),
+        T.StructField("__qv", T.ArrayType(T.DoubleType()), False),
+        T.StructField("cell", T.IntegerType(), False),
+        T.StructField("probe_rank", T.IntegerType(), False),
+    ]
+    if with_cells:
+        fields.append(T.StructField("__cells", T.ArrayType(T.IntegerType()), False))
+    schema = T.StructType(fields)
     nprobe_eff = min(n_probe, len(centers))
     c_sq = (centers**2).sum(axis=1)
 
@@ -1391,16 +1398,20 @@ def _probe_cells(
             d2 = (V**2).sum(axis=1)[:, None] - 2.0 * (V @ centers.T) + c_sq[None, :]
             cells = np.argsort(d2, axis=1, kind="stable")[:, :nprobe_eff]
             vec_list = pdf["__qv"].to_list()
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy().repeat(nprobe_eff),
-                    "__qv": [v for v in vec_list for _ in range(nprobe_eff)],
-                    "cell": cells.ravel().astype("int32"),
-                    "probe_rank": np.tile(
-                        np.arange(nprobe_eff, dtype="int32"), len(pdf)
-                    ),
-                }
-            )
+            data = {
+                id_col: pdf[id_col].to_numpy().repeat(nprobe_eff),
+                "__qv": [v for v in vec_list for _ in range(nprobe_eff)],
+                "cell": cells.ravel().astype("int32"),
+                "probe_rank": np.tile(
+                    np.arange(nprobe_eff, dtype="int32"), len(pdf)
+                ),
+            }
+            if with_cells:
+                cl = cells.astype("int32")
+                data["__cells"] = [
+                    cl[r].tolist() for r in range(len(pdf)) for _ in range(nprobe_eff)
+                ]
+            yield pd.DataFrame(data)
 
     src = df.select(
         F.col(id_col), as_double_vec(F.col(vec_col)).alias("__qv")
@@ -1585,141 +1596,156 @@ def incremental_semantic_merge(
     new_docs = ensure_fanout_parallelism(new_docs)
     id_type = new_docs.schema[id_col].dataType
 
-    probes = _probe_cells(new_docs, id_col, vec_col, centers, n_probe)
+    probes = _probe_cells(
+        new_docs, id_col, vec_col, centers, n_probe, with_cells=True
+    )
     store = existing_assigned.select(
         F.col(id_col).alias("__mid"),
         as_double_vec(F.col(vec_col)).alias("__mv"),
         "cell",
     )
 
-    cross_schema = T.StructType(
+    # ONE cogroup by cell replaces the r13 shape's two cell exchanges
+    # (batch x store cogroup + batch-only self group), its within-pair
+    # distinct, and the four id->vector verify joins (guide §2.4 — two
+    # operations keyed the same way share one exchange; §1.2 — the
+    # verify joins re-derived vectors the cogroup already held). The
+    # candidate rows CARRY both raw double vectors out of the pandas
+    # function: candidates are delta-sized (bounded by duplicate
+    # structure), so the payload is 2 x dims doubles per *duplicate*,
+    # never per corpus row, and verify becomes a projection. Dedup of
+    # within-batch pairs (which meet in every shared probed cell) moves
+    # in-cell: a pair is emitted ONLY from min(shared probed cells) —
+    # both endpoints carry their full probe list (__cells), so every
+    # shared cell evaluates the same rule and exactly one emits.
+    cand_schema = T.StructType(
         [
             T.StructField("id_new", id_type, False),
-            T.StructField("id_old", id_type, False),
+            T.StructField("id_matched", id_type, False),
+            T.StructField("__nv", T.ArrayType(T.DoubleType()), False),
+            T.StructField("__mv", T.ArrayType(T.DoubleType()), False),
+            T.StructField("scope", T.StringType(), False),
         ]
     )
-
-    def cross_cand(qpdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_new": [], "id_old": []})
-        if len(qpdf) == 0 or len(mpdf) == 0:
-            return empty
-        if len(mpdf) > max_cell_rows:
-            raise ValueError(
-                f"incremental_semantic_merge store cell holds {len(mpdf)} "
-                f"rows > {max_cell_rows}; raise n_cells so cells fit "
-                "executor memory"
-            )
-        mids = mpdf["__mid"].to_numpy()
-        M = np.asarray(mpdf["__mv"].to_list(), dtype=np.float64)
-        mn = np.linalg.norm(M, axis=1)
-        M = M / np.where(mn == 0.0, 1.0, mn)[:, None]
-        qids = qpdf[id_col].to_numpy()
-        Q = np.asarray(qpdf["__qv"].to_list(), dtype=np.float64)
-        qn = np.linalg.norm(Q, axis=1)
-        Q = Q / np.where(qn == 0.0, 1.0, qn)[:, None]
-        n_parts, o_parts = [], []
-        for lo in range(0, len(qids), block_rows):
-            hi = min(lo + block_rows, len(qids))
-            S = Q[lo:hi] @ M.T
-            ii, jj = np.nonzero(S >= threshold)
-            n_parts.append(qids[ii + lo])
-            o_parts.append(mids[jj])
+    def _empty_cand() -> pd.DataFrame:
+        # array columns must be object-dtype even when empty — an empty
+        # float64 numpy column cannot Arrow-convert to list<double>
         return pd.DataFrame(
             {
-                "id_new": np.concatenate(n_parts) if n_parts else qids[:0],
-                "id_old": np.concatenate(o_parts) if o_parts else mids[:0],
+                "id_new": pd.Series(dtype=object),
+                "id_matched": pd.Series(dtype=object),
+                "__nv": pd.Series(dtype=object),
+                "__mv": pd.Series(dtype=object),
+                "scope": pd.Series(dtype=object),
             }
         )
 
-    within_schema = T.StructType(
-        [
-            T.StructField("id_a", id_type, False),
-            T.StructField("id_b", id_type, False),
-        ]
-    )
-
-    def within_cand(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        if n > max_cell_rows:
+    def cell_cand(qpdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
+        nq = len(qpdf)
+        if nq == 0:
+            return _empty_cand()
+        if nq > max_cell_rows:
             raise ValueError(
-                f"incremental_semantic_merge batch cell holds {n} rows > "
+                f"incremental_semantic_merge batch cell holds {nq} rows > "
                 f"{max_cell_rows}; raise n_cells so cells fit executor memory"
             )
-        pdf = pdf.sort_values(id_col, kind="mergesort")
-        ids = pdf[id_col].to_numpy()
-        V = np.asarray(pdf["__qv"].to_list(), dtype=np.float64)
-        norms = np.linalg.norm(V, axis=1)
-        V = V / np.where(norms == 0.0, 1.0, norms)[:, None]
-        a_parts, b_parts = [], []
-        for lo in range(0, n - 1, block_rows):
-            hi = min(lo + block_rows, n)
-            S = V[lo:hi] @ V.T
-            ii, jj = np.nonzero(S >= threshold)
-            keep = jj > ii + lo  # strict upper triangle in id order
-            a_parts.append(ids[ii[keep] + lo])
-            b_parts.append(ids[jj[keep]])
-        return pd.DataFrame(
-            {
-                "id_a": np.concatenate(a_parts) if a_parts else ids[:0],
-                "id_b": np.concatenate(b_parts) if b_parts else ids[:0],
-            }
-        )
+        qpdf = qpdf.sort_values(id_col, kind="mergesort")
+        qids = qpdf[id_col].to_numpy()
+        qvec = qpdf["__qv"].to_list()
+        Q = np.asarray(qvec, dtype=np.float64)
+        qn = np.linalg.norm(Q, axis=1)
+        Qn = Q / np.where(qn == 0.0, 1.0, qn)[:, None]
+        frames = []
+        # cross: batch x store — a (new, old) pair meets at most once
+        # (old's store row sits in its ONE assignment cell), no dedup
+        if len(mpdf):
+            if len(mpdf) > max_cell_rows:
+                raise ValueError(
+                    f"incremental_semantic_merge store cell holds {len(mpdf)} "
+                    f"rows > {max_cell_rows}; raise n_cells so cells fit "
+                    "executor memory"
+                )
+            mids = mpdf["__mid"].to_numpy()
+            mvec = mpdf["__mv"].to_list()
+            M = np.asarray(mvec, dtype=np.float64)
+            mn = np.linalg.norm(M, axis=1)
+            Mn = M / np.where(mn == 0.0, 1.0, mn)[:, None]
+            for lo in range(0, nq, block_rows):
+                hi = min(lo + block_rows, nq)
+                S = Qn[lo:hi] @ Mn.T
+                ii, jj = np.nonzero(S >= threshold)
+                if len(ii):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "id_new": qids[ii + lo],
+                                "id_matched": mids[jj],
+                                "__nv": [qvec[i] for i in ii + lo],
+                                "__mv": [mvec[j] for j in jj],
+                                "scope": "existing",
+                            }
+                        )
+                    )
+        # within: strict upper triangle in id order, emitted only when
+        # this cell is the min cell both endpoints probed
+        if nq >= 2:
+            C = np.asarray(qpdf["__cells"].to_list(), dtype=np.int64)
+            cell_here = int(qpdf["cell"].iloc[0])
+            for lo in range(0, nq - 1, block_rows):
+                hi = min(lo + block_rows, nq)
+                S = Qn[lo:hi] @ Qn.T
+                ii, jj = np.nonzero(S >= threshold)
+                keep = jj > ii + lo
+                ii, jj = ii[keep] + lo, jj[keep]
+                if len(ii):
+                    A, B = C[ii], C[jj]
+                    shared = (A[:, :, None] == B[:, None, :]).any(axis=2)
+                    min_shared = np.where(
+                        shared, A, np.iinfo(np.int64).max
+                    ).min(axis=1)
+                    sel = min_shared == cell_here
+                    ii, jj = ii[sel], jj[sel]
+                if len(ii):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "id_new": qids[jj],
+                                "id_matched": qids[ii],
+                                "__nv": [qvec[j] for j in jj],
+                                "__mv": [qvec[i] for i in ii],
+                                "scope": "batch",
+                            }
+                        )
+                    )
+        if not frames:
+            return _empty_cand()
+        return pd.concat(frames, ignore_index=True)
 
-    cross = (
+    cand = (
         probes.groupBy("cell")
         .cogroup(store.groupBy("cell"))
-        .applyInPandas(cross_cand, cross_schema)
-        # a (new, old) pair meets once per probed cell holding old's
-        # single store cell — at most once; within-batch pairs share up
-        # to n_probe cells, hence the distinct below
+        .applyInPandas(cell_cand, cand_schema)
     )
-    within = (
-        probes.groupBy("cell")
-        .applyInPandas(within_cand, within_schema)
-        .distinct()
-    )
-
     # Exact verify on the candidate (duplicate-structure-sized) pair
-    # set: surfaced sims come from the sequential-fold cosine, not BLAS
-    bvec = new_docs.select(
-        F.col(id_col).alias("__bid"), as_double_vec(F.col(vec_col)).alias("__bv")
-    )
-    svec = existing_assigned.select(
-        F.col(id_col).alias("__sid"), as_double_vec(F.col(vec_col)).alias("__sv")
-    )
-    cross_pairs = (
-        cross.join(bvec, cross.id_new == bvec.__bid)
-        .join(svec, cross.id_old == svec.__sid)
-        .withColumn("__s", cosine(F.col("__bv"), F.col("__sv")))
-        .filter(F.col("__s") >= threshold)
-        .select(
-            "id_new",
-            F.col("id_old").alias("id_matched"),
-            F.round("__s", 6).alias("cosine_sim"),
-            F.lit("existing").alias("scope"),
-        )
-    )
-    bvec_a = new_docs.select(
-        F.col(id_col).alias("__aid"), as_double_vec(F.col(vec_col)).alias("__av")
-    )
-    within_pairs = (
-        within.join(bvec_a, within.id_a == bvec_a.__aid)
-        .join(bvec, within.id_b == bvec.__bid)
-        .withColumn("__s", cosine(F.col("__av"), F.col("__bv")))
-        .filter(F.col("__s") >= threshold)
-        .select(
-            F.col("id_b").alias("id_new"),
-            F.col("id_a").alias("id_matched"),
-            F.round("__s", 6).alias("cosine_sim"),
-            F.lit("batch").alias("scope"),
-        )
-    )
+    # set: surfaced sims come from the sequential-fold cosine over the
+    # SAME doubles the r13 verify joins re-derived (Arrow round-trips
+    # float64 exactly; cosine is argument-order-invariant — per-element
+    # products and the norm product commute in IEEE — so the batch
+    # scope's swapped orientation is bit-identical).
     # dup_pairs is delta-sized (bounded by duplicate structure): eager
     # localCheckpoint resets the stateful-output lineage to a leaf (the
     # lexical tier's rule — un-truncated plans compound per batch)
-    dup_pairs = cross_pairs.unionByName(within_pairs).localCheckpoint()
+    dup_pairs = (
+        cand.withColumn("__s", cosine(F.col("__nv"), F.col("__mv")))
+        .filter(F.col("__s") >= threshold)
+        .select(
+            "id_new",
+            "id_matched",
+            F.round("__s", 6).alias("cosine_sim"),
+            "scope",
+        )
+        .localCheckpoint()
+    )
     accepted = admit_batch(new_docs, id_col, dup_pairs)
     new_assigned = semantic_store_rows(accepted, id_col, vec_col, centers)
     return {

@@ -233,6 +233,31 @@ def test_semantic_distributed_cc_fallback_matches_driver_path(spark, monkeypatch
     assert fast_ids == slow_ids == _brute_admit(existing, batch) == {20, 23}
 
 
+def test_semantic_within_pair_shared_cells_emits_once(spark):
+    """The r14 fused cogroup dedups within-batch pairs IN-CELL (emit
+    only from min(shared probed cells)) instead of a distinct exchange:
+    with n_cells == n_probe == 2 every doc probes BOTH cells, so every
+    within pair meets twice — each must still surface exactly one
+    dup_pairs row, with the sequential-fold cosine_sim."""
+    existing = {1: _vec(5)}
+    batch = {
+        30: _vec(77),
+        31: _near(_vec(77)),   # within pair (30, 31), shared probe sets
+        32: _vec(78),          # singleton
+    }
+    out = A.incremental_semantic_merge(
+        _df(spark, existing), _df(spark, batch), "vec_id", "embedding",
+        threshold=THRESHOLD, n_cells=2, n_probe=2,
+    )
+    pairs = out["dup_pairs"].collect()
+    assert [(r["id_new"], r["id_matched"], r["scope"]) for r in pairs] == [
+        (31, 30, "batch")
+    ]
+    expected = round(_cos(batch[30], batch[31]), 6)
+    assert pairs[0]["cosine_sim"] == pytest.approx(expected, abs=1e-9)
+    assert {r["vec_id"] for r in out["accepted"].collect()} == {30, 32}
+
+
 def test_semantic_cell_overflow_raises(spark):
     """Cells past max_cell_rows refuse loudly instead of OOMing (the
     SemDeDup guard, shared by every BLAS cogroup in the repo)."""

@@ -47,7 +47,7 @@ JOB_BUDGETS = {
     "incremental_near_dup": 35,
     "incremental_near_dup_exacthash": 37,  # xxhash twin's band + the md5
     # signature chain's extra sub-jobs (measured 33 after the r9 cut)
-    "incremental_curation_admission": 71,  # r9 composed gate: tier-1
+    "incremental_curation_admission": 67,  # r9 composed gate: tier-1
     # fingerprint checkpoint + the full lexical admission chain + the
     # semantic fit/cogroup chain + attribution tail — cost ~ sum of the
     # single-tier admission queries, which is the point (r10: measured
@@ -57,27 +57,36 @@ JOB_BUDGETS = {
     # corpus fan-out exchange of _build_curation_state — the price of
     # building the four corpus stores CONCURRENTLY (guide §2.6) instead
     # of lazily embedded in sequential tier actions; wall time drops by
-    # the overlap (state build 23.5s sequential -> ~8s parallel sf0.1)
-    "incremental_semantic_dedup": 40,  # one MLlib fit on the corpus
+    # the overlap (state build 23.5s sequential -> ~8s parallel sf0.1).
+    # r14 plan review: -5 (measured 69 -> 64) — the semantic tier's
+    # fused single-cogroup candidate+verify (ops/ann, see
+    # incremental_semantic_dedup below)
+    "incremental_semantic_dedup": 29,  # one MLlib fit on the corpus
     # (clamp count + seeded-random init + capped iterations) + the
     # dup_pairs checkpoint + admit_batch's take + the surface tail
     # (r10: measured 43 -> 37 under init_mode="random"; the Lloyd
     # alternative measured 53 and was rejected — fit_semantic_centers
-    # docstring carries the adjudication)
+    # docstring carries the adjudication). r14 plan review: -11
+    # (measured 37 -> 26) — candidate generation and verify fused into
+    # ONE cogroup that carries vectors out with the candidates (no
+    # within-distinct, no id->vector verify joins; within-pair dedup
+    # moved in-cell via the min-shared-probed-cell rule)
     # r10 steady-state gate: per-batch admission against prebuilt
     # checkpointed stores (measured 47 at sf0.01 warm; the session-once
-    # store build is excluded — see _WARM_FIRST)
-    "incremental_curation_admission_steady": 51,
+    # store build is excluded — see _WARM_FIRST). r14 fused semantic
+    # tier: measured 41
+    "incremental_curation_admission_steady": 45,
     # r12 fourth-tier gate: the bootstrap gate + the DSIR fit's gram
     # pass/checkpoint + the ratio-table count + the survivor checkpoint
     # and scoring tail (measured 80). r13 plan review: +3 — the same
     # explicit concurrent-state-build checkpoints as the 3-tier form
-    # above (measured 91)
-    "incremental_curation_admission_dsir": 93,
+    # above (measured 91). r14 fused semantic tier: measured 86
+    "incremental_curation_admission_dsir": 89,
     # r12 steady form: per-batch four-tier admission against the
     # prebuilt stores + frozen ratio table (measured 56 warm; the
-    # session-once state build is excluded — see _WARM_FIRST)
-    "incremental_curation_admission_dsir_steady": 62,
+    # session-once state build is excluded — see _WARM_FIRST). r14
+    # fused semantic tier: measured 51
+    "incremental_curation_admission_dsir_steady": 56,
     # r12 fused pipeline: the curated-corpus checkpoint (URL survivors
     # + C4 gates materialize there) + the lazy hybrid-RRF tail over the
     # checkpointed corpus (measured 34)
