@@ -518,19 +518,23 @@ def incremental_near_dup_merge(
                 "was built in a different hash mode"
             )
     new_docs = ensure_fanout_parallelism(new_docs)
-    # No persist/checkpoint on the BATCH-sized intermediates (banded_new,
-    # sh_new): a persist leaks per call (CacheManager pins plans until an
-    # explicit unpersist the lazy outputs forbid — review r4), an eager
-    # checkpoint costs standalone materialization jobs, and all three
-    # banded_new consumers (cand_cross, both sides of cand_within)
-    # exchange it by the SAME (band_idx, band_hash) key, so Spark's
-    # ReusedExchange serves every consumer from one signature pass —
-    # re-verified r13 with an interleaved A/B at sf0.1 md5 mode:
-    # checkpointing is a wall-time WASH (6.40s vs 6.47s) and costs +3-6
-    # AQE stage-jobs. The expensive side of every join is the CORPUS,
-    # which is never recomputed (the signature STORE is the state).
-    # Only the two delta-sized, lineage-critical frames below
-    # (dup_pairs, comps) checkpoint.
+    # r14: the candidate PAIR SET lands on one checkpointed leaf. The
+    # r13 adjudication ("banded_new checkpoint is a wash —
+    # ReusedExchange serves the three same-key consumers") was true of
+    # the signature pass but missed where the duplication actually
+    # compounds: the candidate frames were consumed by DIFFERENTLY-
+    # KEYED consumers (the id-semijoin prefilters and the verify
+    # joins), so the whole banded-join subtree — including the
+    # CORPUS-side signature pass in bootstrap mode — was inlined into
+    # every copy; the lazy dup_pairs plan measured 22 SortMergeJoins +
+    # 42 BroadcastHashJoins at sf0.1 for what is logically 8 joins (the
+    # winnowing r13 pathology, guide §5: cache when reused and
+    # recompute is expensive). ONE delta-sized eager checkpoint of the
+    # tagged union collapses that — inside this single action the three
+    # banded_new consumers still share one signature pass via
+    # ReusedExchange (same band key), and every downstream consumer
+    # reads a leaf. (Still no persist: CacheManager pins plans until an
+    # explicit unpersist the lazy outputs forbid — review r4.)
     banded_new = minhash_banded_rows(
         new_docs, id_col, text_col, num_hashes, bands, shingle_k, hash_mode
     )
@@ -545,24 +549,35 @@ def incremental_near_dup_merge(
             id_col, text_col, num_hashes, bands, shingle_k, hash_mode
         )
 
-    cand_cross = (
+    cand_cross_lazy = (
         banded_new.select(F.col(id_col).alias("id_new"), "band_idx", "band_hash")
         .join(
-            existing_banded.select(F.col(id_col).alias("id_old"), "band_idx", "band_hash"),
+            existing_banded.select(F.col(id_col).alias("id_matched"), "band_idx", "band_hash"),
             ["band_idx", "band_hash"],
         )
-        .select("id_new", "id_old")
-        .distinct()
+        .select("id_new", "id_matched", F.lit("existing").alias("scope"))
     )
-    cand_within = (
+    cand_within_lazy = (
         banded_new.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
         .join(
             banded_new.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash"),
             ["band_idx", "band_hash"],
         )
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .select(
+            F.col("id_b").alias("id_new"),
+            F.col("id_a").alias("id_matched"),
+            F.lit("batch").alias("scope"),
+        )
+    )
+    cand = (
+        cand_cross_lazy.unionByName(cand_within_lazy).distinct().localCheckpoint()
+    )
+    cand_cross = cand.filter(F.col("scope") == "existing").select(
+        "id_new", F.col("id_matched").alias("id_old")
+    )
+    cand_within = cand.filter(F.col("scope") == "batch").select(
+        F.col("id_matched").alias("id_a"), F.col("id_new").alias("id_b")
     )
 
     def shingled(docs: DataFrame, ids: DataFrame, alias: str) -> DataFrame:
@@ -574,13 +589,14 @@ def incremental_near_dup_merge(
             word_shingles(F.col(text_col), shingle_k).alias(f"__sh_{alias}"),
         )
 
+    # No distincts on the shingle-prefilter id probes: cand is already a
+    # deduped leaf and leftsemi tolerates duplicate probe rows
     new_ids = (
         cand_cross.select(F.col("id_new").alias(id_col))
         .union(cand_within.select(F.col("id_a").alias(id_col)))
         .union(cand_within.select(F.col("id_b").alias(id_col)))
-        .distinct()
     )
-    old_ids = cand_cross.select(F.col("id_old").alias(id_col)).distinct()
+    old_ids = cand_cross.select(F.col("id_old").alias(id_col))
     sh_new = shingled(new_docs, new_ids, "id_new")
     sh_old = shingled(existing_docs, old_ids, "id_old")
 

@@ -43,11 +43,16 @@ JOB_BUDGETS = {
     # driver-built rejected set + ONE broadcast anti-join — the lazy
     # labeled/flagged join chain's ~6-9 AQE stage-jobs per consumer are
     # gone (measured 41->32 at sf0.001, 31 at sf0.1; the rejected r4
-    # fold experiment's 47 stays far above)
+    # fold experiment's 47 stays far above). r14: +2 (measured 32) from
+    # the candidate-pair leaf checkpoint — reviewed: it removes the
+    # duplicated banded-join subtrees from the verify plan (~2.5s of
+    # wall per bootstrap merge; the corpus signature pass previously
+    # re-ran inside every differently-keyed candidate consumer)
     "incremental_near_dup": 35,
     "incremental_near_dup_exacthash": 37,  # xxhash twin's band + the md5
-    # signature chain's extra sub-jobs (measured 33 after the r9 cut)
-    "incremental_curation_admission": 67,  # r9 composed gate: tier-1
+    # signature chain's extra sub-jobs (measured 33 after the r9 cut;
+    # r14 candidate-leaf: measured 32)
+    "incremental_curation_admission": 69,  # r9 composed gate: tier-1
     # fingerprint checkpoint + the full lexical admission chain + the
     # semantic fit/cogroup chain + attribution tail — cost ~ sum of the
     # single-tier admission queries, which is the point (r10: measured
@@ -60,7 +65,10 @@ JOB_BUDGETS = {
     # the overlap (state build 23.5s sequential -> ~8s parallel sf0.1).
     # r14 plan review: -5 (measured 69 -> 64) — the semantic tier's
     # fused single-cogroup candidate+verify (ops/ann, see
-    # incremental_semantic_dedup below)
+    # incremental_semantic_dedup below); then +2 (measured 66) from the
+    # lexical tier's candidate-pair leaf checkpoint, which buys ~1.5-3s
+    # of wall per merge by collapsing the verify plan's duplicated
+    # banded-join subtrees (22 SMJ + 42 BHJ -> ~14 joins at sf0.1)
     "incremental_semantic_dedup": 29,  # one MLlib fit on the corpus
     # (clamp count + seeded-random init + capped iterations) + the
     # dup_pairs checkpoint + admit_batch's take + the surface tail
@@ -74,18 +82,19 @@ JOB_BUDGETS = {
     # r10 steady-state gate: per-batch admission against prebuilt
     # checkpointed stores (measured 47 at sf0.01 warm; the session-once
     # store build is excluded — see _WARM_FIRST). r14 fused semantic
-    # tier: measured 41
-    "incremental_curation_admission_steady": 45,
+    # tier: measured 41; + lexical candidate leaf: 43
+    "incremental_curation_admission_steady": 46,
     # r12 fourth-tier gate: the bootstrap gate + the DSIR fit's gram
     # pass/checkpoint + the ratio-table count + the survivor checkpoint
     # and scoring tail (measured 80). r13 plan review: +3 — the same
     # explicit concurrent-state-build checkpoints as the 3-tier form
-    # above (measured 91). r14 fused semantic tier: measured 86
-    "incremental_curation_admission_dsir": 89,
+    # above (measured 91). r14 fused semantic tier: measured 86; +
+    # lexical candidate leaf: 88
+    "incremental_curation_admission_dsir": 91,
     # r12 steady form: per-batch four-tier admission against the
     # prebuilt stores + frozen ratio table (measured 56 warm; the
     # session-once state build is excluded — see _WARM_FIRST). r14
-    # fused semantic tier: measured 51
+    # fused semantic tier: measured 51; + lexical candidate leaf: 53
     "incremental_curation_admission_dsir_steady": 56,
     # r12 fused pipeline: the curated-corpus checkpoint (URL survivors
     # + C4 gates materialize there) + the lazy hybrid-RRF tail over the
