@@ -174,47 +174,70 @@ def span_stats_from_starts(
             (F.max("gpos") + (k - 1)).alias("__e"),
         )
     )
-    stats = spans.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_dup_spans"),
-        F.sum(F.col("__e") - F.col("__s") + 1).alias("n_dup_tokens"),
-    )
-
-    covered = spans.select(
-        id_col, F.explode(F.sequence("__s", "__e")).alias("pos")
-    )
-    tokpos = base.select(
-        id_col, F.posexplode("__toks").alias("pos", "w")
-    )
-    cleaned = (
-        tokpos.join(covered, [id_col, "pos"], "left_anti")
-        .groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                    lambda s: s["w"],
-                ),
-                " ",
-            ).alias("cleaned_text")
-        )
+    # r14 (VERDICT r13 #6): the r13 tail exploded the FULL token mass to
+    # (id, pos, w) rows, anti-joined the covered positions by (id, pos),
+    # and re-grouped by id — two token-mass shuffles for a cut whose
+    # decisions are span-sized (guide §8: decide with small rows, attach
+    # once). Now the merged spans aggregate into ONE per-doc array
+    # (delta-sized — only docs with duplicated windows appear), join
+    # back by id (broadcastable: span docs ≤ duplicate structure), and
+    # the cut + re-assembly run as array expressions in the same map:
+    # kept = array_except(sequence(0, n-1), flatten(sequence(s, e))) —
+    # array_except preserves LEFT-array order, so collect_list's
+    # nondeterministic span order cannot affect the output. Per-element
+    # work inside the interpreted HOFs is one element_at per kept token
+    # (the repo's HOF rule tolerates cheap per-element work; the heavy
+    # alternative was two shuffles of every token). Stats derive from
+    # the same span array, dropping the separate stats aggregation.
+    span_arrays = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("__s", "__e")).alias("__spans")
     )
 
     n_tok = F.size("__toks").cast("long")
+    has_spans = F.col("__spans").isNotNull()
+    n_dup_spans = F.when(has_spans, F.size("__spans")).otherwise(F.lit(0))
+    n_dup_tokens = F.when(
+        has_spans,
+        F.aggregate(
+            "__spans",
+            F.lit(0),
+            lambda acc, s: acc + s["__e"] - s["__s"] + 1,
+        ),
+    ).otherwise(F.lit(0))
+    covered = F.flatten(
+        F.transform("__spans", lambda s: F.sequence(s["__s"], s["__e"]))
+    )
+    kept = F.array_except(F.sequence(F.lit(0), F.size("__toks") - 1), covered)
+    cleaned_text = (
+        F.when(F.size("__toks") == 0, F.lit(""))
+        .when(~has_spans, F.array_join("__toks", " "))
+        .otherwise(
+            F.array_join(
+                F.transform(kept, _token_at(F.col("__toks"))), " "
+            )
+        )
+    )
     return (
-        base.join(stats, id_col, "left")
-        .join(cleaned, id_col, "left")
+        base.join(span_arrays, id_col, "left")
         .select(
             id_col,
             n_tok.alias("n_tokens"),
-            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
-            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            n_dup_spans.cast("long").alias("n_dup_spans"),
+            n_dup_tokens.cast("long").alias("n_dup_tokens"),
             F.when(n_tok == 0, F.lit(0.0))
-            .otherwise(
-                F.round(
-                    F.coalesce("n_dup_tokens", F.lit(0)).cast("double") / n_tok, 6
-                )
-            )
+            .otherwise(F.round(n_dup_tokens.cast("double") / n_tok, 6))
             .alias("dup_token_frac"),
-            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            cleaned_text.alias("cleaned_text"),
         )
     )
+
+
+def _token_at(toks):
+    """Position -> token lookup as a closure (helper, not a lambda
+    default-arg capture — the PySpark lambda trap: a 2-arg transform
+    lambda receives the ELEMENT INDEX as its second argument)."""
+
+    def look(p):
+        return F.element_at(toks, p + F.lit(1))
+
+    return look

@@ -90,9 +90,12 @@ SHUFFLE_BUDGET = {
     # fan-out round-robin (single-file source) + gram doc-frequency agg
     # + join-back gram shuffle + per-doc agg (pair-free)
     "document_gram_exposure": 4,
-    # gram count + dup-start join-back + per-doc merge window + covered
-    # anti-join + kept-token reassembly agg (pair-free ExactSubstr)
-    "duplicated_span_removal": 5,
+    # gram count + dup-start join-back + per-doc merge window + span
+    # array agg (pair-free ExactSubstr). r14: 5 -> 3 measured (pin 3) —
+    # the covered-position anti-join and kept-token reassembly agg (two
+    # token-mass shuffles) are replaced by a per-doc span-array join +
+    # array_except cut in one map (ops/spans.span_stats_from_starts)
+    "duplicated_span_removal": 3,
     "winnowing_fingerprint": 2,
     "pii_detect_redact": 0,
     "benchmark_decontamination": 3,
@@ -267,8 +270,10 @@ SHUFFLE_BUDGET = {
     # r6 post-window adds: measured on the executed plan
     # r13: 12 -> 8 — _tokenized now lands on a checkpointed leaf, so
     # the planted-fixture corpus subtree no longer replicates into the
-    # span-tail branches (see the old note below for the 12-count shape)
-    "benchmark_span_scrub": 8,      # the planted-fixture corpus subtree
+    # span-tail branches (see the old note below for the 12-count shape).
+    # r14: 8 -> 3 measured (pin 4) — the span-array reassembly drops the
+    # token-stream anti-join + regroup branches entirely
+    "benchmark_span_scrub": 4,      # the planted-fixture corpus subtree
     # (broadcast frag join + fanout repartition) is REPLICATED into the
     # 4 span-tail branches (grams / merge window / token stream / final
     # join), so its RoundRobin+hash exchanges count 4x in the initial
