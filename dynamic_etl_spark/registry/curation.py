@@ -1538,7 +1538,33 @@ def _run_curation_gate(
     no_emb = s2.join(batch_emb, "doc_id", "left_anti").select("doc_id")
     admitted = out3["accepted"].select("doc_id").unionByName(no_emb)
 
-    flag = lambda df, name: df.select("doc_id", F.lit(True).alias(name))
+    # r14 attribution (guide §2.4/§1.2): the tier survivor sets are
+    # strictly NESTED (batch ⊇ s1 ⊇ s2 ⊇ admitted [⊇ s3 ⊇ final]), so
+    # "first tier that dropped the doc" is just the MAX tier the doc
+    # reached — one tagged union + groupBy replaces the r13 chain of
+    # 3-4 per-tier flag joins (each a broadcast build + probe stage in
+    # the surfaced plan; measured 11 jobs for the attribution tail).
+    def _attribution(tiers: list, labels: list) -> DataFrame:
+        spine = tiers[0].select("doc_id", F.lit(0).alias("__tier"))
+        for i, frame in enumerate(tiers[1:], start=1):
+            spine = spine.unionByName(
+                frame.select("doc_id", F.lit(i).alias("__tier"))
+            )
+        top = len(tiers) - 1
+        reached = F.col("__tier")
+        label = F.lit(labels[0])
+        for i in range(1, top + 1):
+            label = F.when(reached == i, F.lit(labels[i])).otherwise(label)
+        return (
+            spine.groupBy("doc_id")
+            .agg(F.max("__tier").alias("__tier"))
+            .select(
+                "doc_id",
+                (reached == top).alias("admitted"),
+                label.alias("rejected_by"),
+            )
+            .orderBy("doc_id")
+        )
 
     if dsir_min_lw is not None:
         # tier 4 — DSIR quality admission of the semantic survivors
@@ -1553,47 +1579,21 @@ def _run_curation_gate(
                 n_buckets=DSIR_GATE_BUCKETS,
             )
         # two consumers of the tier-3 survivor set (the DSIR scoring
-        # input and the attribution flag) — checkpoint the seam
+        # input and the attribution spine) — checkpoint the seam
         s3 = batch_docs.join(admitted, "doc_id", "leftsemi").localCheckpoint()
         final = (
             Q.dsir_gate(s3, ratios, min_log_weight=dsir_min_lw)
             .filter(F.col("passes"))
             .select("doc_id")
         )
-        return (
-            batch_docs.select("doc_id")
-            .join(flag(s1, "__t1"), "doc_id", "left")
-            .join(flag(s2, "__t2"), "doc_id", "left")
-            .join(flag(s3, "__t3"), "doc_id", "left")
-            .join(flag(final, "__adm"), "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce(F.col("__adm"), F.lit(False)).alias("admitted"),
-                F.when(F.coalesce(F.col("__adm"), F.lit(False)), F.lit("none"))
-                .when(F.coalesce(F.col("__t3"), F.lit(False)), F.lit("quality"))
-                .when(F.coalesce(F.col("__t2"), F.lit(False)), F.lit("semantic"))
-                .when(F.coalesce(F.col("__t1"), F.lit(False)), F.lit("lexical"))
-                .otherwise(F.lit("exact"))
-                .alias("rejected_by"),
-            )
-            .orderBy("doc_id")
+        return _attribution(
+            [batch_docs, s1, s2, s3, final],
+            ["exact", "lexical", "semantic", "quality", "none"],
         )
 
-    return (
-        batch_docs.select("doc_id")
-        .join(flag(s1, "__t1"), "doc_id", "left")
-        .join(flag(s2, "__t2"), "doc_id", "left")
-        .join(flag(admitted, "__adm"), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("__adm"), F.lit(False)).alias("admitted"),
-            F.when(F.coalesce(F.col("__adm"), F.lit(False)), F.lit("none"))
-            .when(F.coalesce(F.col("__t2"), F.lit(False)), F.lit("semantic"))
-            .when(F.coalesce(F.col("__t1"), F.lit(False)), F.lit("lexical"))
-            .otherwise(F.lit("exact"))
-            .alias("rejected_by"),
-        )
-        .orderBy("doc_id")
+    return _attribution(
+        [batch_docs, s1, s2, admitted],
+        ["exact", "lexical", "semantic", "none"],
     )
 
 

@@ -52,7 +52,7 @@ JOB_BUDGETS = {
     "incremental_near_dup_exacthash": 37,  # xxhash twin's band + the md5
     # signature chain's extra sub-jobs (measured 33 after the r9 cut;
     # r14 candidate-leaf: measured 32)
-    "incremental_curation_admission": 69,  # r9 composed gate: tier-1
+    "incremental_curation_admission": 66,  # r9 composed gate: tier-1
     # fingerprint checkpoint + the full lexical admission chain + the
     # semantic fit/cogroup chain + attribution tail — cost ~ sum of the
     # single-tier admission queries, which is the point (r10: measured
@@ -83,19 +83,19 @@ JOB_BUDGETS = {
     # checkpointed stores (measured 47 at sf0.01 warm; the session-once
     # store build is excluded — see _WARM_FIRST). r14 fused semantic
     # tier: measured 41; + lexical candidate leaf: 43
-    "incremental_curation_admission_steady": 46,
+    "incremental_curation_admission_steady": 43,
     # r12 fourth-tier gate: the bootstrap gate + the DSIR fit's gram
     # pass/checkpoint + the ratio-table count + the survivor checkpoint
     # and scoring tail (measured 80). r13 plan review: +3 — the same
     # explicit concurrent-state-build checkpoints as the 3-tier form
     # above (measured 91). r14 fused semantic tier: measured 86; +
     # lexical candidate leaf: 88
-    "incremental_curation_admission_dsir": 91,
+    "incremental_curation_admission_dsir": 88,
     # r12 steady form: per-batch four-tier admission against the
     # prebuilt stores + frozen ratio table (measured 56 warm; the
     # session-once state build is excluded — see _WARM_FIRST). r14
     # fused semantic tier: measured 51; + lexical candidate leaf: 53
-    "incremental_curation_admission_dsir_steady": 56,
+    "incremental_curation_admission_dsir_steady": 53,
     # r12 fused pipeline: the curated-corpus checkpoint (URL survivors
     # + C4 gates materialize there) + the lazy hybrid-RRF tail over the
     # checkpointed corpus (measured 34)
