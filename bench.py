@@ -348,13 +348,15 @@ def main() -> None:
         # idle baseline is host-side until proven otherwise — take one
         # more sample, report the min, and flag the row so readers
         # discount it without a judge re-run.
-        # Jobs gate is +-2, matching the baseline merge mode's
-        # plan-unchanged rule (VERDICT r12 #2): eager/broadcast-heavy
-        # rows jitter a job or two run-to-run (broadcast submission,
-        # AQE stage coalescing) without a plan change, and an
-        # exact-equality gate let three >1.5x rows escape adjudication
-        # in r12 on a +-1 drift. Shuffle count stays exact — it is
-        # deterministic on the AQE-initial plan.
+        # r14 (ADVICE r13 #3): the min-of-samples HEADLINE substitution
+        # now requires jobs_delta == 0 (and exact shuffles) — a real
+        # regression that adds 1-2 jobs without moving the surfaced
+        # shuffle count (e.g. an extra localCheckpoint, whose internal
+        # exchanges are hidden from the surfaced plan) must not be
+        # auto-min-sampled away. A +-1/+-2 jobs drift still FLAGS the
+        # row (delta recorded in noise_basis) so a reader adjudicates,
+        # but the measured timing stands. Shuffle count stays exact —
+        # it is deterministic on the AQE-initial plan.
         base = baseline_rows.get(name)
         if (
             base is not None
@@ -362,19 +364,29 @@ def main() -> None:
             and abs(jobs[name] - base["jobs"]) <= 2
             and shuffles[name] == base["shuffles"]
         ):
-            prev = timings[name]
-            w4, _, _ = run_once(name)
-            timings[name] = min(prev, w4)
-            if (
-                max(prev, w4) > 1.2 * min(prev, w4)
-                or timings[name] > 1.5 * base["warm"]
-            ):
+            if jobs[name] == base["jobs"]:
+                prev = timings[name]
+                w4, _, _ = run_once(name)
+                timings[name] = min(prev, w4)
+                if (
+                    max(prev, w4) > 1.2 * min(prev, w4)
+                    or timings[name] > 1.5 * base["warm"]
+                ):
+                    noisy[name] = True
+                    noise_basis[name] = {
+                        "baseline_warm": base["warm"],
+                        "samples": [prev, w4],
+                        "jobs_delta": 0,
+                        "shuffles_unchanged": True,
+                    }
+            else:
                 noisy[name] = True
                 noise_basis[name] = {
                     "baseline_warm": base["warm"],
-                    "samples": [prev, w4],
+                    "samples": [timings[name]],
                     "jobs_delta": jobs[name] - base["jobs"],
                     "shuffles_unchanged": True,
+                    "headline_kept_measured": True,
                 }
 
     total = round(sum(timings.values()), 4)
@@ -416,30 +428,22 @@ def main() -> None:
             # still carry 1.3-3x neighbor-tenancy swings on individual
             # rows (measured r12: 52/72 rows differed >1.1x between two
             # back-to-back idle runs). A row whose jobs or shuffles
-            # moved re-earns fresh — min-ing across different plans
-            # would pin the old plan's number to the new plan.
-            # Plan-unchanged = equal SHUFFLE count (deterministic on the
-            # AQE-initial plan) + jobs within +-2: eager/broadcast-heavy
-            # rows jitter a job or two run-to-run (broadcast submission,
-            # AQE stage coalescing) without any plan change, and an
-            # exact-jobs guard silently refused their merges (observed
-            # r12). The recorded jobs/shuffles stay the NEW run's.
+            # moved re-earns fresh from THIS run's numbers.
+            # r14 (VERDICT r13 #2): plan-unchanged now means equal
+            # SHUFFLE count AND equal JOBS — the r13 +-2 window let six
+            # rows whose plans changed that round keep an old plan's
+            # low envelope (merged_jobs_delta), which is exactly what
+            # the flag was invented to catch. A jitter row (+-1 job, no
+            # plan change) that loses its merge simply re-earns next
+            # idle baseline run; a changed-plan row must never inherit.
             for n, old_row in baseline_rows.items():
                 new_row = rows.get(n)
                 if (
                     new_row is not None
                     and new_row["shuffles"] == old_row["shuffles"]
-                    and abs(new_row["jobs"] - old_row["jobs"]) <= 2
+                    and new_row["jobs"] == old_row["jobs"]
                 ):
                     new_row["warm"] = min(new_row["warm"], old_row["warm"])
-                    if new_row["jobs"] != old_row["jobs"]:
-                        # ADVICE r12 #4: a merge across a non-zero jobs
-                        # delta could pin an old plan's low envelope to
-                        # a changed plan — record it so a plan review
-                        # can tell jitter-merge from changed-plan merge
-                        new_row["merged_jobs_delta"] = (
-                            new_row["jobs"] - old_row["jobs"]
-                        )
         with open(baseline_path, "w") as f:
             json.dump({"sf": sf, "queries": rows}, f, indent=1)
     # Full per-query detail (cold timings, job counts) goes to a sidecar
