@@ -1308,11 +1308,16 @@ def semantic_dedup(
     if index is None:
         # init_mode="random" (seeded), the fit_semantic_centers default
         # (VERDICT r9 #6): cells only GATE candidate pairs here — the
-        # exact within-cell cosine decides — and a >= threshold pair
-        # sits at near-zero distance no clustering separates, so the
-        # survivor set is init-independent (re-verified r13: outputs
-        # bit-identical to the k-means|| fit at sf0.001/0.01/0.1) while
-        # the k-means|| init passes cost ~5 extra jobs.
+        # exact within-cell cosine decides. The survivor set is NOT
+        # theoretically init-independent (ADVICE r13 #4: a pair barely
+        # at threshold could straddle a Voronoi boundary that a
+        # different init places elsewhere — SemDeDup's documented
+        # cross-cluster recall trade-off); what holds is EMPIRICAL:
+        # outputs verified bit-identical to the k-means|| fit at
+        # sf0.001/0.01/0.1 (r13) because this data's >= 0.95 pairs are
+        # planted perturbations at near-zero distance. Re-verify across
+        # inits before trusting a data change; the random init saves
+        # ~5 jobs of k-means|| passes.
         index = build_ivf_index(
             corpus, id_col, vec_col, n_cells, seed, persist=False,
             max_iter=max_iter, init_mode="random",
