@@ -53,6 +53,15 @@ def get_spark(
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
+    # Scale-dependent overrides without code edits (e.g. shuffle codec,
+    # join-strategy preference, advisory partition size on a real
+    # cluster): `SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"`. Local defaults
+    # stay exactly as above so bench numbers remain driver-comparable;
+    # production values belong in the deployment environment.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
+        key, _, value = pair.partition("=")
+        builder = builder.config(key.strip(), value.strip())
     spark = builder.getOrCreate()
     # getOrCreate silently ignores builder configs when a session already
     # exists in the process. The runtime-settable invariants (UTC timezone is

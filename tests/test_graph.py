@@ -33,6 +33,7 @@ def _union_find_components(edges, vertices):
     return {v: min(mem) for mem in roots.values() for v in mem}
 
 
+@pytest.mark.slow  # fast-tier skip: heavy reference comparison (FULL_SUITE=1)
 @pytest.mark.parametrize("seed,n,m", [(7, 120, 90), (99, 60, 200)])
 def test_components_match_union_find(spark, seed, n, m):
     rng = random.Random(seed)
@@ -48,6 +49,7 @@ def test_components_match_union_find(spark, seed, n, m):
     assert got == want
 
 
+@pytest.mark.slow  # fast-tier skip: heavy reference comparison (FULL_SUITE=1)
 def test_chain_converges_via_pointer_jumping(spark):
     # a 120-long path is the worst case for plain propagation (120 rounds);
     # pointer jumping must close it inside the default max_iter=30
@@ -93,6 +95,7 @@ def _numpy_pagerank(edges, n, damping=0.85, iters=60):
     return r
 
 
+@pytest.mark.slow  # fast-tier skip: heavy reference comparison (FULL_SUITE=1)
 def test_pagerank_matches_numpy_reference(spark):
     from dynamic_etl_spark.ops.graph import pagerank
 
@@ -146,6 +149,7 @@ def test_pagerank_empty_edges(spark):
     assert pagerank(df).count() == 0
 
 
+@pytest.mark.slow  # fast-tier skip: heavy reference comparison (FULL_SUITE=1)
 def test_pagerank_driver_path_matches_distributed(spark):
     """The small-graph driver shortcut runs the identical recurrence:
     both paths agree to float tolerance on the same graph."""
@@ -170,6 +174,7 @@ def test_pagerank_driver_path_matches_distributed(spark):
         assert abs(fast[v] - dist[v]) < 1e-9
 
 
+@pytest.mark.slow  # fast-tier skip: heavy reference comparison (FULL_SUITE=1)
 def test_pagerank_zero_weight_edges_are_dangling(spark):
     """Zero-weight out-edges carry no mass: the vertex counts as
     dangling (matching the numpy reference's divide-where convention)

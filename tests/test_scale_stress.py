@@ -30,6 +30,12 @@ from dynamic_etl_spark.ops.ann import cosine_near_dup_pairs, srp_banded_rows
 from dynamic_etl_spark.ops.graph import connected_components
 from dynamic_etl_spark.ops.lsh import minhash_banded_rows, minhash_near_dup_pairs
 
+pytestmark = pytest.mark.slow  # fast-tier skip (FULL_SUITE=1 runs it) — VERDICT r13 #7: the
+# default `pytest tests/` run must finish inside the driver budget; this
+# file is long-tail wall time (streaming/stress/e2e composites), fully
+# covered by the round-start FULL_SUITE run.
+
+
 DOCS_N = 1_000_000
 VECS_N = 100_000
 DUP_EVERY = 500  # ids with id % DUP_EVERY in {0,1} form an identical-text pair
